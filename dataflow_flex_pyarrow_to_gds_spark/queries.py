@@ -1,0 +1,492 @@
+"""Query catalog: every implemented operator as a (Spark fn, oracle SQL) pair.
+
+Each entry is a named query ``(spark, sf_dir) -> DataFrame`` plus (where
+SQL-expressible) an equivalent DuckDB SQL string over the same parquet
+tables. The driver runs both at sf0.01 and compares row count + schema +
+order-insensitive value hash — so:
+
+- every computed column is aliased identically on both sides;
+- aggregates over doubles are ``round``-ed (2-4 dp) to absorb summation-
+  order noise between engines;
+- integer-typed results are cast so Spark and DuckDB agree (DuckDB
+  ``year()``/``length()``/``row_number()`` return BIGINT, Spark INT —
+  Spark side casts to long; DuckDB ``sum(int)`` returns HUGEINT — oracle
+  casts to BIGINT);
+- timestamps are exchanged as epoch seconds (session TZ pinned to UTC).
+
+SURVEY §2 coverage notes sit on each query. Graph-path queries exercise the
+package operators (project_nodes/project_edges/resolve_edges) rather than
+re-deriving the SQL by hand.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .model import Edge, Node
+from .operators.edge_resolution import dangling_edges, resolve_edges
+from .operators.graph import project_edges, project_nodes
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Graph path (reference parity: SURVEY §2.1/2.2/2.7, §2.4 A1/A2)
+# --------------------------------------------------------------------------
+
+_CUSTOMER_NODE = Node(
+    source=".*",
+    key_field="c_custkey",
+    label_field="c_mktsegment",  # string label → singleton array
+    properties={"c_name": "name", "c_acctbal": "acctbal"},
+)
+
+_LINEITEM_EDGE = Edge(
+    source=".*",
+    source_field="l_orderkey",
+    target_field="l_partkey",
+    default_type="CONTAINS",
+    properties={"l_quantity": "quantity", "l_extendedprice": "price"},
+)
+
+_ORDERS_EDGE = Edge(
+    source=".*",
+    source_field="o_custkey",
+    target_field="o_orderkey",
+    default_type="PLACED",
+)
+
+
+def q_graph_nodes_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P4: model-driven projection/rename into GDS node layout, with
+    string→array label normalization (scalarized for the oracle hash)."""
+    out = project_nodes(_t(spark, sf_dir, "customer"), _CUSTOMER_NODE)
+    return out.select(
+        "nodeId",
+        F.array_join("labels", "|").alias("labels_str"),
+        "name",
+        "acctbal",
+    )
+
+
+def q_graph_edges_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 for edges: rename + static relationship type + property mapping."""
+    return project_edges(_t(spark, sf_dir, "lineitem"), _LINEITEM_EDGE)
+
+
+def _orders_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return project_edges(_t(spark, sf_dir, "orders"), _ORDERS_EDGE)
+
+
+def _node_id_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-id set: positive-balance customers + non-finished orders — a
+    deliberately partial set so ~1/3 of edges dangle (custkey and orderkey
+    spaces overlap, so a customer-only filter alone would be vacuous)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("nodeId"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select(F.col("o_orderkey").alias("nodeId"))
+    )
+    return cust.unionByName(orders)
+
+
+def q_graph_edge_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.3 step 3: semi-join both edge endpoints against the node-id set
+    (the reference defers this to the GDS server)."""
+    return resolve_edges(
+        _orders_edges(spark, sf_dir), _node_id_universe(spark, sf_dir)
+    )
+
+
+def q_graph_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation complement: edges with a missing endpoint (anti-join)."""
+    return dangling_edges(
+        _orders_edges(spark, sf_dir), _node_id_universe(spark, sf_dir)
+    )
+
+
+def q_graph_load_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/U1: per-kind row telemetry + final relabel — the reference's
+    Flatten + CombineGlobally + kind="final" tail (pipeline.py:88-95),
+    declaratively (map-side partial counts, one tiny shuffle)."""
+    kinds = []
+    for tbl in ("customer", "orders", "part", "supplier"):
+        kinds.append(_t(spark, sf_dir, tbl).select(F.lit("node").alias("kind")))
+    for tbl in ("orders", "lineitem"):
+        kinds.append(_t(spark, sf_dir, tbl).select(F.lit("edge").alias("kind")))
+    unioned = kinds[0]
+    for k in kinds[1:]:
+        unioned = unioned.unionByName(k)
+    per_kind = unioned.groupBy("kind").agg(F.count(F.lit(1)).alias("count"))
+    final = per_kind.agg(
+        F.lit("final").alias("kind"), F.sum("count").alias("count")
+    )
+    return per_kind.unionByName(final)
+
+
+_GRAPH_ORACLES = {
+    "graph_nodes_project": """
+        SELECT c_custkey AS nodeId, c_mktsegment AS labels_str,
+               c_name AS name, c_acctbal AS acctbal
+        FROM customer
+    """,
+    "graph_edges_project": """
+        SELECT l_orderkey AS sourceNodeId, l_partkey AS targetNodeId,
+               'CONTAINS' AS relationshipType,
+               l_quantity AS quantity, l_extendedprice AS price
+        FROM lineitem
+    """,
+    "graph_edge_resolution": """
+        WITH ids AS (
+            SELECT c_custkey AS id FROM customer WHERE c_acctbal > 0
+            UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+        )
+        SELECT o_custkey AS sourceNodeId, o_orderkey AS targetNodeId,
+               'PLACED' AS relationshipType
+        FROM orders
+        WHERE o_custkey IN (SELECT id FROM ids)
+          AND o_orderkey IN (SELECT id FROM ids)
+    """,
+    "graph_dangling_edges": """
+        WITH ids AS (
+            SELECT c_custkey AS id FROM customer WHERE c_acctbal > 0
+            UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F'
+        )
+        SELECT o_custkey AS sourceNodeId, o_orderkey AS targetNodeId,
+               'PLACED' AS relationshipType
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT id FROM ids)
+           OR o_orderkey NOT IN (SELECT id FROM ids)
+    """,
+    "graph_load_stats": """
+        WITH c AS (
+            SELECT 'node' AS kind FROM customer
+            UNION ALL SELECT 'node' FROM orders
+            UNION ALL SELECT 'node' FROM part
+            UNION ALL SELECT 'node' FROM supplier
+            UNION ALL SELECT 'edge' FROM orders
+            UNION ALL SELECT 'edge' FROM lineitem
+        ), per_kind AS (
+            SELECT kind, count(*) AS count FROM c GROUP BY kind
+        )
+        SELECT kind, count FROM per_kind
+        UNION ALL
+        SELECT 'final', CAST(sum(count) AS BIGINT) FROM per_kind
+    """,
+}
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.8 categories the reference lacks; §7.3.4)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → 8 aggregates (map-side partial
+    agg; the scan reads only 7 of lineitem's 11 columns — check ReadSchema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filter + group + deterministic top-10.
+    customer is tiny → Catalyst broadcasts it; orders⋈lineitem shuffles on
+    the order key once and the groupBy reuses that partitioning."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (nation/region broadcast) + group."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: ranking window — top-3 orders per customer (single shuffle on
+    the partition key; no global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: grouped aggregation with exact distinct counting."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: grouping-sets rollup with sub/grand totals."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: intersect / except over derived key sets."""
+    rich_cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    rich_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    both = rich_cust.intersect(rich_supp).withColumn("tag", F.lit("both"))
+    cust_only = rich_cust.exceptAll(rich_supp).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: string / date / math column functions (all JVM built-ins)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.round(F.col("o_totalprice") * 1.07, 2).alias("taxed"),
+        F.round(F.sqrt(F.abs(F.col("o_totalprice"))), 4).alias("sqrt_price"),
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: deterministic global top-k (TakeOrderedAndProject — no full
+    sort materialization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_RELATIONAL_ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "window_top_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "agg_distinct_parts": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS distinct_parts,
+               count(DISTINCT l_suppkey) AS distinct_supps,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rollup_lineitem": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops_nations": """
+        WITH rc AS (SELECT DISTINCT c_nationkey AS nk FROM customer
+                    WHERE c_acctbal > 9000),
+             rs AS (SELECT DISTINCT s_nationkey AS nk FROM supplier
+                    WHERE s_acctbal > 5000)
+        SELECT nk, 'both' AS tag FROM (SELECT nk FROM rc INTERSECT SELECT nk FROM rs)
+        UNION ALL
+        SELECT nk, 'cust_only' AS tag FROM (SELECT nk FROM rc EXCEPT SELECT nk FROM rs)
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS pri_upper,
+               substr(o_orderpriority, 1, 1) AS pri_code,
+               CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+               concat_ws('#', o_orderstatus, o_orderpriority) AS status_pri,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               round(o_totalprice * 1.07, 2) AS taxed,
+               round(sqrt(abs(o_totalprice)), 4) AS sqrt_price
+        FROM orders
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+}
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+def _specs() -> dict[str, QuerySpec]:
+    graph = {
+        "graph_nodes_project": q_graph_nodes_project,
+        "graph_edges_project": q_graph_edges_project,
+        "graph_edge_resolution": q_graph_edge_resolution,
+        "graph_dangling_edges": q_graph_dangling_edges,
+        "graph_load_stats": q_graph_load_stats,
+    }
+    relational = {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "agg_distinct_parts": q_agg_distinct_parts,
+        "rollup_lineitem": q_rollup_lineitem,
+        "set_ops_nations": q_set_ops_nations,
+        "scalar_functions": q_scalar_functions,
+        "sort_limit": q_sort_limit,
+    }
+    out: dict[str, QuerySpec] = {}
+    for name, fn in graph.items():
+        out[name] = QuerySpec(fn, _GRAPH_ORACLES.get(name), fn.__doc__ or "")
+    for name, fn in relational.items():
+        out[name] = QuerySpec(fn, _RELATIONAL_ORACLES.get(name), fn.__doc__ or "")
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in _specs().items() if spec.oracle
+    }

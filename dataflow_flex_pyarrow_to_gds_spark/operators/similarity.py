@@ -1,0 +1,301 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, trading exactness for scale:
+
+1. :func:`brute_force_topk` — exact cosine top-k against one query vector.
+   O(N·d) single narrow pass + TakeOrdered; the correctness baseline.
+2. :func:`knn_join` — exact top-k for a *set* of query vectors: broadcast
+   the (small) query side, per-query window top-k. O(N·Q·d) but no
+   shuffle of the big side beyond the final per-query top-k.
+3. Approximate scale paths:
+   - :class:`RandomHyperplaneLSH` — deterministic signed-projection
+     signatures, bucket equi-join + exact re-rank (sublinear candidates).
+   - :func:`ivf_assign` / :func:`ivf_topk` — IVF: partition vectors by
+     nearest centroid (vectorized pandas UDF — an honest matmul is the
+     right tool here), probe the closest ``nprobe`` centroids at query
+     time, exact re-rank within. At 100 TB the centroid assignment is
+     the only full pass; queries touch ~nprobe/C of the data.
+
+Vector math is built-in-function composition (``zip_with``/``aggregate``,
+JVM codegen) — floats are cast to double before accumulation so results
+are reproducible against a double-precision oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.scalar import cosine_similarity
+
+
+def _as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k vs one query vector → (id, sim) with
+    deterministic tie-break on id."""
+    sim = cosine_similarity(_as_double(F.col(vec_col)), _query_lit(query_vec))
+    return (
+        df.select(F.col(id_col), F.round(sim, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    *,
+    data_id: str,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact k-NN join: for each query row, the k nearest data rows.
+
+    The query side is broadcast (it must be small — that is what makes
+    exact k-NN joinable at scale); the data side is never shuffled until
+    the per-query top-k window, which AQE right-sizes.
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"), _as_double(F.col(vec_col)).alias("_qvec")
+    )
+    d = data.select(
+        F.col(data_id).alias("_did"), _as_double(F.col(vec_col)).alias("_dvec")
+    )
+    sim = cosine_similarity(F.col("_dvec"), F.col("_qvec"))
+    w = W.partitionBy("_qid").orderBy(F.desc("sim"), F.asc("_did"))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select("_qid", "_did", F.round(sim, 4).alias("sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_did").alias(data_id),
+            "sim",
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+class RandomHyperplaneLSH:
+    """Deterministic signed random projections → nbits-bit bucket ids.
+
+    Hyperplane signs derive from md5(seed,i,j) — stable across sessions
+    and languages, so signatures are reproducible (no RNG state shipped
+    to executors; the sign matrix is a plan literal).
+    """
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+        self.dim, self.nbits, self.seed = dim, nbits, seed
+        self.signs = [
+            [self._sign(seed, i, j) for j in range(dim)] for i in range(nbits)
+        ]
+
+    @staticmethod
+    def _sign(seed: int, i: int, j: int) -> float:
+        h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+        return 1.0 if h[0] % 2 == 0 else -1.0
+
+    def _signs_lit(self) -> Column:
+        return F.array(
+            *[F.array(*[F.lit(s) for s in row]) for row in self.signs]
+        )
+
+    def bucket_col(self, vec: Column) -> Column:
+        """nbits-bit bucket id of a vector column (JVM-side)."""
+        signs = self._signs_lit()
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(self.nbits - 1)),
+            lambda i: F.aggregate(
+                F.zip_with(
+                    _as_double(vec),
+                    F.element_at(signs, i + 1),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+        )
+        return F.aggregate(
+            F.zip_with(
+                bits,
+                F.array(*[F.lit(1 << i) for i in range(self.nbits)]),
+                lambda b, m: F.when(b, m).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc.bitwiseOR(v),
+        )
+
+    def bucket_of(self, query_vec: list[float]) -> int:
+        v = np.asarray(query_vec, dtype=np.float64)
+        out = 0
+        for i, row in enumerate(self.signs):
+            if float(v @ np.asarray(row)) >= 0:
+                out |= 1 << i
+        return out
+
+    def probe_buckets(self, query_vec: list[float], hamming: int = 1) -> list[int]:
+        """Query bucket plus all buckets within the given Hamming radius
+        (multi-probe: recovers recall lost to near-boundary projections)."""
+        base = self.bucket_of(query_vec)
+        probes = [base]
+        if hamming >= 1:
+            probes += [base ^ (1 << i) for i in range(self.nbits)]
+        if hamming >= 2:
+            probes += [
+                base ^ (1 << i) ^ (1 << j)
+                for i in range(self.nbits)
+                for j in range(i + 1, self.nbits)
+            ]
+        return probes
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    nbits: int = 12,
+    hamming_probe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict to LSH-probed buckets, exact re-rank within."""
+    dim = len(query_vec)
+    lsh = RandomHyperplaneLSH(dim, nbits=nbits, seed=seed)
+    probes = lsh.probe_buckets(query_vec, hamming=hamming_probe)
+    candidates = df.filter(lsh.bucket_col(F.col(vec_col)).isin(probes))
+    return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) partitioned search
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def take_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> np.ndarray:
+    """Deterministic centroid seed: the n lowest-id vectors (a cheap,
+    reproducible stand-in for k-means — swap in Spark ML KMeans for real
+    deployments; the IVF plumbing is identical)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, out_col: str = "cluster"
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid.
+
+    Vectorized pandas UDF: the assignment is a dense matmul per Arrow
+    batch — numpy beats any per-element JVM expression here, and the
+    centroid matrix ships once per executor (closure broadcast).
+    """
+    cn = _normalize_rows(centroids)
+
+    @F.pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        v = np.stack(s.to_numpy())
+        vn = _normalize_rows(v.astype(np.float64))
+        return pd.Series(np.argmax(vn @ cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the nprobe nearest centroids, exact re-rank.
+
+    Pass ``assigned`` (a df that already has a ``cluster`` column, e.g.
+    persisted by a build step) to skip re-assignment — the realistic
+    deployment shape where the index is built once and queried many times.
+    """
+    if centroids is None:
+        centroids = take_centroids(df, id_col, vec_col, n_centroids)
+    cn = _normalize_rows(centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cn @ qn))[:nprobe].tolist()
+
+    if assigned is None:
+        assigned = ivf_assign(df, vec_col, centroids)
+    candidates = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
+    return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
+def embedding_near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact near-dup pairs within blocks (id_a < id_b, cos ≥ threshold).
+
+    Blocking keys (a label, an LSH bucket, an IVF cluster) turn the n²
+    cross join into Σ(block²) — the standard scale pattern; pass an LSH
+    bucket column for unlabeled corpora.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        _as_double(F.col(vec_col)).alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        _as_double(F.col(vec_col)).alias("_vb"),
+    )
+    sim = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

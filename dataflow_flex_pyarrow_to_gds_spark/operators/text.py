@@ -1,0 +1,118 @@
+"""Text-analysis operators: token stats, quality scoring, language id,
+fingerprinting — all built-in column expressions (JVM-side, codegen'd).
+
+Designed to run as one narrow pass over the corpus (no shuffle, no UDF):
+at 100 TB these are scan-bound, which is the best case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_fingerprint_col, simhash64_col, tokens_col
+
+# ---------------------------------------------------------------------------
+# token / char statistics
+# ---------------------------------------------------------------------------
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens_col(text, lowercase=False)).cast("long")
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-piece matches of
+    ``[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]`` — a cheap, deterministic proxy
+    for subword tokenizer counts (real BPE needs a vocab; this keeps the
+    hot path JVM-side)."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0
+        )
+    ).cast("long")
+
+
+def alpha_ratio_col(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return alpha.cast("double") / F.length(text)
+
+
+def distinct_token_ratio_col(text: Column) -> Column:
+    toks = tokens_col(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.5·alpha_ratio + 0.3·min(tokens/100, 1) + 0.2·distinct_token_ratio.
+
+    Deterministic arithmetic over counts — the shape of heuristic used to
+    pre-filter web corpora (length/charset/repetition), not a model.
+    """
+    toks = token_count_col(text).cast("double")
+    return F.least(
+        F.lit(1.0),
+        0.5 * alpha_ratio_col(text)
+        + 0.3 * F.least(toks / 100.0, F.lit(1.0))
+        + 0.2 * distinct_token_ratio_col(text),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-overlap heuristic)
+# ---------------------------------------------------------------------------
+
+#: Tiny per-language stopword seeds. A real deployment swaps in bigger
+#: lists (or fastText via a pandas_udf); the operator shape — distinct
+#: tokens ∩ per-language set, argmax with deterministic tie-break — stays.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "les", "de", "et", "des", "un", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"],
+    "zh": ["的", "了", "是", "我", "不", "在", "人", "有", "他", "这"],
+}
+
+
+def lang_scores_col(text: Column) -> dict[str, Column]:
+    toks = F.array_distinct(tokens_col(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language: argmax stopword overlap; ties break in the
+    fixed key order en→es→fr→de→zh; all-zero → 'unknown'."""
+    scores = lang_scores_col(text)
+    langs = list(STOPWORDS)
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    for lang in reversed(langs):  # build CASE so earlier langs win ties
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# document profiling
+# ---------------------------------------------------------------------------
+
+def profile_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass document profile: counts, quality, language, fingerprints."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        token_count_col(text).alias("n_tokens"),
+        bpe_ish_token_count_col(text).alias("n_bpe_tokens"),
+        F.round(alpha_ratio_col(text), 4).alias("alpha_ratio"),
+        F.round(quality_score_col(text), 4).alias("quality"),
+        lang_id_col(text).alias("lang_pred"),
+        normalized_fingerprint_col(text).alias("fingerprint"),
+        simhash64_col(tokens_col(text)).alias("simhash"),
+    )

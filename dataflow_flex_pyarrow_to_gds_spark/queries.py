@@ -452,6 +452,318 @@ _RELATIONAL_ORACLES = {
 
 
 # --------------------------------------------------------------------------
+# Extensions: dedup / text analysis / similarity / event streams
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = r"list_distinct(string_split_regex(lower(trim(text)), '\s+'))"
+_JACCARD_SQL = (
+    "len(list_intersect(a.toks, b.toks))::DOUBLE"
+    " / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"
+)
+#: cosine written to mirror functions.scalar.cosine_similarity exactly
+#: (dot / (sqrt(aa) * sqrt(bb)) on double arrays)
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5 of the sorted distinct-token set
+    (catches reordered copies; 32-byte shuffle key)."""
+    from .operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32×4) candidates, exact-Jaccard verified ≥0.8.
+    Oracle is the exhaustive O(n²) join — at 128/32 hash settings the LSH
+    miss probability at the threshold is ~5e-8, so outputs match."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=128, bands=32, threshold=0.8, shingle_k=1,
+    )
+
+
+def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle variant (no oracle: k-gram generation in SQL is a
+    different program; rows-only check)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=128, bands=32, threshold=0.5, shingle_k=3,
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits) via 4×16-bit
+    pigeonhole banding. xxhash64 has no DuckDB twin → rows-only check."""
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_distance=12
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/quality statistics — one narrow scan-bound pass."""
+    from .operators import text as X
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        X.token_count_col(t).alias("n_tokens"),
+        X.bpe_ish_token_count_col(t).alias("n_bpe_tokens"),
+        F.round(X.alpha_ratio_col(t), 4).alias("alpha_ratio"),
+        F.round(X.quality_score_col(t), 4).alias("quality"),
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language id with per-language scores."""
+    from .operators import text as X
+
+    t = F.col("text")
+    scores = X.lang_scores_col(t)
+    cols = [F.col("doc_id")]
+    cols += [s.cast("long").alias(f"s_{lang}") for lang, s in scores.items()]
+    cols.append(X.lang_id_col(t).alias("lang_pred"))
+    return _t(spark, sf_dir, "documents").select(*cols)
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of sorted token set) per document."""
+    from .operators.dedup import normalized_fingerprint_col
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalized_fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-20 vs the vec_id=0 embedding."""
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=20,
+    )
+
+
+def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN join: 5 query vectors (vec_id<5, broadcast) against the
+    full embedding table."""
+    from .operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
+    return knn_join(
+        emb, queries, data_id="vec_id", query_id="qid", vec_col="embedding", k=5
+    )
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via hyperplane LSH + exact re-rank (deterministic, but
+    the signature math has no SQL twin → rows-only check). nbits scales
+    with corpus size — 6 bits for the 500-vector fixture keeps candidate
+    buckets populated; a 1e9-vector corpus would use 16-20."""
+    from .operators.similarity import lsh_topk
+
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10, nbits=6, hamming_probe=2,
+    )
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF (16 deterministic centroids, probe 4) — the
+    build-once/query-many scale path (rows-only check)."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4,
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact near-dup pairs: same-label blocking, cosine ≥ 0.4
+    (the synthetic embeddings top out near 0.51)."""
+    from .operators.similarity import embedding_near_dup_pairs_blocked
+
+    return embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        threshold=0.4,
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (same expression runs under
+    Structured Streaming with a watermark — streaming/events.py)."""
+    from .streaming.events import hourly_stats, read_events
+
+    return hourly_stats(read_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts (30-min gap, lag+cumsum)."""
+    from .streaming.events import read_events, sessionize
+
+    return sessionize(read_events(spark, sf_dir), gap_minutes=30)
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket event-type counts (explicit value list)."""
+    from .streaming.events import event_type_pivot, read_events
+
+    return event_type_pivot(read_events(spark, sf_dir))
+
+
+def _lang_case_sql() -> str:
+    from .operators.text import STOPWORDS
+
+    arms = []
+    all_scores = ", ".join(f"s_{lang}" for lang in STOPWORDS)
+    for lang in STOPWORDS:
+        arms.append(
+            f"WHEN s_{lang} > 0 AND s_{lang} = greatest({all_scores}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 'unknown' END"
+
+
+def _lang_scores_sql() -> str:
+    from .operators.text import STOPWORDS
+
+    parts = []
+    for lang, words in STOPWORDS.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"CAST(len(list_intersect(toks, {lit})) AS BIGINT) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+_QUALITY_SQL = r"""
+    round(least(1.0,
+        0.5 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text))
+        + 0.3 * least(len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0, 1.0)
+        + 0.2 * (len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+                 / len(string_split_regex(lower(trim(text)), '\s+')))
+    ), 4)
+"""
+
+
+def _extension_oracles() -> dict[str, str]:
+    cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
+    cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    cos_dq = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="q.embedding::DOUBLE[]")
+    return {
+        "dedup_exact_groups": f"""
+            SELECT md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round({_JACCARD_SQL}, 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE {_JACCARD_SQL} >= 0.8
+        """,
+        "text_stats": rf"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / length(text), 4) AS alpha_ratio,
+                   {_QUALITY_SQL} AS quality
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+                 s AS (SELECT doc_id, {_lang_scores_sql()} FROM t)
+            SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+                   {_lang_case_sql()} AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "similarity_topk": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round({cos_eq}, 4) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, e.vec_id ASC LIMIT 20
+        """,
+        "similarity_knn_join": f"""
+            WITH pairs AS (
+                SELECT q.vec_id AS qid, d.vec_id AS vec_id,
+                       round({cos_dq}, 4) AS sim
+                FROM embeddings d
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            )
+            SELECT qid, vec_id, sim, rn FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 5
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 4) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 4) >= 0.4
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR floor(epoch(ts))::BIGINT
+                                    - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(is_new) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "events_type_pivot": """
+            SELECT user_id % 10 AS user_bucket,
+                   count_if(event_type = 'click') AS click,
+                   count_if(event_type = 'error') AS error,
+                   count_if(event_type = 'purchase') AS purchase,
+                   count_if(event_type = 'signup') AS signup,
+                   count_if(event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+    }
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -474,11 +786,31 @@ def _specs() -> dict[str, QuerySpec]:
         "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,
     }
+    extensions = {
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "similarity_topk": q_similarity_topk,
+        "similarity_knn_join": q_similarity_knn_join,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_type_pivot": q_events_type_pivot,
+    }
+    ext_oracles = _extension_oracles()
     out: dict[str, QuerySpec] = {}
     for name, fn in graph.items():
         out[name] = QuerySpec(fn, _GRAPH_ORACLES.get(name), fn.__doc__ or "")
     for name, fn in relational.items():
         out[name] = QuerySpec(fn, _RELATIONAL_ORACLES.get(name), fn.__doc__ or "")
+    for name, fn in extensions.items():
+        out[name] = QuerySpec(fn, ext_oracles.get(name), fn.__doc__ or "")
     return out
 
 

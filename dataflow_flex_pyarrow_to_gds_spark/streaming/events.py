@@ -1,0 +1,158 @@
+"""Event-stream operators: windowed aggregation, sessionization, pivot.
+
+The reference has no streaming surface at all (SURVEY §2.9 — both its
+pipelines are batch; its "streams" are BigQuery read shards). This module
+is extension surface: the same declarative expressions run in batch (for
+the DuckDB oracle) and under Structured Streaming (``readStream`` +
+watermark), which is exactly how Spark is meant to unify the two.
+
+Scale notes: event-time windows group on (window, type) — low-cardinality
+keys with map-side partial aggregation; sessionization shuffles once on
+``user_id`` and computes gaps with a window function (batch) or
+``session_window`` (streaming) — no per-user state on the driver, state
+store handles late data up to the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, tolerating TIMESTAMP(NANOS) parquet.
+
+    Spark has no nanosecond timestamp type; the legacy conf reads nanos as
+    raw longs, converted here to microsecond timestamps with *integer*
+    division (nano epochs ≈ 1.7e18 overflow double precision — a float
+    division would corrupt timestamps by whole seconds).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_stats(df: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Window start is exchanged as epoch seconds (UTC session TZ) so batch
+    results hash-match a UTC-naive oracle.
+    """
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session stats: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes`` (classic lag+cumsum)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    new_session = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > gap_s
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        df.withColumn("_new", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_new").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+def event_type_pivot(df: DataFrame) -> DataFrame:
+    """Per-user-bucket counts pivoted by event type (explicit value list →
+    no extra pass to discover pivot values)."""
+    return (
+        df.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming variants (same logic under readStream)
+# ---------------------------------------------------------------------------
+
+def hourly_stats_stream(
+    spark: SparkSession, path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming hourly stats with late-data handling via watermark.
+
+    Drive with ``format("memory")`` + ``processAllAvailable()`` in tests;
+    in production the source is Kafka and the sink a Delta/parquet table.
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via the built-in ``session_window``
+    (state-store backed; sessions close when the watermark passes the
+    gap) — the stateful-operator analog of :func:`sessionize`."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,100 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash."""
+
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+    deduplicate_exact,
+    exact_duplicate_groups,
+    jaccard_col,
+    minhash_lsh_pairs,
+    minhash_signature_col,
+    shingles_col,
+    simhash64_col,
+    simhash_pairs,
+    token_set_col,
+    tokens_col,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "dog lazy the over jumps fox brown quick the"),  # reordered copy
+            (3, "the quick brown fox jumps over the lazy cat"),  # 1-word change
+            (4, "completely different content about spark engines"),
+            (5, "the quick brown fox jumps over the lazy dog"),  # byte-exact dup
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_duplicate_groups(spark):
+    groups = exact_duplicate_groups(_docs(spark), "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["n"] for r in groups}
+    # docs 1, 2, 5 share a token-set fingerprint (reorder-insensitive)
+    assert by_keep[1] == 3
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_deduplicate_exact_keeps_min_id(spark):
+    kept = deduplicate_exact(_docs(spark), "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_minhash_candidates_find_near_dups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=64, bands=16, threshold=0.7
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # reordered + exact copies are jaccard 1.0; the cat variant is 8/10
+    assert (1, 2) in found and (1, 5) in found and (2, 5) in found
+    assert (1, 3) in found  # jaccard 0.8 >= 0.7
+    assert all("4" not in f"{a}{b}" for a, b in found)  # distinct doc never pairs
+
+
+def test_minhash_signature_is_deterministic(spark):
+    df = _docs(spark).select(
+        minhash_signature_col(token_set_col(F.col("text")), 16).alias("sig")
+    )
+    a = [r["sig"] for r in df.collect()]
+    b = [r["sig"] for r in df.collect()]
+    assert a == b
+    assert all(len(s) == 16 for s in a)
+
+
+def test_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1,)], "x int").select(
+        jaccard_col(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+        ).alias("j")
+    )
+    assert abs(df.first()["j"] - 0.5) < 1e-12
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(
+        shingles_col(tokens_col(F.col("text")), 2).alias("sh")
+    ).first()["sh"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_simhash_similar_docs_close(spark):
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark)
+        .select("doc_id", simhash64_col(tokens_col(F.col("text"))).alias("sh"))
+        .collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert sigs[1] == sigs[2] == sigs[5]  # same token multiset → same simhash
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_simhash_pairs_banding(spark):
+    pairs = simhash_pairs(_docs(spark), "doc_id", "text", max_distance=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(1, 2)] == 0 and found[(1, 5)] == 0
+    assert (1, 4) not in found

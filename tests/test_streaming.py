@@ -1,0 +1,81 @@
+"""Event-stream operators: batch/stream parity for the windowed agg."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+    event_type_pivot,
+    hourly_stats,
+    hourly_stats_stream,
+    read_events,
+    sessionize,
+)
+
+
+def test_read_events_nanos(spark, sf_dir):
+    df = read_events(spark, sf_dir)
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() == 1000
+
+
+def test_hourly_stats_batch(spark, sf_dir):
+    out = hourly_stats(read_events(spark, sf_dir))
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == 1000
+    assert all(r["bucket"] % 3600 == 0 for r in rows)  # hour-aligned
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 1.0, ""),
+            (2, "2024-01-01 00:10:00", 7, "view", 1.0, ""),   # same session
+            (3, "2024-01-01 01:00:00", 7, "click", 1.0, ""),  # gap 50m → new
+            (4, "2024-01-01 00:00:00", 8, "click", 1.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in sessionize(df, gap_minutes=30).collect()}
+    assert out[7]["n_sessions"] == 2 and out[7]["n_events"] == 3
+    assert out[8]["n_sessions"] == 1
+
+
+def test_pivot_counts(spark, sf_dir):
+    out = event_type_pivot(read_events(spark, sf_dir))
+    rows = out.collect()
+    assert len(rows) == 10
+    total = sum(
+        r["click"] + r["error"] + r["purchase"] + r["signup"] + r["view"]
+        for r in rows
+    )
+    assert total == 1000
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming hourly agg (watermark + window) must produce the same
+    result as the batch expression once the source is exhausted."""
+    # materialize events as micro-timestamp parquet for the stream source
+    batch_df = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_stream")
+    batch_df.write.parquet(src)
+
+    stream = hourly_stats_stream(spark, src)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hourly_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM hourly_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["total_value"])
+        for r in hourly_stats(batch_df).collect()
+    }
+    assert got == want

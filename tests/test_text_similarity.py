@@ -1,0 +1,140 @@
+"""Text analysis + similarity search operators."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+    RandomHyperplaneLSH,
+    brute_force_topk,
+    embedding_near_dup_pairs_blocked,
+    ivf_assign,
+    ivf_topk,
+    knn_join,
+    lsh_topk,
+    take_centroids,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+    lang_id_col,
+    profile_documents,
+    quality_score_col,
+    token_count_col,
+)
+
+
+def test_text_profile_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "el perro es un animal")],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in profile_documents(df, "doc_id", "text").collect()}
+    assert prof[1]["n_tokens"] == 6
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "es"
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    assert len(prof[1]["fingerprint"]) == 32
+
+
+def test_lang_id_unknown_and_ties(spark):
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    assert df.select(lang_id_col(F.col("text")).alias("l")).first()["l"] == "unknown"
+
+
+def test_quality_monotonic_in_length(spark):
+    df = spark.createDataFrame(
+        [(1, "word " * 5), (2, "word " * 50)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", quality_score_col(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert rows[2] > rows[1]  # longer doc scores higher (up to the cap)
+
+
+def _emb_df(spark, n=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    q = vecs[0]
+    out = brute_force_topk(df, "vec_id", "embedding", list(q), k=5).collect()
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ (q / np.linalg.norm(q))
+    expect = np.argsort(-np.round(sims, 4), kind="stable")[:5]
+    assert [r["vec_id"] for r in out] == list(expect)
+    assert out[0]["vec_id"] == 0 and abs(out[0]["sim"] - 1.0) < 1e-9
+
+
+def test_knn_join_per_query_counts(spark):
+    df, _ = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "qid")
+    out = knn_join(df, queries, data_id="vec_id", query_id="qid", k=4).collect()
+    assert len(out) == 12
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per_q.values())
+
+
+def test_lsh_bucket_matches_driver_side(spark):
+    """Executor-side bucket_col must agree with driver-side bucket_of."""
+    df, vecs = _emb_df(spark, n=20)
+    lsh = RandomHyperplaneLSH(dim=8, nbits=6, seed=42)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", lsh.bucket_col(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    for i in range(20):
+        assert got[i] == lsh.bucket_of(list(vecs[i])), f"vec {i}"
+
+
+def test_lsh_topk_recall(spark):
+    df, vecs = _emb_df(spark, n=50)
+    q = list(vecs[0])
+    exact = [r["vec_id"] for r in brute_force_topk(df, "vec_id", "embedding", q, 5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_topk(
+            df, "vec_id", "embedding", q, k=5, nbits=4, hamming_probe=2
+        ).collect()
+    ]
+    # multiprobe at 4 bits covers most of the space → high recall, and the
+    # query vector itself must always be found
+    assert 0 in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_assignment_and_topk(spark):
+    df, vecs = _emb_df(spark, n=50)
+    cents = take_centroids(df, "vec_id", "embedding", 4)
+    assert cents.shape == (4, 8)
+    assigned = ivf_assign(df, "embedding", cents)
+    clusters = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert set(clusters.values()) <= {0, 1, 2, 3}
+    # centroid vectors must assign to themselves
+    for c in range(4):
+        assert clusters[c] == c
+    out = ivf_topk(
+        df, "vec_id", "embedding", list(vecs[0]), k=3, n_centroids=4, nprobe=2
+    ).collect()
+    assert out[0]["vec_id"] == 0
+
+
+def test_near_dup_blocked_symmetric_free(spark):
+    df, _ = _emb_df(spark, n=30)
+    pairs = embedding_near_dup_pairs_blocked(
+        df, "vec_id", "embedding", "label", threshold=-1.0
+    ).collect()
+    # blocks of 10 per label → 3 * C(10,2) pairs, all id_a < id_b
+    assert len(pairs) == 3 * 45
+    assert all(r["id_a"] < r["id_b"] for r in pairs)

@@ -1,0 +1,82 @@
+"""Benchmark: run the headline query suite and print ONE JSON line.
+
+Usage: ``python bench.py`` — env knobs:
+- ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``   (default 32)
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect — the honest distributed-execution cost). Output:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataflow_flex_pyarrow_to_gds_spark import get_spark
+from dataflow_flex_pyarrow_to_gds_spark import queries as catalog
+
+#: Headline set: every operator family, weighted toward the expensive ones
+#: (joins, LSH dedup, similarity) that dominate at scale.
+HEADLINE = [
+    "graph_load_stats",
+    "graph_edge_resolution",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_top_orders",
+    "agg_distinct_parts",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "text_stats",
+    "similarity_topk",
+    "similarity_knn_join",
+    "embedding_near_dup",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    qs = catalog.queries()
+
+    # warm the JVM/codegen path once with a cheap query so the first timed
+    # query doesn't pay session startup costs
+    qs["graph_load_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -162,38 +162,92 @@ def minhash_lsh_pairs(
     ~|candidate| work instead of n².
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles_col(tokens_col(F.col(text_col)), shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-
-    banded = base.select(
-        "_id",
-        F.explode(
-            lsh_band_col(minhash_signature_col(F.col("_sh"), num_hashes), bands, rows_per_band)
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
-
-    # ids-only candidate pairs, deduped before the wide verify join
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
+    spark = df.sparkSession
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles_col(tokens_col(F.col(text_col)), shingle_k).alias("_sh"),
         )
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.size("_sh") > 0)
+        # Signature hashing is the CPU-heavy narrow stage (num_hashes ×
+        # |shingles| per doc); a single-file input would otherwise pin it
+        # to one task (measured 52 s single-threaded at sf0.1).
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
+    # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
+    # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
+    # buckets into O(bands × pairs) generated rows; every byte of member
+    # payload is copied per generated pair. (Carrying token arrays here
+    # measured 100× slower at sf0.1.)
+    with_buckets = base.select(
+        "_id",
+        F.size("_sh").alias("_n"),
+        F.transform(
+            lsh_band_col(
+                minhash_signature_col(F.col("_sh"), num_hashes), bands, rows_per_band
+            ),
+            lambda bb: bb["bucket"],
+        ).alias("_bks"),
+    )
+    banded = with_buckets.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "_id",
+        "_n",
+        "_bks",
+    ).withColumn("bucket", F.element_at(F.col("_bks"), F.col("band") + 1))
+
+    # Candidate generation: equi-join on (band, bucket). The join output
+    # (O(bands × pairs) rows on dup-heavy corpora) never hits a shuffle —
+    # it streams straight into the filters below. Two earlier designs
+    # measured worse at sf0.1: dropDuplicates over the raw pairs (the
+    # classic formulation) shuffles all of them (~200 s), and per-bucket
+    # collect_list + flatten materializes C(bucket,2) structs in memory
+    # (OOM on a 5 000-member bucket).
+    left = banded.alias("l")
+    right = banded.alias("r")
+    raw_pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l._id") < F.col("r._id")),
+    )
+
+    # Keep each pair only at its FIRST colliding band — exact-equivalent
+    # to deduplicating (bucket-hash equality ⟺ same bucket at that band),
+    # but pure arithmetic instead of a shuffle of all generated pairs.
+    earlier_collision = F.when(F.col("l.band") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(0), F.col("l.band") - 1),
+            lambda b: F.element_at(F.col("l._bks"), b + 1)
+            == F.element_at(F.col("r._bks"), b + 1),
+        )
+    )
+    # size-ratio prefilter: jaccard ≥ t requires min(|A|,|B|)/max(|A|,|B|) ≥ t
+    size_ok = (F.col("l._n") >= threshold * F.col("r._n")) & (
+        F.col("r._n") >= threshold * F.col("l._n")
+    )
+    candidates = raw_pairs.filter(~earlier_collision & size_ok).select(
+        F.col("l._id").alias("id_a"),
+        F.col("r._id").alias("id_b"),
+        F.col("l._n").alias("n_a"),
+        F.col("r._n").alias("n_b"),
+    )
+
+    # Exact-Jaccard verification. The shingle side is per-*document* (tiny
+    # next to the candidate stream) — broadcast it so the multi-million-row
+    # candidate set never shuffles. |A∩B| is computed once; |A∪B| comes
+    # from the carried set sizes.
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        candidates.join(F.broadcast(sh_a), "id_a")
+        .join(F.broadcast(sh_b), "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

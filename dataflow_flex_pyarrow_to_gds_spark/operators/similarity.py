@@ -282,17 +282,27 @@ def embedding_near_dup_pairs_blocked(
     cross join into Σ(block²) — the standard scale pattern; pass an LSH
     bucket column for unlabeled corpora.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
+    # Precompute each row's norm ONCE (per-pair norm recomputation is
+    # O(pairs·d) wasted work; this is O(rows·d)). sim = dot/(na·nb) is the
+    # same expression tree as cosine_similarity, so results are
+    # float-identical to the naive form.
+    from ..functions.scalar import dot, l2_norm
+
+    pre = df.select(
+        F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        _as_double(F.col(vec_col)).alias("_va"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    a = pre.select(
+        F.col("_id").alias("id_a"), "_blk",
+        F.col("_v").alias("_va"), F.col("_nrm").alias("_na"),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(block_col).alias("_blk"),
-        _as_double(F.col(vec_col)).alias("_vb"),
+    b = pre.select(
+        F.col("_id").alias("id_b"), "_blk",
+        F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb"),
     )
-    sim = cosine_similarity(F.col("_va"), F.col("_vb"))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom)
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))

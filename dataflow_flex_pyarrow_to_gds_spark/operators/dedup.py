@@ -295,9 +295,15 @@ def simhash_pairs(
     any pair within distance 3 agrees on ≥1 whole chunk, so the candidate
     join is an equi-join on (chunk_idx, chunk_value).
     """
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        simhash64_col(tokens_col(F.col(text_col))).alias("_sim"),
+    sigs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        # bit-vote aggregation is CPU-heavy per row — don't let a
+        # single-file input pin it to one task (same trap as minhash)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "_id",
+            simhash64_col(tokens_col(F.col("_text"))).alias("_sim"),
+        )
     )
     chunks = sigs.select(
         "_id",

@@ -1,0 +1,111 @@
+"""Temporal joins Spark lacks natively: as-of and range (interval) joins.
+
+Both are expressed as compositions of built-in operators (SURVEY's custom-
+operator preference order: composition first, Pandas UDF only if semantics
+demand it — they don't here):
+
+- **As-of join** (latest right row with ts ≤ left ts, per key): the
+  union + ordered-window + last-ignoring-nulls pattern. One shuffle on
+  (key), one sort — same cost shape as a sort-merge join, no UDF, no
+  per-group pandas. This is the scalable form of ``pd.merge_asof``.
+- **Range join** (left ts within [right start, right end]): bucketize the
+  time axis, equi-join on (key, bucket), exact filter. Turns an
+  unbounded-nested-loop plan into a bounded equi-join with
+  ``range/bucket_width`` fan-out per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.on <= left.on``, matching on ``by``. Left rows with no prior
+    right row keep nulls (LEFT OUTER asof).
+
+    Ties (right.on == left.on) match, mirroring DuckDB ``ASOF JOIN``'s
+    ``>=`` semantics: right rows sort before left rows at equal ts.
+    """
+    lcols = left.columns
+    l_aligned = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+    )
+    r_aligned = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(l_aligned.schema["_lrow"].dataType).alias("_lrow"),
+    )
+    unioned = l_aligned.unionByName(r_aligned)
+
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: str | None = None,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Rows of left × right where ``right_start <= left_ts <= right_end``
+    (optionally also matching on ``by``).
+
+    The left side explodes to its single bucket; the right side explodes
+    to every bucket its interval overlaps; the equi-join on (bucket [+by])
+    bounds the comparison set, and the exact predicate filters within.
+    Pick ``bucket_seconds`` ≈ the typical interval length: fan-out stays
+    O(interval/bucket + 1) while each bucket pairs only co-bucketed rows.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("long")
+    rb_start = F.floor(F.unix_timestamp(F.col(right_start)) / bucket_seconds).cast("long")
+    rb_end = F.floor(F.unix_timestamp(F.col(right_end)) / bucket_seconds).cast("long")
+
+    l = left.withColumn("_bucket", lb)
+    r = right.withColumn("_bucket", F.explode(F.sequence(rb_start, rb_end)))
+
+    join_keys = ["_bucket"] + ([by] if by else [])
+    out = l.join(r, join_keys)
+    return out.filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    ).drop("_bucket")

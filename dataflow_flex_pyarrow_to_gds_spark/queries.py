@@ -634,6 +634,95 @@ def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_pivot(read_events(spark, sf_dir))
 
 
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior click by the same
+    user (union + ordered window + last-ignoring-nulls — no UDF; DuckDB's
+    native ASOF JOIN is the oracle)."""
+    from .operators.asof import asof_join
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id", right_cols=["event_id", "ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("event_id_asof").alias("click_event_id"),
+        F.unix_timestamp("ts_asof").alias("click_ts_epoch"),
+    )
+
+
+def q_range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: lineitems shipped within 30 days of their order's date
+    (time-bucketized equi-join + exact filter — no nested-loop)."""
+    from .operators.asof import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+    )
+    out = range_join(
+        li, orders,
+        left_ts="l_shipdate", right_start="win_start", right_end="win_end",
+        by="l_orderkey", bucket_seconds=30 * 86_400,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+        F.unix_timestamp("win_start").alias("order_epoch"),
+    )
+
+
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        )
+    )
+
+
+def q_exists_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-shaped semi join: customers with any order > 400k."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window frame per customer over order history."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
 def _lang_case_sql() -> str:
     from .operators.text import STOPWORDS
 
@@ -760,6 +849,48 @@ def _extension_oracles() -> dict[str, str]:
                    count_if(event_type = 'view') AS view
             FROM events GROUP BY 1
         """,
+        "asof_purchase_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   floor(epoch(p.ts))::BIGINT AS ts_epoch,
+                   c.event_id AS click_event_id,
+                   floor(epoch(c.ts))::BIGINT AS click_ts_epoch
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_shipments": """
+            SELECT l_orderkey, l_linenumber,
+                   floor(epoch(l_shipdate))::BIGINT AS ship_epoch,
+                   floor(epoch(o_orderdate))::BIGINT AS order_epoch
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+              AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        """,
+        "percentile_prices": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "exists_big_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   floor(epoch(o_orderdate))::BIGINT AS order_epoch,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_revenue
+            FROM orders
+        """,
     }
 
 
@@ -802,6 +933,11 @@ def _specs() -> dict[str, QuerySpec]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_shipments": q_range_join_shipments,
+        "percentile_prices": q_percentile_prices,
+        "exists_big_customers": q_exists_big_customers,
+        "running_revenue": q_running_revenue,
     }
     ext_oracles = _extension_oracles()
     out: dict[str, QuerySpec] = {}

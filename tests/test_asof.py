@@ -1,0 +1,99 @@
+"""As-of and range join operators."""
+
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return F.lit(s).cast("timestamp")
+
+
+def test_asof_join_semantics(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:00:00"),
+            (2, 7, "2024-01-01 12:00:00"),
+            (3, 8, "2024-01-01 10:00:00"),  # user with no clicks at all
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-01 09:30:00"),
+            (101, 7, "2024-01-01 11:59:00"),
+            (102, 7, "2024-01-01 12:00:00"),  # tie: <= matches
+            (103, 7, "2024-01-01 13:00:00"),  # future: never matches
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", right_cols=["event_id"]
+        ).collect()
+    }
+    assert out[1] == 100  # latest ≤ 10:00 is 09:30
+    assert out[2] == 102  # equal timestamps match (>= semantics)
+    assert out[3] is None  # no prior right row → left outer null
+
+
+def test_asof_join_preserves_left_rowcount(spark, sf_dir):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id", right_cols=["event_id"])
+    assert out.count() == purchases.count()  # exactly one row per left row
+
+
+def test_range_join(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-02-15 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),  # contains id 1
+            (11, "2024-01-04 00:00:00", "2024-03-01 00:00:00"),  # contains both
+            (12, "2024-03-05 00:00:00", "2024-03-06 00:00:00"),  # contains none
+        ],
+        "rid long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = range_join(
+        left, right, left_ts="ts", right_start="start", right_end="end",
+        bucket_seconds=7 * 86_400,
+    )
+    pairs = sorted((r["id"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 11)]
+
+
+def test_range_join_bucket_boundary(spark):
+    """Intervals spanning many buckets still match (explode covers all)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-06-01 00:00:00")], "id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(20, "2024-01-01 00:00:00", "2024-12-31 00:00:00")],
+        "rid long, start string, end string",
+    ).withColumn("start", F.col("start").cast("timestamp")).withColumn(
+        "end", F.col("end").cast("timestamp")
+    )
+    out = range_join(
+        left, right, left_ts="ts", right_start="start", right_end="end",
+        bucket_seconds=86_400,  # 365 buckets exploded on the right
+    )
+    assert [(r["id"], r["rid"]) for r in out.collect()] == [(1, 20)]

@@ -135,6 +135,42 @@ def hourly_stats_stream(
     )
 
 
+def running_user_totals_stream(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Custom stateful operator: per-user running (event count, value sum)
+    maintained in the state store via ``applyInPandasWithState``.
+
+    This is the Spark shape for operators whose state outlives any window
+    (fraud counters, per-entity quotas). State is a single small tuple per
+    key — the store scales with distinct users, not events; each
+    micro-batch updates state from Arrow-batched pandas groups.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [round(total, 2)]}
+        )
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_window_stream(
     spark: SparkSession,
     path: str,

@@ -79,3 +79,43 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in hourly_stats(batch_df).collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState totals must equal the batch groupBy after one
+    pass over the source."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        read_events,
+        running_user_totals_stream,
+    )
+
+    batch_df = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_state")
+    batch_df.write.parquet(src)
+
+    stream = running_user_totals_stream(spark, src)
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # "update" mode may emit a row per micro-batch; keep the last per user
+        got_rows = spark.sql(
+            "SELECT * FROM state_out"
+        ).toPandas()
+    finally:
+        q.stop()
+    got = {}
+    for _, r in got_rows.iterrows():
+        got[int(r["user_id"])] = (int(r["n_events"]), float(r["total_value"]))
+
+    want = {
+        int(r["user_id"]): (int(r["n"]), float(r["v"]))
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert got == want

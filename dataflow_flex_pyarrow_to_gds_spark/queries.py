@@ -612,6 +612,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlabeled near-dup pairs: LSH-bucket blocking (the scale path when
+    no natural blocking key exists; deterministic signatures, rows-only
+    check). Lower threshold than the labeled variant — buckets already
+    presort by angle."""
+    from .operators.similarity import RandomHyperplaneLSH, embedding_near_dup_pairs_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    lsh = RandomHyperplaneLSH(dim=dim, nbits=6, seed=42)
+    bucketed = emb.withColumn("bucket", lsh.bucket_col(F.col("embedding")))
+    return embedding_near_dup_pairs_blocked(
+        bucketed, "vec_id", "embedding", "bucket", threshold=0.3
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in the graded surface: documents' bytes stand in
+    for media payloads → metadata struct → mapInPandas feature extraction
+    (decode stubbed — this grades the Spark-side pipeline, not a codec).
+    The metadata columns (nbytes via octet_length, sha256) and the stub
+    decoder's constant dims ARE oracle-checkable."""
+    from .operators.multimodal import attach_meta, image_features
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = image_features(media, partitions=8)
+    meta = attach_meta(media).select(
+        "media_id", F.col("meta.nbytes").alias("nbytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+    return feats.join(meta, "media_id").select(
+        "media_id", "width", "height", "channels", "nbytes", "sha256"
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows (same expression runs under
     Structured Streaming with a watermark — streaming/events.py)."""
@@ -849,6 +887,12 @@ def _extension_oracles() -> dict[str, str]:
                    count_if(event_type = 'view') AS view
             FROM events GROUP BY 1
         """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 8 AS width, 8 AS height, 3 AS channels,
+                   CAST(strlen(text) AS BIGINT) AS nbytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
         "asof_purchase_click": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),
@@ -930,6 +974,8 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,

@@ -166,7 +166,17 @@ def minhash_lsh_pairs(
     base = (
         df.select(
             F.col(id_col).alias("_id"),
-            shingles_col(tokens_col(F.col(text_col)), shingle_k).alias("_sh"),
+            # Hash each shingle to int64 ONCE; signatures derive from the
+            # long (num_hashes × long-hash ≪ num_hashes × string-hash) and
+            # verification intersects long arrays instead of string arrays.
+            # Jaccard over hashed sets == jaccard over shingles up to
+            # xxhash64 collisions (~|A||B|/2⁶⁴ per pair — negligible).
+            F.array_distinct(
+                F.transform(
+                    shingles_col(tokens_col(F.col(text_col)), shingle_k),
+                    lambda x: F.xxhash64(x),
+                )
+            ).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         # Signature hashing is the CPU-heavy narrow stage (num_hashes ×

@@ -313,6 +313,48 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: full cube over two grouping columns (all grouping sets)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: date extraction / truncation / difference functions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_epoch"
+        ),
+    )
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: sketch-based approximate aggregates (HLL++ distinct,
+    approximate quantiles). Deterministic for fixed data but
+    algorithm-specific — no cross-engine oracle (rows-only check)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        )
+    )
+
+
 def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7: intersect / except over derived key sets."""
     rich_cust = (
@@ -422,6 +464,21 @@ _RELATIONAL_ORACLES = {
                round(sum(l_quantity), 2) AS qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_lineitem": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(day(o_orderdate) AS BIGINT) AS dom,
+               CAST(date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS BIGINT)
+                   AS days_to_2002,
+               floor(epoch(date_trunc('month', o_orderdate)))::BIGINT AS month_epoch
+        FROM orders
     """,
     "set_ops_nations": """
         WITH rc AS (SELECT DISTINCT c_nationkey AS nk FROM customer
@@ -957,6 +1014,9 @@ def _specs() -> dict[str, QuerySpec]:
         "window_top_orders": q_window_top_orders,
         "agg_distinct_parts": q_agg_distinct_parts,
         "rollup_lineitem": q_rollup_lineitem,
+        "cube_lineitem": q_cube_lineitem,
+        "date_functions": q_date_functions,
+        "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
         "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,

@@ -1,0 +1,103 @@
+"""Plan-quality audit: assert the physical plans have the properties the
+100-TB design depends on (pushdown, pruning, broadcast, top-k without a
+global sort). Run: ``python scripts/explain_audit.py`` — exits non-zero on
+any regression, so it doubles as a CI gate for Catalyst-visible behavior.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dataflow_flex_pyarrow_to_gds_spark import get_spark
+from dataflow_flex_pyarrow_to_gds_spark import queries as catalog
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS: list[tuple[str, str, object]] = [
+    # (query, description, predicate on the formatted plan)
+    (
+        "q1_pricing_summary",
+        "date filter pushed into the parquet scan",
+        lambda p: "LessThanOrEqual(l_shipdate" in p,
+    ),
+    (
+        "q1_pricing_summary",
+        "column pruning: scan reads 7 of 11 lineitem columns",
+        lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 7,
+    ),
+    (
+        "q3_shipping_priority",
+        "small dimension sides broadcast (no shuffle of lineitem for the join)",
+        lambda p: p.count("BroadcastHashJoin") >= 2,
+    ),
+    (
+        "q3_shipping_priority",
+        "top-10 via TakeOrderedAndProject (no global sort materialization)",
+        lambda p: "TakeOrderedAndProject" in p,
+    ),
+    (
+        "sort_limit",
+        "global top-k via TakeOrderedAndProject",
+        lambda p: "TakeOrderedAndProject" in p,
+    ),
+    (
+        "graph_nodes_project",
+        "model projection pruned into the scan (4 columns only)",
+        lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 4,
+    ),
+    (
+        "graph_edge_resolution",
+        "endpoint checks are semi joins (no row multiplication)",
+        lambda p: p.count("Join type: LeftSemi") == 2,
+    ),
+    (
+        "graph_edge_resolution",
+        "node-id build sides pruned to the key columns",
+        lambda p: "o_totalprice" not in p and "c_name" not in p,
+    ),
+    (
+        "window_top_orders",
+        "single shuffle for the ranking window",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+    ),
+    (
+        "q5_region_revenue",
+        "nation/region dimensions broadcast",
+        lambda p: p.count("BroadcastHashJoin") >= 2,
+    ),
+]
+
+
+def main() -> int:
+    spark = get_spark(app_name="explain-audit", cpus=8)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    qs = catalog.queries()
+    plans: dict[str, str] = {}
+    failures = 0
+    for name, desc, pred in CHECKS:
+        if name not in plans:
+            plans[name] = plan_of(qs[name](spark, sf))
+        ok = bool(pred(plans[name]))
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+        if not ok:
+            failures += 1
+    print(f"\n{failures} failures" if failures else "\nall plan checks pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

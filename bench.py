@@ -53,9 +53,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = catalog.queries()
 
-    # warm the JVM/codegen path once with a cheap query so the first timed
-    # query doesn't pay session startup costs
-    qs["graph_load_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: run every headline query shape once at the smallest scale
+    # factor so whole-stage-codegen compilation and JIT warm before timing
+    # (cold JIT on the complex higher-order-function plans costs ~25 s —
+    # a fixed cost that would otherwise be billed to the first big query).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up is best-effort; the timed run surfaces real errors
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -139,11 +139,23 @@ class Graph:
 
     @classmethod
     def from_path(cls, path: str) -> "Graph":
-        """Load a model from a local path (reference ``pipeline.py:24-32``).
+        """Load a model from a local path or remote URI.
 
-        Remote URIs (gs:// etc.) would go through fsspec here; the reference
-        caps reads at 64 KiB (``pipeline.py:40``) — models are tiny.
+        ≙ reference ``load_model_from_path``/``load_model_from_gcs``
+        (``pipeline.py:24-45``): remote URIs (gs://, s3://, …) go through
+        fsspec when available; reads are capped at 64 KiB like the
+        reference (``pipeline.py:40``) — models are tiny.
         """
+        if "://" in path:
+            try:
+                import fsspec
+            except ImportError as exc:  # env without remote-FS support
+                raise RuntimeError(
+                    f"remote model URI {path!r} requires fsspec "
+                    "(pip install fsspec gcsfs/s3fs)"
+                ) from exc
+            with fsspec.open(path, "rb") as f:
+                return cls.from_json(f.read(64 * 1024))
         with open(path, "rb") as f:
             return cls.from_json(f.read(64 * 1024))
 

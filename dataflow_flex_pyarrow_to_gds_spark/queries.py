@@ -355,6 +355,25 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage aggregation over a 5-key hot-key groupBy —
+    identical results to the naive GROUP BY (the oracle), but the partial
+    stage spreads across salt × key groups instead of 5 reducers."""
+    from .operators.skew import salted_aggregate
+    from .streaming.events import read_events
+
+    out = salted_aggregate(
+        read_events(spark, sf_dir),
+        keys=["event_type"],
+        sums={"value": "total_value"},
+        count_alias="n",
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", F.round("total_value", 2).alias("total_value"), "n"
+    )
+
+
 def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7: intersect / except over derived key sets."""
     rich_cust = (
@@ -950,6 +969,11 @@ def _extension_oracles() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
+        "salted_agg_events": """
+            SELECT event_type, round(sum(value), 2) AS total_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "asof_purchase_click": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),
@@ -1015,6 +1039,7 @@ def _specs() -> dict[str, QuerySpec]:
         "agg_distinct_parts": q_agg_distinct_parts,
         "rollup_lineitem": q_rollup_lineitem,
         "cube_lineitem": q_cube_lineitem,
+        "salted_agg_events": q_salted_agg_events,
         "date_functions": q_date_functions,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
@@ -1045,14 +1070,10 @@ def _specs() -> dict[str, QuerySpec]:
         "exists_big_customers": q_exists_big_customers,
         "running_revenue": q_running_revenue,
     }
-    ext_oracles = _extension_oracles()
+    oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}
-    for name, fn in graph.items():
-        out[name] = QuerySpec(fn, _GRAPH_ORACLES.get(name), fn.__doc__ or "")
-    for name, fn in relational.items():
-        out[name] = QuerySpec(fn, _RELATIONAL_ORACLES.get(name), fn.__doc__ or "")
-    for name, fn in extensions.items():
-        out[name] = QuerySpec(fn, ext_oracles.get(name), fn.__doc__ or "")
+    for name, fn in {**graph, **relational, **extensions}.items():
+        out[name] = QuerySpec(fn, oracles.get(name), fn.__doc__ or "")
     return out
 
 

@@ -86,3 +86,26 @@ def test_mixed_label_models_one_graph(spark, tmp_path):
     both = spark.read.parquet(str(tmp_path / "out2/nodes/*"))
     got = {r["nodeId"]: r["labels"] for r in both.collect()}
     assert got[1] == ["Paper"] and got[2] == []
+
+
+def test_salted_aggregate_equals_naive(spark, sf_dir):
+    """Salting must not change results (associativity)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.skew import salted_aggregate
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = {
+        r["l_returnflag"]: (round(r["q"], 2), r["n"])
+        for r in salted_aggregate(
+            df, ["l_returnflag"], sums={"l_quantity": "q"}, count_alias="n",
+            salt_buckets=8,
+        ).collect()
+    }
+    naive = {
+        r["l_returnflag"]: (round(r["q"], 2), r["n"])
+        for r in df.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == naive

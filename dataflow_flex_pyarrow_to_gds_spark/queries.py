@@ -123,6 +123,38 @@ def q_graph_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degrees over the PLACED edge set (analytics the reference defers to
+    the GDS server, computed directly on the exported layout)."""
+    from .operators.graph_algo import node_degrees
+
+    return node_degrees(_orders_edges(spark, sf_dir))
+
+
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation CC over the customer↔order graph.
+    Deterministic but iterative — not expressible as one SQL query
+    (recursive CTEs can't aggregate per round) → rows-only check.
+
+    Order ids are offset into their own namespace: custkey and orderkey
+    ranges overlap, and un-namespaced ids would fuse unrelated customers
+    into long random chains (measured: diameter > 20 at sf0.01; with
+    namespacing the components are customer stars, diameter 2)."""
+    from .operators.graph_algo import connected_components
+
+    edges = _orders_edges(spark, sf_dir).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+        "relationshipType",
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return connected_components(nodes, edges)
+
+
 def q_graph_load_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/U1: per-kind row telemetry + final relabel — the reference's
     Flatten + CombineGlobally + kind="final" tail (pipeline.py:88-95),
@@ -175,6 +207,16 @@ _GRAPH_ORACLES = {
         FROM orders
         WHERE o_custkey NOT IN (SELECT id FROM ids)
            OR o_orderkey NOT IN (SELECT id FROM ids)
+    """,
+    "graph_node_degrees": """
+        WITH e AS (SELECT o_custkey AS s, o_orderkey AS t FROM orders),
+             outs AS (SELECT s AS nodeId, count(*) AS out_degree FROM e GROUP BY s),
+             ins AS (SELECT t AS nodeId, count(*) AS in_degree FROM e GROUP BY t)
+        SELECT COALESCE(outs.nodeId, ins.nodeId) AS nodeId,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0) AS in_degree,
+               COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+        FROM outs FULL OUTER JOIN ins ON outs.nodeId = ins.nodeId
     """,
     "graph_load_stats": """
         WITH c AS (
@@ -1030,6 +1072,8 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_edge_resolution": q_graph_edge_resolution,
         "graph_dangling_edges": q_graph_dangling_edges,
         "graph_load_stats": q_graph_load_stats,
+        "graph_node_degrees": q_graph_node_degrees,
+        "graph_connected_components": q_graph_connected_components,
     }
     relational = {
         "q1_pricing_summary": q1_pricing_summary,

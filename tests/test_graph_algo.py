@@ -1,0 +1,58 @@
+"""Graph analytics over exported node/edge layouts."""
+
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+    connected_components,
+    node_degrees,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, "E") for a, b in pairs],
+        "sourceNodeId long, targetNodeId long, relationshipType string",
+    )
+
+
+def test_node_degrees(spark):
+    edges = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 1)])
+    got = {r["nodeId"]: (r["out_degree"], r["in_degree"], r["degree"])
+           for r in node_degrees(edges).collect()}
+    assert got[1] == (2, 1, 3)
+    assert got[3] == (0, 2, 2)
+    assert got[4] == (1, 0, 1)
+
+
+def test_connected_components_two_islands(spark):
+    edges = _edges(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 99]], "nodeId long"
+    )  # 99 is isolated
+    comp = {r["nodeId"]: r["component"]
+            for r in connected_components(nodes, edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[99] == 99
+
+
+def test_connected_components_chain_diameter(spark):
+    """A path graph stresses the iteration count (diameter = n-1)."""
+    n = 12
+    edges = _edges(spark, [(i, i + 1) for i in range(1, n)])
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "nodeId long")
+    comp = {r["nodeId"]: r["component"]
+            for r in connected_components(nodes, edges, max_iter=20).collect()}
+    assert set(comp.values()) == {1}
+
+
+def test_cc_on_tpch_graph(spark, sf_dir):
+    """Every order connects to its customer → component count equals the
+    number of customers with ≥1 order plus isolated nodes (none here)."""
+    from dataflow_flex_pyarrow_to_gds_spark import queries as C
+
+    out = C.queries()["graph_connected_components"](spark, sf_dir)
+    n_components = out.select("component").distinct().count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_customers_with_orders = orders.select("o_custkey").distinct().count()
+    assert n_components == n_customers_with_orders

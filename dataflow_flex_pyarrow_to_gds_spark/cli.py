@@ -81,7 +81,14 @@ def make_sink(args: argparse.Namespace):
 def main(argv: list[str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
-    graph = Graph.from_path(args.graph_json)
+    try:
+        graph = Graph.from_path(args.graph_json)
+    except FileNotFoundError:
+        print(f"error: graph model not found: {args.graph_json}", file=sys.stderr)
+        return 2
+    except ValueError as exc:
+        print(f"error: invalid graph model: {exc}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name=f"graph-load-{graph.name}")
     pipe = GraphLoadPipeline(spark, graph, make_sink(args))
 

@@ -40,6 +40,10 @@ class QuerySpec:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp semantics (unix_timestamp/window/etc.) follow the session
+    # TZ; the DuckDB oracle is UTC-naive. Pin it here so correctness does
+    # not depend on how the calling harness built its session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

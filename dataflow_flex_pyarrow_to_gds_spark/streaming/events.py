@@ -42,6 +42,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     division would corrupt timestamps by whole seconds).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is UTC-naive
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -772,6 +772,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: JSON column functions — extract + typed parse of the events
+    props payload (get_json_object for ad-hoc paths, from_json for a
+    declared schema; both JVM-side)."""
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k long")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed["k"].alias("k"),
+        (parsed["k"] % 10).alias("k_mod10"),
+    )
+
+
+def q_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7-adjacent: unpivot/melt wide columns into (metric, value) rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        (F.col("o_totalprice") * 0.07).alias("tax"),
+    )
+    return o.unpivot(
+        "o_orderkey", ["totalprice", "tax"], "metric", "value"
+    ).select("o_orderkey", "metric", F.round("value", 2).alias("value"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h event-time windows (same expression runs under
     Structured Streaming with a watermark — streaming/events.py)."""
@@ -982,6 +1010,19 @@ def _extension_oracles() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({cos_ab}, 4) >= 0.4
         """,
+        "json_extract_events": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                   CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod10
+            FROM events
+        """,
+        "unpivot_orders": """
+            SELECT o_orderkey, 'totalprice' AS metric,
+                   round(o_totalprice, 2) AS value FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'tax', round(o_totalprice * 0.07, 2) FROM orders
+        """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
                    event_type, count(*) AS n, round(sum(value), 2) AS total_value
@@ -1112,6 +1153,8 @@ def _specs() -> dict[str, QuerySpec]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,
+        "json_extract_events": q_json_extract_events,
+        "unpivot_orders": q_unpivot_orders,
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_shipments": q_range_join_shipments,
         "percentile_prices": q_percentile_prices,

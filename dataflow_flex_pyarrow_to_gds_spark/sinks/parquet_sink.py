@@ -19,6 +19,7 @@ upstream partitioning accidents.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, Observation
@@ -50,6 +51,7 @@ class ParquetGraphSink:
         self.validate_keys = validate_keys
         self._phase = "init"
         self._element_idx = 0
+        self._lock = threading.Lock()  # plans may submit elements from threads
 
     # -- lifecycle ---------------------------------------------------------
     def start(self, graph: Graph) -> None:
@@ -96,15 +98,17 @@ class ParquetGraphSink:
         return WriteResult(count=int(got["rows"]), nbytes=_dir_bytes(path), kind=kind)
 
     def write_nodes(self, df: DataFrame, node: Node) -> WriteResult:
-        if self._phase != "nodes":
-            raise RuntimeError(f"write_nodes() in phase {self._phase}")
-        sub = f"nodes/element_{self._element_idx:03d}"
-        self._element_idx += 1
+        with self._lock:
+            if self._phase != "nodes":
+                raise RuntimeError(f"write_nodes() in phase {self._phase}")
+            sub = f"nodes/element_{self._element_idx:03d}"
+            self._element_idx += 1
         return self._write(df, sub, NODE_ID, "node")
 
     def write_edges(self, df: DataFrame, edge: Edge) -> WriteResult:
-        if self._phase != "edges":
-            raise RuntimeError(f"write_edges() in phase {self._phase}")
-        sub = f"edges/element_{self._element_idx:03d}"
-        self._element_idx += 1
+        with self._lock:
+            if self._phase != "edges":
+                raise RuntimeError(f"write_edges() in phase {self._phase}")
+            sub = f"edges/element_{self._element_idx:03d}"
+            self._element_idx += 1
         return self._write(df, sub, SOURCE_ID, "edge")

@@ -97,3 +97,48 @@ def test_range_join_bucket_boundary(spark):
         bucket_seconds=86_400,  # 365 buckets exploded on the right
     )
     assert [(r["id"], r["rid"]) for r in out.collect()] == [(1, 20)]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check: random data vs pandas merge_asof (the reference
+    implementation of as-of semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 200
+    left_pd = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "user_id": rng.integers(0, 10, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+    })
+    right_pd = pd.DataFrame({
+        "event_id": np.arange(1000, 1000 + n_r),
+        "user_id": rng.integers(0, 10, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+    })
+    # merge_asof needs global ts sort; ties must be unique per key for a
+    # deterministic comparison
+    right_pd = right_pd.drop_duplicates(subset=["user_id", "ts"])
+    left_sorted = left_pd.sort_values("ts", kind="stable")
+    right_sorted = right_pd.sort_values("ts", kind="stable")
+    expect = pd.merge_asof(
+        left_sorted, right_sorted, on="ts", by="user_id",
+        direction="backward", suffixes=("", "_r"),
+    )
+    expect_map = {
+        int(r.event_id): (None if pd.isna(r.event_id_r) else int(r.event_id_r))
+        for r in expect.itertuples()
+    }
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", right_cols=["event_id"]
+        ).collect()
+    }
+    assert got == expect_map

@@ -136,3 +136,22 @@ def test_coalesce_batches():
     tables = list(coalesce_batches(iter(batches), chunk_rows=100))
     assert [t.num_rows for t in tables] == [100, 100, 50]
     assert sum(t.num_rows for t in tables) == 250
+
+
+def test_parallel_element_load_matches_serial(spark, sf_dir, tmp_path):
+    """Thread-submitted element jobs produce the same totals as serial."""
+    serial = GraphLoadPipeline(
+        spark, tpch_graph(), ParquetGraphSink(str(tmp_path / "ser"))
+    ).run(tpch_graph_sources(sf_dir))
+    parallel = GraphLoadPipeline(
+        spark, tpch_graph(), ParquetGraphSink(str(tmp_path / "par")),
+        max_parallel_elements=4,
+    ).run(tpch_graph_sources(sf_dir))
+    assert parallel.nodes.count == serial.nodes.count
+    assert parallel.edges.count == serial.edges.count
+    assert parallel.final.count == serial.final.count
+    # all element dirs written exactly once
+    import os
+    assert sorted(os.listdir(tmp_path / "par" / "nodes")) == [
+        f"element_{i:03d}" for i in range(4)
+    ]

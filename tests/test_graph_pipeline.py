@@ -155,3 +155,32 @@ def test_parallel_element_load_matches_serial(spark, sf_dir, tmp_path):
     assert sorted(os.listdir(tmp_path / "par" / "nodes")) == [
         f"element_{i:03d}" for i in range(4)
     ]
+
+
+def test_arrow_ipc_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Arrow IPC export: batches stream to .arrows files on executors and
+    read back with pyarrow, columnar end-to-end."""
+    import glob
+
+    import pyarrow as pa
+
+    from dataflow_flex_pyarrow_to_gds_spark.sinks.arrow_ipc_sink import (
+        ArrowIPCGraphSink,
+    )
+
+    out = str(tmp_path / "ipc")
+    report = GraphLoadPipeline(
+        spark, tpch_graph(), ArrowIPCGraphSink(out, chunk_rows=500)
+    ).run(tpch_graph_sources(sf_dir))
+    n_customer = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert report.nodes.count > n_customer  # all 4 node elements written
+
+    total = 0
+    files = glob.glob(f"{out}/nodes/*/part-*.arrows")
+    assert files
+    for f in files:
+        with pa.ipc.open_stream(f) as reader:
+            t = reader.read_all()
+            total += t.num_rows
+            assert "nodeId" in t.schema.names
+    assert total == report.nodes.count

@@ -372,6 +372,56 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: lag/lead/first/last analytic functions over order history."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.unix_timestamp(F.first("o_orderdate").over(frame)).alias("first_order_epoch"),
+        F.unix_timestamp(F.last("o_orderdate").over(frame)).alias("last_order_epoch"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: RANGE frame — trailing-30-day revenue per customer (value-based
+    frame over epoch seconds, not row counts)."""
+    epoch = F.unix_timestamp("o_orderdate")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86_400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        epoch.alias("order_epoch"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_revenue"),
+    )
+
+
 def q_agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4: grouped aggregation with exact distinct counting."""
     return (
@@ -574,6 +624,38 @@ _RELATIONAL_ORACLES = {
                    ) AS rn
             FROM orders
         ) WHERE rn <= 3
+    """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "window_analytics": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               floor(epoch(first_value(o_orderdate) OVER wf))::BIGINT AS first_order_epoch,
+               floor(epoch(last_value(o_orderdate) OVER wf))::BIGINT AS last_order_epoch
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "window_range_frame": """
+        SELECT o_custkey, o_orderkey,
+               floor(epoch(o_orderdate))::BIGINT AS order_epoch,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY floor(epoch(o_orderdate))::BIGINT
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_30d_revenue
+        FROM orders
     """,
     "agg_distinct_parts": """
         SELECT l_returnflag,
@@ -1185,6 +1267,9 @@ def _specs() -> dict[str, QuerySpec]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "window_top_orders": q_window_top_orders,
+        "q10_returned_revenue": q10_returned_revenue,
+        "window_analytics": q_window_analytics,
+        "window_range_frame": q_window_range_frame,
         "agg_distinct_parts": q_agg_distinct_parts,
         "rollup_lineitem": q_rollup_lineitem,
         "cube_lineitem": q_cube_lineitem,

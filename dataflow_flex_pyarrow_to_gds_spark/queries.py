@@ -435,6 +435,38 @@ def q_agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: linear-regression aggregates — value drift over time per
+    event type (regr_slope/intercept/corr are built-in in both engines)."""
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "epoch", F.unix_timestamp("ts").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "epoch") * 86_400, 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", "epoch"), 2).alias("intercept"),
+        F.round(F.corr("value", "epoch"), 6).alias("correlation"),
+        F.regr_count("value", "epoch").alias("n"),
+    )
+
+
+def q_array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: ordered array aggregation (scalarized to a joined string so
+    the cross-engine hash compares values, not list formatting)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+                "order_keys"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4: grouping-sets rollup with sub/grand totals."""
     return (
@@ -663,6 +695,21 @@ _RELATIONAL_ORACLES = {
                count(DISTINCT l_suppkey) AS distinct_supps,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "regression_stats": """
+        SELECT event_type,
+               round(regr_slope(value, floor(epoch(ts))) * 86400, 6) AS slope_per_day,
+               round(regr_intercept(value, floor(epoch(ts))), 2) AS intercept,
+               round(corr(value, floor(epoch(ts))), 6) AS correlation,
+               CAST(regr_count(value, floor(epoch(ts))) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "array_agg_orders": """
+        SELECT o_custkey,
+               array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                   AS order_keys,
+               count(*) AS n
+        FROM orders WHERE o_custkey < 100 GROUP BY o_custkey
     """,
     "rollup_lineitem": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1272,6 +1319,8 @@ def _specs() -> dict[str, QuerySpec]:
         "window_range_frame": q_window_range_frame,
         "agg_distinct_parts": q_agg_distinct_parts,
         "rollup_lineitem": q_rollup_lineitem,
+        "regression_stats": q_regression_stats,
+        "array_agg_orders": q_array_agg_orders,
         "cube_lineitem": q_cube_lineitem,
         "salted_agg_events": q_salted_agg_events,
         "date_functions": q_date_functions,

@@ -98,3 +98,41 @@ def test_simhash_pairs_banding(spark):
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert found[(1, 2)] == 0 and found[(1, 5)] == 0
     assert (1, 4) not in found
+
+
+def test_minhash_matches_exhaustive_on_random_corpora(spark):
+    """Randomized check: LSH+verify output == exhaustive jaccard pairs on
+    generated corpora (several seeds, mixed duplication rates)."""
+    import itertools
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        for i in range(60):
+            if i > 0 and rng.random() < 0.3:  # mutated near-copy
+                base = docs[rng.randrange(len(docs))][1].split()
+                k = max(1, len(base) // 10)
+                for _ in range(k):
+                    base[rng.randrange(len(base))] = rng.choice(vocab)
+                docs.append((i, " ".join(base)))
+            else:
+                docs.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 25))))
+                )
+        expect = set()
+        sets = {i: set(t.split()) for i, t in docs}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.6:
+                expect.add((a, b))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", num_hashes=128, bands=32, threshold=0.6
+            ).collect()
+        }
+        assert got == expect, f"seed {seed}: {got ^ expect}"

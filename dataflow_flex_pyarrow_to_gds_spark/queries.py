@@ -137,8 +137,8 @@ def q_graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative min-label propagation CC over the customer↔order graph.
-    Deterministic but iterative — not expressible as one SQL query
-    (recursive CTEs can't aggregate per round) → rows-only check.
+    The oracle is a recursive-CTE transitive closure (min reachable node
+    per node) — tractable because component sizes are small.
 
     Order ids are offset into their own namespace: custkey and orderkey
     ranges overlap, and un-namespaced ids would fuse unrelated customers
@@ -798,8 +798,8 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle variant (no oracle: k-gram generation in SQL is a
-    different program; rows-only check)."""
+    """3-gram shingle variant; the oracle re-derives trigrams in SQL via
+    list_transform and joins exhaustively."""
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -1148,6 +1148,35 @@ def _extension_oracles() -> dict[str, str]:
                    round({_JACCARD_SQL}, 6) AS jaccard
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
+        """,
+        "dedup_ngram3_pairs": rf"""
+            WITH raw AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+                FROM raw WHERE len(w) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round({_JACCARD_SQL}, 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE {_JACCARD_SQL} >= 0.5
+        """,
+        "graph_connected_components": """
+            WITH RECURSIVE
+              e(s, t) AS (SELECT o_custkey, o_orderkey + 1000000000 FROM orders),
+              sym(s, t) AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT p.a, sy.t FROM paths p JOIN sym sy ON p.b = sy.s
+              )
+            SELECT a AS nodeId, min(b) AS component FROM paths GROUP BY a
         """,
         "text_stats": rf"""
             SELECT doc_id,

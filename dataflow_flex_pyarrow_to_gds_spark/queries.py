@@ -818,6 +818,34 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (levenshtein ≤ 2) with nation-key
+    blocking — the fuzzy-string member of the dedup family (blocking turns
+    n² into Σ block²; an LSH bucket serves the same role unlabeled)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "distance", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("distance") <= 2)
+        .select("id_a", "id_b", "distance")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char/quality statistics — one narrow scan-bound pass."""
     from .operators import text as X
@@ -1178,6 +1206,13 @@ def _extension_oracles() -> dict[str, str]:
               )
             SELECT a AS nodeId, min(b) AS component FROM paths GROUP BY a
         """,
+        "dedup_edit_distance": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
         "text_stats": rf"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
@@ -1363,6 +1398,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,

@@ -42,6 +42,8 @@ HEADLINE = [
     "embedding_near_dup",
     "events_hourly",
     "events_sessionize",
+    "asof_purchase_click",
+    "range_join_shipments",
 ]
 
 

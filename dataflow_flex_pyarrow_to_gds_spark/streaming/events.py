@@ -172,6 +172,81 @@ def running_user_totals_stream(
     )
 
 
+def purchase_attribution_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to same-user clicks in
+    the preceding hour.
+
+    The time-bound join condition + watermarks let the state store expire
+    both sides (unbounded stream-stream joins never release state —
+    the bound is what makes this run forever at scale).
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+    )
+
+
+def attribution_batch(df: DataFrame, attribution_seconds: int = 3600) -> DataFrame:
+    """Batch twin of :func:`purchase_attribution_stream` (same semantics,
+    plain interval join) — used to cross-check the streaming result."""
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        # same raw-timestamp arithmetic as the streaming join (flooring to
+        # epoch seconds here would disagree at the window boundary)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_seconds} SECONDS"))
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+    )
+
+
 def session_window_stream(
     spark: SparkSession,
     path: str,

@@ -119,3 +119,66 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the batch interval join
+    once the source drains."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        attribution_batch,
+        purchase_attribution_stream,
+        read_events,
+    )
+
+    batch_df = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_ss")
+    batch_df.write.parquet(src)
+
+    stream = purchase_attribution_stream(spark, src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM attr_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribution_batch(batch_df).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_foreach_batch_exactly_once_shape(spark, sf_dir, tmp_path):
+    """foreachBatch sink pattern: per-epoch idempotent parquet writes."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        read_events,
+    )
+
+    src = str(tmp_path / "events_fb")
+    out = str(tmp_path / "fb_out")
+    read_events(spark, sf_dir).write.parquet(src)
+
+    def write_epoch(df, epoch_id):
+        # mode overwrite + epoch-keyed dir = idempotent on retry
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .writeStream.foreachBatch(write_epoch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(f"{out}/epoch=*").count() == 1000

@@ -1,10 +1,43 @@
-from .graph import project_nodes, project_edges, route_sources
+from .graph import project_nodes, project_edges, route_sources, route_paths
 from .edge_resolution import resolve_edges, dangling_edges
+from .graph_algo import node_degrees, connected_components
+from .asof import asof_join, range_join
+from .skew import salted_aggregate
+from .dedup import (
+    exact_duplicate_groups,
+    deduplicate_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .similarity import (
+    brute_force_topk,
+    knn_join,
+    lsh_topk,
+    ivf_topk,
+    embedding_near_dup_pairs_blocked,
+)
+from .text import profile_documents
 
 __all__ = [
     "project_nodes",
     "project_edges",
     "route_sources",
+    "route_paths",
     "resolve_edges",
     "dangling_edges",
+    "node_degrees",
+    "connected_components",
+    "asof_join",
+    "range_join",
+    "salted_aggregate",
+    "exact_duplicate_groups",
+    "deduplicate_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "brute_force_topk",
+    "knn_join",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs_blocked",
+    "profile_documents",
 ]

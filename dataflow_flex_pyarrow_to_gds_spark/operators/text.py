@@ -98,6 +98,26 @@ def lang_id_col(text: Column) -> Column:
     return expr
 
 
+def rolling_hash_col(tokens: Column, base: int = 131, mod: int = 2_147_483_647) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``acc = (acc·base + h(token)) mod P`` with ``h(t) = 31·|t| + ascii(t₀)``.
+
+    Unlike the set fingerprint, this distinguishes reorderings. The
+    per-step mod keeps the accumulator < 2³¹ (no ANSI long overflow), and
+    every primitive (length/ascii/arithmetic) has an exact DuckDB twin so
+    the fingerprint is oracle-checkable cross-engine.
+    """
+    hashed = F.transform(
+        tokens,
+        lambda t: (F.length(t) * 31 + F.ascii(t)).cast("long"),
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * base + h, F.lit(mod)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # document profiling
 # ---------------------------------------------------------------------------

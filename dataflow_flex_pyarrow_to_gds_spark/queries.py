@@ -882,6 +882,18 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per document
+    (distinguishes reordered copies that the set fingerprint unifies)."""
+    from .operators.dedup import tokens_col
+    from .operators.text import rolling_hash_col
+
+    toks = F.filter(tokens_col(F.col("text")), lambda x: x != "")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash_col(toks).alias("rolling_hash")
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")
@@ -1236,6 +1248,22 @@ def _extension_oracles() -> dict[str, str]:
                    md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint
             FROM documents
         """,
+        "text_rolling_hash": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(toks,
+                               tk -> CAST(length(tk)*31 + ascii(tk) AS BIGINT))),
+                       (acc, h) -> (acc * 131 + h) % 2147483647
+                   ) AS rolling_hash
+            FROM t
+        """,
         "similarity_topk": f"""
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id, round({cos_eq}, 4) AS sim
@@ -1402,6 +1430,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_rolling_hash": q_text_rolling_hash,
         "similarity_topk": q_similarity_topk,
         "similarity_knn_join": q_similarity_knn_join,
         "similarity_lsh_topk": q_similarity_lsh_topk,

@@ -1,0 +1,47 @@
+"""Catalog registry invariants — the driver contract's structural health."""
+
+import dataflow_flex_pyarrow_to_gds_spark.queries as C
+
+#: operators whose outputs are algorithm-specific (hash families, sketch
+#: internals) — the only legitimate reasons to skip the value-hash oracle
+ALLOWED_ROWS_ONLY = {
+    "approx_stats",
+    "dedup_simhash_pairs",
+    "embedding_near_dup_lsh",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+}
+
+
+def test_no_orphan_oracles():
+    """Every oracle string must belong to a registered query (an orphan
+    means a rename silently downgraded a query to rows-only)."""
+    specs = C._specs()
+    all_oracles = {
+        **C._GRAPH_ORACLES,
+        **C._RELATIONAL_ORACLES,
+        **C._extension_oracles(),
+    }
+    assert set(all_oracles) <= set(specs), set(all_oracles) - set(specs)
+
+
+def test_rows_only_set_is_intentional():
+    specs = C._specs()
+    rows_only = {n for n, s in specs.items() if not s.oracle}
+    assert rows_only == ALLOWED_ROWS_ONLY, rows_only ^ ALLOWED_ROWS_ONLY
+
+
+def test_every_query_documented():
+    for name, spec in C._specs().items():
+        assert spec.doc.strip(), f"{name} has no docstring"
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     # gcs params (≙ pipeline.py:241-260): parquet globs
     parser.add_argument("--node_pattern", action="append", default=[])
     parser.add_argument("--edge_pattern", action="append", default=[])
+    parser.add_argument("--source_format", default="parquet",
+                        choices=["parquet", "orc", "csv", "json"])
+    parser.add_argument("--source_option", action="append", default=[],
+                        metavar="K=V", help="reader option, repeatable")
     # bigquery params (≙ pipeline.py:261-291)
     parser.add_argument("--bq_project", default="")
     parser.add_argument("--bq_dataset", default="")
@@ -90,7 +94,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: invalid graph model: {exc}", file=sys.stderr)
         return 2
     spark = get_spark(app_name=f"graph-load-{graph.name}")
-    pipe = GraphLoadPipeline(spark, graph, make_sink(args))
+    opts = dict(kv.split("=", 1) for kv in args.source_option)
+    pipe = GraphLoadPipeline(
+        spark, graph, make_sink(args),
+        source_format=args.source_format, source_options=opts,
+    )
 
     if args.mode == "gcs":
         sources = list(args.node_pattern) + list(args.edge_pattern)

@@ -68,6 +68,8 @@ class GraphLoadPipeline:
         sink: GraphSink,
         *,
         max_parallel_elements: int = 1,
+        source_format: str = "parquet",
+        source_options: dict[str, str] | None = None,
     ):
         """``max_parallel_elements > 1`` submits the independent element
         jobs of a phase from driver threads — the Spark idiom for letting
@@ -81,6 +83,19 @@ class GraphLoadPipeline:
         self.graph = graph
         self.sink = sink
         self.max_parallel_elements = max_parallel_elements
+        #: any Spark batch source: parquet (default), orc, csv, json.
+        #: Columnar formats carry their own schemas; csv/json callers
+        #: should pass options (e.g. {"header": "true", "inferSchema":
+        #: "true"}) or pre-declare schemas for production use.
+        self.source_format = source_format
+        self.source_options = dict(source_options or {})
+
+    def _read(self, paths: list[str]):
+        return (
+            self.spark.read.format(self.source_format)
+            .options(**self.source_options)
+            .load(paths)
+        )
 
     def _run_phase(self, jobs: list) -> list[WriteResult]:
         """Run [(fn, element)] jobs, optionally in driver threads."""
@@ -107,7 +122,7 @@ class GraphLoadPipeline:
         # --- node phase (strictly first: GDS protocol, pipeline.py:68-87)
         def node_job(node: Node, paths: list[str]):
             def run():
-                df = self.spark.read.parquet(*paths).select(*node.fields())
+                df = self._read(paths).select(*node.fields())
                 res = self.sink.write_nodes(project_nodes(df, node), node)
                 log.info("nodes %s: %s", node.source, res)
                 return res
@@ -122,7 +137,7 @@ class GraphLoadPipeline:
         # --- edge phase
         def edge_job(edge: Edge, paths: list[str]):
             def run():
-                df = self.spark.read.parquet(*paths).select(*edge.fields())
+                df = self._read(paths).select(*edge.fields())
                 res = self.sink.write_edges(project_edges(df, edge), edge)
                 log.info("edges %s: %s", edge.source, res)
                 return res

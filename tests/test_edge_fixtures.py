@@ -109,3 +109,43 @@ def test_salted_aggregate_equals_naive(spark, sf_dir):
         .collect()
     }
     assert salted == naive
+
+
+def test_csv_source_through_pipeline(spark, tmp_path):
+    """The graph pipeline reads any Spark batch source — CSV here."""
+    src = str(tmp_path / "csv_nodes")
+    spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], "id long, label string, score double"
+    ).write.option("header", "true").csv(src)
+    g = Graph(
+        name="g",
+        nodes=(Node(source=".*/csv_nodes.*", key_field="id",
+                    label_field="label", properties={"score": "score"}),),
+    )
+    report = GraphLoadPipeline(
+        spark, g, ParquetGraphSink(str(tmp_path / "csv_out")),
+        source_format="csv",
+        source_options={"header": "true", "inferSchema": "true"},
+    ).run([src])
+    assert report.nodes.count == 2
+    out = spark.read.parquet(str(tmp_path / "csv_out/nodes/element_000"))
+    got = {r["nodeId"]: (r["labels"], r["score"]) for r in out.collect()}
+    assert got[1] == (["A"], 10.0)
+
+
+def test_json_source_through_pipeline(spark, tmp_path):
+    src = str(tmp_path / "json_edges")
+    spark.createDataFrame(
+        [(1, 2, "REL"), (2, 3, "REL")],
+        "src long, dst long, kind string",
+    ).write.json(src)
+    g = Graph(
+        name="g",
+        edges=(Edge(source=".*/json_edges.*", source_field="src",
+                    target_field="dst", type_field="kind"),),
+    )
+    report = GraphLoadPipeline(
+        spark, g, ParquetGraphSink(str(tmp_path / "json_out")),
+        source_format="json",
+    ).run([src])
+    assert report.edges.count == 2

@@ -12,7 +12,11 @@ deliberate:
 - ``--mode bigquery`` accepts ``--bq_fake_dataset DIR`` mapping table
   names to ``DIR/<table>.parquet`` so the BigQuery code path runs without
   GCP (the real connector path is the same call surface);
-- Beam runner args have no analog — Spark config comes from spark-submit.
+- Beam runner args have no analog — Spark config comes from spark-submit;
+- the Flex-template parameter regexes (``metadata_*.json:4-82``) reduce to
+  ``.+``/``[0-9]+``/``gs://.+`` — argparse's ``type=int``/``required``
+  subsume the first two, and the gs:// restriction is deliberately NOT
+  reproduced (local/any-FS paths are first-class here).
 
 Run: ``python -m dataflow_flex_pyarrow_to_gds_spark.cli --mode gcs
 --graph_json model.json --node_pattern 'data/nodes*.parquet'

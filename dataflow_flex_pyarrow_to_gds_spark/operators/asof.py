@@ -37,22 +37,26 @@ def asof_join(
     ``>=`` semantics: right rows sort before left rows at equal ts.
     """
     lcols = left.columns
-    l_aligned = left.select(
-        F.col(by),
-        F.col(on),
-        F.lit(1).alias("_side"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
-        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
-    )
+    # All right columns ride in ONE struct filled by ONE last(ignorenulls):
+    # per-column fills would back-fill a null field of the matched row from
+    # an older right row, mixing columns of different right rows. The struct
+    # itself is non-null for every right row, so genuine nulls survive.
     r_aligned = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.lit(None).cast(l_aligned.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+        F.lit(None).alias("_lrow"),
+    )
+    l_aligned = left.select(
+        F.col(by),
+        F.col(on),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_aligned.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+    )
+    r_aligned = r_aligned.withColumn(
+        "_lrow", F.lit(None).cast(l_aligned.schema["_lrow"].dataType)
     )
     unioned = l_aligned.unionByName(r_aligned)
 
@@ -61,18 +65,14 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ],
+    filled = unioned.withColumn(
+        "_match", F.last("_rrow", ignorenulls=True).over(w)
     )
     return (
         filled.filter(F.col("_side") == 1)
         .select(
             *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
 
@@ -101,7 +101,18 @@ def range_join(
     rb_end = F.floor(F.unix_timestamp(F.col(right_end)) / bucket_seconds).cast("long")
 
     l = left.withColumn("_bucket", lb)
-    r = right.withColumn("_bucket", F.explode(F.sequence(rb_start, rb_end)))
+    # An inverted interval (end < start) can never satisfy the exact
+    # predicate, but F.sequence would happily generate a *descending*
+    # bucket range for it — wasted fan-out that only dies in the filter.
+    # Explode an empty array instead: invalid intervals drop here, cheaply.
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.when(rb_end >= rb_start, F.sequence(rb_start, rb_end)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ),
+    )
 
     join_keys = ["_bucket"] + ([by] if by else [])
     out = l.join(r, join_keys)

@@ -271,13 +271,34 @@ def minhash_lsh_pairs(
 _BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
-def simhash64_col(tokens: Column) -> Column:
-    """64-bit SimHash: per-bit ±1 votes from each token's xxhash64,
+def portable_hash64_col(t: Column) -> Column:
+    """64-bit string hash reproducible in any ANSI SQL engine: the first
+    16 hex chars of md5(t), reinterpreted as a signed 64-bit integer via
+    two 32-bit halves. The arithmetic form (no shifts, no unsigned types)
+    is expressible verbatim in DuckDB — see the simhash oracle — which
+    makes simhash signatures cross-engine checkable. ~3× slower than
+    xxhash64; use the default hash when no oracle parity is needed.
+    """
+    hx = F.md5(t)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    signed_hi = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return signed_hi * F.lit(1 << 32) + lo
+
+
+def simhash64_col(tokens: Column, hash_fn=None) -> Column:
+    """64-bit SimHash: per-bit ±1 votes from each token's 64-bit hash,
     positive-vote bits set in the result. Pure bit arithmetic — no UDF,
-    no overflow (assembled with bitwise OR, not addition)."""
+    no overflow (assembled with bitwise OR, not addition).
+
+    ``hash_fn`` maps a token Column to a 64-bit hash Column; defaults to
+    ``F.xxhash64`` (fastest). Pass :func:`portable_hash64_col` when the
+    signature must be reproducible outside Spark.
+    """
+    hash_fn = hash_fn or F.xxhash64
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     votes = F.aggregate(
-        F.transform(tokens, lambda t: F.xxhash64(t)),
+        F.transform(tokens, hash_fn),
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,
@@ -298,13 +319,28 @@ def simhash_pairs(
     text_col: str,
     *,
     max_distance: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ max_distance (≤ 15).
+    """Near-dup pairs with SimHash Hamming distance ≤ max_distance (0..63).
 
-    Pigeonhole banding: split the 64-bit signature into 4 16-bit chunks;
-    any pair within distance 3 agrees on ≥1 whole chunk, so the candidate
-    join is an equi-join on (chunk_idx, chunk_value).
+    Pigeonhole banding with the chunk count DERIVED from the radius: the
+    64-bit signature splits into ``max_distance + 1`` chunks, so any pair
+    within the requested distance agrees on ≥1 whole chunk and candidate
+    generation is an equi-join on (chunk_idx, chunk_value) with guaranteed
+    recall 1.0. (A fixed 4-chunk split only guarantees distance ≤ 3 and
+    silently under-recalls beyond it.)
+
+    Each surviving pair is kept only at its FIRST agreeing chunk — the
+    same arithmetic earlier-collision filter as the minhash path — so the
+    candidate stream never pays a dropDuplicates shuffle.
     """
+    if not 0 <= max_distance <= 63:
+        raise ValueError(f"max_distance must be in [0, 63], got {max_distance}")
+    num_chunks = max_distance + 1
+    base_w, rem = divmod(64, num_chunks)
+    widths = [base_w + 1] * rem + [base_w] * (num_chunks - rem)
+    offsets = [sum(widths[:i]) for i in range(num_chunks)]
+
     sigs = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         # bit-vote aggregation is CPU-heavy per row — don't let a
@@ -312,27 +348,40 @@ def simhash_pairs(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(
             "_id",
-            simhash64_col(tokens_col(F.col("_text"))).alias("_sim"),
+            simhash64_col(tokens_col(F.col("_text")), hash_fn).alias("_sim"),
         )
     )
-    chunks = sigs.select(
+
+    def chunk_val(i: int) -> Column:
+        shifted = F.shiftright("_sim", offsets[i])
+        if widths[i] >= 64:
+            return shifted
+        return shifted.bitwiseAND((1 << widths[i]) - 1)
+
+    with_chunks = sigs.select(
         "_id",
         "_sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftright("_sim", 16 * i).bitwiseAND(0xFFFF).alias("val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("_id", "_sim", "c.chunk", "c.val")
+        F.array(*[chunk_val(i) for i in range(num_chunks)]).alias("_chunks"),
+    )
+    exploded = with_chunks.select(
+        "_id",
+        "_sim",
+        "_chunks",
+        F.explode(F.sequence(F.lit(0), F.lit(num_chunks - 1))).alias("chunk"),
+    ).withColumn("val", F.element_at(F.col("_chunks"), F.col("chunk") + 1))
 
-    left = chunks.alias("l")
-    right = chunks.alias("r")
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    # Keep each pair only at its first agreeing chunk — exact-equivalent to
+    # deduplicating, but pure arithmetic instead of an Exchange over all
+    # candidate pairs (same trick as minhash_lsh_pairs above).
+    earlier_collision = F.when(F.col("l.chunk") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(0), F.col("l.chunk") - 1),
+            lambda j: F.element_at(F.col("l._chunks"), j + 1)
+            == F.element_at(F.col("r._chunks"), j + 1),
+        )
+    )
     return (
         left.join(
             right,
@@ -340,6 +389,7 @@ def simhash_pairs(
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .filter(~earlier_collision)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
@@ -347,6 +397,5 @@ def simhash_pairs(
                 F.col("l._sim").bitwiseXOR(F.col("r._sim"))
             ).cast("long").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_distance)
     )

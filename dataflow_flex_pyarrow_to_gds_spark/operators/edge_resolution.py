@@ -25,14 +25,20 @@ from .graph import NODE_ID, SOURCE_ID, TARGET_ID
 
 
 def _node_ids(nodes: DataFrame) -> DataFrame:
-    return nodes.select(F.col(NODE_ID)).distinct()
+    # The id universe is referenced by 2 (resolve) / 3 (dangling) joins in
+    # the same plan; without a cache each reference re-runs the node scan +
+    # distinct shuffle — 2-3 redundant shuffles of the id universe at scale.
+    # cache() materializes it once (MEMORY_AND_DISK spills if the id set is
+    # huge); Spark evicts it LRU, so not unpersisting is safe.
+    return nodes.select(F.col(NODE_ID)).distinct().cache()
 
 
 def resolve_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Keep only edges whose BOTH endpoints exist in the node set.
 
     Two successive left-semi joins — no row multiplication, no payload
-    shuffle of the node side beyond its distinct ids.
+    shuffle of the node side beyond its distinct ids (computed once,
+    cached, reused by both endpoint checks).
     """
     ids = _node_ids(nodes)
     out = edges.join(ids, edges[SOURCE_ID] == ids[NODE_ID], "left_semi")

@@ -809,12 +809,18 @@ def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 of 64 bits) via 4×16-bit
-    pigeonhole banding. xxhash64 has no DuckDB twin → rows-only check."""
-    from .operators.dedup import simhash_pairs
+    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits) via pigeonhole
+    banding (max_distance+1 chunks → recall 1.0 by construction). Uses the
+    md5-derived portable 64-bit token hash so the DuckDB oracle recomputes
+    the identical signatures and checks the pair set EXHAUSTIVELY."""
+    from .operators.dedup import portable_hash64_col, simhash_pairs
 
     return simhash_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_distance=12
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_distance=3,
+        hash_fn=portable_hash64_col,
     )
 
 
@@ -1172,6 +1178,46 @@ _QUALITY_SQL = r"""
 """
 
 
+def _simhash_oracle_sql(max_distance: int = 3) -> str:
+    """Exhaustive SimHash oracle: recompute the portable-hash signatures in
+    pure DuckDB SQL (same md5-derived token hash, same ±1 bit votes) and
+    self-join ALL pairs on bit_count(xor) ≤ d — no banding, no approximation,
+    so it checks both precision AND recall of the Spark pigeonhole path."""
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN h & CAST({m} AS BIGINT) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i, m in enumerate(masks)
+    )
+    sig = "\n                   | ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({m} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, m in enumerate(masks)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   (CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT >= 2147483648
+                         THEN ('0x' || substr(md5(tok), 1, 8))::BIGINT - 4294967296
+                         ELSE ('0x' || substr(md5(tok), 1, 8))::BIGINT END) * 4294967296
+                   + ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id, {votes}
+            FROM th GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {sig} AS sim
+            FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= {max_distance}
+    """
+
+
 def _extension_oracles() -> dict[str, str]:
     cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
@@ -1189,6 +1235,7 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "dedup_simhash_pairs": _simhash_oracle_sql(max_distance=3),
         "dedup_ngram3_pairs": rf"""
             WITH raw AS (
                 SELECT doc_id,
@@ -1322,11 +1369,11 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "events_type_pivot": """
             SELECT user_id % 10 AS user_bucket,
-                   count_if(event_type = 'click') AS click,
-                   count_if(event_type = 'error') AS error,
-                   count_if(event_type = 'purchase') AS purchase,
-                   count_if(event_type = 'signup') AS signup,
-                   count_if(event_type = 'view') AS view
+                   CAST(count_if(event_type = 'click') AS BIGINT) AS click,
+                   CAST(count_if(event_type = 'error') AS BIGINT) AS error,
+                   CAST(count_if(event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count_if(event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count_if(event_type = 'view') AS BIGINT) AS view
             FROM events GROUP BY 1
         """,
         "multimodal_features": """

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..model import Edge, Graph, Node
-from ..operators.graph import NODE_ID, SOURCE_ID
+from ..operators.graph import NODE_ID, SOURCE_ID, TARGET_ID
 from .base import WriteResult
 
 
@@ -75,26 +75,33 @@ class ParquetGraphSink:
         self._phase = "done"
 
     # -- writes ------------------------------------------------------------
-    def _write(self, df: DataFrame, sub: str, key_col: str, kind: str) -> WriteResult:
+    def _write(
+        self, df: DataFrame, sub: str, key_cols: list[str], kind: str
+    ) -> WriteResult:
         path = os.path.join(self.out_dir, sub)
         obs = Observation(f"obs_{uuid.uuid4().hex[:8]}")
         metrics = [F.count(F.lit(1)).alias("rows")]
         if self.validate_keys:
             # numeric-key constraint (reference README.md:169-170): a key
-            # that failed the cast-to-long surfaces as a null here.
-            metrics.append(
-                F.sum(F.col(key_col).isNull().cast("long")).alias("null_keys")
+            # that failed the cast-to-long surfaces as a null here. Edges
+            # validate BOTH endpoints — a non-numeric target key nulled by
+            # try_cast must fail here, not at GDS import time.
+            metrics.extend(
+                F.sum(F.col(k).isNull().cast("long")).alias(f"null_keys_{k}")
+                for k in key_cols
             )
         observed = df.observe(obs, *metrics)
         if self.partitions:
-            observed = observed.repartition(self.partitions, key_col)
+            observed = observed.repartition(self.partitions, key_cols[0])
         observed.write.mode("overwrite").parquet(path)
         got = obs.get
-        if self.validate_keys and got["null_keys"]:
-            raise ValueError(
-                f"{got['null_keys']} non-numeric/null {key_col} values in {sub} "
-                "(GDS node keys must be numeric)"
-            )
+        if self.validate_keys:
+            for k in key_cols:
+                if got[f"null_keys_{k}"]:
+                    raise ValueError(
+                        f"{got[f'null_keys_{k}']} non-numeric/null {k} values "
+                        f"in {sub} (GDS graph keys must be numeric)"
+                    )
         return WriteResult(count=int(got["rows"]), nbytes=_dir_bytes(path), kind=kind)
 
     def write_nodes(self, df: DataFrame, node: Node) -> WriteResult:
@@ -103,7 +110,7 @@ class ParquetGraphSink:
                 raise RuntimeError(f"write_nodes() in phase {self._phase}")
             sub = f"nodes/element_{self._element_idx:03d}"
             self._element_idx += 1
-        return self._write(df, sub, NODE_ID, "node")
+        return self._write(df, sub, [NODE_ID], "node")
 
     def write_edges(self, df: DataFrame, edge: Edge) -> WriteResult:
         with self._lock:
@@ -111,4 +118,4 @@ class ParquetGraphSink:
                 raise RuntimeError(f"write_edges() in phase {self._phase}")
             sub = f"edges/element_{self._element_idx:03d}"
             self._element_idx += 1
-        return self._write(df, sub, SOURCE_ID, "edge")
+        return self._write(df, sub, [SOURCE_ID, TARGET_ID], "edge")

@@ -295,10 +295,10 @@ def simhash64_col(tokens: Column, hash_fn=None) -> Column:
     ``F.xxhash64`` (fastest). Pass :func:`portable_hash64_col` when the
     signature must be reproducible outside Spark.
     """
-    hash_fn = hash_fn or F.xxhash64
+    hash_fn = hash_fn or (lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
     votes = F.aggregate(
-        F.transform(tokens, hash_fn),
+        F.transform(tokens, lambda t: hash_fn(t)),
         F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(
             acc,

@@ -183,12 +183,24 @@ def lsh_topk(
     nbits: int = 12,
     hamming_probe: int = 1,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: restrict to LSH-probed buckets, exact re-rank within."""
+    """ANN top-k: restrict to LSH-probed buckets, exact re-rank within.
+
+    ``n_tables`` > 1 is the standard OR-construction: a row is a candidate
+    if it collides with the query in ANY table (independent hyperplane sets
+    per table, seeds ``seed..seed+L-1``). Recall rises as 1-(1-p^b)^L while
+    the scan stays one pass — the candidate predicate is a single
+    disjunction evaluated per row, not L separate scans.
+    """
     dim = len(query_vec)
-    lsh = RandomHyperplaneLSH(dim, nbits=nbits, seed=seed)
-    probes = lsh.probe_buckets(query_vec, hamming=hamming_probe)
-    candidates = df.filter(lsh.bucket_col(F.col(vec_col)).isin(probes))
+    cond = None
+    for t in range(n_tables):
+        lsh = RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t)
+        probes = lsh.probe_buckets(query_vec, hamming=hamming_probe)
+        c = lsh.bucket_col(F.col(vec_col)).isin(probes)
+        cond = c if cond is None else (cond | c)
+    candidates = df.filter(cond)
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
 
 
@@ -266,6 +278,95 @@ def ivf_topk(
         assigned = ivf_assign(df, vec_col, centroids)
     candidates = assigned.filter(F.col("cluster").isin([int(p) for p in probe]))
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    *,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    n_tables: int = 32,
+    seed: int = 42,
+    verify_broadcast: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (cos ≥ threshold) for UNLABELED corpora: multi-table
+    hyperplane LSH blocking + exact-cosine verification.
+
+    One table misses pairs near bucket boundaries (P[collide] = p^nbits,
+    p = 1-θ/π); L independent tables drive the miss rate to (1-p^b)^L.
+    The layout mirrors minhash_lsh_pairs: SKINNY rows (id, bucket array)
+    through pair generation, each pair kept only at its FIRST agreeing
+    table (arithmetic filter, no dropDuplicates shuffle), vectors joined
+    back only for the surviving candidates.
+
+    nbits scales with corpus size (2^nbits ≈ n / target bucket size); at
+    the test fixture's n=500 the blocked cost exceeds n² — the crossover
+    where LSH wins is around n ≈ 10⁵ with nbits ≈ 14, and the *shape*
+    (per-bucket quadratic, never global quadratic) is what survives 100 TB.
+    ``verify_broadcast=False`` switches verification to a shuffle join for
+    corpora too big to broadcast (ADVICE r01: broadcast is O(corpus)).
+    """
+    from ..functions.scalar import dot, l2_norm
+
+    tables = [
+        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t)
+        for t in range(n_tables)
+    ]
+    slim = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    # bucket computation is the CPU-heavy narrow stage (L × nbits × dim
+    # mul-adds per row) — spread it before computing, single-file inputs
+    # would otherwise pin it to one task
+    pre = slim.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        "_id",
+        F.array(*[t.bucket_col(F.col("_v")) for t in tables]).alias("_bks"),
+    )
+    exploded = pre.select(
+        "_id",
+        "_bks",
+        F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("_t"),
+    ).withColumn("_bk", F.element_at(F.col("_bks"), F.col("_t") + 1))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    earlier_collision = F.when(F.col("a._t") == 0, F.lit(False)).otherwise(
+        F.exists(
+            F.sequence(F.lit(0), F.col("a._t") - 1),
+            lambda j: F.element_at(F.col("a._bks"), j + 1)
+            == F.element_at(F.col("b._bks"), j + 1),
+        )
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(~earlier_collision)
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+
+    vecs = slim.withColumn("_nrm", l2_norm(F.col("_v")))
+    va = vecs.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    vb = vecs.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    if verify_broadcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom)
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def embedding_near_dup_pairs_blocked(

@@ -2,15 +2,10 @@
 
 import dataflow_flex_pyarrow_to_gds_spark.queries as C
 
-#: operators whose outputs are algorithm-specific (hash families, sketch
-#: internals) — the only legitimate reasons to skip the value-hash oracle
-ALLOWED_ROWS_ONLY = {
-    "approx_stats",
-    "dedup_simhash_pairs",
-    "embedding_near_dup_lsh",
-    "similarity_ivf_topk",
-    "similarity_lsh_topk",
-}
+#: round 2: every catalog query is oracled — the approximate family got
+#: structural/exhaustive oracles (portable-hash simhash, recall-1.0-tuned
+#: ANN vs exact top-k, sketch-vs-exact tolerance booleans)
+ALLOWED_ROWS_ONLY: set[str] = set()
 
 
 def test_no_orphan_oracles():

@@ -153,13 +153,22 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     shingle_k: int = 1,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
 
     shingle → minhash → band → bucket-join → dedup candidates → verify:
-    with 128/32 the candidate recall at j=0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8,
-    so the verified output matches an exhaustive join w.h.p. while doing
+    with b bands of r rows the candidate recall at jaccard j is
+    1-(1-j^r)^b (128/32 → 1-5e-8 at j=0.8; 96/24 → 1-3.2e-6), so the
+    verified output matches an exhaustive join w.h.p. while doing
     ~|candidate| work instead of n².
+
+    ``broadcast_verify``: None (default) auto-selects — the per-doc shingle
+    table is broadcast for verification only when the corpus has at most
+    ``broadcast_max_docs`` docs (broadcast is O(corpus) and would OOM at
+    real scale — ADVICE r01); bigger corpora shuffle-join the candidate
+    pairs against the shingle table instead.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
@@ -183,7 +192,18 @@ def minhash_lsh_pairs(
         # |shingles| per doc); a single-file input would otherwise pin it
         # to one task (measured 52 s single-threaded at sf0.1).
         .repartition(spark.sparkContext.defaultParallelism)
+        # NOT persisted, deliberately: base is referenced 3× (banded path +
+        # both verification sides), but the extra references prune away the
+        # signature work and only recompute scan+shingle (~1-2 s each at
+        # sf0.1), while persisting breaks scan→shingle→signature
+        # whole-stage-codegen fusion and adds a materialization barrier —
+        # measured net +2.7 s at sf0.1.
     )
+    if broadcast_verify is None:
+        # Metadata-only count on the raw input (parquet footers — no
+        # shingle work) decides whether the per-doc shingle table fits the
+        # broadcast budget.
+        broadcast_verify = df.count() <= broadcast_max_docs
 
     # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
     # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
@@ -233,27 +253,39 @@ def minhash_lsh_pairs(
             == F.element_at(F.col("r._bks"), b + 1),
         )
     )
-    # size-ratio prefilter: jaccard ≥ t requires min(|A|,|B|)/max(|A|,|B|) ≥ t
+    # size-ratio prefilter: jaccard ≥ t requires min(|A|,|B|)/max(|A|,|B|) ≥ t.
+    # Applied FIRST — it is 2 comparisons per generated row, while the
+    # earlier-collision check walks the band prefix (O(bands)); ordering
+    # the cheap filter ahead keeps the expensive one off most of the
+    # ~100 M generated rows.
     size_ok = (F.col("l._n") >= threshold * F.col("r._n")) & (
         F.col("r._n") >= threshold * F.col("l._n")
     )
-    candidates = raw_pairs.filter(~earlier_collision & size_ok).select(
-        F.col("l._id").alias("id_a"),
-        F.col("r._id").alias("id_b"),
-        F.col("l._n").alias("n_a"),
-        F.col("r._n").alias("n_b"),
+    candidates = (
+        raw_pairs.filter(size_ok)
+        .filter(~earlier_collision)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._n").alias("n_a"),
+            F.col("r._n").alias("n_b"),
+        )
     )
 
     # Exact-Jaccard verification. The shingle side is per-*document* (tiny
-    # next to the candidate stream) — broadcast it so the multi-million-row
-    # candidate set never shuffles. |A∩B| is computed once; |A∪B| comes
-    # from the carried set sizes.
+    # next to the candidate stream when the corpus fits the broadcast
+    # budget) — broadcast it so the multi-million-row candidate set never
+    # shuffles; for corpora beyond broadcast_max_docs, shuffle-join
+    # instead (correctness of the scale path beats the local speed-up).
+    # |A∩B| is computed once; |A∪B| comes from the carried set sizes.
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    if broadcast_verify:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        candidates.join(F.broadcast(sh_a), "id_a")
-        .join(F.broadcast(sh_b), "id_b")
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),

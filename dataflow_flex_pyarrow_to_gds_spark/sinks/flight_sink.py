@@ -82,11 +82,25 @@ def _flight_put_partition(
     return fn
 
 
+#: GDS Arrow server action types (public GDS Arrow protocol; the reference
+#: drives them through ``Neo4jArrowClient.start`` / ``Signal`` at
+#: ``pipeline.py:56,72,86``).
+ACTION_CREATE_GRAPH = "v1/CREATE_GRAPH"
+ACTION_NODES_DONE = "v1/NODE_LOAD_DONE"
+ACTION_EDGES_DONE = "v1/RELATIONSHIP_LOAD_DONE"
+
+
 class FlightGraphSink:
     """GraphSink streaming node/edge DataFrames over Arrow Flight.
 
     ``make_put_factory(kind, element)`` returns a zero-arg factory invoked
     on the executor to open the connection — by default a no-op (dry run).
+
+    ``action_fn(action_type, body)`` sends the GDS lifecycle actions
+    (CREATE_GRAPH / NODE_LOAD_DONE / RELATIONSHIP_LOAD_DONE) from the
+    driver — the protocol twin of the local phase state machine. Default
+    records to ``action_log`` without a server; pass
+    :func:`flight_action_fn` to emit real ``do_action`` RPCs.
     """
 
     def __init__(
@@ -98,17 +112,32 @@ class FlightGraphSink:
         chunk_rows: int = DEFAULT_CHUNK_ROWS,
         make_put_factory: Callable[..., Callable[[], Callable[[pa.Table], None]]]
         | None = None,
+        action_fn: Callable[[str, dict], Any] | None = None,
     ):
         self.host, self.port, self.tls, self.database = host, port, tls, database
         self.chunk_rows = chunk_rows
         self._make_put_factory = make_put_factory or (
             lambda kind, element: (lambda: (lambda table: None))
         )
+        self._action_fn = action_fn
+        #: ordered driver-side record of lifecycle actions sent
+        self.action_log: list[tuple[str, dict]] = []
         self._phase = "init"
+
+    def _action(self, action_type: str, body: dict) -> None:
+        self.action_log.append((action_type, body))
+        if self._action_fn is not None:
+            self._action_fn(action_type, body)
 
     def start(self, graph: Graph) -> None:
         # ≙ client.start() → GDS CREATE_GRAPH action (pipeline.py:56).
+        if self._phase != "init":
+            raise RuntimeError(f"start() called in phase {self._phase}")
         self.graph = graph
+        self._action(
+            ACTION_CREATE_GRAPH,
+            {"name": graph.name, "database_name": self.database},
+        )
         self._phase = "nodes"
 
     def _stream(self, df: DataFrame, kind: str, element: Any) -> WriteResult:
@@ -136,7 +165,11 @@ class FlightGraphSink:
 
     def nodes_done(self) -> None:
         # ≙ Signal("nodes_done") → server-side edge-import start
-        # (pipeline.py:68-73); in Spark this is just sequential driver code.
+        # (pipeline.py:68-73): the driver emits the protocol action AND
+        # advances the local phase machine.
+        if self._phase != "nodes":
+            raise RuntimeError(f"nodes_done() in phase {self._phase}")
+        self._action(ACTION_NODES_DONE, {"name": self.graph.name})
         self._phase = "edges"
 
     def write_edges(self, df: DataFrame, edge: Edge) -> WriteResult:
@@ -145,4 +178,35 @@ class FlightGraphSink:
         return self._stream(df, "edge", edge)
 
     def edges_done(self) -> None:
+        # ≙ Signal("edges_done") (pipeline.py:86).
+        if self._phase != "edges":
+            raise RuntimeError(f"edges_done() in phase {self._phase}")
+        self._action(ACTION_EDGES_DONE, {"name": self.graph.name})
         self._phase = "done"
+
+
+def flight_action_fn(
+    location: str, *, timeout: float | None = 10.0
+) -> Callable[[str, dict], list[bytes]]:
+    """Driver-side GDS action sender over a real Flight connection.
+
+    Each call opens a short-lived connection (lifecycle actions are rare —
+    three per load), sends ``do_action(Action(type, json_body))`` and
+    returns the raw response bodies.
+    """
+    import json
+
+    import pyarrow.flight as flight
+
+    def send(action_type: str, body: dict) -> list[bytes]:
+        client = flight.connect(location)
+        try:
+            action = flight.Action(
+                action_type, json.dumps(body).encode("utf-8")
+            )
+            opts = flight.FlightCallOptions(timeout=timeout)
+            return [r.body.to_pybytes() for r in client.do_action(action, opts)]
+        finally:
+            client.close()
+
+    return send

@@ -14,12 +14,14 @@ from dataflow_flex_pyarrow_to_gds_spark.sinks.flight_sink import FlightGraphSink
 
 
 class CollectingFlightServer(flight.FlightServerBase):
-    """Accepts do_put streams and tallies rows per descriptor path."""
+    """Accepts do_put streams and do_action RPCs, recording a global
+    ordered event log (the GDS protocol sequence under test)."""
 
     def __init__(self):
         super().__init__("grpc://127.0.0.1:0")  # OS-assigned port
         self.lock = threading.Lock()
         self.rows: dict[str, int] = {}
+        self.events: list[tuple[str, str]] = []  # (kind, detail)
 
     def do_put(self, context, descriptor, reader, writer):
         key = "/".join(p.decode() for p in descriptor.path)
@@ -28,6 +30,15 @@ class CollectingFlightServer(flight.FlightServerBase):
             n += chunk.data.num_rows
         with self.lock:
             self.rows[key] = self.rows.get(key, 0) + n
+            self.events.append(("put", key))
+
+    def do_action(self, context, action):
+        import json
+
+        body = json.loads(action.body.to_pybytes() or b"{}")
+        with self.lock:
+            self.events.append(("action", action.type))
+        return [json.dumps({"ok": True, "name": body.get("name")}).encode()]
 
 
 @pytest.fixture(scope="module")
@@ -81,6 +92,55 @@ def test_flight_sink_streams_to_live_server(spark, sf_dir, flight_server):
     assert res.count == expected
     key = f"node/{node.source}"
     assert flight_server.rows.get(key) == expected  # server-side truth
+
+
+def test_flight_action_sequence_reaches_server(spark, sf_dir):
+    """The GDS lifecycle actions (CREATE_GRAPH → PUTs → NODE_LOAD_DONE →
+    RELATIONSHIP_LOAD_DONE, reference pipeline.py:56,72,86) are emitted as
+    real Flight do_action RPCs in protocol order, interleaved correctly
+    with the data PUTs."""
+    from dataflow_flex_pyarrow_to_gds_spark.sinks.flight_sink import (
+        ACTION_CREATE_GRAPH,
+        ACTION_EDGES_DONE,
+        ACTION_NODES_DONE,
+        flight_action_fn,
+    )
+
+    server = CollectingFlightServer()  # fresh server → clean event log
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    try:
+        g = tpch_graph()
+        sink = FlightGraphSink(
+            chunk_rows=500,
+            make_put_factory=make_put_factory(server.port),
+            action_fn=flight_action_fn(f"grpc://127.0.0.1:{server.port}"),
+        )
+        sink.start(g)
+        src = f"{sf_dir}/customer.parquet"
+        node = g.node_for_src(src)
+        df = project_nodes(spark.read.parquet(src), node)
+        sink.write_nodes(df, node)
+        sink.nodes_done()
+        sink.edges_done()
+
+        actions = [d for k, d in server.events if k == "action"]
+        assert actions == [
+            ACTION_CREATE_GRAPH,
+            ACTION_NODES_DONE,
+            ACTION_EDGES_DONE,
+        ]
+        # protocol ordering: every PUT lands after CREATE_GRAPH and before
+        # NODE_LOAD_DONE
+        idx_create = server.events.index(("action", ACTION_CREATE_GRAPH))
+        idx_nodes_done = server.events.index(("action", ACTION_NODES_DONE))
+        put_idx = [i for i, (k, _) in enumerate(server.events) if k == "put"]
+        assert put_idx, "no PUTs recorded"
+        assert all(idx_create < i < idx_nodes_done for i in put_idx)
+        # driver-side log mirrors the wire sequence
+        assert [a for a, _ in sink.action_log] == actions
+    finally:
+        server.shutdown()
 
 
 def test_flight_chunking_respects_chunk_rows(spark, sf_dir, flight_server):

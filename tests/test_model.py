@@ -108,3 +108,58 @@ def test_validation_errors():
         Edge(source="x", source_field="a", target_field="").validate()
     with pytest.raises(Exception):
         Node(source="[bad", key_field="k").validate()
+
+
+def test_remote_uri_branch_via_injected_fsspec(monkeypatch):
+    """Exercise the fsspec remote-model branch (S8) without a cloud FS:
+    inject an in-memory fsspec whose open() serves bytes and records the
+    read cap. Verifies the '://' routing, the 64 KiB cap, and a parsed
+    Graph identical to the local-path load."""
+    import io
+    import sys
+    import types
+
+    store = {"mem://models/g.json": STACKOVERFLOW.encode()}
+    reads = []
+
+    class _F(io.BytesIO):
+        def read(self, n=-1):
+            reads.append(n)
+            return super().read(n)
+
+    fake = types.ModuleType("fsspec")
+
+    class _Ctx:
+        def __init__(self, path):
+            self.path = path
+
+        def __enter__(self):
+            return _F(store[self.path])
+
+        def __exit__(self, *a):
+            return False
+
+    fake.open = lambda path, mode="rb": _Ctx(path)
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+
+    g = Graph.from_path("mem://models/g.json")
+    assert reads == [64 * 1024]  # capped read, pipeline.py:40 parity
+    assert g.name == Graph.from_json(STACKOVERFLOW).name
+    assert g.node_for_src("users") is not None
+
+
+def test_remote_uri_without_fsspec_raises(monkeypatch):
+    import builtins
+    import sys
+
+    monkeypatch.setitem(sys.modules, "fsspec", None)  # import -> ImportError
+    real_import = builtins.__import__
+
+    def blocked(name, *a, **k):
+        if name == "fsspec":
+            raise ImportError("no fsspec")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", blocked)
+    with pytest.raises(RuntimeError, match="fsspec"):
+        Graph.from_path("gs://bucket/model.json")

@@ -87,3 +87,103 @@ def connected_components(
         if changed == 0:
             return comp
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def _sym(pairs: DataFrame) -> DataFrame:
+    """Both directions of an undirected pair set (u, v), u != v."""
+    return (
+        pairs.unionByName(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _neighborhood_mins(sym: DataFrame) -> DataFrame:
+    """m(u) = min(N(u) ∪ {u}) per node of a symmetric edge list."""
+    return sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(nodeId, component) via alternating large-star/small-star rounds —
+    the O(log n)-round CC for high-diameter graphs (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), where
+    min-label propagation's O(diameter) rounds would be prohibitive.
+
+    Each round is two aggregation+join passes over the current edge set:
+
+    - large-star: every node points its LARGER neighbors at its
+      neighborhood minimum — (v, m(u)) for v ∈ N(u), v > u;
+    - small-star: every node points its smaller-or-equal neighbors (and
+      itself) at the minimum — (v, m(u)) for v ∈ N(u), v ≤ u, plus
+      (u, m(u)).
+
+    Both emit canonical (min, max) pairs; convergence = the pair set
+    reaches a fixpoint (a forest of depth-1 stars whose roots are the
+    component minima). Same output contract as
+    :func:`connected_components` — cross-checked in tests on identical
+    fixtures.
+    """
+    pairs = (
+        edges.select(
+            F.least(F.col(SOURCE_ID), F.col(TARGET_ID)).alias("u"),
+            F.greatest(F.col(SOURCE_ID), F.col(TARGET_ID)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        sym = _sym(pairs)
+        # large-star: (v, m(u)) for v > u; m < v always, so (m, v) is
+        # already canonical
+        mins = _neighborhood_mins(sym)
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the large-star output
+        sym2 = _sym(large)
+        mins2 = _neighborhood_mins(sym2)
+        small = (
+            sym2.join(mins2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .unionByName(
+                mins2.select(F.col("m").alias("u"), F.col("u").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        converged = (
+            small.exceptAll(pairs).limit(1).count() == 0
+            and pairs.exceptAll(small).limit(1).count() == 0
+        )
+        pairs = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+
+    # converged star forest: every pair is (root, member)
+    membership = pairs.groupBy(F.col("v").alias(NODE_ID)).agg(
+        F.min("u").alias("component")
+    )
+    return (
+        nodes.select(NODE_ID)
+        .join(membership, NODE_ID, "left_outer")
+        .select(
+            NODE_ID,
+            F.coalesce("component", F.col(NODE_ID)).alias("component"),
+        )
+    )

@@ -217,9 +217,9 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 def take_centroids(
     df: DataFrame, id_col: str, vec_col: str, n_centroids: int
 ) -> np.ndarray:
-    """Deterministic centroid seed: the n lowest-id vectors (a cheap,
-    reproducible stand-in for k-means — swap in Spark ML KMeans for real
-    deployments; the IVF plumbing is identical)."""
+    """Deterministic centroid seed: the n lowest-id vectors — the cheap
+    fallback when no index-build budget exists. Prefer
+    :func:`kmeans_centroids` (same contract) for real builds."""
     rows = (
         df.select(id_col, vec_col)
         .orderBy(F.asc(id_col))
@@ -227,6 +227,45 @@ def take_centroids(
         .collect()
     )
     return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    *,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Spark ML KMeans fit for IVF centroids — same signature/contract as
+    :func:`take_centroids`; the driver receives only the k centers.
+
+    Scale + determinism: the fit set is a deterministic low-id sample
+    capped at ``sample_rows`` (k-means quality saturates long before the
+    full corpus; FAISS-style practice is 30-256 samples per centroid),
+    coalesced to one partition so the k-means|| init and aggregation
+    order are reproducible run-to-run — a rebuilt index must assign
+    identically or downstream recall checks go nondeterministic. The
+    full-corpus pass stays in :func:`ivf_assign`.
+    """
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_set = (
+        df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .orderBy(F.asc("_id"))
+        .limit(sample_rows)
+        .select(array_to_vector(F.col("_v")).alias("features"))
+        .coalesce(1)
+    )
+    model = MLKMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fit_set)
+    centers = sorted(
+        (np.asarray(c, dtype=np.float64).tolist() for c in model.clusterCenters()),
+        key=tuple,
+    )
+    return np.array(centers, dtype=np.float64)
 
 
 def ivf_assign(
@@ -266,9 +305,11 @@ def ivf_topk(
     Pass ``assigned`` (a df that already has a ``cluster`` column, e.g.
     persisted by a build step) to skip re-assignment — the realistic
     deployment shape where the index is built once and queried many times.
+    Centroids default to a Spark ML KMeans fit (:func:`kmeans_centroids`);
+    pass precomputed ``centroids`` to skip the build.
     """
     if centroids is None:
-        centroids = take_centroids(df, id_col, vec_col, n_centroids)
+        centroids = kmeans_centroids(df, id_col, vec_col, n_centroids)
     cn = _normalize_rows(centroids)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)

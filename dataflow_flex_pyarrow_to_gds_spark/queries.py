@@ -159,6 +159,28 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, edges)
 
 
+def q_graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al. SoCC'14) — the O(log n)-round CC for graphs whose
+    diameter makes label propagation infeasible (measured 7/9/11 rounds on
+    50/200/1000-node chains in tests). Same namespaced customer↔order
+    graph and same recursive-CTE oracle as graph_connected_components, so
+    the driver checks both algorithms against the same ground truth."""
+    from .operators.graph_algo import connected_components_star
+
+    edges = _orders_edges(spark, sf_dir).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+        "relationshipType",
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return connected_components_star(nodes, edges)
+
+
 def q_graph_load_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/U1: per-kind row telemetry + final relabel — the reference's
     Flatten + CombineGlobally + kind="final" tail (pipeline.py:88-95),
@@ -969,15 +991,16 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via IVF (16 centroids, probe 4) — the build-once/
-    query-many scale path. Measured recall@10 = 1.0 at nprobe=4/16, so
+    """ANN top-10 via IVF over Spark ML KMeans centroids (16 clusters,
+    deterministic sampled fit, probe 6) — the build-once/query-many scale
+    path. Measured recall@10 = 1.0 at nprobe=6/16 with real centroids, so
     the exact-top-k DuckDB oracle checks the full result; a recall
     regression (worse centroids, fewer probes) is a driver hash fail."""
     from .operators.similarity import ivf_topk
 
     return ivf_topk(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=4,
+        _query_vec(spark, sf_dir), k=10, n_centroids=16, nprobe=6,
     )
 
 
@@ -1279,6 +1302,18 @@ def _extension_oracles() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.5
         """,
+        "graph_cc_star": """
+            WITH RECURSIVE
+              e(s, t) AS (SELECT o_custkey, o_orderkey + 1000000000 FROM orders),
+              sym(s, t) AS (SELECT s, t FROM e UNION SELECT t, s FROM e),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT p.a, sy.t FROM paths p JOIN sym sy ON p.b = sy.s
+              )
+            SELECT a AS nodeId, min(b) AS component FROM paths GROUP BY a
+        """,
         "graph_connected_components": """
             WITH RECURSIVE
               e(s, t) AS (SELECT o_custkey, o_orderkey + 1000000000 FROM orders),
@@ -1500,6 +1535,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_load_stats": q_graph_load_stats,
         "graph_node_degrees": q_graph_node_degrees,
         "graph_connected_components": q_graph_connected_components,
+        "graph_cc_star": q_graph_cc_star,
     }
     relational = {
         "q1_pricing_summary": q1_pricing_summary,

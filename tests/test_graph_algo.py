@@ -56,3 +56,45 @@ def test_cc_on_tpch_graph(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     n_customers_with_orders = orders.select("o_custkey").distinct().count()
     assert n_components == n_customers_with_orders
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """large-star/small-star and min-label propagation agree on a graph
+    with islands, a chain, and an isolated node."""
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = [(1, 2), (2, 3), (10, 11), (12, 11)]
+    pairs += [(i, i + 1) for i in range(20, 30)]  # chain
+    pairs += [(rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(30)]
+    node_ids = sorted({x for p in pairs for x in p} | {99})
+    edges = _edges(spark, pairs)
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "nodeId long")
+
+    lp = {r["nodeId"]: r["component"]
+          for r in connected_components(nodes, edges).collect()}
+    star = {r["nodeId"]: r["component"]
+            for r in connected_components_star(nodes, edges).collect()}
+    assert star == lp
+    assert star[99] == 99
+
+
+def test_star_cc_chain_in_log_rounds(spark):
+    """A 200-node path graph (diameter 199) must converge in ≈log₂ n
+    alternating rounds (measured: 7/9/11 rounds for n=50/200/1000) —
+    max_iter=10 would be impossible for O(diameter) label propagation."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components_star,
+    )
+
+    n = 200
+    edges = _edges(spark, [(i, i + 1) for i in range(1, n)])
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "nodeId long")
+    comp = {r["nodeId"]: r["component"]
+            for r in connected_components_star(nodes, edges, max_iter=10).collect()}
+    assert set(comp.values()) == {1}
+    assert len(comp) == n

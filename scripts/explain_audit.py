@@ -79,6 +79,34 @@ CHECKS: list[tuple[str, str, object]] = [
         "nation/region dimensions broadcast",
         lambda p: p.count("BroadcastHashJoin") >= 2,
     ),
+    (
+        "dedup_simhash_pairs",
+        "candidate pairs never shuffle (first-agreeing-chunk filter, "
+        "no Exchange keyed by the pair ids)",
+        lambda p: "hashpartitioning(id_a" not in p
+        and "hashpartitioning(id_b" not in p,
+    ),
+    (
+        "dedup_minhash_pairs",
+        "candidate pairs never shuffle; verification joins broadcast "
+        "at this corpus size",
+        lambda p: "hashpartitioning(id_a" not in p
+        and "hashpartitioning(id_b" not in p
+        and p.count("BroadcastHashJoin") >= 2,
+    ),
+    (
+        "graph_edge_resolution",
+        "node-id universe computed once and cached (both endpoint joins "
+        "read the InMemoryTableScan)",
+        lambda p: p.count("InMemoryTableScan") >= 2,
+    ),
+    (
+        "similarity_lsh_topk",
+        "multi-table LSH candidate filter is one narrow scan + "
+        "TakeOrderedAndProject (zero exchanges)",
+        lambda p: "TakeOrderedAndProject" in p
+        and not re.findall(r"\(\d+\) Exchange", p),
+    ),
 ]
 
 

@@ -142,3 +142,52 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         ).collect()
     }
     assert got == expect_map
+
+
+def test_asof_join_null_right_columns_stay_together(spark):
+    """All output columns must come from the SAME matched right row: a
+    null field in the latest right row must NOT be back-filled from an
+    older right row (ADVICE r01 — per-column fills mixed rows)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 50, 7.0, "old"), (1, 150, None, "new")],
+        "k long, ts long, price double, tag string",
+    )
+    out = {
+        r["ts"]: (r["price_asof"], r["tag_asof"])
+        for r in asof_join(
+            left, right, on="ts", by="k", right_cols=["price", "tag"]
+        ).collect()
+    }
+    # ts=100 matches the ts=50 row wholesale
+    assert out[100] == (7.0, "old")
+    # ts=200 matches the ts=150 row: price is GENUINELY null there and
+    # must stay null (not resurrect 7.0 from ts=50)
+    assert out[200] == (None, "new")
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    """end < start can never match; the guard must drop it before bucket
+    fan-out instead of generating a descending bucket sequence."""
+    from datetime import datetime
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1), datetime(2024, 1, 3)),   # valid, matches
+            (11, datetime(2024, 1, 5), datetime(2024, 1, 1)),   # inverted
+        ],
+        "rid long, start timestamp, end timestamp",
+    )
+    rows = range_join(
+        left, right, left_ts="ts", right_start="start", right_end="end"
+    ).collect()
+    assert [r["rid"] for r in rows] == [10]

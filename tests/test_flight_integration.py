@@ -159,3 +159,40 @@ def test_flight_chunking_respects_chunk_rows(spark, sf_dir, flight_server):
     sink.nodes_done()
     sink.edges_done()
     assert res.count == spark.read.parquet(src).count()
+
+
+def test_flight_python_datasource_writer(spark, sf_dir):
+    """df.write.format('gds_flight') — the PySpark 4 Python DataSource
+    writer streams partitions to the live server (same wire behavior as
+    FlightGraphSink, exposed through the idiomatic V2 API)."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.sinks.flight_datasource import (
+        GDSFlightDataSource,
+    )
+
+    server = CollectingFlightServer()
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    try:
+        spark.dataSource.register(GDSFlightDataSource)
+        df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        (
+            df.write.format("gds_flight")
+            .option("location", f"grpc://127.0.0.1:{server.port}")
+            .option("path", "node/customer_ds")
+            .option("chunk_rows", "500")
+            .mode("append")
+            .save()
+        )
+        assert server.rows.get("node/customer_ds") == df.count()
+
+        with _pytest.raises(Exception, match="append"):
+            (
+                df.write.format("gds_flight")
+                .option("location", f"grpc://127.0.0.1:{server.port}")
+                .mode("overwrite")
+                .save()
+            )
+    finally:
+        server.shutdown()

@@ -1,5 +1,11 @@
 """Deduplication operators for large-scale training-data pipelines.
 
+The family composes: pair finders (exact / MinHash-LSH / SimHash /
+n-gram / edit-distance) → :func:`near_dup_groups` (transitive closure of
+the pair graph → one keeper per group) → a semi/anti join back to the
+corpus. That last mile is what a real curation run executes: not "which
+pairs are similar" but "which rows survive".
+
 Extension surface beyond the reference (per the repo north star): exact
 dedup, MinHash + banded LSH near-dup, SimHash near-dup — all expressed
 with built-in JVM-side functions (no Python in the hot path).
@@ -430,4 +436,55 @@ def simhash_pairs(
             ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup group collapse (pairs → components → keepers)
+# ---------------------------------------------------------------------------
+
+def near_dup_groups(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """Collapse a near-duplicate PAIR set into groups: (doc_id, keep_id)
+    where keep_id = the minimum id reachable through any chain of pairs
+    (transitive closure — near-dup is not transitive, but curation
+    pipelines collapse chains anyway, else A~B, B~C keeps A and C while
+    dropping their shared middle).
+
+    Runs the alternating large-star/small-star CC (≈log₂ n rounds) over
+    the pair graph, so it scales to the multi-million-pair outputs that
+    dup-heavy corpora produce. Only ids that appear in some pair are
+    returned — rows absent from ``pairs`` are their own keeper by
+    definition and need no shuffle at all.
+    """
+    from .graph_algo import connected_components_star
+
+    nodes = (
+        pairs.select(F.col("id_a").alias("nodeId"))
+        .unionByName(pairs.select(F.col("id_b").alias("nodeId")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("sourceNodeId"), F.col("id_b").alias("targetNodeId")
+    )
+    comp = connected_components_star(nodes, edges, max_iter=max_iter)
+    return comp.select(
+        F.col("nodeId").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+
+
+def deduplicate_near(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Corpus minus non-keeper near-duplicates: every row whose id is not
+    a dropped member of a near-dup group (anti join on the skinny drop
+    list — rows untouched by any pair pass through without shuffling)."""
+    drops = near_dup_groups(pairs, max_iter=max_iter).filter(
+        F.col("doc_id") != F.col("keep_id")
+    )
+    return df.join(
+        drops, df[id_col] == drops["doc_id"], "left_anti"
     )

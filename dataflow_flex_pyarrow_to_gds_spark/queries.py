@@ -1003,6 +1003,20 @@ def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation last-mile: MinHash near-dup pairs collapsed to groups
+    via large-star/small-star transitive closure → (doc_id, keep_id).
+    Oracle = exhaustive jaccard pair join + recursive-CTE closure, so the
+    whole pairs→groups composition is checked end to end."""
+    from .operators.dedup import minhash_lsh_pairs, near_dup_groups
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+    )
+    return near_dup_groups(pairs)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits) via pigeonhole
     banding (max_distance+1 chunks → recall 1.0 by construction). Uses the
@@ -1436,6 +1450,25 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "dedup_near_groups": f"""
+            WITH RECURSIVE
+              t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+              p AS (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM t a JOIN t b ON a.doc_id < b.doc_id
+                  WHERE {_JACCARD_SQL} >= 0.8
+              ),
+              sym(s, t2) AS (
+                  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p
+              ),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t2 FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT pp.a, sy.t2 FROM paths pp JOIN sym sy ON pp.b = sy.s
+              )
+            SELECT a AS doc_id, min(b) AS keep_id FROM paths GROUP BY a
+        """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_distance=3),
         "dedup_ngram3_pairs": rf"""
             WITH raw AS (
@@ -1720,6 +1753,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_edit_distance": q_dedup_edit_distance,
         "text_stats": q_text_stats,

@@ -136,3 +136,26 @@ def test_minhash_matches_exhaustive_on_random_corpora(spark):
             ).collect()
         }
         assert got == expect, f"seed {seed}: {got ^ expect}"
+
+
+def test_near_dup_groups_transitive_chain(spark):
+    """A~B, B~C must collapse to ONE keeper (transitive closure), and
+    deduplicate_near keeps exactly one row per chain + untouched rows."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        deduplicate_near,
+        near_dup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    groups = {r["doc_id"]: r["keep_id"] for r in near_dup_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 50]], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in deduplicate_near(corpus, "doc_id", pairs).collect()
+    )
+    assert kept == [1, 10, 50]

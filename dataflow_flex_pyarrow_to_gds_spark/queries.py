@@ -1088,6 +1088,40 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(*cols)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan — the
+    composition a real 100 TB run executes: quality-score filter →
+    language id → exact-dedup keeper policy (min doc_id per normalized
+    fingerprint) → per-language survivor stats. One narrow pass computes
+    all text features; the only shuffle is the 32-byte-fingerprint window
+    + the final tiny aggregate. Oracle composes the same stages in SQL."""
+    from .operators import text as X
+    from .operators.dedup import normalized_fingerprint_col
+
+    t = F.col("text")
+    profiled = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(X.quality_score_col(t), 4).alias("quality"),
+        X.lang_id_col(t).alias("lang_pred"),
+        normalized_fingerprint_col(t).alias("fingerprint"),
+    )
+    survivors = (
+        profiled.filter(F.col("quality") >= 0.5)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return survivors.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 of sorted token set) per document."""
     from .operators.dedup import normalized_fingerprint_col
@@ -1536,6 +1570,29 @@ def _extension_oracles() -> dict[str, str]:
                    {_lang_case_sql()} AS lang_pred
             FROM s
         """,
+        "curation_pipeline": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+            ), s AS (
+                SELECT doc_id, text, toks, {_lang_scores_sql()} FROM t
+            ), prof AS (
+                SELECT doc_id,
+                       round({_QUALITY_SQL}, 4) AS quality,
+                       {_lang_case_sql()} AS lang_pred,
+                       md5(array_to_string(list_sort(toks), ' ')) AS fingerprint
+                FROM s
+            ), surv AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                    FROM prof WHERE quality >= 0.5
+                ) WHERE rn = 1
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality,
+                   min(doc_id) AS min_doc_id
+            FROM surv GROUP BY lang_pred
+        """,
         "text_fingerprint": f"""
             SELECT doc_id,
                    md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint
@@ -1759,6 +1816,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "curation_pipeline": q_curation_pipeline,
         "text_rolling_hash": q_text_rolling_hash,
         "similarity_topk": q_similarity_topk,
         "similarity_knn_join": q_similarity_knn_join,

@@ -182,3 +182,73 @@ def test_foreach_batch_exactly_once_shape(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(f"{out}/epoch=*").count() == 1000
+
+
+def test_streaming_dedup_keys_match_batch(spark, sf_dir, tmp_path):
+    """Watermarked streaming dropDuplicates: the surviving KEY SET equals
+    the batch dedup's (which exact row survives per key is
+    arrival-order-dependent in a stream, so parity is on keys)."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        dedup_events_batch,
+        dedup_events_stream,
+        read_events,
+    )
+
+    batch_df = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_dedup")
+    batch_df.write.parquet(src)
+
+    stream = dedup_events_stream(spark, src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in spark.sql("SELECT * FROM dedup_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in dedup_events_batch(batch_df).collect()
+    }
+    assert got == want
+    # one row per key in the stream output too
+    n = spark.sql("SELECT count(*) c FROM dedup_out").first()["c"]
+    assert n == len(want)
+
+
+def test_streaming_dedup_within_watermark_variant(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded per-key state) produces one
+    row per key on a single drained pass as well."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        dedup_events_stream,
+        read_events,
+    )
+
+    batch_df = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_dedup_ww")
+    batch_df.write.parquet(src)
+
+    stream = dedup_events_stream(spark, src, within_watermark=True)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_ww_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        keys = {
+            (r["user_id"], r["event_type"])
+            for r in spark.sql("SELECT * FROM dedup_ww_out").collect()
+        }
+        n = spark.sql("SELECT count(*) c FROM dedup_ww_out").first()["c"]
+    finally:
+        q.stop()
+    assert n == len(keys)  # exactly one survivor per key

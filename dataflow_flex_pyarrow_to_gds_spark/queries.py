@@ -483,6 +483,20 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5: distribution window functions — quartile (ntile), percent_rank
+    and cume_dist of each order within its customer's history; one shuffle
+    on the partition key."""
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: ranking window — top-3 orders per customer (single shuffle on
     the partition key; no global sort)."""
@@ -839,6 +853,15 @@ _RELATIONAL_ORACLES = {
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 200000)
         GROUP BY c_nationkey
+    """,
+    "window_distribution": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
     "window_top_orders": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -1791,6 +1814,7 @@ def _specs() -> dict[str, QuerySpec]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_customers": q22_idle_customers,
         "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
         "q10_returned_revenue": q10_returned_revenue,
         "window_analytics": q_window_analytics,
         "window_range_frame": q_window_range_frame,

@@ -184,3 +184,46 @@ def test_arrow_ipc_sink_roundtrip(spark, sf_dir, tmp_path):
             total += t.num_rows
             assert "nodeId" in t.schema.names
     assert total == report.nodes.count
+
+
+def test_run_tables_with_bq_fake_source(spark, sf_dir, tmp_path):
+    """Table-name mode (≙ --mode bigquery) through the FULL pipeline:
+    ParquetBackedBigQuerySource → per-table model lookup + projection →
+    phase-ordered sink writes; unmatched tables reported, not fatal."""
+    from dataflow_flex_pyarrow_to_gds_spark.model import Edge as E, Graph as G, Node as N
+    from dataflow_flex_pyarrow_to_gds_spark.sources.bigquery import (
+        ParquetBackedBigQuerySource,
+    )
+
+    g = G(
+        name="bqfake",
+        db="neo4j",
+        nodes=(
+            N(source="customer", key_field="c_custkey",
+              properties={"c_acctbal": "acctbal"}),
+        ),
+        edges=(
+            E(source="orders", source_field="o_custkey",
+              target_field="o_orderkey"),
+        ),
+    )
+    src = ParquetBackedBigQuerySource(
+        spark,
+        {t: f"{sf_dir}/{t}.parquet" for t in ("customer", "orders", "nation")},
+    )
+    out = str(tmp_path / "bq_graph")
+    pipe = GraphLoadPipeline(spark, g, ParquetGraphSink(out))
+    report = pipe.run_tables(
+        src, node_tables=["customer", "nation"], edge_tables=["orders"]
+    )
+
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.count for r in report.node_results) == n_cust
+    assert sum(r.count for r in report.edge_results) == n_orders
+    assert report.unmatched_sources == ["nation"]  # reported, not fatal
+    # written layout is GDS-shaped and projection pushed down to 2+key cols
+    nodes = spark.read.parquet(f"{out}/nodes/*")
+    assert {"nodeId", "acctbal"} <= set(nodes.columns)
+    edges = spark.read.parquet(f"{out}/edges/*")
+    assert {"sourceNodeId", "targetNodeId"} <= set(edges.columns)

@@ -159,3 +159,67 @@ def test_near_dup_groups_transitive_chain(spark):
         r["doc_id"] for r in deduplicate_near(corpus, "doc_id", pairs).collect()
     )
     assert kept == [1, 10, 50]
+
+
+def test_portable_hash64_matches_python_twin(spark):
+    """portable_hash64_col == the reference arithmetic computed in Python
+    from md5 — the property the DuckDB simhash oracle depends on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        portable_hash64_col,
+    )
+
+    words = ["", "a", "hello", "Hello", "x" * 100, "héllo wörld", "123", "\t"]
+
+    def twin(t: str) -> int:
+        hx = hashlib.md5(t.encode("utf-8")).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", portable_hash64_col(F.col("w")).alias("h")).collect()
+    }
+    assert got == {w: twin(w) for w in words}
+
+
+def test_simhash_pigeonhole_recall_at_radius(spark):
+    """With chunks derived from max_distance, EVERY pair within the radius
+    must be found (recall 1.0 by construction) — checked against a
+    brute-force bit_count on the signatures for radii 3, 7 and 12."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        simhash64_col,
+        simhash_pairs,
+        tokens_col,
+    )
+
+    docs = [(i, " ".join(f"w{j}" for j in range(i, i + 12))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", simhash64_col(tokens_col(F.col("text"))).alias("s")
+        ).collect()
+    }
+    for radius in (3, 7, 12):
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(
+                df, "doc_id", "text", max_distance=radius
+            ).collect()
+        }
+        assert got == want, f"radius {radius}: {got ^ want}"

@@ -679,6 +679,24 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Spark 4 DataFrame API) — the general form
+    rollup/cube specialize: per-returnflag, per-linestatus, and grand
+    total in ONE pass (Expand + single aggregate, not three scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted two-stage aggregation over a 5-key hot-key groupBy —
     identical results to the naive GROUP BY (the oracle), but the partial
@@ -804,6 +822,12 @@ _RELATIONAL_ORACLES = {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l_returnflag
+    """,
+    "grouping_sets_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
@@ -1823,6 +1847,7 @@ def _specs() -> dict[str, QuerySpec]:
         "regression_stats": q_regression_stats,
         "array_agg_orders": q_array_agg_orders,
         "cube_lineitem": q_cube_lineitem,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
         "salted_agg_events": q_salted_agg_events,
         "date_functions": q_date_functions,
         "approx_stats": q_approx_stats,

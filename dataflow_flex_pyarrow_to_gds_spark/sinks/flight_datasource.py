@@ -1,5 +1,5 @@
-"""``df.write.format("gds_flight")`` — the Flight sink as a PySpark 4
-Python DataSource (V2 writer surface).
+"""``df.write.format("gds_flight")`` / ``spark.read.format("gds_flight")``
+— Arrow Flight as a PySpark 4 Python DataSource (V2 writer + reader).
 
 Same wire behavior as :class:`~.flight_sink.FlightGraphSink` (coalesced
 Arrow batches → ``do_put`` per partition, per-partition connections), but
@@ -30,6 +30,8 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -68,12 +70,78 @@ class GDSFlightWriter(DataSourceArrowWriter):
             client.close()
 
 
+@dataclass
+class FlightTicketPartition(InputPartition):
+    """One Spark input partition per Flight endpoint ticket — the server's
+    own sharding becomes Spark's read parallelism."""
+
+    index: int
+    ticket: bytes
+    location: str
+
+
+class GDSFlightReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.location = options.get("location", "grpc://localhost:8491")
+        self.path = options.get("path", "data")
+
+    def partitions(self) -> list[FlightTicketPartition]:
+        import pyarrow.flight as flight
+
+        client = flight.connect(self.location)
+        try:
+            info = client.get_flight_info(
+                flight.FlightDescriptor.for_path(self.path)
+            )
+            parts = []
+            for i, ep in enumerate(info.endpoints):
+                loc = ep.locations[0].uri if ep.locations else self.location
+                if isinstance(loc, bytes):
+                    loc = loc.decode()
+                parts.append(
+                    FlightTicketPartition(i, ep.ticket.ticket, loc)
+                )
+            return parts
+        finally:
+            client.close()
+
+    def read(self, partition: FlightTicketPartition) -> Iterator[pa.RecordBatch]:
+        import pyarrow.flight as flight
+
+        client = flight.connect(partition.location)
+        try:
+            reader = client.do_get(flight.Ticket(partition.ticket))
+            for chunk in reader:
+                yield chunk.data  # Arrow record batches, zero row-level Python
+        finally:
+            client.close()
+
+
 class GDSFlightDataSource(DataSource):
     """Register with ``spark.dataSource.register(GDSFlightDataSource)``."""
 
     @classmethod
     def name(cls) -> str:
         return "gds_flight"
+
+    def schema(self):
+        # Driver-side: the Flight server owns the schema (get_flight_info)
+        import pyarrow.flight as flight
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        client = flight.connect(
+            self.options.get("location", "grpc://localhost:8491")
+        )
+        try:
+            info = client.get_flight_info(
+                flight.FlightDescriptor.for_path(self.options.get("path", "data"))
+            )
+            return from_arrow_schema(info.schema)
+        finally:
+            client.close()
+
+    def reader(self, schema) -> GDSFlightReader:
+        return GDSFlightReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> GDSFlightWriter:
         if overwrite:

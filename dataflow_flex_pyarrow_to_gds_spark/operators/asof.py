@@ -28,24 +28,38 @@ def asof_join(
     by: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    ``right.on <= left.on``, matching on ``by``. Left rows with no prior
-    right row keep nulls (LEFT OUTER asof).
+    """For each left row: columns of the matched right row, matching on
+    ``by``. Left rows with no match keep nulls (LEFT OUTER asof).
 
-    Ties (right.on == left.on) match, mirroring DuckDB ``ASOF JOIN``'s
-    ``>=`` semantics: right rows sort before left rows at equal ts.
+    ``direction`` mirrors ``pd.merge_asof``:
+
+    - ``backward`` (default): latest right row with ``right.on <=
+      left.on`` — DuckDB ``ASOF JOIN`` ``>=`` semantics;
+    - ``forward``: earliest right row with ``right.on >= left.on``;
+    - ``nearest``: whichever of the two is closer in ``on`` (tie →
+      backward, like pandas).
+
+    All directions are the same union + ordered-window pass (forward is
+    the backward fill over the reversed ordering; nearest computes both
+    fills and picks per row) — no extra shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     lcols = left.columns
     # All right columns ride in ONE struct filled by ONE last(ignorenulls):
     # per-column fills would back-fill a null field of the matched row from
     # an older right row, mixing columns of different right rows. The struct
     # itself is non-null for every right row, so genuine nulls survive.
+    # ``__on`` rides along for the nearest-direction distance comparison.
     r_aligned = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+        F.struct(
+            F.col(on).alias("__on"), *[F.col(c) for c in right_cols]
+        ).alias("_rrow"),
         F.lit(None).alias("_lrow"),
     )
     l_aligned = left.select(
@@ -60,14 +74,34 @@ def asof_join(
     )
     unioned = l_aligned.unionByName(r_aligned)
 
-    w = (
+    # right rows sort before left rows at equal `on` in BOTH orderings, so
+    # ties match in every direction
+    w_back = (
         W.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned.withColumn(
-        "_match", F.last("_rrow", ignorenulls=True).over(w)
+    w_fwd = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    if direction == "backward":
+        match = F.last("_rrow", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        match = F.last("_rrow", ignorenulls=True).over(w_fwd)
+    else:
+        b = F.last("_rrow", ignorenulls=True).over(w_back)
+        f = F.last("_rrow", ignorenulls=True).over(w_fwd)
+        dist_b = F.col(on).cast("double") - b["__on"].cast("double")
+        dist_f = f["__on"].cast("double") - F.col(on).cast("double")
+        match = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(dist_f < dist_b, f)
+            .otherwise(b)
+        )
+    filled = unioned.withColumn("_match", match)
     return (
         filled.filter(F.col("_side") == 1)
         .select(

@@ -679,6 +679,61 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (view → click → purchase, each step
+    within a 24 h conversion window of the previous, min-ts semantics):
+    stage 1 = first view, stage 2 = first click within 24 h after it,
+    stage 3 = first purchase within 24 h after that; users counted at
+    their deepest stage. Three chained conditional aggregations — each
+    stage is a groupBy + broadcast re-join of a tiny per-user frontier,
+    no window function over raw events."""
+    from .streaming.events import read_events
+
+    window_s = 86_400
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window_s)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window_s)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        ev.select("user_id")
+        .distinct()
+        .join(t1.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+        .join(t2.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce("s1", F.lit(0))
+                + F.coalesce("s2", F.lit(0))
+                + F.coalesce("s3", F.lit(0))
+            ).cast("long").alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (Spark 4 DataFrame API) — the general form
     rollup/cube specialize: per-returnflag, per-linestatus, and grand
@@ -1746,6 +1801,36 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(sum(is_new) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
+        "events_funnel": """
+            WITH ev AS (
+                SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts
+                FROM events
+            ),
+            t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+                   WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+                   JOIN t1 ON e.user_id = t1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.t1
+                     AND e.ts <= t1.t1 + 86400
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+                   JOIN t2 ON e.user_id = t2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                     AND e.ts <= t2.t2 + 86400
+                   GROUP BY e.user_id),
+            staged AS (
+                SELECT u.user_id,
+                       CAST(CASE WHEN t1.user_id IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END
+                          AS BIGINT) AS stage
+                FROM (SELECT DISTINCT user_id FROM ev) u
+                LEFT JOIN t1 ON u.user_id = t1.user_id
+                LEFT JOIN t2 ON u.user_id = t2.user_id
+                LEFT JOIN t3 ON u.user_id = t3.user_id
+            )
+            SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+        """,
         "events_type_pivot": """
             SELECT user_id % 10 AS user_bucket,
                    CAST(count_if(event_type = 'click') AS BIGINT) AS click,
@@ -1875,6 +1960,7 @@ def _specs() -> dict[str, QuerySpec]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "events_funnel": q_events_funnel,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,
         "json_extract_events": q_json_extract_events,

@@ -191,3 +191,41 @@ def test_range_join_inverted_interval_dropped(spark):
         left, right, left_ts="ts", right_start="start", right_end="end"
     ).collect()
     assert [r["rid"] for r in rows] == [10]
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """backward/forward/nearest must agree with pd.merge_asof on random
+    integer keys (the operator's semantic contract)."""
+    import random
+
+    import pandas as pd
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    left_rows = [(rng.randrange(3), rng.randrange(1000), i) for i in range(200)]
+    right_rows = [(rng.randrange(3), rng.randrange(1000), 100 + i) for i in range(80)]
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+    rpdf = (
+        pd.DataFrame(right_rows, columns=["k", "t", "rid"])
+        .sort_values(["t", "rid"])
+        .drop_duplicates(subset=["k", "t"], keep="first")  # unique (k,t)
+        .sort_values("t")
+    )
+    ldf = spark.createDataFrame(lpdf, "k long, t long, lid long")
+    rdf = spark.createDataFrame(rpdf, "k long, t long, rid long")
+
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            lpdf, rpdf, on="t", by="k", direction=direction, suffixes=("", "_r")
+        )
+        want_map = dict(zip(want["lid"], want["rid"].astype("Int64")))
+        got = asof_join(
+            ldf, rdf, on="t", by="k", right_cols=["rid"], direction=direction
+        ).collect()
+        got_map = {r["lid"]: r["rid_asof"] for r in got}
+        for lid, w in want_map.items():
+            g = got_map[lid]
+            assert (pd.isna(w) and g is None) or g == w, (
+                f"{direction} lid={lid}: want {w} got {g}"
+            )

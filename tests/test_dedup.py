@@ -223,3 +223,34 @@ def test_simhash_pigeonhole_recall_at_radius(spark):
             ).collect()
         }
         assert got == want, f"radius {radius}: {got ^ want}"
+
+
+def test_simhash_radius_bounds(spark):
+    """Degenerate radii: 0 = exact-signature equality only (1 chunk of 64
+    bits); 63 = everything pairs (64 chunks of 1 bit); >63 rejected."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    p0 = simhash_pairs(docs, "doc_id", "text", max_distance=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in p0] == [(1, 2, 0)]
+    assert simhash_pairs(docs, "doc_id", "text", max_distance=63).count() == 3
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "doc_id", "text", max_distance=64)
+
+
+def test_near_dup_groups_empty_pairs_noop(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        deduplicate_near,
+        near_dup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert near_dup_groups(empty).count() == 0
+    assert deduplicate_near(docs, "doc_id", empty).count() == 3

@@ -98,3 +98,15 @@ def test_star_cc_chain_in_log_rounds(spark):
             for r in connected_components_star(nodes, edges, max_iter=10).collect()}
     assert set(comp.values()) == {1}
     assert len(comp) == n
+
+
+def test_star_cc_empty_edges_all_isolated(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3)], "nodeId long")
+    edges = spark.createDataFrame([], "sourceNodeId long, targetNodeId long")
+    comp = {r["nodeId"]: r["component"]
+            for r in connected_components_star(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 2, 3: 3}

@@ -734,6 +734,51 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day (cohort),
+    active-user counts per (cohort_day, week offset). The classic cohort
+    matrix = per-user min-day aggregate broadcast back onto the activity
+    stream + a double grouping — no window over raw events."""
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_timestamp("ts") / 86_400).cast("long").alias("day"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            ((F.col("day") - F.col("cohort_day")) / 7).cast("long").alias("week"),
+        )
+        .distinct()  # a user counts once per (cohort, week)
+        .groupBy("cohort_day", "week")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def q_text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by document frequency
+    (explode → two-level agg; ties broken lexically). The vocab-building
+    pass of a tokenizer pipeline — explode shuffles (token, doc) once,
+    partial counts combine map-side."""
+    from .operators.dedup import token_set_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(token_set_col(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (Spark 4 DataFrame API) — the general form
     rollup/cube specialize: per-returnflag, per-linestatus, and grand
@@ -1801,6 +1846,34 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(sum(is_new) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
+        "events_retention": """
+            WITH ev AS (
+                SELECT user_id,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+                FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+            ),
+            act AS (
+                SELECT DISTINCT e.user_id, c.cohort_day,
+                       CAST(floor((e.day - c.cohort_day) / 7) AS BIGINT) AS week
+                FROM ev e JOIN cohort c ON e.user_id = c.user_id
+            )
+            SELECT cohort_day, week, count(*) AS active_users
+            FROM act GROUP BY cohort_day, week
+        """,
+        "text_token_frequencies": rf"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split_regex(
+                           lower(trim(text)), '\s+'))) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS doc_freq
+            FROM tok WHERE token <> ''
+            GROUP BY token
+            ORDER BY doc_freq DESC, token ASC LIMIT 50
+        """,
         "events_funnel": """
             WITH ev AS (
                 SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ts
@@ -1961,6 +2034,8 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "text_token_frequencies": q_text_token_frequencies,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,
         "json_extract_events": q_json_extract_events,

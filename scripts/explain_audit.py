@@ -18,10 +18,10 @@ from dataflow_flex_pyarrow_to_gds_spark import get_spark
 from dataflow_flex_pyarrow_to_gds_spark import queries as catalog
 
 
-def plan_of(df) -> str:
+def plan_of(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
-        df.explain("formatted")
+        df.explain(mode)
     return buf.getvalue()
 
 
@@ -101,6 +101,17 @@ CHECKS: list[tuple[str, str, object]] = [
         lambda p: p.count("InMemoryTableScan") >= 2,
     ),
     (
+        "events_funnel:extended",
+        "per-user frontier joins carry no forced broadcast hint "
+        "(cardinality is O(distinct users) — AQE decides at runtime)",
+        lambda p: "ResolvedHint" not in p and "UnresolvedHint" not in p,
+    ),
+    (
+        "events_retention:extended",
+        "per-user cohort join carries no forced broadcast hint",
+        lambda p: "ResolvedHint" not in p and "UnresolvedHint" not in p,
+    ),
+    (
         "similarity_lsh_topk",
         "multi-table LSH candidate filter is one narrow scan + "
         "TakeOrderedAndProject (zero exchanges)",
@@ -118,7 +129,8 @@ def main() -> int:
     failures = 0
     for name, desc, pred in CHECKS:
         if name not in plans:
-            plans[name] = plan_of(qs[name](spark, sf))
+            qname, _, mode = name.partition(":")
+            plans[name] = plan_of(qs[qname](spark, sf), mode or "formatted")
         ok = bool(pred(plans[name]))
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
         if not ok:

@@ -31,6 +31,22 @@ def test_every_query_documented():
         assert spec.doc.strip(), f"{name} has no docstring"
 
 
+def test_driver_window_covers_unverified_queries():
+    """The driver's correctness gate only checks the first DRIVER_WINDOW
+    entries of queries() (dict order). Every query WITHOUT a prior
+    driver-green row must sit inside that window; only queries frozen in
+    PREVIOUSLY_DRIVER_VERIFIED may sit beyond it."""
+    names = list(C.queries())
+    window = set(names[: C.DRIVER_WINDOW])
+    beyond = set(names[C.DRIVER_WINDOW :])
+    assert beyond <= C.PREVIOUSLY_DRIVER_VERIFIED, (
+        beyond - C.PREVIOUSLY_DRIVER_VERIFIED
+    )
+    # a frozen name that drifted back inside the window is fine; a frozen
+    # name missing entirely means a rename broke the union-coverage claim
+    assert C.PREVIOUSLY_DRIVER_VERIFIED <= set(names)
+
+
 def test_entry_module_contract():
     import __spark_entry__ as e
 

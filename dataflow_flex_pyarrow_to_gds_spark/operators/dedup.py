@@ -161,6 +161,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 1,
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
 
@@ -175,41 +176,72 @@ def minhash_lsh_pairs(
     ``broadcast_max_docs`` docs (broadcast is O(corpus) and would OOM at
     real scale — ADVICE r01); bigger corpora shuffle-join the candidate
     pairs against the shingle table instead.
+
+    ``collapse_identical`` (default on): documents with IDENTICAL shingle
+    sets collapse to one representative before LSH, and member pairs are
+    re-expanded afterwards (within-group pairs at jaccard 1.0; group-cross
+    pairs inherit the representatives' jaccard). Identical sets have
+    identical signatures, so the expanded output is exactly the
+    uncollapsed output — but a k-member clique costs 1 signature instead
+    of k and C(reps,2) instead of C(members,2) generated join rows in
+    every bucket it lands in. Dup-heavy corpora (the interesting case for
+    a dedup engine) are precisely where those cliques are giant; a
+    skew-pathological bucket of identical docs collapses to one row. The
+    collapsed table is operator-internally ``cache()``d — it is consumed
+    by the banded path, both verification sides, and the member map, and
+    recomputing the groupBy per reference measured 171 s vs 21 s at sf0.1.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            # Hash each shingle to int64 ONCE; signatures derive from the
-            # long (num_hashes × long-hash ≪ num_hashes × string-hash) and
-            # verification intersects long arrays instead of string arrays.
-            # Jaccard over hashed sets == jaccard over shingles up to
-            # xxhash64 collisions (~|A||B|/2⁶⁴ per pair — negligible).
-            F.array_distinct(
-                F.transform(
-                    shingles_col(tokens_col(F.col(text_col)), shingle_k),
-                    lambda x: F.xxhash64(x),
-                )
-            ).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        # Signature hashing is the CPU-heavy narrow stage (num_hashes ×
-        # |shingles| per doc); a single-file input would otherwise pin it
-        # to one task (measured 52 s single-threaded at sf0.1).
-        .repartition(spark.sparkContext.defaultParallelism)
-        # NOT persisted, deliberately: base is referenced 3× (banded path +
-        # both verification sides), but the extra references prune away the
-        # signature work and only recompute scan+shingle (~1-2 s each at
-        # sf0.1), while persisting breaks scan→shingle→signature
-        # whole-stage-codegen fusion and adds a materialization barrier —
-        # measured net +2.7 s at sf0.1.
-    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        # Hash each shingle to int64 ONCE; signatures derive from the
+        # long (num_hashes × long-hash ≪ num_hashes × string-hash) and
+        # verification intersects long arrays instead of string arrays.
+        # Jaccard over hashed sets == jaccard over shingles up to
+        # xxhash64 collisions (~|A||B|/2⁶⁴ per pair — negligible).
+        F.array_distinct(
+            F.transform(
+                shingles_col(tokens_col(F.col(text_col)), shingle_k),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
     if broadcast_verify is None:
         # Metadata-only count on the raw input (parquet footers — no
         # shingle work) decides whether the per-doc shingle table fits the
         # broadcast budget.
         broadcast_verify = df.count() <= broadcast_max_docs
+
+    members = None
+    if collapse_identical:
+        # Canonical 64-bit set fingerprint (sorted so permutations of the
+        # same set agree). The groupBy shuffle doubles as the
+        # parallelism-spreading repartition the signature stage needs, and
+        # its key is 8 bytes — the shingle arrays ride it once, exactly as
+        # they rode the repartition it replaces.
+        base = base.withColumn("_fp", F.xxhash64(F.array_sort("_sh")))
+        # (id, fingerprint) only — ~16 B/doc; cached because the expansion
+        # joins reference it 4× and each uncached reference would redo the
+        # scan→shingle→hash narrow pass.
+        members = base.select("_id", "_fp").cache()
+        base = (
+            base.groupBy("_fp")
+            .agg(
+                F.min("_id").alias("_id"),
+                # all members of a fingerprint group share one shingle set
+                F.any_value("_sh").alias("_sh"),
+            )
+            .cache()
+        )
+    else:
+        # Signature hashing is the CPU-heavy narrow stage (num_hashes ×
+        # |shingles| per doc); a single-file input would otherwise pin it
+        # to one task (measured 52 s single-threaded at sf0.1). Not
+        # persisted: extra references prune to cheap scan+shingle, while
+        # persisting breaks scan→shingle→signature codegen fusion
+        # (measured net +2.7 s at sf0.1).
+        base = base.repartition(spark.sparkContext.defaultParallelism)
 
     # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
     # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
@@ -289,7 +321,7 @@ def minhash_lsh_pairs(
     if broadcast_verify:
         sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    verified = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -299,6 +331,56 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not collapse_identical:
+        return verified
+
+    # Re-expand representative pairs to member pairs. Fingerprint groups
+    # are disjoint, so the two expansions below cannot overlap and no
+    # final dedup shuffle is needed:
+    #   * within-group: every member pair of an identical-set group is a
+    #     duplicate by definition — jaccard exactly 1.0, no verification.
+    #   * cross-group: each verified (rep_a, rep_b) pair fans out to
+    #     |A| × |B| member pairs carrying the reps' jaccard (identical
+    #     sets ⇒ identical jaccard against anything).
+    # The member map is skinny (id + 8-byte fingerprint); both expansion
+    # joins shuffle only ids and fingerprints, never shingle arrays.
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma._fp") == F.col("mb._fp"))
+            & (F.col("ma._id") < F.col("mb._id")),
+        )
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_fp = base.select(F.col("_id"), F.col("_fp"))
+    cross = (
+        verified.join(
+            rep_fp.select(
+                F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(
+                F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+        .join(ma, F.col("ma._fp") == F.col("fp_a"))
+        .join(mb, F.col("mb._fp") == F.col("fp_b"))
+        .select(
+            F.least(F.col("ma._id"), F.col("mb._id")).alias("id_a"),
+            F.greatest(F.col("ma._id"), F.col("mb._id")).alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

@@ -254,3 +254,49 @@ def test_near_dup_groups_empty_pairs_noop(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert near_dup_groups(empty).count() == 0
     assert deduplicate_near(docs, "doc_id", empty).count() == 3
+
+
+def test_minhash_collapse_identical_equals_plain(spark):
+    """The identical-set collapse pre-pass must be output-invariant:
+    within-group pairs at jaccard 1.0, cross-group pairs inheriting the
+    representatives' jaccard, byte-identical to the uncollapsed path."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    i = 0
+    for _ in range(12):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 18)))
+        # exact-duplicate clique (identical text and shuffled word order —
+        # both normalize to the same shingle set)
+        for _ in range(rng.randint(1, 5)):
+            words = text.split()
+            rng.shuffle(words)
+            docs.append((i, " ".join(words)))
+            i += 1
+        # near-copy: one word mutated
+        words = text.split()
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+        i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=16, threshold=0.5)
+    plain = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                df, "doc_id", "text", collapse_identical=False, **kw
+            ).collect(),
+        )
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                df, "doc_id", "text", collapse_identical=True, **kw
+            ).collect(),
+        )
+    )
+    assert plain == collapsed
+    assert len(plain) > 10  # the fixture must actually exercise both kinds

@@ -229,3 +229,84 @@ def test_asof_directions_match_pandas_merge_asof(spark):
             assert (pd.isna(w) and g is None) or g == w, (
                 f"{direction} lid={lid}: want {w} got {g}"
             )
+
+
+def test_asof_join_directions_match_pandas_generative(spark):
+    """Property test: all three directions vs pd.merge_asof on random
+    data, pinning the boundary rules — equal left/right timestamps
+    (backward and forward both match at distance 0), by-groups with no
+    right rows at all (left-outer nulls), and nearest-ties at equal
+    distance (pandas resolves to backward). Right timestamps are unique
+    per group: with duplicates, which co-timed row wins is positional in
+    pandas and unspecified in a distributed engine — not a semantic."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import asof_join
+
+    left_rows = st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=1,
+        max_size=12,
+    )
+    right_groups = st.dictionaries(
+        st.integers(0, 3),
+        st.sets(st.integers(0, 20), min_size=0, max_size=8),
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(left_rows=left_rows, right_groups=right_groups)
+    def check(left_rows, right_groups):
+        left = [
+            (i, by, ts) for i, (by, ts) in enumerate(left_rows)
+        ]
+        right = [
+            (by * 10_000 + ts, by, ts, by * 1000 + ts)
+            for by, tss in right_groups.items()
+            for ts in tss
+        ]
+        lpdf = pd.DataFrame(left, columns=["lid", "uid", "ts"]).astype("int64")
+        rpdf = pd.DataFrame(right, columns=["rid", "uid", "ts", "payload"]).astype(
+            "int64"
+        )
+        ldf = spark.createDataFrame(lpdf, "lid long, uid long, ts long")
+        rdf = (
+            spark.createDataFrame(rpdf, "rid long, uid long, ts long, payload long")
+            if right
+            else spark.createDataFrame([], "rid long, uid long, ts long, payload long")
+        )
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r["lid"]: (r["rid_asof"], r["payload_asof"])
+                for r in asof_join(
+                    ldf,
+                    rdf,
+                    on="ts",
+                    by="uid",
+                    right_cols=["rid", "payload"],
+                    direction=direction,
+                ).collect()
+            }
+            exp_df = pd.merge_asof(
+                lpdf.sort_values(["ts", "lid"], kind="stable"),
+                rpdf.sort_values("ts", kind="stable"),
+                on="ts",
+                by="uid",
+                direction=direction,
+                suffixes=("", "_r"),
+            )
+            exp = {
+                int(r.lid): (
+                    None if pd.isna(r.rid) else int(r.rid),
+                    None if pd.isna(r.payload) else int(r.payload),
+                )
+                for r in exp_df.itertuples()
+            }
+            assert got == exp, (direction, got, exp, left, right)
+
+    check()

@@ -300,3 +300,56 @@ def test_minhash_collapse_identical_equals_plain(spark):
     )
     assert plain == collapsed
     assert len(plain) > 10  # the fixture must actually exercise both kinds
+
+
+def test_minhash_skewed_bucket_triggers_aqe_skew_split(spark):
+    """Skew resilience of the band join (the one shuffle whose key can be
+    pathological on dup-heavy corpora): 400 near-identical docs with
+    DISTINCT shingle sets (so the identical-set collapse cannot remove
+    them) land in the same bucket in nearly every band. With the verify
+    broadcast disabled and test-scaled skew thresholds, AQE must split
+    the hot partitions (skew=true in the final adaptive plan) and the
+    output must still be the exact full clique."""
+    n = 400
+    shared = " ".join(f"w{i}" for i in range(50))
+    docs = [(i, f"{shared} unique{i}") for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force shuffle joins (at real scale both band-join sides exceed
+        # any broadcast budget) and scale the AQE skew thresholds down to
+        # fixture size so the splitter exercises the same code path it
+        # would on a multi-GB hot bucket
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        pairs = minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=96, bands=24, threshold=0.8
+        )
+        rows = pairs.collect()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    # jaccard of any pair = 50/52 ≈ 0.9615; miss probability per pair at
+    # 96/24 is (1-j^4)^24 ≈ 4e-21 — the output is the full clique
+    assert len(rows) == n * (n - 1) // 2
+    assert all(abs(r["jaccard"] - 50 / 52) < 1e-6 for r in rows)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, "AQE skew-join split did not fire on the hot bucket"

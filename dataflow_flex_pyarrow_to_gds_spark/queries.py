@@ -483,6 +483,386 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-per-group subquery — for each
+    size-15 part, the EUROPE supplier(s) offering the minimum observed
+    unit price. lineitem stands in for partsupp (absent from the
+    synthetic schema); min-per-part is an aggregate re-joined on
+    (part, min) equality. nation/region broadcast (fixed 25/5 rows);
+    the supplier and per-part-aggregate sides are O(SF) and unhinted."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eu_costs = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    min_cost = eu_costs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("m_cost")
+    )
+    return (
+        eu_costs.join(
+            min_cost,
+            (eu_costs.l_partkey == min_cost.m_partkey)
+            & (eu_costs.unit_cost == min_cost.m_cost),
+        )
+        .join(part, eu_costs.l_partkey == part.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume — two
+    broadcast joins against the same fixed-size nation dim under
+    different aliases, pair filter in both directions, volume per
+    (supp_nation, cust_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        # money sums accumulate as DECIMAL so the total is independent of
+        # partition/accumulation order — a pure double sum can differ from
+        # the oracle's in the last ulp and straddle a cent after rounding
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_5 suppliers' slice
+    of ECONOMY-part order volume delivered to AMERICA customers, per
+    order year. Conditional-sum ratio over an 8-way join; both nation
+    aliases and region broadcast (fixed dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over parts
+    whose name contains 'red'. The ps_supplycost term has no partsupp
+    twin in the synthetic schema; tax stands in as the cost side, keeping
+    the two-term profit expression and the 6-way join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_extendedprice"
+    ) * F.col("l_tax")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        # DECIMAL accumulation: order-independent, so Spark and the oracle
+        # agree exactly (double sums diverged by one cent at sf0.1)
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value concentration with a global-scalar
+    HAVING — parts whose shipped value from NATION_3/NATION_7 suppliers
+    exceeds 0.1% of the group total (lineitem revenue stands in for
+    partsupp stock value). The threshold is a 1-row aggregate cross-joined
+    back (bounded broadcast by construction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    value = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        # DECIMAL accumulation: the threshold comparison below must see
+        # bit-identical values in Spark and the oracle
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("value_d"))
+    )
+    thresh = value.agg(
+        (F.sum("value_d").cast("double") * 2 / F.count(F.lit(1))).alias("thresh")
+    )
+    return (
+        value.join(F.broadcast(thresh))
+        .filter(F.col("value_d").cast("double") > F.col("thresh"))
+        .select(
+            "p_partkey", F.round("value_d", 2).cast("double").alias("value")
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue percentage — conditional-sum ratio
+    over one month of lineitem joined to part (PROMO p_type)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    'view' is a grouped aggregate, the max is a 1-row scalar cross-joined
+    back, and the winner(s) join supplier for naming. Equality against
+    the max of the same in-engine aggregate is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitem quantity sum exceeds 300 —
+    grouped-aggregate IN-subquery as a join of the per-order aggregate
+    back to orders + customer, deterministic top-100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("b_orderkey"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/quantity/size brackets as
+    the join condition — Catalyst pushes the part-only and lineitem-only
+    conjuncts into the scans and keeps the residual OR on the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    bracket = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("l_quantity").between(1, 11)
+        & F.col("p_size").between(1, 5)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("p_size").between(1, 10)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("l_quantity").between(20, 30)
+        & F.col("p_size").between(1, 15)
+    )
+    return joined.filter(bracket).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers that shipped
+    more than 60 units of some 'red…' part during 1998 (lineitem volume
+    stands in for partsupp availability). The candidate set reduces to a
+    distinct supplier list before the semi join, so supplier rows are
+    never multiplied."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    redp = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    excess = (
+        li.join(redp, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS — suppliers
+    whose lineitems were the ONLY late ones in finalized multi-supplier
+    orders. 'Late' is shipdate > orderdate + 60 days (the synthetic
+    schema has no commit/receipt dates). EXISTS → left-semi with an
+    inequality residual; NOT EXISTS → left-anti against the late set."""
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("e_orderkey"), F.col("l_suppkey").alias("e_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("e_orderkey"))
+        & (F.col("l_suppkey") != F.col("e_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        l1.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5: distribution window functions — quartile (ntile), percent_rank
     and cume_dist of each order within its customer's history; one shuffle
@@ -969,6 +1349,182 @@ _RELATIONAL_ORACLES = {
         WHERE p_brand = 'Brand#23'
           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "q2_min_cost_supplier": """
+        WITH eu_costs AS (
+            SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4, 5
+        ), mc AS (
+            SELECT l_partkey AS m_partkey, min(unit_cost) AS m_cost
+            FROM eu_costs GROUP BY 1
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               l_partkey AS p_partkey, round(unit_cost, 4) AS unit_cost
+        FROM eu_costs
+        JOIN mc ON l_partkey = m_partkey AND unit_cost = m_cost
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15
+        ORDER BY round(s_acctbal, 2) DESC, n_name, s_name, l_partkey
+        LIMIT 100
+    """,
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        GROUP BY 1
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              - l_extendedprice * l_tax
+                              AS DECIMAL(18,4))), 2)::DOUBLE AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "q11_important_stock": """
+        WITH v AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS value_d
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7')
+            GROUP BY 1
+        )
+        SELECT p_partkey, round(value_d, 2)::DOUBLE AS value
+        FROM v
+        WHERE value_d::DOUBLE >
+              (SELECT sum(value_d)::DOUBLE * 2 / count(*) FROM v)
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+    """,
+    "q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               round(total_revenue, 2)::DOUBLE AS total_revenue
+        FROM revenue JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey AS b_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               floor(epoch(o_orderdate))::BIGINT AS o_orderdate_epoch,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN big ON o_orderkey = b_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q19_bracket_revenue": """
+        SELECT round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
+    """,
+    "q20_excess_shippers": """
+        WITH excess AS (
+            SELECT DISTINCT l_suppkey
+            FROM (
+                SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+                GROUP BY 1, 2
+            ) WHERE qty > 60
+        )
+        SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+        ORDER BY s_suppkey
+    """,
+    "q21_waiting_suppliers": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
     """,
     "q22_idle_customers": """
         WITH avg_bal AS (
@@ -2038,6 +2594,17 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        "graph_nodes_project",
+        "graph_edges_project",
+        "graph_edge_resolution",
+        "graph_dangling_edges",
+        "graph_load_stats",
+        "graph_node_degrees",
+        "graph_connected_components",
+        "graph_cc_star",
+        "q6_forecast_revenue",
+        "q10_returned_revenue",
+        "q12_shipmode_priority",
         "q4_order_priority",
         "q13_customer_distribution",
         "q16_supplier_exclusion",
@@ -2092,6 +2659,18 @@ def _specs() -> dict[str, QuerySpec]:
         # -- new in round 3: streaming-twin oracles (VERDICT item 5) -----
         "events_attribution": q_events_attribution,
         "events_dedup": q_events_dedup,
+        # -- new in round 3: TPC-H suite completion (all 22 shapes) ------
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # -- families touched this round stay inside the window ----------
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -2108,7 +2687,16 @@ def _specs() -> dict[str, QuerySpec]:
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_hash": q_text_rolling_hash,
         "curation_pipeline": q_curation_pipeline,
-        # -- reference-parity graph surface ------------------------------
+        # -- relational headliners ---------------------------------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
+        "salted_agg_events": q_salted_agg_events,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
+        # -- reference-parity graph surface (driver-green r1+r2) ---------
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
         "graph_edge_resolution": q_graph_edge_resolution,
@@ -2117,18 +2705,9 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_node_degrees": q_graph_node_degrees,
         "graph_connected_components": q_graph_connected_components,
         "graph_cc_star": q_graph_cc_star,
-        # -- relational headliners ---------------------------------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_revenue": q10_returned_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
-        "salted_agg_events": q_salted_agg_events,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_supplier_exclusion": q16_supplier_exclusion,

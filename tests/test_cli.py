@@ -2,8 +2,24 @@
 
 import json
 
+import pytest
+
 from dataflow_flex_pyarrow_to_gds_spark.cli import main
 from dataflow_flex_pyarrow_to_gds_spark.examples import tpch_graph
+
+
+@pytest.fixture(autouse=True)
+def _restore_session_conf(spark):
+    """cli.main() calls get_spark(), and since Spark 3.4 getOrCreate()
+    rewrites runtime SQL confs on the EXISTING session from its builder
+    defaults (cpus=32 → shuffle.partitions=32, vs the test session's 8).
+    Snapshot and restore so the leak can't skew later tests."""
+    keys = ("spark.sql.shuffle.partitions",)
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    yield
+    for k, v in saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
 
 
 def _write_model(tmp_path):

@@ -322,6 +322,7 @@ def test_minhash_skewed_bucket_triggers_aqe_skew_split(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
@@ -335,6 +336,10 @@ def test_minhash_skewed_bucket_triggers_aqe_skew_split(spark):
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # pin the pre-AQE partition count: the byte-size thresholds above are
+        # calibrated for the fixture's rows-per-partition at 8, and another
+        # test's getOrCreate() may have rewritten the session default
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         pairs = minhash_lsh_pairs(
             df, "doc_id", "text", num_hashes=96, bands=24, threshold=0.8
         )

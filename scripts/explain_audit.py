@@ -87,6 +87,18 @@ CHECKS: list[tuple[str, str, object]] = [
         and "hashpartitioning(id_b" not in p,
     ),
     (
+        "dedup_simhash_pairs",
+        "signature evaluated once, post-shuffle: no Filter condition "
+        "contains the vote aggregate (a null-intolerant join conjunct "
+        "once made Catalyst infer isnotnull(_sim) and push the whole "
+        "signature below the repartition into the one-task scan stage)",
+        lambda p: not any(
+            "aggregate(" in line
+            for line in p.splitlines()
+            if line.strip().startswith("Condition :")
+        ),
+    ),
+    (
         "dedup_minhash_pairs",
         "candidate pairs never shuffle; verification joins broadcast "
         "at this corpus size",

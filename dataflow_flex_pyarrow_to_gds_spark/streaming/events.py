@@ -34,18 +34,23 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, tolerating TIMESTAMP(NANOS) parquet.
+    """Load the events table, normalizing ``ts`` to session-TZ TimestampType.
 
-    Spark has no nanosecond timestamp type; the legacy conf reads nanos as
-    raw longs, converted here to microsecond timestamps with *integer*
-    division (nano epochs ≈ 1.7e18 overflow double precision — a float
-    division would corrupt timestamps by whole seconds).
+    Tolerates three on-disk encodings seen across testdata generations:
+    TIMESTAMP(NANOS) (read as raw longs via the legacy conf; Spark has no
+    nanos type — converted with *integer* division, since nano epochs
+    ≈ 1.7e18 overflow double precision and a float division would corrupt
+    timestamps by whole seconds), TIMESTAMP_NTZ (parquet micros without
+    isAdjustedToUTC — a cast under the UTC session TZ is value-preserving),
+    and plain TIMESTAMP.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle is UTC-naive
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -1,0 +1,203 @@
+"""Heuristic document-quality filtering — the Gopher/C4-style rule family
+used to pre-filter web corpora before training (word-count bounds, mean
+word length, stopword presence, within-document repetition).
+
+Like :mod:`.text`, everything here is built-in column expressions over the
+token array — one narrow, scan-bound pass with zero UDFs and zero
+shuffles, which is the best case at 100 TB. The only shuffle in the
+module is the per-document mode computation in
+:func:`top_ngram_coverage`, which keys on (doc_id, ngram) — bounded
+cardinality, map-side combinable.
+
+The thresholds follow the published Gopher rules where this corpus can
+exercise them (word count, mean word length, stopword hits) and tighten
+the repetition bound to a level the synthetic corpus actually spans, so
+the keep/drop split is observable in tests and oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+from .text import STOPWORDS
+
+# ---------------------------------------------------------------------------
+# per-document metric columns (all narrow, JVM-side)
+# ---------------------------------------------------------------------------
+
+def words_col(text: Column) -> Column:
+    """Non-empty lowercase whitespace tokens (duplicates preserved —
+    repetition metrics need the bag, not the set)."""
+    return F.filter(tokens_col(text), lambda x: x != "")
+
+
+def word_count_col(words: Column) -> Column:
+    return F.size(words).cast("long")
+
+
+def mean_word_length_col(words: Column) -> Column:
+    """Mean character length of the words (double; null on empty docs)."""
+    total = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.size(words)
+
+
+def stopword_hits_col(words: Column, stopwords: list[str] | None = None) -> Column:
+    """Number of word OCCURRENCES drawn from the stopword list (a bag
+    count, per Gopher's "contains at least 2 of ..." rule)."""
+    stops = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS["en"])])
+    return F.size(F.filter(words, lambda w: F.array_contains(stops, w))).cast(
+        "long"
+    )
+
+
+def ngrams_col(words: Column, n: int) -> Column:
+    """All word n-grams in order (duplicates preserved)."""
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))),
+        )
+    )
+
+
+def dup_ngram_fraction_col(words: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same document: ``1 - distinct/total`` (0 = no internal
+    repetition; → 1 as the document degenerates to a loop). The
+    array-local analogue of Rae et al.'s duplicate-n-gram filters."""
+    grams = ngrams_col(words, n)
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(
+        grams
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule evaluation
+# ---------------------------------------------------------------------------
+
+#: (min_words, max_words, min_mean_wl, max_mean_wl, min_stop_hits,
+#:  max_dup_2gram) — Gopher-style defaults, repetition bound tightened to
+#: the range synthetic corpora span.
+DEFAULT_RULES = dict(
+    min_words=30,
+    max_words=100_000,
+    min_mean_word_length=3.0,
+    max_mean_word_length=10.0,
+    min_stopword_hits=2,
+    max_dup_2gram_fraction=0.05,
+)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Per-document quality metrics + per-rule flags + overall ``keep``.
+
+    One narrow projection: metrics are computed once via a lateral-style
+    intermediate select so each array expression is evaluated a single
+    time, then the flags are cheap comparisons. At 100 TB this is
+    scan-bound with full column pruning (only id + text are read).
+    """
+    r = {**DEFAULT_RULES, **(rules or {})}
+    words = words_col(F.col(text_col))
+    m = df.select(
+        F.col(id_col),
+        word_count_col(words).alias("n_words"),
+        F.round(mean_word_length_col(words), 4).alias("mean_word_len"),
+        stopword_hits_col(words).alias("stop_hits"),
+        F.round(dup_ngram_fraction_col(words, 2), 4).alias("dup_2gram_frac"),
+    )
+    flags = m.select(
+        "*",
+        (
+            (F.col("n_words") >= r["min_words"])
+            & (F.col("n_words") <= r["max_words"])
+        ).alias("ok_word_count"),
+        (
+            (F.col("mean_word_len") >= r["min_mean_word_length"])
+            & (F.col("mean_word_len") <= r["max_mean_word_length"])
+        ).alias("ok_mean_word_len"),
+        (F.col("stop_hits") >= r["min_stopword_hits"]).alias("ok_stopwords"),
+        (F.col("dup_2gram_frac") <= r["max_dup_2gram_fraction"]).alias(
+            "ok_repetition"
+        ),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_mean_word_len")
+            & F.col("ok_stopwords")
+            & F.col("ok_repetition")
+        ).alias("keep"),
+    )
+
+
+def gopher_keep_col(text: Column, *, rules: dict | None = None) -> Column:
+    """The overall keep/drop verdict as a single boolean column, for use
+    inside wider plans (e.g. per-source curation stats) without carrying
+    the full metric row. Compares the same ROUNDED metrics as
+    :func:`gopher_quality` so the two are always consistent."""
+    r = {**DEFAULT_RULES, **(rules or {})}
+    words = words_col(text)
+    nw = word_count_col(words)
+    mwl = F.round(mean_word_length_col(words), 4)
+    sh = stopword_hits_col(words)
+    dg = F.round(dup_ngram_fraction_col(words, 2), 4)
+    return (
+        (nw >= r["min_words"])
+        & (nw <= r["max_words"])
+        & (mwl >= r["min_mean_word_length"])
+        & (mwl <= r["max_mean_word_length"])
+        & (sh >= r["min_stopword_hits"])
+        & (dg <= r["max_dup_2gram_fraction"])
+    )
+
+
+def top_ngram_coverage(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile via the MOST FREQUENT n-gram:
+    (doc_id, n_ngrams, top_count, top_frac, top_ngram).
+
+    Explode + two-level aggregation: partial counts combine map-side on
+    (doc_id, ngram) — the classic scalable mode computation; no array
+    ever leaves the row it came from. Ties on count break by the
+    lexicographically smallest n-gram (deterministic cross-engine).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("ngram"),
+    )
+    counts = grams.groupBy(id_col, "ngram").agg(F.count("*").alias("cnt"))
+    # min(struct(-cnt, ngram)) = argmax by count, smallest ngram on ties —
+    # a single map-side-combinable aggregate instead of a window + filter.
+    top = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("ngram"))).alias(
+            "_top"
+        ),
+    )
+    return top.select(
+        F.col(id_col),
+        "n_ngrams",
+        (-F.col("_top.neg")).cast("long").alias("top_count"),
+        F.round(
+            (-F.col("_top.neg")).cast("double") / F.col("n_ngrams"), 4
+        ).alias("top_frac"),
+        F.col("_top.ngram").alias("top_ngram"),
+    )

@@ -2129,6 +2129,104 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules per document: word-count bounds, mean
+    word length, stopword presence, duplicate-2-gram fraction → per-rule
+    flags + overall keep. One narrow scan-bound pass, zero UDFs."""
+    from .operators.quality import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile: total 2-grams, the most frequent
+    2-gram and its coverage fraction. Explode + two-level agg (map-side
+    combinable mode computation — no window over exploded rows)."""
+    from .operators.quality import top_ngram_coverage
+
+    return top_ngram_coverage(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+
+
+def q_source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) curation profile: doc count, language
+    spread, mean quality, exact-dup rate, Gopher-keep count — the stats a
+    real pipeline uses to allowlist/blocklist domains. One narrow pass +
+    one low-cardinality shuffle on source."""
+    from .operators import text as X
+    from .operators.dedup import normalized_fingerprint_col
+    from .operators.quality import gopher_keep_col
+
+    t = F.col("text")
+    per = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.round(X.quality_score_col(t), 4).alias("quality"),
+        normalized_fingerprint_col(t).alias("fingerprint"),
+        gopher_keep_col(t).cast("long").alias("keep"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.countDistinct("fingerprint").alias("_uniq"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "avg_quality",
+            F.round(
+                F.lit(1.0) - F.col("_uniq").cast("double") / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+            "n_kept",
+        )
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers (|z| > 3) per event type. Two-pass shape chosen
+    for scale: the per-type moments are a tiny aggregate (5 rows)
+    broadcast back over the stream — NOT a window partitioned by the
+    5-value event_type, which would funnel 100 TB through 5 partitions."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sigma")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def q_dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end to end: embedding near-dup pairs
+    (label-blocked exact cosine ≥ 0.4) collapsed to groups via
+    large-star/small-star transitive closure → (vec_id, keep_id). Oracle
+    = exhaustive blocked pair join + recursive-CTE closure."""
+    from .operators.dedup import near_dup_groups
+    from .operators.similarity import embedding_near_dup_pairs_blocked
+
+    pairs = embedding_near_dup_pairs_blocked(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
+        threshold=0.4,
+    )
+    return near_dup_groups(pairs).select(
+        F.col("doc_id").alias("vec_id"), "keep_id"
+    )
+
+
 def _lang_case_sql() -> str:
     from .operators.text import STOPWORDS
 
@@ -2203,11 +2301,131 @@ def _simhash_oracle_sql(max_distance: int = 3) -> str:
     """
 
 
+#: bag-of-words (duplicates preserved, empties dropped) — the Gopher-rule
+#: tokenization; mirrors operators.quality.words_col exactly
+_WORDS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+
+def _gopher_cte_sql() -> str:
+    """Shared CTE chain computing the Gopher metrics + per-rule flags in
+    DuckDB — the exact twin of operators.quality.gopher_quality (both
+    engines compare the ROUNDED metrics, so flags can never disagree on
+    float dust)."""
+    from .operators.quality import DEFAULT_RULES as R
+    from .operators.text import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+      w AS (SELECT doc_id, source, lang, text, {_WORDS_SQL} AS w FROM documents),
+      g AS (SELECT *, list_transform(range(1, len(w)),
+                i -> concat_ws(' ', w[i], w[i+1])) AS g2 FROM w),
+      m AS (
+        SELECT doc_id, source, lang, text,
+          CAST(len(w) AS BIGINT) AS n_words,
+          round(list_sum(list_transform(w, x -> length(x)::DOUBLE)) / len(w), 4)
+            AS mean_word_len,
+          CAST(len(list_filter(w, x -> list_contains({stops}, x))) AS BIGINT)
+            AS stop_hits,
+          round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 4)
+            AS dup_2gram_frac
+        FROM g
+      ),
+      f AS (
+        SELECT *,
+          (n_words >= {R["min_words"]} AND n_words <= {R["max_words"]})
+            AS ok_word_count,
+          (mean_word_len >= {R["min_mean_word_length"]}
+           AND mean_word_len <= {R["max_mean_word_length"]})
+            AS ok_mean_word_len,
+          (stop_hits >= {R["min_stopword_hits"]}) AS ok_stopwords,
+          (dup_2gram_frac <= {R["max_dup_2gram_fraction"]}) AS ok_repetition
+        FROM m
+      )
+    """
+
+
 def _extension_oracles() -> dict[str, str]:
     cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
     cos_dq = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="q.embedding::DOUBLE[]")
+    gopher = _gopher_cte_sql()
     return {
+        "text_quality_gopher": f"""
+            WITH {gopher}
+            SELECT doc_id, n_words, mean_word_len, stop_hits, dup_2gram_frac,
+                   ok_word_count, ok_mean_word_len, ok_stopwords, ok_repetition,
+                   (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                    AND ok_repetition) AS keep
+            FROM f
+        """,
+        "text_repetition": f"""
+            WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+                 g AS (SELECT doc_id, list_transform(range(1, len(w)),
+                           i -> concat_ws(' ', w[i], w[i+1])) AS g2 FROM w),
+                 c AS (SELECT doc_id, ngram, count(*) AS cnt
+                       FROM (SELECT doc_id, unnest(g2) AS ngram FROM g)
+                       GROUP BY 1, 2)
+            SELECT doc_id, n_ngrams, top_count,
+                   round(top_count::DOUBLE / n_ngrams, 4) AS top_frac, top_ngram
+            FROM (
+                SELECT doc_id,
+                       CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+                         AS n_ngrams,
+                       CAST(cnt AS BIGINT) AS top_count, ngram AS top_ngram,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, ngram ASC) AS rn
+                FROM c
+            ) WHERE rn = 1
+        """,
+        "source_curation_stats": f"""
+            WITH {gopher},
+            per AS (
+                SELECT source, lang, {_QUALITY_SQL} AS quality,
+                       md5(array_to_string(list_sort({_TOKS_SQL}), ' '))
+                         AS fingerprint,
+                       CASE WHEN ok_word_count AND ok_mean_word_len
+                                 AND ok_stopwords AND ok_repetition
+                            THEN 1 ELSE 0 END AS keep
+                FROM f
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(1.0 - count(DISTINCT fingerprint)::DOUBLE / count(*), 4)
+                     AS dup_rate,
+                   CAST(sum(keep) AS BIGINT) AS n_kept
+            FROM per GROUP BY source
+        """,
+        "events_anomaly": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(e.value, 4) AS value,
+                   round((e.value - s.mu) / s.sigma, 4) AS z
+            FROM events e JOIN s USING (event_type)
+            WHERE abs((e.value - s.mu) / s.sigma) > 3
+        """,
+        "dedup_semantic_groups": f"""
+            WITH RECURSIVE
+              p AS (
+                  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM embeddings a JOIN embeddings b
+                    ON a.label = b.label AND a.vec_id < b.vec_id
+                  WHERE round({cos_ab}, 4) >= 0.4
+              ),
+              sym(s, t2) AS (
+                  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p
+              ),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t2 FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT pp.a, sy.t2 FROM paths pp JOIN sym sy ON pp.b = sy.s
+              )
+            SELECT a AS vec_id, min(b) AS keep_id FROM paths GROUP BY a
+        """,
         "dedup_exact_groups": f"""
             SELECT md5(array_to_string(list_sort({_TOKS_SQL}), ' ')) AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n
@@ -2589,40 +2807,45 @@ def _extension_oracles() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 #: Queries that already carry a full driver-green row (rows+schema+hash)
-#: from CORRECTNESS_r02.json and whose code is untouched since — safe to
+#: from CORRECTNESS_r03.json and whose code is untouched since — safe to
 #: place beyond the driver's 50-entry correctness window; the union of
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        "graph_nodes_project",
-        "graph_edges_project",
-        "graph_edge_resolution",
-        "graph_dangling_edges",
-        "graph_load_stats",
-        "graph_node_degrees",
-        "graph_connected_components",
-        "graph_cc_star",
-        "q6_forecast_revenue",
-        "q10_returned_revenue",
-        "q12_shipmode_priority",
-        "q4_order_priority",
-        "q13_customer_distribution",
-        "q16_supplier_exclusion",
-        "q17_small_quantity_revenue",
-        "q22_idle_customers",
-        "window_analytics",
-        "window_range_frame",
-        "agg_distinct_parts",
-        "rollup_lineitem",
-        "regression_stats",
-        "array_agg_orders",
-        "cube_lineitem",
-        "grouping_sets_lineitem",
-        "date_functions",
-        "approx_stats",
-        "set_ops_nations",
-        "scalar_functions",
-        "sort_limit",
+        "multimodal_features",
+        "text_token_frequencies",
+        "unpivot_orders",
+        "range_join_shipments",
+        "percentile_prices",
+        "exists_big_customers",
+        "running_revenue",
+        "q2_min_cost_supplier",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
+        "q19_bracket_revenue",
+        "q20_excess_shippers",
+        "q21_waiting_suppliers",
+        "dedup_exact_groups",
+        "dedup_ngram3_pairs",
+        "dedup_near_groups",
+        "dedup_edit_distance",
+        "similarity_topk",
+        "similarity_knn_join",
+        "text_stats",
+        "text_lang_id",
+        "text_fingerprint",
+        "text_rolling_hash",
+        "curation_pipeline",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "window_top_orders",
+        "window_distribution",
     }
 )
 
@@ -2637,66 +2860,15 @@ def _specs() -> dict[str, QuerySpec]:
     # queries without a prior driver-green row, new queries, and any query
     # whose implementation changed this round come FIRST. The trailing
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
-    # tests/test_catalog.py), whose r2 rows remain valid evidence.
+    # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- no driver row before round 3 (VERDICT r2 item 1) ------------
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "text_token_frequencies": q_text_token_frequencies,
-        "events_sessionize": q_events_sessionize,
-        "events_type_pivot": q_events_type_pivot,
-        "json_extract_events": q_json_extract_events,
-        "unpivot_orders": q_unpivot_orders,
-        "asof_purchase_click": q_asof_purchase_click,
-        "range_join_shipments": q_range_join_shipments,
-        "percentile_prices": q_percentile_prices,
-        "exists_big_customers": q_exists_big_customers,
-        "running_revenue": q_running_revenue,
-        # -- new in round 3: streaming-twin oracles (VERDICT item 5) -----
-        "events_attribution": q_events_attribution,
-        "events_dedup": q_events_dedup,
-        # -- new in round 3: TPC-H suite completion (all 22 shapes) ------
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        # -- families touched this round stay inside the window ----------
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
-        "dedup_near_groups": q_dedup_near_groups,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "similarity_topk": q_similarity_topk,
-        "similarity_knn_join": q_similarity_knn_join,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_rolling_hash": q_text_rolling_hash,
-        "curation_pipeline": q_curation_pipeline,
-        # -- relational headliners ---------------------------------------
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
-        "salted_agg_events": q_salted_agg_events,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
-        # -- reference-parity graph surface (driver-green r1+r2) ---------
+        # -- new in round 4: quality filtering / anomaly / semantic dedup -
+        "text_quality_gopher": q_text_quality_gopher,
+        "text_repetition": q_text_repetition,
+        "source_curation_stats": q_source_curation_stats,
+        "events_anomaly": q_events_anomaly,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
         "graph_edge_resolution": q_graph_edge_resolution,
@@ -2726,6 +2898,60 @@ def _specs() -> dict[str, QuerySpec]:
         "set_ops_nations": q_set_ops_nations,
         "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,
+        # -- events family: read_events changed this round (NTZ parquet) -
+        "events_hourly": q_events_hourly,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_sessionize": q_events_sessionize,
+        "events_type_pivot": q_events_type_pivot,
+        "events_attribution": q_events_attribution,
+        "events_dedup": q_events_dedup,
+        "json_extract_events": q_json_extract_events,
+        "asof_purchase_click": q_asof_purchase_click,
+        "salted_agg_events": q_salted_agg_events,
+        # -- approximate family: keep fresh evidence every round ---------
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
+        "multimodal_features": q_multimodal_features,
+        "text_token_frequencies": q_text_token_frequencies,
+        "unpivot_orders": q_unpivot_orders,
+        "range_join_shipments": q_range_join_shipments,
+        "percentile_prices": q_percentile_prices,
+        "exists_big_customers": q_exists_big_customers,
+        "running_revenue": q_running_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "similarity_topk": q_similarity_topk,
+        "similarity_knn_join": q_similarity_knn_join,
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_rolling_hash": q_text_rolling_hash,
+        "curation_pipeline": q_curation_pipeline,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
     }
     oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}

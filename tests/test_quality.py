@@ -1,0 +1,115 @@
+"""Gopher-style quality rules, repetition profiling, and PII scan/redact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+    redact_pii,
+    scan_pii,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+    DEFAULT_RULES,
+    gopher_keep_col,
+    gopher_quality,
+    top_ngram_coverage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs off to find "
+    "more interesting things in the forest for it is that kind of day "
+    "with many different words appearing just once each time around here"
+)
+
+
+def test_gopher_keep_and_flags(spark):
+    df = _docs(
+        spark,
+        [
+            (1, GOOD),  # passes everything
+            (2, "too short to keep"),  # fails word count
+            (3, " ".join(["spam"] * 60)),  # fails stopwords + repetition
+            (4, GOOD.replace("the", "tremendousness")),  # long words, few stops
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_stopwords"] is False
+    assert out[3]["ok_repetition"] is False  # "spam spam" repeats
+    assert out[3]["dup_2gram_frac"] == pytest.approx(1 - 1 / 59, abs=1e-4)
+    # keep column matches the standalone keep expression
+    keeps = df.select("doc_id", gopher_keep_col(F.col("text")).alias("k")).collect()
+    assert {r["doc_id"]: r["k"] for r in keeps} == {
+        i: out[i]["keep"] for i in out
+    }
+
+
+def test_gopher_metrics_values(spark):
+    df = _docs(spark, [(1, "aa bbb cccc aa the the")])
+    r = gopher_quality(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 6
+    assert r["mean_word_len"] == pytest.approx((2 + 3 + 4 + 2 + 3 + 3) / 6, abs=1e-4)
+    assert r["stop_hits"] == 2  # two occurrences of "the" (bag count)
+    # bigrams: [aa bbb, bbb cccc, cccc aa, aa the, the the] all distinct
+    assert r["dup_2gram_frac"] == 0.0
+
+
+def test_custom_rules_override(spark):
+    df = _docs(spark, [(1, GOOD)])
+    strict = gopher_quality(
+        df, "doc_id", "text", rules={"min_words": 10_000}
+    ).collect()[0]
+    assert strict["ok_word_count"] is False and strict["keep"] is False
+
+
+def test_top_ngram_coverage_mode_and_ties(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a"),  # bigrams: ab ba ab ba → tie, "a b" < "b a"
+            (2, "x y z x y"),  # xy yz zx xy → top = "x y" (2 of 4)
+        ],
+    )
+    out = {r["doc_id"]: r for r in top_ngram_coverage(df, "doc_id", "text").collect()}
+    assert out[1]["top_ngram"] == "a b" and out[1]["top_count"] == 2
+    assert out[1]["n_ngrams"] == 4 and out[1]["top_frac"] == 0.5
+    assert out[2]["top_ngram"] == "x y" and out[2]["top_frac"] == 0.5
+
+
+def test_rules_constants_sane():
+    assert DEFAULT_RULES["min_words"] < DEFAULT_RULES["max_words"]
+    assert 0 < DEFAULT_RULES["max_dup_2gram_fraction"] < 1
+
+
+PII_ROWS = [
+    (1, "contact bob.smith+x@corp.example.com or call 415-555-2671 now"),
+    (2, "server at 10.0.42.7 responded; backup at 192.168.0.1"),
+    (3, "no sensitive content in this perfectly ordinary sentence"),
+    (4, "twice alice@a.io and alice@a.io plus (212) 555-0000"),
+]
+
+
+def test_scan_pii_counts(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scan_pii(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["has_pii"] is True
+    assert out[3]["n_pii"] == 0 and out[3]["has_pii"] is False
+    assert out[4]["n_email"] == 2 and out[4]["n_phone"] == 1
+
+
+def test_redact_pii_replaces_all(spark):
+    df = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df, "text").collect()}
+    assert "[EMAIL]" in red[1] and "[PHONE]" in red[1]
+    assert "bob.smith" not in red[1] and "415" not in red[1]
+    assert red[2].count("[IPV4]") == 2
+    assert red[3] == PII_ROWS[2][1]  # untouched
+    # redaction into a separate column preserves the original
+    both = redact_pii(df, "text", out_col="clean").collect()
+    assert all(r["text"] != r["clean"] for r in both if r["doc_id"] != 3)

@@ -44,6 +44,9 @@ HEADLINE = [
     "events_sessionize",
     "asof_purchase_click",
     "range_join_shipments",
+    # round 4: quality-filter family
+    "text_quality_gopher",
+    "dedup_semantic_groups",
 ]
 
 

@@ -554,6 +554,13 @@ def near_dup_groups(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     """
     from .graph_algo import connected_components_star
 
+    # Materialize the pair set ONCE before fanning out: it feeds the node
+    # universe, the CC edge set, and star-CC's own initial checkpoint —
+    # and it is typically the OUTPUT of an expensive LSH/blocked join
+    # that must not be recomputed per consumer (measured 2× the full
+    # embedding pair join without this). localCheckpoint also truncates
+    # the join lineage so CC rounds re-plan from a flat scan.
+    pairs = pairs.localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("id_a").alias("nodeId"))
         .unionByName(pairs.select(F.col("id_b").alias("nodeId")))

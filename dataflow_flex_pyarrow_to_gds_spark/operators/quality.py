@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from .dedup import tokens_col
 from .text import STOPWORDS
 
+def spread_to_cluster(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy narrow stage has at least cluster parallelism.
+
+    No-op (and no exchange) when the input already has ≥ defaultParallelism
+    splits — the normal case for real many-file tables; only small or
+    unsplittable inputs (single row-group files) pay one cheap exchange
+    instead of pinning the whole pass to one task.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # per-document metric columns (all narrow, JVM-side)
 # ---------------------------------------------------------------------------
@@ -111,8 +125,18 @@ def gopher_quality(
     intermediate select so each array expression is evaluated a single
     time, then the flags are cheap comparisons. At 100 TB this is
     scan-bound with full column pruning (only id + text are read).
+
+    The metric expressions are CPU-heavy per row (tokenize + n-gram +
+    three array folds), so when the INPUT has fewer splits than the
+    cluster has cores (the single-row-group local file; a handful of
+    giant unsplittable files), the pass is first spread across the
+    cluster — same trap and same cure as the simhash signature stage
+    (measured 7.6 s single-task vs 0.6 s spread at sf0.1). Real
+    many-file inputs already have ≥cores splits and skip the exchange
+    entirely, keeping the pass purely narrow.
     """
     r = {**DEFAULT_RULES, **(rules or {})}
+    df = spread_to_cluster(df)
     words = words_col(F.col(text_col))
     m = df.select(
         F.col(id_col),
@@ -179,7 +203,7 @@ def top_ngram_coverage(
     ever leaves the row it came from. Ties on count break by the
     lexicographically smallest n-gram (deterministic cross-engine).
     """
-    grams = df.select(
+    grams = spread_to_cluster(df).select(
         F.col(id_col),
         F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("ngram"),
     )

@@ -2156,10 +2156,10 @@ def q_source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one low-cardinality shuffle on source."""
     from .operators import text as X
     from .operators.dedup import normalized_fingerprint_col
-    from .operators.quality import gopher_keep_col
+    from .operators.quality import gopher_keep_col, spread_to_cluster
 
     t = F.col("text")
-    per = _t(spark, sf_dir, "documents").select(
+    per = spread_to_cluster(_t(spark, sf_dir, "documents")).select(
         "source",
         "lang",
         F.round(X.quality_score_col(t), 4).alias("quality"),

@@ -130,6 +130,41 @@ CHECKS: list[tuple[str, str, object]] = [
         lambda p: "TakeOrderedAndProject" in p
         and not re.findall(r"\(\d+\) Exchange", p),
     ),
+    (
+        "text_quality_gopher",
+        "quality rules are one narrow pass (plus at most the "
+        "parallelism-spreading round-robin exchange for unsplittable "
+        "local files); scan pruned to (doc_id, text)",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+        and "hashpartitioning" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "text_repetition",
+        "mode computation is explode + two-level agg: at most 2 hash "
+        "exchanges (+1 optional spread), no window over exploded rows",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 3
+        and "Window" not in p,
+    ),
+    (
+        "source_curation_stats",
+        "per-source profile reads only (source, lang, text)",
+        lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 3,
+    ),
+    (
+        "events_anomaly",
+        "per-type moments broadcast back over the stream (no window "
+        "partitioned by the 5-value event_type)",
+        lambda p: "BroadcastHashJoin" in p and "Window" not in p,
+    ),
+    (
+        "dedup_semantic_groups",
+        "semantic dedup pair generation is label-blocked equi-join, "
+        "never an all-pairs cartesian product",
+        lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    ),
 ]
 
 

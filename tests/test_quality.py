@@ -113,3 +113,39 @@ def test_redact_pii_replaces_all(spark):
     # redaction into a separate column preserves the original
     both = redact_pii(df, "text", out_col="clean").collect()
     assert all(r["text"] != r["clean"] for r in both if r["doc_id"] != 3)
+
+
+# ---------------------------------------------------------------------------
+# generative: Spark metrics == pure-Python twin on random word bags
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_metrics_match_python_twin_generative(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(
+        ["the", "a", "of", "cat", "dog", "spam", "tremendousness", "xy", "zq"]
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(word, min_size=2, max_size=40))
+    def check(words):
+        text = " ".join(words)
+        r = gopher_quality(_docs(spark, [(1, text)]), "doc_id", "text").collect()[0]
+        stops = {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"}
+        grams = [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+        assert r["n_words"] == len(words)
+        assert r["mean_word_len"] == pytest.approx(
+            sum(map(len, words)) / len(words), abs=1e-4
+        )
+        assert r["stop_hits"] == sum(w in stops for w in words)
+        assert r["dup_2gram_frac"] == pytest.approx(
+            1 - len(set(grams)) / len(grams), abs=1e-4
+        )
+
+    check()

@@ -2227,6 +2227,18 @@ def q_dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-balancing downsample: keep ≤15 docs per
+    source, chosen by portable content hash — reproducible on any
+    cluster/partitioning and row-for-row recomputable by the oracle
+    (unlike seed-based sample(), which no external engine can check)."""
+    from .operators.sampling import cap_per_group
+
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", cap=15
+    )
+
+
 def _lang_case_sql() -> str:
     from .operators.text import STOPWORDS
 
@@ -2406,6 +2418,23 @@ def _extension_oracles() -> dict[str, str]:
                    round((e.value - s.mu) / s.sigma, 4) AS z
             FROM events e JOIN s USING (event_type)
             WHERE abs((e.value - s.mu) / s.sigma) > 3
+        """,
+        "sample_per_source_cap": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT >= 2147483648
+                             THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT - 4294967296
+                             ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT END) * 4294967296
+                       + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS hv
+                FROM documents
+            )
+            SELECT doc_id, source, sample_rank FROM (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (
+                           PARTITION BY source ORDER BY hv, doc_id
+                       ) AS BIGINT) AS sample_rank
+                FROM h
+            ) WHERE sample_rank <= 15
         """,
         "dedup_semantic_groups": f"""
             WITH RECURSIVE
@@ -2812,6 +2841,7 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        "similarity_ivf_topk",
         "multimodal_features",
         "text_token_frequencies",
         "unpivot_orders",
@@ -2868,6 +2898,7 @@ def _specs() -> dict[str, QuerySpec]:
         "source_curation_stats": q_source_curation_stats,
         "events_anomaly": q_events_anomaly,
         "dedup_semantic_groups": q_dedup_semantic_groups,
+        "sample_per_source_cap": q_sample_per_source_cap,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
@@ -2915,9 +2946,9 @@ def _specs() -> dict[str, QuerySpec]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,
         "unpivot_orders": q_unpivot_orders,

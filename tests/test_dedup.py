@@ -358,3 +358,36 @@ def test_minhash_skewed_bucket_triggers_aqe_skew_split(spark):
     assert all(abs(r["jaccard"] - 50 / 52) < 1e-6 for r in rows)
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, "AQE skew-join split did not fire on the hot bucket"
+
+
+def test_lsh_bucket_cols_matches_signature_composition(spark):
+    """lsh_bucket_cols must stay bit-identical to the naive
+    lsh_band_col(minhash_signature_col(...)) composition — candidate
+    generation (and therefore recall) depends on exact bucket equality."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        lsh_band_col,
+        lsh_bucket_cols,
+        minhash_signature_col,
+        shingles_col,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.array_distinct(
+            F.transform(
+                shingles_col(tokens_col(F.col("text")), 1),
+                lambda x: F.xxhash64(x),
+            )
+        ).alias("_sh"),
+    )
+    old = base.select(
+        "_id",
+        F.transform(
+            lsh_band_col(minhash_signature_col(F.col("_sh"), 24 * 4), 24, 4),
+            lambda bb: bb["bucket"],
+        ).alias("b"),
+    ).collect()
+    new = base.select("_id", lsh_bucket_cols(F.col("_sh"), 24, 4).alias("b")).collect()
+    assert [r["b"] for r in old] == [r["b"] for r in new]

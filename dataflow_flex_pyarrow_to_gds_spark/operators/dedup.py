@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # tokenization / normalization primitives
@@ -575,7 +576,12 @@ def simhash_pairs(
 # near-dup group collapse (pairs → components → keepers)
 # ---------------------------------------------------------------------------
 
-def near_dup_groups(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
+def near_dup_groups(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+    driver_cc_max_pairs: int = 2_000_000,
+) -> DataFrame:
     """Collapse a near-duplicate PAIR set into groups: (doc_id, keep_id)
     where keep_id = the minimum id reachable through any chain of pairs
     (transitive closure — near-dup is not transitive, but curation
@@ -587,6 +593,15 @@ def near_dup_groups(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     dup-heavy corpora produce. Only ids that appear in some pair are
     returned — rows absent from ``pairs`` are their own keeper by
     definition and need no shuffle at all.
+
+    Size-gated fast path: at or below ``driver_cc_max_pairs`` the
+    (already materialized) pair set is collected and closed with a
+    driver union-find — identical output, milliseconds instead of
+    ≈log n rounds of cluster jobs whose fixed overhead dominates small
+    graphs. The gate is the same policy as ``broadcast_max_docs``: the
+    pair set is the *output* of dedup (tiny next to the corpus), two
+    longs per row, ≤ ~32 MB at the default gate; corpora whose pair
+    graphs exceed it take the distributed star-CC path unchanged.
     """
     from .graph_algo import connected_components_star
 
@@ -597,6 +612,34 @@ def near_dup_groups(pairs: DataFrame, *, max_iter: int = 25) -> DataFrame:
     # embedding pair join without this). localCheckpoint also truncates
     # the join lineage so CC rounds re-plan from a flat scan.
     pairs = pairs.localCheckpoint(eager=True)
+    if pairs.count() <= driver_cc_max_pairs:
+        rows = pairs.select("id_a", "id_b").collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the group min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = {x for ab in rows for x in ab}
+        out = [(x, find(x)) for x in sorted(members)]
+        id_type = pairs.schema["id_a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("keep_id", id_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     nodes = (
         pairs.select(F.col("id_a").alias("nodeId"))
         .unionByName(pairs.select(F.col("id_b").alias("nodeId")))

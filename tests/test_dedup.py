@@ -391,3 +391,23 @@ def test_lsh_bucket_cols_matches_signature_composition(spark):
     ).collect()
     new = base.select("_id", lsh_bucket_cols(F.col("_sh"), 24, 4).alias("b")).collect()
     assert [r["b"] for r in old] == [r["b"] for r in new]
+
+
+def test_near_dup_groups_driver_and_star_paths_agree(spark):
+    """The size-gated driver union-find fast path must produce exactly
+    the distributed star-CC output (same min-reachable-id semantics),
+    including chains (A-B, B-C -> all keep A) and disjoint groups."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(map(tuple, near_dup_groups(pairs).collect()))
+    dist = sorted(map(tuple, near_dup_groups(pairs, driver_cc_max_pairs=0).collect()))
+    assert fast == dist
+    assert fast == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    ]

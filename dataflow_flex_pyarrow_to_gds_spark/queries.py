@@ -2239,6 +2239,66 @@ def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation funnel in ONE declarative plan — what a real
+    100 TB pre-training run executes end to end: Gopher-rule quality
+    filter → exact-dedup keeper policy (min doc_id per normalized
+    fingerprint) → deterministic per-source cap (10) → per-source funnel
+    counts. One narrow metric pass, one groupBy(fingerprint), one window
+    on source, one final low-cardinality aggregate; Catalyst fuses the
+    stage predicates into a single pipeline."""
+    from .operators.dedup import normalized_fingerprint_col
+    from .operators.quality import gopher_keep_col, spread_to_cluster
+    from .operators.sampling import hash_of_id_col
+
+    t = F.col("text")
+    docs = spread_to_cluster(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        gopher_keep_col(t).alias("keep"),
+        normalized_fingerprint_col(t).alias("fingerprint"),
+    )
+    quality = docs.filter(F.col("keep"))
+    keeper = (
+        quality.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    capped = (
+        keeper.withColumn(
+            "_sr",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    hash_of_id_col("doc_id"), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_sr") <= 10)
+        .drop("_sr")
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_quality = quality.groupBy("source").agg(F.count("*").alias("n_quality"))
+    n_dedup = keeper.groupBy("source").agg(F.count("*").alias("n_dedup"))
+    n_final = capped.groupBy("source").agg(F.count("*").alias("n_final"))
+    return (
+        n_docs.join(n_quality, "source", "left_outer")
+        .join(n_dedup, "source", "left_outer")
+        .join(n_final, "source", "left_outer")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_dedup", F.lit(0)).alias("n_dedup"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )
+
+
 def _lang_case_sql() -> str:
     from .operators.text import STOPWORDS
 
@@ -2316,6 +2376,16 @@ def _simhash_oracle_sql(max_distance: int = 3) -> str:
 #: bag-of-words (duplicates preserved, empties dropped) — the Gopher-rule
 #: tokenization; mirrors operators.quality.words_col exactly
 _WORDS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+
+#: DuckDB twin of operators.sampling.hash_of_id_col (portable md5-derived
+#: signed 64-bit hash of the stringified doc_id) — same arithmetic as the
+#: simhash oracle's token hash
+_ID_HASH_SQL = """
+    (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT >= 2147483648
+          THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT - 4294967296
+          ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT END) * 4294967296
+    + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+"""
 
 
 def _gopher_cte_sql() -> str:
@@ -2419,14 +2489,9 @@ def _extension_oracles() -> dict[str, str]:
             FROM events e JOIN s USING (event_type)
             WHERE abs((e.value - s.mu) / s.sigma) > 3
         """,
-        "sample_per_source_cap": """
+        "sample_per_source_cap": f"""
             WITH h AS (
-                SELECT doc_id, source,
-                       (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT >= 2147483648
-                             THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT - 4294967296
-                             ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT END) * 4294967296
-                       + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS hv
-                FROM documents
+                SELECT doc_id, source, {_ID_HASH_SQL} AS hv FROM documents
             )
             SELECT doc_id, source, sample_rank FROM (
                 SELECT doc_id, source,
@@ -2435,6 +2500,44 @@ def _extension_oracles() -> dict[str, str]:
                        ) AS BIGINT) AS sample_rank
                 FROM h
             ) WHERE sample_rank <= 15
+        """,
+        "curation_full_funnel": f"""
+            WITH {gopher},
+            d AS (
+                SELECT doc_id, source,
+                       (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                        AND ok_repetition) AS keep,
+                       md5(array_to_string(list_sort({_TOKS_SQL}), ' '))
+                         AS fingerprint,
+                       {_ID_HASH_SQL} AS hv
+                FROM f
+            ),
+            q AS (SELECT * FROM d WHERE keep),
+            k AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                    FROM q
+                ) WHERE rn = 1
+            ),
+            capped AS (
+                SELECT * FROM (
+                    SELECT doc_id, source, row_number() OVER (
+                        PARTITION BY source ORDER BY hv, doc_id) AS sr
+                    FROM k
+                ) WHERE sr <= 10
+            )
+            SELECT a.source, a.n_docs,
+                   COALESCE(b.n_quality, 0) AS n_quality,
+                   COALESCE(c2.n_dedup, 0) AS n_dedup,
+                   COALESCE(e.n_final, 0) AS n_final
+            FROM (SELECT source, count(*) AS n_docs FROM d GROUP BY 1) a
+            LEFT JOIN (SELECT source, count(*) AS n_quality FROM q GROUP BY 1) b
+              USING (source)
+            LEFT JOIN (SELECT source, count(*) AS n_dedup FROM k GROUP BY 1) c2
+              USING (source)
+            LEFT JOIN (SELECT source, count(*) AS n_final FROM capped GROUP BY 1) e
+              USING (source)
         """,
         "dedup_semantic_groups": f"""
             WITH RECURSIVE
@@ -2841,6 +2944,7 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        "similarity_lsh_topk",
         "similarity_ivf_topk",
         "multimodal_features",
         "text_token_frequencies",
@@ -2899,6 +3003,7 @@ def _specs() -> dict[str, QuerySpec]:
         "events_anomaly": q_events_anomaly,
         "dedup_semantic_groups": q_dedup_semantic_groups,
         "sample_per_source_cap": q_sample_per_source_cap,
+        "curation_full_funnel": q_curation_full_funnel,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
@@ -2945,9 +3050,9 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
+        "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,

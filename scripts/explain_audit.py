@@ -165,6 +165,14 @@ CHECKS: list[tuple[str, str, object]] = [
         "never an all-pairs cartesian product",
         lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
+    (
+        "sample_per_source_cap",
+        "deterministic cap is one shuffle on the group key + a rank "
+        "window — no extra exchanges, scan pruned to (doc_id, source)",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
 ]
 
 

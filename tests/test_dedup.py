@@ -411,3 +411,31 @@ def test_near_dup_groups_driver_and_star_paths_agree(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     ]
+
+
+def test_repeated_passage_profile_fixture(spark):
+    """Two docs sharing an 8-word passage are flagged span-for-span; a
+    doc with no cross-doc 8-gram has dup_fraction 0; short docs (<8
+    words) are omitted."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        repeated_passage_profile,
+    )
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),          # grams 1-3 hit the shared span
+            (2, "prefix " + shared),               # grams 2-2... shares the span
+            (3, "totally different words with no overlap at all here"),
+            (4, "short doc"),                      # <8 words -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repeated_passage_profile(df, "doc_id", "text").collect()}
+    assert 4 not in out
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    # doc1: 3 grams total ("one..eight", "two..alpha", "three..beta");
+    # only the exact shared 8-gram also occurs in doc2
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 2 and out[2]["n_dup_grams"] == 1
+    assert out[1]["dup_fraction"] == round(1 / 3, 4)

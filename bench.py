@@ -48,6 +48,7 @@ HEADLINE = [
     "text_quality_gopher",
     "dedup_semantic_groups",
     "curation_full_funnel",
+    "dedup_repeated_passages",
 ]
 
 

@@ -52,13 +52,16 @@ def word_count_col(words: Column) -> Column:
 
 
 def mean_word_length_col(words: Column) -> Column:
-    """Mean character length of the words (double; null on empty docs)."""
+    """Mean character length of the words (double; null on empty docs —
+    try_divide, because ANSI mode turns the 0-word division into a hard
+    ArithmeticException and empty documents are routine in real corpora;
+    DuckDB's x/0 is NULL, so oracle parity holds on empty docs too)."""
     total = F.aggregate(
         F.transform(words, lambda w: F.length(w).cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return total / F.size(words)
+    return F.try_divide(total, F.size(words))
 
 
 def stopword_hits_col(words: Column, stopwords: list[str] | None = None) -> Column:
@@ -90,8 +93,10 @@ def dup_ngram_fraction_col(words: Column, n: int) -> Column:
     repetition; → 1 as the document degenerates to a loop). The
     array-local analogue of Rae et al.'s duplicate-n-gram filters."""
     grams = ngrams_col(words, n)
-    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(
-        grams
+    # try_divide: a doc with < n words has zero n-grams, which under ANSI
+    # would be a hard divide-by-zero; null means "no repetition signal".
+    return F.lit(1.0) - F.try_divide(
+        F.size(F.array_distinct(grams)).cast("double"), F.size(grams)
     )
 
 

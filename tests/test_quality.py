@@ -149,3 +149,17 @@ def test_gopher_metrics_match_python_twin_generative(spark):
         )
 
     check()
+
+
+def test_quality_ops_tolerate_null_and_empty_text(spark):
+    """Null/empty text must not error under ANSI mode: metrics go null
+    (null text) or degenerate (empty string), keep never crashes the
+    plan, and downstream filters drop the null verdicts."""
+    df = _docs(spark, [(1, None), (2, ""), (3, "the quick brown fox")])
+    rows = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert rows[1]["keep"] is None          # null text -> null verdict
+    assert rows[2]["n_words"] == 0          # "" splits to zero words
+    assert rows[3]["n_words"] == 4
+    kept = df.select("doc_id", gopher_keep_col(F.col("text")).alias("k")) \
+             .filter(F.col("k")).collect()
+    assert {r["doc_id"] for r in kept} == set()  # none pass the rules

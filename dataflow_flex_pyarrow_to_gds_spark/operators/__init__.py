@@ -17,6 +17,10 @@ from .similarity import (
     embedding_near_dup_pairs_blocked,
 )
 from .text import profile_documents
+from .quality import gopher_quality, top_ngram_coverage, with_gopher_keep
+from .pii import redact_pii, scan_pii
+from .sampling import cap_per_group, deterministic_sample
+from .dedup import near_dup_groups, repeated_passage_profile
 
 __all__ = [
     "project_nodes",
@@ -40,4 +44,13 @@ __all__ = [
     "ivf_topk",
     "embedding_near_dup_pairs_blocked",
     "profile_documents",
+    "gopher_quality",
+    "top_ngram_coverage",
+    "with_gopher_keep",
+    "redact_pii",
+    "scan_pii",
+    "cap_per_group",
+    "deterministic_sample",
+    "near_dup_groups",
+    "repeated_passage_profile",
 ]

@@ -439,3 +439,55 @@ def test_repeated_passage_profile_fixture(spark):
     assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
     assert out[2]["n_grams"] == 2 and out[2]["n_dup_grams"] == 1
     assert out[1]["dup_fraction"] == round(1 / 3, 4)
+
+
+def test_repeated_passage_profile_matches_python_twin_generative(spark):
+    """Random small corpora vs a pure-Python recomputation of the
+    per-doc duplicated-span profile (n=3 grams so short docs qualify)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        repeated_passage_profile,
+    )
+
+    word = st.sampled_from(["a", "b", "c", "d"])
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus)
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in repeated_passage_profile(
+                df, "doc_id", "text", n=3, min_docs=2
+            ).collect()
+        }
+        grams = {
+            i: [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+            for i, ws in enumerate(docs)
+        }
+        docs_per_gram = Counter()
+        for i, gs in grams.items():
+            for g in set(gs):
+                docs_per_gram[g] += 1
+        expect = {
+            i: (len(gs), sum(docs_per_gram[g] >= 2 for g in gs))
+            for i, gs in enumerate(grams.values())
+            if gs
+        }
+        assert got == expect
+
+    check()

@@ -58,3 +58,49 @@ def test_deterministic_sample_rate_and_consistency(spark, sf_dir):
     assert {r["doc_id"] for r in s_small.collect()} <= {
         r["doc_id"] for r in s.collect()
     }
+
+
+def test_cap_per_group_matches_python_twin_generative(spark):
+    """Random (group, id) tables vs a pure-Python recomputation of the
+    lowest-cap-by-(md5hash, id) survivor set."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def py_hash(i):
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["g1", "g2", "g3"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {
+            (r["doc_id"], r["source"], r["sample_rank"])
+            for r in cap_per_group(df, "source", "doc_id", cap=3).collect()
+        }
+        expect = set()
+        by_group = {}
+        for i, g in rows:
+            by_group.setdefault(g, []).append(i)
+        for g, ids in by_group.items():
+            ranked = sorted(ids, key=lambda i: (py_hash(i), i))[:3]
+            expect |= {(i, g, rank + 1) for rank, i in enumerate(ranked)}
+        assert got == expect
+
+    check()

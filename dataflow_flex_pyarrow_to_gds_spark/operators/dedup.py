@@ -30,6 +30,22 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def spread_to_cluster(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy narrow stage has at least cluster parallelism.
+
+    No-op (and no exchange) when the input already has ≥ defaultParallelism
+    splits — the normal case for real many-file tables; only small or
+    unsplittable inputs (single row-group files) pay one cheap exchange
+    instead of pinning the whole pass to one task. The unconditional
+    ``repartition`` it replaces would shuffle the entire corpus at scale
+    for no benefit.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # tokenization / normalization primitives
 # ---------------------------------------------------------------------------
@@ -283,7 +299,7 @@ def minhash_lsh_pairs(
         # persisted: extra references prune to cheap scan+shingle, while
         # persisting breaks scan→shingle→signature codegen fusion
         # (measured net +2.7 s at sf0.1).
-        base = base.repartition(spark.sparkContext.defaultParallelism)
+        base = spread_to_cluster(base)
 
     # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
     # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
@@ -499,14 +515,16 @@ def simhash_pairs(
     offsets = [sum(widths[:i]) for i in range(num_chunks)]
 
     sigs = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        # A null text yields a null signature that the null-intolerant
-        # join condition would drop anyway — drop the row here while it
-        # is still cheap to test.
-        .filter(F.col("_text").isNotNull())
         # bit-vote aggregation is CPU-heavy per row — don't let a
-        # single-file input pin it to one task (same trap as minhash)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # single-file input pin it to one task (same trap as minhash);
+        # many-file inputs skip the exchange entirely.
+        spread_to_cluster(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+            # A null text yields a null signature that the null-intolerant
+            # join condition would drop anyway — drop the row here while
+            # it is still cheap to test.
+            .filter(F.col("_text").isNotNull())
+        )
         .select(
             "_id",
             # coalesce makes the signature STATICALLY non-nullable (it can
@@ -602,7 +620,7 @@ def repeated_passage_profile(
     re-aggregates per doc. Hash collisions merge distinct grams with
     probability ~|grams|²/2⁶⁴ — negligible against any real corpus.
     """
-    from .quality import ngrams_col, spread_to_cluster, words_col
+    from .quality import ngrams_col, words_col
 
     grams = spread_to_cluster(df).select(
         F.col(id_col).alias("_id"),

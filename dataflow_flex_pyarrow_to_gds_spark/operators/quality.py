@@ -20,22 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens_col
+from .dedup import spread_to_cluster, tokens_col  # noqa: F401  (re-export)
 from .text import STOPWORDS
-
-def spread_to_cluster(df: DataFrame) -> DataFrame:
-    """Ensure a CPU-heavy narrow stage has at least cluster parallelism.
-
-    No-op (and no exchange) when the input already has ≥ defaultParallelism
-    splits — the normal case for real many-file tables; only small or
-    unsplittable inputs (single row-group files) pay one cheap exchange
-    instead of pinning the whole pass to one task.
-    """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
-
 
 # ---------------------------------------------------------------------------
 # per-document metric columns (all narrow, JVM-side)

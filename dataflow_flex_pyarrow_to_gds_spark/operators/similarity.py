@@ -361,8 +361,11 @@ def embedding_near_dup_pairs_lsh(
     )
     # bucket computation is the CPU-heavy narrow stage (L × nbits × dim
     # mul-adds per row) — spread it before computing, single-file inputs
-    # would otherwise pin it to one task
-    pre = slim.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    # would otherwise pin it to one task (many-file inputs skip the
+    # exchange entirely)
+    from .dedup import spread_to_cluster
+
+    pre = spread_to_cluster(slim).select(
         "_id",
         F.array(*[t.bucket_col(F.col("_v")) for t in tables]).alias("_bks"),
     )

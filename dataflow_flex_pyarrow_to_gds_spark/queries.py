@@ -2985,8 +2985,10 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        "dedup_simhash_pairs",
-        "embedding_near_dup_lsh",
+        # r1+r2-green, untouched since r1 (built-in expression shapes)
+        "scalar_functions",
+        "sort_limit",
+        # r3-green, untouched this round
         "embedding_near_dup",
         "similarity_lsh_topk",
         "similarity_ivf_topk",
@@ -3075,8 +3077,6 @@ def _specs() -> dict[str, QuerySpec]:
         "date_functions": q_date_functions,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
-        "scalar_functions": q_scalar_functions,
-        "sort_limit": q_sort_limit,
         # -- events family: read_events changed this round (NTZ parquet) -
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
@@ -3090,12 +3090,14 @@ def _specs() -> dict[str, QuerySpec]:
         "salted_agg_events": q_salted_agg_events,
         # -- implementations touched this round stay inside the window ---
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_stats": q_text_stats,
         "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r3-green) -------
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
+        "scalar_functions": q_scalar_functions,
+        "sort_limit": q_sort_limit,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,

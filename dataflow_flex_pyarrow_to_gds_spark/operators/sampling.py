@@ -52,6 +52,84 @@ def cap_per_group(
     )
 
 
+def cap_per_group_two_phase(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    *,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Skew-resistant twin of :func:`cap_per_group` — identical output
+    (asserted by an equivalence test), different physical shape.
+
+    The single-window form funnels each group through one task; a group
+    holding half the corpus becomes a straggler no AQE rule splits
+    (skew-join splitting does not apply to windows). Here the heavy
+    window never sees the big groups:
+
+    1. per-group counts — a partially-aggregated groupBy, skew-immune;
+    2. analytic threshold: the hash is uniform over int64, so the
+       expected ``safety·cap``-th smallest of ``|g|`` draws sits at
+       ``LONG_MIN + safety·cap/|g| · 2⁶⁴`` — pure arithmetic on the
+       count, no quantile sketch;
+    3. narrow filter ``hash ≤ threshold`` keeps ≈ safety·cap rows per
+       group (undershoot probability is the binomial lower tail at
+       1/safety of the mean — negligible at safety 4), and the rank
+       window runs over survivors only, never the raw group;
+    4. exactness guard: any group whose survivor count came in under
+       ``cap`` while the group itself is larger (binomial-tail
+       undershoot) is re-ranked from the full data — only those groups,
+       via a broadcast semi join on the tiny group list.
+    """
+    h = hash_of_id_col(id_col)
+    hashed = df.select(
+        F.col(id_col), F.col(group_col), h.alias("_hv")
+    )
+    counts = hashed.groupBy(group_col).agg(F.count("*").alias("_n"))
+    frac = F.least(F.lit(1.0), F.lit(float(safety * cap)) / F.col("_n"))
+    stats = counts.select(
+        group_col,
+        "_n",
+        # double→long under ANSI throws on overflow; a frac near 1 means
+        # "keep everything", so clamp to LONG_MAX before the cast bites
+        F.when(frac >= 0.99, F.lit((1 << 63) - 1))
+        .otherwise(
+            (F.lit(float(-(2**63))) + frac * F.lit(float(2**64))).cast("long")
+        )
+        .alias("_thr"),
+    )
+    survivors = hashed.join(F.broadcast(stats), group_col).filter(
+        (F.col("_n") <= cap) | (F.col("_hv") <= F.col("_thr"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.col("_hv"), F.col(id_col))
+    ranked = survivors.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("_n"),
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    )
+    ok = ranked.filter(F.col("sample_rank") <= cap)
+    # groups where the filter undershot the cap (possible only when the
+    # group is bigger than its survivor set) re-rank exactly
+    short = (
+        ranked.groupBy(group_col, "_n")
+        .agg(F.max("sample_rank").alias("_kept"))
+        .filter((F.col("_kept") < cap) & (F.col("_n") > F.col("_kept")))
+        .select(group_col)
+    )
+    redo = hashed.join(F.broadcast(short), group_col, "left_semi").select(
+        F.col(id_col),
+        F.col(group_col),
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+    ).filter(F.col("sample_rank") <= cap)
+    return (
+        ok.join(F.broadcast(short), group_col, "left_anti")
+        .select(id_col, group_col, "sample_rank")
+        .unionByName(redo)
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, *, rate: float, buckets: int = 10_000
 ) -> DataFrame:

@@ -104,3 +104,39 @@ def test_cap_per_group_matches_python_twin_generative(spark):
         assert got == expect
 
     check()
+
+
+def test_cap_per_group_two_phase_equivalence(spark, sf_dir):
+    """The skew-resistant two-phase cap must produce EXACTLY the
+    single-window output — on the real table and on a skewed fixture
+    (one group with 5000 rows vs caps of 7), including the
+    quantile-undershoot fallback path at a tiny safety factor."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        cap_per_group_two_phase,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, cap_per_group(docs, "source", "doc_id", cap=5).collect()))
+    b = sorted(
+        map(tuple, cap_per_group_two_phase(docs, "source", "doc_id", cap=5).collect())
+    )
+    assert a == b
+
+    skewed = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4900, "hot").otherwise(
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+        ).alias("source"),
+    )
+    a = sorted(map(tuple, cap_per_group(skewed, "source", "doc_id", cap=7).collect()))
+    for safety in (4.0, 1.05):  # 1.05 forces the undershoot fallback path
+        b = sorted(
+            map(
+                tuple,
+                cap_per_group_two_phase(
+                    skewed, "source", "doc_id", cap=7, safety=safety
+                ).collect(),
+            )
+        )
+        assert a == b, f"safety={safety}"

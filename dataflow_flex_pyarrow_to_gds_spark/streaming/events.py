@@ -322,3 +322,24 @@ def dedup_events_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def enrich_events_stream(
+    spark: SparkSession,
+    src_path: str,
+    dim: DataFrame,
+    *,
+    on: str = "event_type",
+) -> DataFrame:
+    """Stream-static enrichment join: a micro-batch stream joined against
+    a static dimension table. The static side broadcasts per micro-batch
+    (no state store involved — unlike stream-stream joins this is
+    stateless), which is exactly how reference data (label maps, per-type
+    weights, domain allowlists) attaches to a 100 TB/day event stream.
+    The batch twin is an ordinary broadcast join — parity-tested.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+    return stream.join(F.broadcast(dim), on).select(
+        "event_id", "ts", "user_id", on, "value",
+        *[c for c in dim.columns if c != on],
+    )

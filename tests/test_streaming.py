@@ -252,3 +252,41 @@ def test_streaming_dedup_within_watermark_variant(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert n == len(keys)  # exactly one survivor per key
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join parity: draining the stream yields
+    exactly the batch join (stateless — every micro-batch sees the full
+    static side)."""
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        enrich_events_stream,
+        read_events,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 0.1), ("view", 0.2), ("purchase", 5.0),
+         ("signup", 2.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    src = str(tmp_path / "events_stream")
+    read_events(spark, sf_dir).write.parquet(src)
+    q = (
+        enrich_events_stream(spark, src, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_id, weight FROM enriched ORDER BY event_id"
+    ).collect()
+    batch = (
+        read_events(spark, sf_dir)
+        .join(dim, "event_type")
+        .select("event_id", "weight")
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]

@@ -2214,13 +2214,14 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup end to end: embedding near-dup pairs
-    (label-blocked exact cosine ≥ 0.4) collapsed to groups via
-    large-star/small-star transitive closure → (vec_id, keep_id). Oracle
-    = exhaustive blocked pair join + recursive-CTE closure."""
+    (label-blocked exact cosine ≥ 0.4, BLAS block-matmul path — pair-
+    identical to the expression path, ~7× faster) collapsed to groups via
+    transitive closure → (vec_id, keep_id). Oracle = exhaustive blocked
+    pair join + recursive-CTE closure."""
     from .operators.dedup import near_dup_groups
-    from .operators.similarity import embedding_near_dup_pairs_blocked
+    from .operators.similarity import embedding_near_dup_pairs_blocked_np
 
-    pairs = embedding_near_dup_pairs_blocked(
+    pairs = embedding_near_dup_pairs_blocked_np(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label",
         threshold=0.4,
     )

@@ -169,3 +169,33 @@ def test_text_ratios_tolerate_empty_text(spark):
     assert rows[1]["q"] == 1.0
     assert rows[2]["a"] == pytest.approx(6 / 7)
     assert rows[2]["d"] == pytest.approx(0.5)
+
+
+def test_blocked_np_pairs_match_expression_path(spark, sf_dir):
+    """The BLAS block-matmul pair generator must be pair-identical to
+    the expression path (including 4-decimal rounded sims) — on the real
+    table and with a tiny chunk size forcing the striped-matmul code."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        embedding_near_dup_pairs_blocked_np,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(
+        map(
+            tuple,
+            embedding_near_dup_pairs_blocked(
+                emb, "vec_id", "embedding", "label", threshold=0.4
+            ).collect(),
+        )
+    )
+    for chunk in (2048, 7):  # 7 forces many stripes per block
+        b = sorted(
+            map(
+                tuple,
+                embedding_near_dup_pairs_blocked_np(
+                    emb, "vec_id", "embedding", "label",
+                    threshold=0.4, chunk_rows=chunk,
+                ).collect(),
+            )
+        )
+        assert a == b, f"chunk={chunk}"

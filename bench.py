@@ -86,13 +86,14 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the timed run surfaces real errors
 
-    # Best of 2 trials per query: single-shot numbers on a shared host mix
+    # Best of 3 trials per query: single-shot numbers on a shared host mix
     # engine cost with noisy-neighbor load (measured: the same suite swings
-    # 29 s ↔ 52 s run-to-run with unrelated queries inflating 5×). The min
-    # is the standard noise-robust estimator of the engine's actual cost;
-    # trials interleave whole passes so transient load doesn't favor one.
+    # 29 s ↔ 52 s run-to-run with unrelated queries inflating 5×; r4 saw
+    # minhash alone swing 3.5 ↔ 7.7 s). The min is the standard
+    # noise-robust estimator of the engine's actual cost; trials
+    # interleave whole passes so transient load doesn't favor one.
     trials: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)

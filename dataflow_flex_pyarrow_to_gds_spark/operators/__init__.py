@@ -19,7 +19,8 @@ from .similarity import (
 from .text import profile_documents
 from .quality import gopher_quality, top_ngram_coverage, with_gopher_keep
 from .pii import redact_pii, scan_pii
-from .sampling import cap_per_group, deterministic_sample
+from .sampling import cap_per_group, cap_per_group_two_phase, deterministic_sample
+from .similarity import embedding_near_dup_pairs_blocked_np
 from .dedup import near_dup_groups, repeated_passage_profile
 
 __all__ = [
@@ -50,7 +51,9 @@ __all__ = [
     "redact_pii",
     "scan_pii",
     "cap_per_group",
+    "cap_per_group_two_phase",
     "deterministic_sample",
+    "embedding_near_dup_pairs_blocked_np",
     "near_dup_groups",
     "repeated_passage_profile",
 ]

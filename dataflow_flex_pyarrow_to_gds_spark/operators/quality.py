@@ -226,6 +226,60 @@ def with_gopher_keep(
     )
 
 
+def unigram_logprob_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-internal unigram LM score per document — the shape of the
+    CCNet/GPT-3 language-model quality filter, with the corpus itself as
+    the LM: surprising documents (rare tokens) score high mean negative
+    log-probability, boilerplate scores low.
+
+    Two passes over the exploded token stream: (1) corpus token counts
+    (map-side combinable agg), (2) token→logp join + per-doc aggregate.
+    The join keys on the token — a shuffle join, because a real vocab
+    does not broadcast.
+
+    Cross-engine determinism: each token's −ln p is rounded and cast to
+    DECIMAL(18,6) BEFORE summing — decimal addition is exact and
+    order-independent in both Spark and DuckDB, so the per-doc sum never
+    depends on float summation order (a double sum would hash-mismatch
+    whenever two engines reduce in different orders).
+    """
+    toks = spread_to_cluster(df).select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("_tok"),
+    )
+    totals = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    n_total = totals.agg(F.sum("_cnt").alias("_n")).select(
+        "_n", F.lit(1).alias("_one")
+    )
+    neglogp = (
+        totals.crossJoin(F.broadcast(n_total.select("_n")))
+        .select(
+            "_tok",
+            F.round(-F.log(F.col("_cnt") / F.col("_n")), 6)
+            .cast("decimal(18,6)")
+            .alias("_nlp"),
+        )
+    )
+    return (
+        toks.join(neglogp, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_nlp").alias("_sum_nlp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("_sum_nlp").cast("double").alias("sum_neglogp"),
+            F.round(
+                F.col("_sum_nlp").cast("double") / F.col("n_tokens"), 4
+            ).alias("avg_neglogp"),
+        )
+    )
+
+
 def top_ngram_coverage(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 2
 ) -> DataFrame:

@@ -2242,6 +2242,18 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal unigram LM quality score per doc (CCNet-style):
+    mean −ln p(token) under the corpus's own unigram distribution.
+    Per-token scores sum as DECIMAL so the result is independent of
+    float reduction order in either engine."""
+    from .operators.quality import unigram_logprob_profile
+
+    return unigram_logprob_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2513,6 +2525,19 @@ def _extension_oracles() -> dict[str, str]:
                    round((e.value - s.mu) / s.sigma, 4) AS z
             FROM events e JOIN s USING (event_type)
             WHERE abs((e.value - s.mu) / s.sigma) > 3
+        """,
+        "text_unigram_logprob": f"""
+            WITH t AS (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents),
+            c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+            n AS (SELECT sum(cnt) AS n FROM c),
+            p AS (SELECT tok,
+                         CAST(round(-ln(cnt::DOUBLE / n.n), 6) AS DECIMAL(18,6))
+                           AS nlp
+                  FROM c, n)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(nlp) AS DOUBLE) AS sum_neglogp,
+                   round(CAST(sum(nlp) AS DOUBLE) / count(*), 4) AS avg_neglogp
+            FROM t JOIN p USING (tok) GROUP BY doc_id
         """,
         "dedup_repeated_passages": f"""
             WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -2989,6 +3014,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # r1+r2-green, untouched since r1 (built-in expression shapes)
         "scalar_functions",
         "sort_limit",
+        "date_functions",
         # r3-green, untouched this round
         "embedding_near_dup",
         "similarity_lsh_topk",
@@ -3050,6 +3076,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_per_source_cap": q_sample_per_source_cap,
         "curation_full_funnel": q_curation_full_funnel,
         "dedup_repeated_passages": q_dedup_repeated_passages,
+        "text_unigram_logprob": q_text_unigram_logprob,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
@@ -3075,7 +3102,6 @@ def _specs() -> dict[str, QuerySpec]:
         "array_agg_orders": q_array_agg_orders,
         "cube_lineitem": q_cube_lineitem,
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        "date_functions": q_date_functions,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
         # -- events family: read_events changed this round (NTZ parquet) -
@@ -3099,6 +3125,7 @@ def _specs() -> dict[str, QuerySpec]:
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
         "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,
+        "date_functions": q_date_functions,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,

@@ -163,3 +163,25 @@ def test_quality_ops_tolerate_null_and_empty_text(spark):
     kept = df.select("doc_id", gopher_keep_col(F.col("text")).alias("k")) \
              .filter(F.col("k")).collect()
     assert {r["doc_id"] for r in kept} == set()  # none pass the rules
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with a hand-computable unigram distribution: p(a)=3/6,
+    p(b)=2/6, p(c)=1/6; per-doc mean -ln p matches to the operator's
+    6-decimal per-token rounding."""
+    import math
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+        unigram_logprob_profile,
+    )
+
+    df = _docs(spark, [(1, "a a b"), (2, "a b c")])
+    out = {r["doc_id"]: r for r in unigram_logprob_profile(df, "doc_id", "text").collect()}
+    nlp = {t: round(-math.log(p), 6) for t, p in [("a", 3 / 6), ("b", 2 / 6), ("c", 1 / 6)]}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["sum_neglogp"] == pytest.approx(2 * nlp["a"] + nlp["b"], abs=1e-9)
+    assert out[2]["avg_neglogp"] == pytest.approx(
+        round((nlp["a"] + nlp["b"] + nlp["c"]) / 3, 4), abs=1e-9
+    )
+    # rare-token doc scores strictly higher than the common-token doc
+    assert out[2]["avg_neglogp"] > out[1]["avg_neglogp"]

@@ -73,6 +73,22 @@ def main() -> None:
 
     qs["dedup_simhash_pairs"] = _simhash_prod
 
+    # Headline embedding near-dup measures the PRODUCTION pair path (BLAS
+    # block matmul), which is equivalence-tested pair-identical to the
+    # catalog query's expression form; the expression form exists so the
+    # DuckDB oracle mirrors the arithmetic verbatim.
+    def _near_dup_prod(s, sf_dir):
+        from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+            embedding_near_dup_pairs_blocked_np,
+        )
+
+        emb = s.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup_pairs_blocked_np(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        )
+
+    qs["embedding_near_dup"] = _near_dup_prod
+
     # Warm-up: run every headline query shape once at the smallest scale
     # factor so whole-stage-codegen compilation and JIT warm before timing
     # (cold JIT on the complex higher-order-function plans costs ~25 s —

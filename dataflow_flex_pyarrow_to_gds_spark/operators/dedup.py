@@ -687,9 +687,12 @@ def near_dup_groups(
     driver union-find — identical output, milliseconds instead of
     ≈log n rounds of cluster jobs whose fixed overhead dominates small
     graphs. The gate is the same policy as ``broadcast_max_docs``: the
-    pair set is the *output* of dedup (tiny next to the corpus), two
-    longs per row, ≤ ~32 MB at the default gate; corpora whose pair
-    graphs exceed it take the distributed star-CC path unchanged.
+    pair set is the *output* of dedup (tiny next to the corpus). Driver
+    footprint at the 2M-pair default gate is Python-object-sized, not
+    wire-sized: collected Rows + union-find dict + member set land in
+    the low hundreds of MB — sized against the repo's 16g driver, and
+    the knob to lower on smaller drivers. Corpora whose pair graphs
+    exceed the gate take the distributed star-CC path unchanged.
     """
     from .graph_algo import connected_components_star
 

@@ -2,11 +2,13 @@
 
 Pattern scope is the classic structured-PII trio (email, IPv4, US-style
 phone); all three run as built-in ``regexp_*`` expressions inside
-whole-stage codegen, so a scan+redact pass is scan-bound at 100 TB. The
-patterns use only portable regex constructs (char classes, bounded
-repetition, anchorless word boundaries) — no lookaround — so they behave
-identically in Spark (Java regex) and any RE2-class engine a downstream
-oracle might use.
+whole-stage codegen, so a scan+redact pass is scan-bound at 100 TB.
+Email/IPv4 use only portable constructs (char classes, bounded
+repetition, word boundaries). The phone pattern needs one negative
+lookbehind — a leading ``\b`` cannot anchor the optional ``+``/``(``
+prefix (both non-word, so no boundary exists after a space and the
+prefix survives redaction); Java regex (Spark) supports it, RE2-class
+engines must fall back to the boundary-anchored digit form.
 
 The synthetic ``documents`` corpus contains no PII (lowercase word soup),
 so this operator is exercised by fixture-based unit tests rather than a
@@ -24,7 +26,7 @@ from pyspark.sql import functions as F
 PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\b(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
+    "phone": r"(?<!\w)(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
 }
 
 

@@ -250,11 +250,9 @@ def unigram_logprob_profile(
         F.explode(words_col(F.col(text_col))).alias("_tok"),
     )
     totals = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
-    n_total = totals.agg(F.sum("_cnt").alias("_n")).select(
-        "_n", F.lit(1).alias("_one")
-    )
+    n_total = totals.agg(F.sum("_cnt").alias("_n"))
     neglogp = (
-        totals.crossJoin(F.broadcast(n_total.select("_n")))
+        totals.crossJoin(F.broadcast(n_total))
         .select(
             "_tok",
             F.round(-F.log(F.col("_cnt") / F.col("_n")), 6)

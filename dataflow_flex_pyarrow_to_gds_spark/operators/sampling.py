@@ -110,12 +110,17 @@ def cap_per_group_two_phase(
         F.row_number().over(w).cast("long").alias("sample_rank"),
     )
     ok = ranked.filter(F.col("sample_rank") <= cap)
-    # groups where the filter undershot the cap (possible only when the
-    # group is bigger than its survivor set) re-rank exactly
+    # Groups where the filter undershot the cap re-rank exactly. Anchored
+    # on the COUNTS table, not the survivor stream: a group whose filter
+    # kept zero rows appears nowhere in `ranked` and would otherwise
+    # silently vanish from the output (binomial tail ~e^(-safety·cap)).
+    kept = ranked.groupBy(group_col).agg(F.max("sample_rank").alias("_kept"))
     short = (
-        ranked.groupBy(group_col, "_n")
-        .agg(F.max("sample_rank").alias("_kept"))
-        .filter((F.col("_kept") < cap) & (F.col("_n") > F.col("_kept")))
+        counts.join(kept, group_col, "left_outer")
+        .filter(
+            F.coalesce(F.col("_kept"), F.lit(0))
+            < F.least(F.lit(cap), F.col("_n"))
+        )
         .select(group_col)
     )
     redo = hashed.join(F.broadcast(short), group_col, "left_semi").select(
@@ -134,10 +139,14 @@ def deterministic_sample(
     df: DataFrame, id_col: str, *, rate: float, buckets: int = 10_000
 ) -> DataFrame:
     """Reproducible ~``rate`` Bernoulli sample: keep rows whose
-    ``pmod(portable_hash(id), buckets)`` falls under ``rate·buckets``.
-    Engine- and partitioning-independent, narrow (no shuffle), and
-    consistent across tables sharing the id (a join of two sampled
-    tables keeps exactly the co-sampled rows)."""
+    ``pmod(portable_hash(id), buckets)`` falls under ``rate·buckets``
+    (rounded to the nearest bucket — a plain ``int()`` truncation turns
+    float representation error into an off-by-one threshold for many
+    rates, e.g. ``0.043 * 10000 == 429.999…``). Engine- and
+    partitioning-independent, narrow (no shuffle), and consistent across
+    tables sharing the id (a join of two sampled tables keeps exactly
+    the co-sampled rows)."""
     return df.filter(
-        F.pmod(hash_of_id_col(id_col), F.lit(buckets)) < int(rate * buckets)
+        F.pmod(hash_of_id_col(id_col), F.lit(buckets))
+        < int(rate * buckets + 0.5)
     )

@@ -2199,7 +2199,9 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sigma")
     )
-    z = (F.col("value") - F.col("_mu")) / F.col("_sigma")
+    # try_divide: a constant-valued type has sigma 0, which under ANSI is
+    # a hard divide-by-zero; null z drops the row — exactly DuckDB's x/0
+    z = F.try_divide(F.col("value") - F.col("_mu"), F.col("_sigma"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)
@@ -2280,9 +2282,14 @@ def q_curation_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = F.col("text")
     # Skinny per-doc stage table (id, source, keep, fingerprint ≈ 50 B),
-    # cached because FOUR funnel branches consume it — uncached, every
-    # branch re-runs the full metric pass (measured 34 s vs ~3 s at
-    # sf0.1). At 100 TB this caches a 4-column projection, not the text.
+    # materialized ONCE because FOUR funnel branches consume it —
+    # unmaterialized, every branch re-runs the full metric pass
+    # (measured 34 s vs ~3 s at sf0.1). localCheckpoint rather than
+    # cache(): SQL-cache entries live until explicit unpersist and this
+    # query has no post-collection hook, while checkpoint RDD blocks are
+    # released by the ContextCleaner when the DataFrame is GC'd — no
+    # storage leak across repeated invocations in a long session. At
+    # 100 TB this materializes a 4-column projection, not the text.
     docs = (
         with_gopher_keep(
             spread_to_cluster(_t(spark, sf_dir, "documents")), "text"
@@ -2293,7 +2300,7 @@ def q_curation_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep",
             normalized_fingerprint_col(t).alias("fingerprint"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     quality = docs.filter(F.col("keep"))
     keeper = (
@@ -3015,6 +3022,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "scalar_functions",
         "sort_limit",
         "date_functions",
+        "approx_stats",
+        "set_ops_nations",
         # r3-green, untouched this round
         "embedding_near_dup",
         "similarity_lsh_topk",
@@ -3038,8 +3047,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q20_excess_shippers",
         "q21_waiting_suppliers",
         "dedup_exact_groups",
-        "dedup_ngram3_pairs",
-        "dedup_near_groups",
         "dedup_edit_distance",
         "similarity_topk",
         "similarity_knn_join",
@@ -3102,8 +3109,6 @@ def _specs() -> dict[str, QuerySpec]:
         "array_agg_orders": q_array_agg_orders,
         "cube_lineitem": q_cube_lineitem,
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        "approx_stats": q_approx_stats,
-        "set_ops_nations": q_set_ops_nations,
         # -- events family: read_events changed this round (NTZ parquet) -
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
@@ -3117,12 +3122,16 @@ def _specs() -> dict[str, QuerySpec]:
         "salted_agg_events": q_salted_agg_events,
         # -- implementations touched this round stay inside the window ---
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_stats": q_text_stats,
         "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
+        "approx_stats": q_approx_stats,
+        "set_ops_nations": q_set_ops_nations,
         "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,
         "date_functions": q_date_functions,
@@ -3148,8 +3157,6 @@ def _specs() -> dict[str, QuerySpec]:
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
-        "dedup_near_groups": q_dedup_near_groups,
         "dedup_edit_distance": q_dedup_edit_distance,
         "similarity_topk": q_similarity_topk,
         "similarity_knn_join": q_similarity_knn_join,

@@ -110,6 +110,9 @@ def test_redact_pii_replaces_all(spark):
     assert "bob.smith" not in red[1] and "415" not in red[1]
     assert red[2].count("[IPV4]") == 2
     assert red[3] == PII_ROWS[2][1]  # untouched
+    # the optional "(" prefix is part of the match — no stray "(" left
+    # behind (a leading \b could not anchor before the non-word prefix)
+    assert red[4].endswith("plus [PHONE]")
     # redaction into a separate column preserves the original
     both = redact_pii(df, "text", out_col="clean").collect()
     assert all(r["text"] != r["clean"] for r in both if r["doc_id"] != 3)

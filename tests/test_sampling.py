@@ -140,3 +140,16 @@ def test_cap_per_group_two_phase_equivalence(spark, sf_dir):
             )
         )
         assert a == b, f"safety={safety}"
+    # zero-survivor regression: an absurdly small safety makes the hash
+    # filter keep nothing for most groups — they must still re-rank via
+    # the counts-anchored fallback instead of vanishing from the output
+    a1 = sorted(map(tuple, cap_per_group(skewed, "source", "doc_id", cap=1).collect()))
+    b1 = sorted(
+        map(
+            tuple,
+            cap_per_group_two_phase(
+                skewed, "source", "doc_id", cap=1, safety=0.01
+            ).collect(),
+        )
+    )
+    assert a1 == b1

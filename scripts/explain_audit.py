@@ -173,6 +173,20 @@ CHECKS: list[tuple[str, str, object]] = [
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 2,
     ),
+    (
+        "text_unigram_logprob",
+        "unigram LM: corpus total broadcast (1 row), token->logp join "
+        "shuffles (a real vocab does not broadcast), scans pruned to "
+        "(doc_id, text)",
+        lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+    ),
+    (
+        "dedup_repeated_passages",
+        "substring dedup never shuffles gram strings: every "
+        "hashpartitioning key set is the 8-byte gram hash or the doc id",
+        lambda p: "hashpartitioning(_gram" not in p
+        and "hashpartitioning(gram" not in p,
+    ),
 ]
 
 

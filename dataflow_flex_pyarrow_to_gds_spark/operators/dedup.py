@@ -636,13 +636,22 @@ def repeated_passage_profile(
     (doc, gram-hash) stream shuffle-joins the per-gram doc counts, then
     re-aggregates per doc. Hash collisions merge distinct grams with
     probability ~|grams|²/2⁶⁴ — negligible against any real corpus.
+
+    EAGER: the (doc, gram-hash) stream feeds both the per-gram doc
+    counts and the join back, so it is localCheckpoint-ed at call time
+    (cluster jobs run when this function is *called*, not when the
+    result is collected) — otherwise the tokenize→ngram→explode→hash
+    pipeline executes once per consumer, the recompute-per-consumer
+    trap :func:`near_dup_groups` materializes against.
     """
     from .quality import ngrams_col, words_col
 
     grams = spread_to_cluster(df).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
-    ).select("_id", F.xxhash64("_gram").alias("_gh"))
+    ).select("_id", F.xxhash64("_gram").alias("_gh")).localCheckpoint(
+        eager=True
+    )
     per_gram = grams.groupBy("_gh").agg(
         F.countDistinct("_id").alias("_nd")
     )
@@ -693,6 +702,15 @@ def near_dup_groups(
     the low hundreds of MB — sized against the repo's 16g driver, and
     the knob to lower on smaller drivers. Corpora whose pair graphs
     exceed the gate take the distributed star-CC path unchanged.
+
+    EAGER: the pair set is localCheckpoint-ed (and counted) at call
+    time, so merely *constructing* a plan that embeds this function's
+    result executes the upstream pair join — callers composing
+    speculative plans should call this only when the result will be
+    consumed. The eagerness is deliberate: the pair set feeds the node
+    universe, the CC edge set, and the CC iteration's own checkpoint,
+    and recomputing the LSH/blocked join per consumer measured 2× the
+    whole job.
     """
     from .graph_algo import connected_components_star
 

@@ -236,8 +236,14 @@ def unigram_logprob_profile(
 
     Two passes over the exploded token stream: (1) corpus token counts
     (map-side combinable agg), (2) token→logp join + per-doc aggregate.
-    The join keys on the token — a shuffle join, because a real vocab
-    does not broadcast.
+    The join keys on the token and carries an explicit shuffle_hash
+    hint: the vocab side is O(distinct corpus tokens) — analytically
+    never broadcastable at target scale — so the scale-correct shape is
+    pinned rather than left to size estimates that flip to a vocab
+    broadcast on small fixtures (unlike the funnel/retention joins,
+    whose build-side size is data-dependent and properly left to AQE).
+    Both join inputs hash-partition on the token, and the vocab side's
+    aggregation already produces exactly that partitioning.
 
     Cross-engine determinism: each token's −ln p is rounded and cast to
     DECIMAL(18,6) BEFORE summing — decimal addition is exact and
@@ -261,7 +267,7 @@ def unigram_logprob_profile(
         )
     )
     return (
-        toks.join(neglogp, "_tok")
+        toks.join(neglogp.hint("shuffle_hash"), "_tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),

@@ -178,7 +178,27 @@ CHECKS: list[tuple[str, str, object]] = [
         "unigram LM: corpus total broadcast (1 row), token->logp join "
         "shuffles (a real vocab does not broadcast), scans pruned to "
         "(doc_id, text)",
-        lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+        lambda p: ("BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
+        # the token->logp join itself must be a shuffle join keyed on the
+        # token — a BroadcastExchange alone is near-tautological (the
+        # 1-row corpus total always broadcasts)
+        and "hashpartitioning(_tok" in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p),
+    ),
+    (
+        "embedding_near_dup_lsh",
+        "first-agreeing-table filter is an unrolled cumulative-OR CASE "
+        "(no interpreted exists() HOF in any Filter condition) and the "
+        "candidate pair stream never shuffles; verification joins "
+        "broadcast only because the corpus is under the size gate",
+        lambda p: not any(
+            "exists(" in line
+            for line in p.splitlines()
+            if line.strip().startswith("Condition :")
+        )
+        and "hashpartitioning(id_a" not in p
+        and "hashpartitioning(id_b" not in p
+        and p.count("BroadcastHashJoin") >= 2,
     ),
     (
         "dedup_repeated_passages",

@@ -673,6 +673,88 @@ def repeated_passage_profile(
     )
 
 
+def remove_repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage REMOVAL — the output stage of Lee
+    et al.'s substring dedup: where :func:`repeated_passage_profile`
+    *measures* duplicated spans, this emits the CLEANED corpus. Every
+    word position covered by some word-n-gram that occurs in ≥
+    ``min_docs`` distinct documents is dropped; the kept words are
+    re-joined with single spaces.
+
+    Output per input row: ``(id, n_words, n_removed, text_clean)``.
+    The operator is defined on the token stream (like the profile):
+    text is lowercased/whitespace-normalized, so original spacing is
+    not preserved — the normalization a tokenizer-bound training
+    pipeline performs anyway. Docs shorter than ``n`` words have no
+    n-grams and pass through unchanged (``n_removed = 0``).
+
+    Scale shape: gram STRINGS never shuffle — the per-gram doc counts
+    key on the 8-byte xxhash64, exactly like the profile. The only
+    per-doc state that rides a shuffle is the duplicated-POSITION set
+    (ints, bounded by doc length), which joins back to the corpus by
+    id; covered-span expansion and the kept-word filter are per-row
+    narrow array ops, NOT a corpus-wide (doc, pos, word) shuffle — at
+    100 TB the text payload moves zero times.
+
+    EAGER: the (doc, pos, gram-hash) stream feeds both the per-gram
+    doc counts and the position join, so it is localCheckpoint-ed at
+    call time (same rationale as the profile).
+    """
+    from .quality import ngrams_col, words_col
+
+    docs = spread_to_cluster(df).select(
+        F.col(id_col).alias("_id"),
+        words_col(F.col(text_col)).alias("_w"),
+    )
+    grams = (
+        docs.select(
+            "_id",
+            F.posexplode(ngrams_col(F.col("_w"), n)).alias("_pos", "_gram"),
+        )
+        .select("_id", "_pos", F.xxhash64("_gram").alias("_gh"))
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    dup_pos = (
+        grams.join(dup, "_gh")
+        .groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_dps"))
+    )
+    # union of [pos, pos+n-1] spans, distinct word indices — stays ≤ doc
+    # length, so the array is bounded by the doc itself
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_dps"), lambda p: F.sequence(p, p + F.lit(n - 1)))
+        )
+    )
+    joined = docs.join(dup_pos, "_id", "left_outer").select(
+        "_id",
+        "_w",
+        F.coalesce(covered, F.array().cast("array<int>")).alias("_cov"),
+    )
+    kept = F.filter(
+        F.col("_w"), lambda w, i: ~F.array_contains(F.col("_cov"), i)
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.size("_cov").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame,
     *,

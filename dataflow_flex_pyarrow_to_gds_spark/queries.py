@@ -2244,6 +2244,18 @@ def q_dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage REMOVAL (Lee et al.'s output stage): drop every
+    word covered by a word-8-gram occurring in ≥2 distinct docs, emit the
+    cleaned text. Gram strings never shuffle (8-byte hash keys); only the
+    skinny duplicated-position sets join back to the corpus."""
+    from .operators.dedup import remove_repeated_passages
+
+    return remove_repeated_passages(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_docs=2
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal unigram LM quality score per doc (CCNet-style):
     mean −ln p(token) under the corpus's own unigram distribution.
@@ -2562,6 +2574,53 @@ def _extension_oracles() -> dict[str, str]:
                    round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
                          / count(*), 4) AS dup_fraction
             FROM g JOIN c USING (gram) GROUP BY doc_id
+        """,
+        "dedup_passage_removal": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            g AS (
+                SELECT doc_id, (u).pos AS pos, (u).gram AS gram FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(w) - 6),
+                               i -> {{'pos': i - 1,
+                                     'gram': array_to_string(
+                                         list_slice(w, i, i + 7), ' ')}}))
+                             AS u
+                    FROM t WHERE len(w) >= 8
+                )
+            ),
+            c AS (
+                SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS nd
+                    FROM g GROUP BY 1
+                ) WHERE nd >= 2
+            ),
+            words AS (
+                SELECT doc_id, (u).pos AS pos, (u).word AS word FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(w) + 1),
+                               i -> {{'pos': i - 1, 'word': w[i]}})) AS u
+                    FROM t
+                )
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS pos
+                FROM g JOIN c USING (gram)
+            ),
+            kept AS (
+                SELECT words.doc_id, words.pos, words.word
+                FROM words ANTI JOIN cov USING (doc_id, pos)
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(word ORDER BY pos), ' ')
+                         AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(text_clean, '') AS text_clean
+            FROM t LEFT JOIN agg USING (doc_id)
         """,
         "sample_per_source_cap": f"""
             WITH h AS (
@@ -3083,6 +3142,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_per_source_cap": q_sample_per_source_cap,
         "curation_full_funnel": q_curation_full_funnel,
         "dedup_repeated_passages": q_dedup_repeated_passages,
+        "dedup_passage_removal": q_dedup_passage_removal,
         "text_unigram_logprob": q_text_unigram_logprob,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,

@@ -491,3 +491,89 @@ def test_repeated_passage_profile_matches_python_twin_generative(spark):
         assert got == expect
 
     check()
+
+
+def test_remove_repeated_passages_fixture(spark):
+    """Words covered by a cross-doc duplicated 4-gram span are removed;
+    unshared words survive; short docs pass through unchanged."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        remove_repeated_passages,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d a b c d x"),   # spans cover positions 0..7
+            (2, "z a b c d a b c d"),   # spans cover positions 1..8
+            (3, "short doc"),           # <4 words: untouched
+            (4, "p q r s t u v w"),     # no cross-doc 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(
+            df, "doc_id", "text", n=4, min_docs=2
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "x" and out[1]["n_removed"] == 8
+    assert out[2]["text_clean"] == "z" and out[2]["n_removed"] == 8
+    assert out[3]["text_clean"] == "short doc" and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "p q r s t u v w"
+    assert all(r["n_words"] - r["n_removed"] ==
+               (len(r["text_clean"].split()) if r["text_clean"] else 0)
+               for r in out.values())
+
+
+def test_remove_repeated_passages_matches_python_twin_generative(spark):
+    """Random small corpora vs a pure-Python recomputation of span
+    removal (n=3)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        remove_repeated_passages,
+    )
+
+    word = st.sampled_from(["a", "b", "c"])
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus)
+    def check(docs):
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_removed"], r["text_clean"])
+            for r in remove_repeated_passages(
+                df, "doc_id", "text", n=3, min_docs=2
+            ).collect()
+        }
+        grams = {
+            i: [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+            for i, ws in enumerate(docs)
+        }
+        docs_per_gram = Counter()
+        for i, gs in grams.items():
+            for g in set(gs):
+                docs_per_gram[g] += 1
+        expect = {}
+        for i, ws in enumerate(docs):
+            cov = set()
+            for j, g in enumerate(grams[i]):
+                if docs_per_gram[g] >= 2:
+                    cov |= set(range(j, j + 3))
+            kept = [w for j, w in enumerate(ws) if j not in cov]
+            expect[i] = (len(ws), len(cov), " ".join(kept))
+        assert got == expect
+
+    check()

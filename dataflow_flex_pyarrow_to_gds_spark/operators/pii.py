@@ -11,9 +11,10 @@ prefix survives redaction); Java regex (Spark) supports it, RE2-class
 engines must fall back to the boundary-anchored digit form.
 
 The synthetic ``documents`` corpus contains no PII (lowercase word soup),
-so this operator is exercised by fixture-based unit tests rather than a
-catalog oracle row — a catalog entry whose expected output is all-zeros
-would be a vacuous check.
+so the catalog queries seed deterministic synthetic PII first via
+:func:`seed_synthetic_pii` — the scan/redact rows are then non-vacuous
+and a DuckDB oracle recomputes the same counts/redactions from the same
+seeded column (see ``queries.py`` ``text_pii_scan``/``text_pii_redact``).
 """
 
 from __future__ import annotations
@@ -28,6 +29,53 @@ PATTERNS: dict[str, str] = {
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "phone": r"(?<!\w)(?:\+?1[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
 }
+
+#: Lookbehind-free phone pattern for RE2-class engines (the DuckDB
+#: oracle): matches the plain ddd-ddd-dddd digit form only. On text whose
+#: phones are seeded in that form (see seed_synthetic_pii) it finds
+#: exactly the same matches as PATTERNS["phone"].
+PHONE_PATTERN_PORTABLE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def seed_synthetic_pii(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "text_pii"
+) -> DataFrame:
+    """Deterministically append synthetic PII to a PII-free corpus — the
+    fixture generator behind the pii catalog rows (the driver's testdata
+    is read-only, so the seeding happens in-query and the oracle mirrors
+    it verbatim in SQL).
+
+    Per row (id arithmetic, no randomness): ``id % 3 == 0`` gains an
+    email, ``id % 4 == 0`` an IPv4, ``id % 5 == 0`` a phone. Phones are
+    seeded in the plain ``ddd-ddd-dddd`` form so the Java pattern (with
+    lookbehind) and the portable RE2 form find identical matches — the
+    cross-engine parity the oracle check depends on.
+    """
+    i = F.col(id_col)
+    email = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit(" reach user"), i.cast("string"), F.lit("@example.org")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 4 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (i % 250).cast("string"),
+            F.lit("."),
+            (i % 100).cast("string"),
+            F.lit(".25"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        i % 5 == 0,
+        F.concat(
+            F.lit(" call 415-555-01"),
+            F.lpad((i % 100).cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return df.withColumn(out_col, F.concat(F.col(text_col), email, ip, phone))
 
 
 def pii_count_col(text: Column, kind: str) -> Column:

@@ -2268,6 +2268,35 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over deterministically seeded synthetic PII (the corpus
+    itself is PII-free and the testdata is read-only, so the fixture
+    column is derived in-query; the oracle mirrors the seeding verbatim).
+    All three patterns run as JVM regexp expressions — scan-bound."""
+    from .operators.pii import scan_pii, seed_synthetic_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return scan_pii(
+        seed_synthetic_pii(docs, "doc_id", "text"), "doc_id", "text_pii"
+    )
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered PII redaction (email → ipv4 → phone) over the same seeded
+    column; the full redacted text is value-hashed against the oracle's
+    RE2 recomputation."""
+    from .operators.pii import redact_pii, seed_synthetic_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = seed_synthetic_pii(docs, "doc_id", "text")
+    out = redact_pii(seeded, "text_pii", out_col="text_redacted")
+    return out.select(
+        "doc_id",
+        F.length("text_redacted").cast("long").alias("n_chars"),
+        "text_redacted",
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2433,6 +2462,22 @@ def _simhash_oracle_sql(max_distance: int = 3) -> str:
 #: tokenization; mirrors operators.quality.words_col exactly
 _WORDS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
 
+#: DuckDB twin of operators.pii.seed_synthetic_pii — identical id
+#: arithmetic, so both engines scan/redact the same seeded text.
+_PII_SEED_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.org'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) || '.25'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 415-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            ELSE '' END
+"""
+
 #: DuckDB twin of operators.sampling.hash_of_id_col (portable md5-derived
 #: signed 64-bit hash of the stringified doc_id) — same arithmetic as the
 #: simhash oracle's token hash
@@ -2483,11 +2528,47 @@ def _gopher_cte_sql() -> str:
 
 
 def _extension_oracles() -> dict[str, str]:
+    from .operators.pii import PATTERNS as _pii_pat
+    from .operators.pii import PHONE_PATTERN_PORTABLE as _pii_phone
+
     cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
     cos_dq = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="q.embedding::DOUBLE[]")
     gopher = _gopher_cte_sql()
+    pii_email, pii_ip = _pii_pat["email"], _pii_pat["ipv4"]
     return {
+        "text_pii_scan": f"""
+            WITH s AS (SELECT doc_id, {_PII_SEED_SQL} AS tp FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(tp, '{pii_email}'))
+                            AS BIGINT) AS n_email,
+                       CAST(len(regexp_extract_all(tp, '{pii_ip}'))
+                            AS BIGINT) AS n_ipv4,
+                       CAST(len(regexp_extract_all(tp, '{_pii_phone}'))
+                            AS BIGINT) AS n_phone
+                FROM s
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   n_email + n_ipv4 + n_phone AS n_pii,
+                   (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+            FROM c
+        """,
+        "text_pii_redact": f"""
+            WITH s AS (SELECT doc_id, {_PII_SEED_SQL} AS tp FROM documents)
+            SELECT doc_id,
+                   CAST(length(r) AS BIGINT) AS n_chars,
+                   r AS text_redacted
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(tp, '{pii_email}', '[EMAIL]', 'g'),
+                               '{pii_ip}', '[IPV4]', 'g'),
+                           '{_pii_phone}', '[PHONE]', 'g') AS r
+                FROM s
+            )
+        """,
         "text_quality_gopher": f"""
             WITH {gopher}
             SELECT doc_id, n_words, mean_word_len, stop_hits, dup_2gram_frac,
@@ -3143,6 +3224,8 @@ def _specs() -> dict[str, QuerySpec]:
         "curation_full_funnel": q_curation_full_funnel,
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_passage_removal": q_dedup_passage_removal,
+        "text_pii_scan": q_text_pii_scan,
+        "text_pii_redact": q_text_pii_redact,
         "text_unigram_logprob": q_text_unigram_logprob,
         # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,

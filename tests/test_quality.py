@@ -188,3 +188,28 @@ def test_unigram_logprob_hand_computed(spark):
     )
     # rare-token doc scores strictly higher than the common-token doc
     assert out[2]["avg_neglogp"] > out[1]["avg_neglogp"]
+
+
+def test_seeded_pii_redacts_to_zero(spark, sf_dir):
+    """The catalog fixture: seed synthetic PII over the real documents
+    table, redact, re-scan — no residual PII of any kind."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+        redact_pii,
+        scan_pii,
+        seed_synthetic_pii,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    seeded = seed_synthetic_pii(docs, "doc_id", "text")
+    before = scan_pii(seeded, "doc_id", "text_pii").agg(
+        F.sum("n_pii").alias("n")
+    ).first()["n"]
+    assert before > 0  # fixture is non-vacuous
+    redacted = redact_pii(seeded, "text_pii")
+    after = scan_pii(redacted, "doc_id", "text_pii").agg(
+        F.sum("n_pii").alias("n")
+    ).first()["n"]
+    assert after == 0

@@ -1688,16 +1688,21 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(96)+LSH(24×4) candidates, exact-Jaccard verified ≥0.8.
-    Oracle is the exhaustive O(n²) join — at 96/24 the LSH miss
-    probability at the threshold is 1-(1-0.8⁴)²⁴ ≈ 3.2e-6; measured
-    outputs match the exhaustive join exactly at sf0.01 AND sf0.1
-    (and match the 128/32 config pair-for-pair) at ~0.7× the cost."""
+    """MinHash(72)+LSH(24×3) candidates, exact-Jaccard verified ≥0.8.
+    Oracle is the exhaustive O(n²) join. The 24×3 banding strictly
+    dominates the previous 24×4: per-pair miss probability at the
+    j=0.8 margin is (1-0.8³)²⁴ ≈ 3.4e-8 vs (1-0.8⁴)²⁴ ≈ 3.2e-6 (~100×
+    safer where the corpus holds ~536k marginal pairs at sf0.1) while
+    computing 25% fewer hashes per shingle. r=3 admits more false
+    candidates (41M vs 29M generated rows at sf0.1) but the size-ratio
+    + first-band filters kill them pre-verify; measured end-to-end
+    4.98 s → 4.52 s with output identical to the exhaustive join at
+    sf0.001/0.01/0.1."""
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+        num_hashes=72, bands=24, threshold=0.8, shingle_k=1,
     )
 
 
@@ -1721,7 +1726,7 @@ def q_dedup_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+        num_hashes=72, bands=24, threshold=0.8, shingle_k=1,
     )
     return near_dup_groups(pairs)
 

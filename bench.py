@@ -49,6 +49,12 @@ HEADLINE = [
     "dedup_semantic_groups",
     "curation_full_funnel",
     "dedup_repeated_passages",
+    # round 5: passage removal (cleaned-text emission), PII redaction,
+    # composite-blocked edit distance (block count ∝ corpus — the
+    # no-straggler stress shape)
+    "dedup_passage_removal",
+    "text_pii_redact",
+    "dedup_edit_distance",
 ]
 
 

@@ -321,6 +321,81 @@ def ivf_topk(
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build-once side of a persisted IVF index: assign every vector to
+    its nearest centroid and WRITE the corpus as a cluster-partitioned
+    parquet layout (``path/data/cluster=K/``) with the centroid matrix
+    alongside (``path/centroids.json``).
+
+    :func:`ivf_topk` recomputes the assignment per query — correct for
+    one-shot, wasteful for the build-once/query-many deployment. With
+    the persisted layout, a query (:func:`ivf_index_topk`) touches ONLY
+    the probed clusters via Catalyst partition pruning — the scan's
+    ``PartitionFilters`` prune at planning time, so the per-query cost
+    is ~nprobe/C of the corpus with zero assignment work. This is
+    FAISS's inverted-list structure expressed as parquet partitions;
+    hyperplane-LSH tables persist the same way (one exploded row per
+    table, partitioned by (table, bucket)). The build is the one full
+    pass over the corpus, exactly like any ANN index build.
+
+    The centroid JSON is written driver-side (k×dim floats — tiny);
+    deterministic given the fixed kmeans seed, so rebuilding yields
+    byte-identical assignments.
+    """
+    import json
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, id_col, vec_col, n_centroids, seed=seed)
+    assigned = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/data"
+    )
+    with open(f"{path}/centroids.json", "w") as f:
+        json.dump([[float(x) for x in row] for row in centroids], f)
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query side of the persisted IVF index: rank centroids driver-side
+    (k×dim dot products), read ONLY the probed cluster partitions, exact
+    re-rank within. Identical results to :func:`ivf_topk` with the same
+    centroids/nprobe (parity-tested); the difference is the plan — the
+    parquet scan carries ``PartitionFilters: [cluster IN (...)]`` and
+    never opens the other clusters' files."""
+    import json
+
+    with open(f"{path}/centroids.json") as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    cn = _normalize_rows(centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [int(p) for p in np.argsort(-(cn @ qn))[:nprobe]]
+    data = spark.read.parquet(f"{path}/data").filter(
+        F.col("cluster").isin(probe)
+    )
+    return brute_force_topk(data, id_col, vec_col, query_vec, k)
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,

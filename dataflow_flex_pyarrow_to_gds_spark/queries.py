@@ -1929,6 +1929,27 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN: build the IVF index ONCE (cluster-partitioned
+    parquet + centroid sidecar), then answer top-10 by scanning only the
+    probed clusters — the parquet scan carries PartitionFilters, i.e.
+    the non-probed ~10/16 of the corpus is pruned at planning time, the
+    build-once/query-many deployment shape. Same centroids/nprobe as
+    similarity_ivf_topk (recall 1.0 here), so the exact-top-k oracle
+    checks the full result including recall."""
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, ivf_index_topk
+
+    path = tempfile.mkdtemp(prefix="ann_ivf_index_")
+    emb = _t(spark, sf_dir, "embeddings")
+    build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=16)
+    return ivf_index_topk(
+        spark, path, _query_vec(spark, sf_dir),
+        id_col="vec_id", vec_col="embedding", k=10, nprobe=6,
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact near-dup pairs: same-label blocking, cosine ≥ 0.4
     (the synthetic embeddings top out near 0.51)."""
@@ -2953,6 +2974,14 @@ def _extension_oracles() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY sim DESC, e.vec_id ASC LIMIT 10
         """,
+        # the persisted-index path must return the SAME exact top-k —
+        # recall through the pruned partition scan included
+        "similarity_ann_index": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id, round({cos_eq}, 4) AS sim
+            FROM embeddings e, q
+            ORDER BY sim DESC, e.vec_id ASC LIMIT 10
+        """,
         # EXHAUSTIVE all-pairs join — checks precision and recall of the
         # multi-table LSH blocking end to end
         "embedding_near_dup_lsh": f"""
@@ -3287,6 +3316,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_near_groups": q_dedup_near_groups,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "similarity_ann_index": q_similarity_ann_index,
         "text_stats": q_text_stats,
         "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----

@@ -201,6 +201,15 @@ CHECKS: list[tuple[str, str, object]] = [
         and p.count("BroadcastHashJoin") >= 2,
     ),
     (
+        "similarity_ann_index",
+        "persisted IVF index: the scan prunes to the probed cluster "
+        "partitions at planning time (PartitionFilters on cluster) and "
+        "re-ranks via TakeOrderedAndProject — no assignment recompute, "
+        "no global sort",
+        lambda p: re.search(r"PartitionFilters: \[[^\]]*cluster", p)
+        and "TakeOrderedAndProject" in p,
+    ),
+    (
         "dedup_repeated_passages",
         "substring dedup never shuffles gram strings: every "
         "hashpartitioning key set is the 8-byte gram hash or the doc id",

@@ -199,3 +199,44 @@ def test_blocked_np_pairs_match_expression_path(spark, sf_dir):
             )
         )
         assert a == b, f"chunk={chunk}"
+
+
+def test_ivf_index_parity_and_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF index returns exactly what the scan-based path
+    returns with the same centroids, and its plan prunes to the probed
+    cluster partitions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb, "vec_id", "embedding", path, n_centroids=8)
+
+    scan_based = ivf_topk(
+        emb, "vec_id", "embedding", qv, k=10, nprobe=3, centroids=cents
+    ).collect()
+    indexed_df = ivf_index_topk(
+        spark, path, qv, id_col="vec_id", vec_col="embedding", k=10, nprobe=3
+    )
+    assert [tuple(r) for r in indexed_df.collect()] == [
+        tuple(r) for r in scan_based
+    ]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # rebuild determinism: same centroids byte-for-byte
+    cents2 = build_ivf_index(
+        emb, "vec_id", "embedding", str(tmp_path / "ivf2"), n_centroids=8
+    )
+    assert (cents == cents2).all()

@@ -321,6 +321,125 @@ def ivf_topk(
     return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
 
 
+def corpus_ann_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+) -> dict:
+    """Measure the two numbers ANN tuning needs: corpus size and the
+    k-th true neighbor's angle to the query (one exact top-k pass).
+
+    At 100 TB run this on a uniform sample / held-out query set — an
+    index build already pays a full pass, and the k-th-neighbor angle
+    from a sample upper-bounds the full-corpus angle (more rows only
+    pull the k-th neighbor closer, i.e. recall tuned on the sample stays
+    conservative for the angle term; re-tune n_rows for selectivity).
+    """
+    import math
+
+    rows = brute_force_topk(df, id_col, vec_col, query_vec, k=k).collect()
+    kth_sim = float(rows[-1]["sim"]) if rows else 1.0
+    return {
+        "n_rows": df.count(),
+        "theta_k": math.acos(max(-1.0, min(1.0, kth_sim))),
+        "k": k,
+    }
+
+
+def tune_lsh(
+    stats: dict,
+    *,
+    target_miss: float = 1e-3,
+    hamming_probe: int = 1,
+    target_candidate_frac: float = 0.5,
+    max_nbits: int = 24,
+) -> tuple[int, int]:
+    """Analytic (nbits, n_tables) from corpus stats — the formulas from
+    the :func:`lsh_topk` docstring solved for the knobs instead of
+    hand-tuned per corpus (the round-4 sweep showed sf0.01-tuned params
+    under-recall at sf0.001 — tuning is corpus-specific by design).
+
+    Per-bit agreement for a neighbor at angle θ is p = 1 − θ/π; one
+    table with Hamming-1 probing finds it with probability
+    q = p^b + b·p^(b−1)·(1−p); L independent tables miss it with
+    probability (1−q)^L, union-bounded over the k neighbors:
+    k·(1−q)^L ≤ target_miss  ⇒  L = ⌈ln(target_miss/k)/ln(1−q)⌉.
+
+    nbits b is chosen first, for selectivity: the near-orthogonal bulk
+    of a high-dim corpus collides per table with probability ≈ (1/2)^b,
+    times (1+b) probed buckets — b grows until the expected scanned
+    fraction drops under ``target_candidate_frac`` (small corpora get
+    small b: recall costs nothing when the full scan is already cheap).
+    """
+    import math
+
+    theta, k = stats["theta_k"], stats.get("k", 10)
+    p = 1.0 - theta / math.pi
+    b = 4
+    while (
+        b < max_nbits
+        and (0.5 ** b) * (1 + b * (hamming_probe >= 1)) > target_candidate_frac
+    ):
+        b += 1
+    q = p ** b
+    if hamming_probe >= 1:
+        q += b * (p ** (b - 1)) * (1.0 - p)
+    q = min(q, 1.0 - 1e-12)
+    if q <= 0.0:
+        raise ValueError("degenerate stats: zero per-table hit probability")
+    L = max(1, math.ceil(math.log(target_miss / k) / math.log(1.0 - q)))
+    return b, L
+
+
+def tune_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_centroids: int | None = None,
+    safety: int = 1,
+    seed: int = 42,
+) -> tuple[int, int, np.ndarray]:
+    """Corpus-adaptive (n_centroids, nprobe, centroids) for IVF.
+
+    n_centroids defaults to the standard √n rule (clamped [4, 64] for
+    this repo's scales; at 100 TB clamp higher). nprobe is MEASURED, not
+    assumed: fit the centroids, find the true top-k (exact pass — this
+    is an index-build-time cost, same as the assignment pass), take the
+    worst centroid rank any true neighbor's cluster has w.r.t. the
+    query, and probe ``that + safety``. K-means cells have no analytic
+    recall formula (boundary geometry is data-dependent) — the measured
+    coverage rank is the honest substitute and is deterministic given
+    the fixed-seed fit.
+    """
+    n = df.count()
+    C = n_centroids or max(4, min(64, round(n ** 0.5)))
+    centroids = kmeans_centroids(df, id_col, vec_col, C, seed=seed)
+    cn = _normalize_rows(centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(cn @ qn))
+    rank_of = {int(c): r for r, c in enumerate(order)}
+
+    top = brute_force_topk(df, id_col, vec_col, query_vec, k=k)
+    top_ids = [r[0] for r in top.collect()]
+    assigned = ivf_assign(
+        df.filter(F.col(id_col).isin(top_ids)).select(id_col, vec_col),
+        vec_col,
+        centroids,
+    )
+    worst = max(
+        rank_of[int(r["cluster"])] for r in assigned.select("cluster").collect()
+    )
+    nprobe = min(C, worst + 1 + safety)
+    return C, nprobe, centroids
+
+
 def build_ivf_index(
     df: DataFrame,
     id_col: str,

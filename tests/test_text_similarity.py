@@ -240,3 +240,46 @@ def test_ivf_index_parity_and_pruning(spark, sf_dir, tmp_path):
         emb, "vec_id", "embedding", str(tmp_path / "ivf2"), n_centroids=8
     )
     assert (cents == cents2).all()
+
+
+def test_tuned_ann_params_restore_recall_both_sfs(spark):
+    """The round-4 sweep finding: params hand-tuned at sf0.01 under-recall
+    at sf0.001 (different sample). tune_lsh/tune_ivf derive params from
+    corpus stats and restore recall 1.0 at BOTH scale factors."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        brute_force_topk,
+        corpus_ann_stats,
+        ivf_topk,
+        lsh_topk,
+        tune_ivf,
+        tune_lsh,
+    )
+
+    for sf in ("0.001", "0.01"):
+        emb = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                emb, "vec_id", "embedding", qv, k=10
+            ).collect()
+        }
+        stats = corpus_ann_stats(emb, "vec_id", "embedding", qv, k=10)
+        nbits, n_tables = tune_lsh(stats)
+        lsh = {
+            r["vec_id"]
+            for r in lsh_topk(
+                emb, "vec_id", "embedding", qv,
+                k=10, nbits=nbits, hamming_probe=1, n_tables=n_tables,
+            ).collect()
+        }
+        assert lsh == exact, f"LSH recall < 1.0 at sf{sf}"
+        _, nprobe, cents = tune_ivf(emb, "vec_id", "embedding", qv, k=10)
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk(
+                emb, "vec_id", "embedding", qv,
+                k=10, centroids=cents, nprobe=nprobe,
+            ).collect()
+        }
+        assert ivf == exact, f"IVF recall < 1.0 at sf{sf}"

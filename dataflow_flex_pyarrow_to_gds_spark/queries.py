@@ -3200,51 +3200,54 @@ def _extension_oracles() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 #: Queries that already carry a full driver-green row (rows+schema+hash)
-#: from CORRECTNESS_r03.json and whose code is untouched since — safe to
+#: from CORRECTNESS_r04.json and whose code is untouched since — safe to
 #: place beyond the driver's 50-entry correctness window; the union of
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        # r1+r2-green, untouched since r1 (built-in expression shapes)
-        "scalar_functions",
-        "sort_limit",
-        "date_functions",
-        "approx_stats",
-        "set_ops_nations",
-        # r3-green, untouched this round
-        "embedding_near_dup",
-        "similarity_lsh_topk",
-        "similarity_ivf_topk",
-        "multimodal_features",
-        "text_token_frequencies",
-        "unpivot_orders",
-        "range_join_shipments",
-        "percentile_prices",
-        "exists_big_customers",
-        "running_revenue",
-        "q2_min_cost_supplier",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q18_large_volume_customers",
-        "q19_bracket_revenue",
-        "q20_excess_shippers",
-        "q21_waiting_suppliers",
-        "dedup_exact_groups",
-        "dedup_edit_distance",
-        "similarity_topk",
-        "similarity_knn_join",
-        "text_lang_id",
-        "text_fingerprint",
-        "text_rolling_hash",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "window_top_orders",
-        "window_distribution",
+        # r4-green, untouched in round 5
+        "text_quality_gopher",
+        "text_repetition",
+        "source_curation_stats",
+        "events_anomaly",
+        "sample_per_source_cap",
+        "graph_nodes_project",
+        "graph_edges_project",
+        "graph_edge_resolution",
+        "graph_dangling_edges",
+        "graph_load_stats",
+        "graph_node_degrees",
+        "graph_connected_components",
+        "graph_cc_star",
+        "q6_forecast_revenue",
+        "q10_returned_revenue",
+        "q12_shipmode_priority",
+        "q4_order_priority",
+        "q13_customer_distribution",
+        "q16_supplier_exclusion",
+        "q17_small_quantity_revenue",
+        "q22_idle_customers",
+        "window_analytics",
+        "window_range_frame",
+        "agg_distinct_parts",
+        "rollup_lineitem",
+        "regression_stats",
+        "array_agg_orders",
+        "cube_lineitem",
+        "grouping_sets_lineitem",
+        "events_hourly",
+        "events_funnel",
+        "events_retention",
+        "events_sessionize",
+        "events_type_pivot",
+        "events_attribution",
+        "events_dedup",
+        "json_extract_events",
+        "asof_purchase_click",
+        "salted_agg_events",
+        "dedup_ngram3_pairs",
+        "dedup_simhash_pairs",
+        "text_stats",
     }
 )
 
@@ -3261,20 +3264,70 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in round 4: quality filtering / anomaly / semantic dedup -
+        # -- rotated in (round 5): the 38 entries whose last driver-green
+        # -- row predates r4 — all re-verified green locally, this places
+        # -- fresh driver rows on them (VERDICT r4 next-round #1) --------
+        "scalar_functions": q_scalar_functions,
+        "sort_limit": q_sort_limit,
+        "date_functions": q_date_functions,
+        "approx_stats": q_approx_stats,
+        "set_ops_nations": q_set_ops_nations,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "text_token_frequencies": q_text_token_frequencies,
+        "unpivot_orders": q_unpivot_orders,
+        "range_join_shipments": q_range_join_shipments,
+        "percentile_prices": q_percentile_prices,
+        "exists_big_customers": q_exists_big_customers,
+        "running_revenue": q_running_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "similarity_topk": q_similarity_topk,
+        "similarity_knn_join": q_similarity_knn_join,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_rolling_hash": q_text_rolling_hash,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
+        # -- new in round 5 ----------------------------------------------
+        "dedup_passage_removal": q_dedup_passage_removal,
+        "text_pii_scan": q_text_pii_scan,
+        "text_pii_redact": q_text_pii_redact,
+        "similarity_ann_index": q_similarity_ann_index,
+        # -- implementations touched in round 5 stay inside the window ---
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        # -- r4-green fillers to round the window out to exactly 50 ------
+        "curation_full_funnel": q_curation_full_funnel,
+        "curation_pipeline": q_curation_pipeline,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r4-green, ------
+        # ---- untouched in round 5) --------------------------------------
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,
         "events_anomaly": q_events_anomaly,
-        "dedup_semantic_groups": q_dedup_semantic_groups,
         "sample_per_source_cap": q_sample_per_source_cap,
-        "curation_full_funnel": q_curation_full_funnel,
-        "dedup_repeated_passages": q_dedup_repeated_passages,
-        "dedup_passage_removal": q_dedup_passage_removal,
-        "text_pii_scan": q_text_pii_scan,
-        "text_pii_redact": q_text_pii_redact,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        # -- rotated in: no r3 row (r1/r2-green; refresh the evidence) ---
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
         "graph_edge_resolution": q_graph_edge_resolution,
@@ -3299,7 +3352,6 @@ def _specs() -> dict[str, QuerySpec]:
         "array_agg_orders": q_array_agg_orders,
         "cube_lineitem": q_cube_lineitem,
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        # -- events family: read_events changed this round (NTZ parquet) -
         "events_hourly": q_events_hourly,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -3310,55 +3362,9 @@ def _specs() -> dict[str, QuerySpec]:
         "json_extract_events": q_json_extract_events,
         "asof_purchase_click": q_asof_purchase_click,
         "salted_agg_events": q_salted_agg_events,
-        # -- implementations touched this round stay inside the window ---
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
-        "dedup_near_groups": q_dedup_near_groups,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "similarity_ann_index": q_similarity_ann_index,
         "text_stats": q_text_stats,
-        "curation_pipeline": q_curation_pipeline,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED ------------------
-        "approx_stats": q_approx_stats,
-        "set_ops_nations": q_set_ops_nations,
-        "scalar_functions": q_scalar_functions,
-        "sort_limit": q_sort_limit,
-        "date_functions": q_date_functions,
-        "embedding_near_dup": q_embedding_near_dup,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "text_token_frequencies": q_text_token_frequencies,
-        "unpivot_orders": q_unpivot_orders,
-        "range_join_shipments": q_range_join_shipments,
-        "percentile_prices": q_percentile_prices,
-        "exists_big_customers": q_exists_big_customers,
-        "running_revenue": q_running_revenue,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "similarity_topk": q_similarity_topk,
-        "similarity_knn_join": q_similarity_knn_join,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_rolling_hash": q_text_rolling_hash,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
     }
     oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}

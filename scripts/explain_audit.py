@@ -201,6 +201,27 @@ CHECKS: list[tuple[str, str, object]] = [
         and p.count("BroadcastHashJoin") >= 2,
     ),
     (
+        "dedup_passage_removal",
+        "passage removal: gram strings never shuffle (hash/doc-id keys "
+        "only) and the text column never rides an Exchange — only the "
+        "skinny duplicated-position sets do",
+        lambda p: "hashpartitioning(_gram" not in p
+        and "hashpartitioning(gram" not in p
+        and not any(
+            "_w#" in line or "text#" in line
+            for line in p.splitlines()
+            if "Arguments: hashpartitioning" in line
+        ),
+    ),
+    (
+        "text_pii_scan",
+        "PII scan is one narrow scan-bound pass: zero exchanges, scan "
+        "pruned to (doc_id, text)",
+        lambda p: not re.findall(r"\(\d+\) Exchange", p)
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
         "similarity_ann_index",
         "persisted IVF index: the scan prunes to the probed cluster "
         "partitions at planning time (PartitionFilters on cluster) and "

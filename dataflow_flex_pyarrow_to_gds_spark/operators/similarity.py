@@ -515,6 +515,96 @@ def ivf_index_topk(
     return brute_force_topk(data, id_col, vec_col, query_vec, k)
 
 
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    *,
+    dim: int,
+    nbits: int = 6,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persisted multi-table hyperplane LSH index: one exploded copy of
+    the corpus per table, partitioned by ``(t, bucket)`` — the standard
+    L× storage trade of OR-construction LSH (FAISS/Annoy make the same
+    one). :func:`lsh_topk` recomputes every table's bucket per query
+    row; with the persisted layout a query's candidate predicate is a
+    disjunction over PARTITION COLUMNS only, so Catalyst prunes every
+    non-probed (table, bucket) directory at planning time — zero
+    signature work and ~L·(1+b)/2^b of the corpus read per query.
+
+    Hyperplanes rebuild deterministically from ``(seed, t)`` (md5-derived
+    signs — no RNG state), recorded in ``path/meta.json``; a rebuilt
+    index probes identically.
+
+    Not a catalog entry: the build writes O(L·2^nbits) partition
+    directories, which on a local FS costs ~15 s per invocation — the
+    persisted-index pattern's driver-green evidence is carried by the
+    IVF twin (``similarity_ann_index``); this path is parity-tested
+    against :func:`lsh_topk` in ``tests/test_text_similarity.py``.
+    """
+    import json
+
+    tables = [
+        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t)
+        for t in range(n_tables)
+    ]
+    bks = F.array(*[t.bucket_col(F.col(vec_col)) for t in tables])
+    (
+        df.select(id_col, vec_col)
+        .withColumn("_bks", bks)
+        .select(id_col, vec_col, F.posexplode("_bks").alias("t", "bucket"))
+        .write.mode("overwrite")
+        .partitionBy("t", "bucket")
+        .parquet(f"{path}/data")
+    )
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(
+            {"dim": dim, "nbits": nbits, "n_tables": n_tables, "seed": seed},
+            f,
+        )
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Query side of the persisted LSH index: rebuild the hyperplanes
+    from the recorded seed (driver-side, no data pass), turn the probe
+    set into a partition-column disjunction, scan only the probed
+    directories, dedup ids across tables, exact re-rank. Identical
+    results to :func:`lsh_topk` with the same (nbits, n_tables, seed)
+    whenever both candidate sets contain the true top-k."""
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    tables = [
+        RandomHyperplaneLSH(meta["dim"], nbits=meta["nbits"], seed=meta["seed"] + t)
+        for t in range(meta["n_tables"])
+    ]
+    cond = None
+    for t, tab in enumerate(tables):
+        c = (F.col("t") == t) & F.col("bucket").isin(
+            tab.probe_buckets(query_vec, hamming=hamming_probe)
+        )
+        cond = c if cond is None else (cond | c)
+    candidates = (
+        spark.read.parquet(f"{path}/data")
+        .filter(cond)
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(candidates, id_col, vec_col, query_vec, k)
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str,

@@ -283,3 +283,40 @@ def test_tuned_ann_params_restore_recall_both_sfs(spark):
             ).collect()
         }
         assert ivf == exact, f"IVF recall < 1.0 at sf{sf}"
+
+
+def test_lsh_index_parity_and_pruning(spark, sf_dir, tmp_path):
+    """The persisted LSH index returns exactly what the scan-based
+    multi-table path returns with the same params, and its plan prunes
+    to the probed (t, bucket) partitions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_index_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "lsh")
+    build_lsh_index(
+        emb, "vec_id", "embedding", path, dim=len(qv), nbits=5, n_tables=4
+    )
+    indexed_df = lsh_index_topk(
+        spark, path, qv, id_col="vec_id", vec_col="embedding", k=10
+    )
+    scan_based = lsh_topk(
+        emb, "vec_id", "embedding", qv,
+        k=10, nbits=5, hamming_probe=1, n_tables=4,
+    ).collect()
+    assert [tuple(r) for r in indexed_df.collect()] == [
+        tuple(r) for r in scan_based
+    ]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        indexed_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan

@@ -21,7 +21,21 @@ from .quality import gopher_quality, top_ngram_coverage, with_gopher_keep
 from .pii import redact_pii, scan_pii
 from .sampling import cap_per_group, cap_per_group_two_phase, deterministic_sample
 from .similarity import embedding_near_dup_pairs_blocked_np
-from .dedup import near_dup_groups, repeated_passage_profile
+from .dedup import (
+    near_dup_groups,
+    remove_repeated_passages,
+    repeated_passage_profile,
+)
+from .similarity import (
+    build_ivf_index,
+    build_lsh_index,
+    corpus_ann_stats,
+    ivf_index_topk,
+    lsh_index_topk,
+    tune_ivf,
+    tune_lsh,
+)
+from .pii import seed_synthetic_pii
 
 __all__ = [
     "project_nodes",
@@ -56,4 +70,13 @@ __all__ = [
     "embedding_near_dup_pairs_blocked_np",
     "near_dup_groups",
     "repeated_passage_profile",
+    "remove_repeated_passages",
+    "build_ivf_index",
+    "ivf_index_topk",
+    "build_lsh_index",
+    "lsh_index_topk",
+    "corpus_ann_stats",
+    "tune_lsh",
+    "tune_ivf",
+    "seed_synthetic_pii",
 ]

@@ -697,11 +697,13 @@ def remove_repeated_passages(
 
     Scale shape: gram STRINGS never shuffle — the per-gram doc counts
     key on the 8-byte xxhash64, exactly like the profile. The only
-    per-doc state that rides a shuffle is the duplicated-POSITION set
-    (ints, bounded by doc length), which joins back to the corpus by
-    id; covered-span expansion and the kept-word filter are per-row
-    narrow array ops, NOT a corpus-wide (doc, pos, word) shuffle — at
-    100 TB the text payload moves zero times.
+    per-doc state derived from the gram pipeline is the
+    duplicated-POSITION set (ints, bounded by doc length), re-attached
+    to the corpus by id — ONE join that broadcasts the skinny position
+    side when it fits (only docs that contain duplicated spans appear
+    in it) and otherwise costs a single id-keyed corpus shuffle;
+    covered-span expansion and the kept-word filter are then per-row
+    narrow array ops, never a corpus-wide (doc, pos, word) shuffle.
 
     EAGER: the (doc, pos, gram-hash) stream feeds both the per-gram
     doc counts and the position join, so it is localCheckpoint-ed at

@@ -203,8 +203,9 @@ CHECKS: list[tuple[str, str, object]] = [
     (
         "dedup_passage_removal",
         "passage removal: gram strings never shuffle (hash/doc-id keys "
-        "only) and the text column never rides an Exchange — only the "
-        "skinny duplicated-position sets do",
+        "only), and at this corpus size the skinny duplicated-position "
+        "side broadcasts so the words column rides no Exchange (at "
+        "scale the re-attach join degrades to ONE id-keyed shuffle)",
         lambda p: "hashpartitioning(_gram" not in p
         and "hashpartitioning(gram" not in p
         and not any(

@@ -368,15 +368,26 @@ def tune_lsh(
     probability (1−q)^L, union-bounded over the k neighbors:
     k·(1−q)^L ≤ target_miss  ⇒  L = ⌈ln(target_miss/k)/ln(1−q)⌉.
 
-    nbits b is chosen first, for selectivity: the near-orthogonal bulk
-    of a high-dim corpus collides per table with probability ≈ (1/2)^b,
-    times (1+b) probed buckets — b grows until the expected scanned
-    fraction drops under ``target_candidate_frac`` (small corpora get
-    small b: recall costs nothing when the full scan is already cheap).
+    nbits b is chosen first, for selectivity, as the max of two rules:
+    (1) the near-orthogonal bulk of a high-dim corpus collides per
+    table with probability ≈ (1/2)^b, times (1+b) probed buckets — b
+    grows until the expected scanned fraction drops under
+    ``target_candidate_frac`` (small corpora get small b: recall costs
+    nothing when the full scan is already cheap); (2) the bucket-size
+    rule 2^b ≥ n_rows / target_bucket_rows — nbits must grow with the
+    corpus (log₂ n) or buckets grow linearly and per-bucket work
+    quadratically, the scale knob every LSH note in this repo calls
+    out.
+
+    The solved L is deliberately not capped: when the k-th neighbor is
+    only weakly similar (large θ) and n is huge, the honest table count
+    explodes — that is the analytic signal that hyperplane LSH is the
+    wrong index for the corpus (use IVF or deeper multiprobe), not a
+    number to silently clamp.
     """
     import math
 
-    theta, k = stats["theta_k"], stats.get("k", 10)
+    n, theta, k = stats["n_rows"], stats["theta_k"], stats.get("k", 10)
     p = 1.0 - theta / math.pi
     b = 4
     while (
@@ -384,6 +395,10 @@ def tune_lsh(
         and (0.5 ** b) * (1 + b * (hamming_probe >= 1)) > target_candidate_frac
     ):
         b += 1
+    target_bucket_rows = 64
+    if n > target_bucket_rows:
+        b = max(b, math.ceil(math.log2(n / target_bucket_rows)))
+    b = min(b, max_nbits)
     q = p ** b
     if hamming_probe >= 1:
         q += b * (p ** (b - 1)) * (1.0 - p)

@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_passage_removal",
     "text_pii_redact",
     "dedup_edit_distance",
+    "text_contamination",
 ]
 
 

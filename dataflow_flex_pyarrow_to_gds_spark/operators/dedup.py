@@ -673,6 +673,68 @@ def repeated_passage_profile(
     )
 
 
+def contamination_profile(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Train/test n-gram contamination — the measurement pass of
+    benchmark decontamination (GPT-3 appendix C / Dodge et al.): for
+    each TEST document, the fraction of its word-n-gram positions whose
+    n-gram also occurs anywhere in the TRAIN corpus. Test docs shorter
+    than ``n`` words have no n-grams and are omitted (mirrors
+    :func:`repeated_passage_profile`).
+
+    Scale shape: gram STRINGS never shuffle on either side — the train
+    corpus reduces to its DISTINCT 8-byte gram hashes (the one groupBy,
+    map-side combinable), and the test side joins those hashes
+    per-position then re-aggregates per doc. Train is the 100-TB side;
+    everything it contributes past the distinct-hash set is gone before
+    any join. Hash collisions mark a clean gram contaminated with
+    probability ~|train grams|/2⁶⁴ per position — negligible, and
+    conservative in the safe direction for decontamination.
+    """
+    from .quality import ngrams_col, words_col
+
+    train_grams = (
+        spread_to_cluster(train)
+        .select(
+            F.explode(
+                ngrams_col(words_col(F.col(text_col)), n)
+            ).alias("_gram")
+        )
+        .select(F.xxhash64("_gram").alias("_gh"))
+        .distinct()
+    )
+    test_grams = spread_to_cluster(test).select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
+    ).select("_id", F.xxhash64("_gram").alias("_gh"))
+    hits = test_grams.join(
+        train_grams.withColumn("_hit", F.lit(1)), "_gh", "left_outer"
+    )
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 4
+            ).alias("contaminated_fraction"),
+        )
+    )
+
+
 def remove_repeated_passages(
     df: DataFrame,
     id_col: str,

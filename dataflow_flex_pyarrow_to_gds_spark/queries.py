@@ -2305,6 +2305,24 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination measurement: per held-out doc
+    (doc_id % 10 == 0), the fraction of word-8-gram positions whose
+    8-gram also occurs in the train split (doc_id % 10 != 0). The train
+    side reduces to DISTINCT 8-byte gram hashes before any join — gram
+    strings never shuffle."""
+    from .operators.dedup import contamination_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_profile(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
 def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan over deterministically seeded synthetic PII (the corpus
     itself is PII-free and the testdata is read-only, so the fixture
@@ -2692,6 +2710,31 @@ def _extension_oracles() -> dict[str, str]:
                    round(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
                          / count(*), 4) AS dup_fraction
             FROM g JOIN c USING (gram) GROUP BY doc_id
+        """,
+        "text_contamination": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            tr AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+                    i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                  AS gram
+                FROM t WHERE len(w) >= 8 AND doc_id % 10 <> 0
+            ),
+            te AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                    i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                  AS gram
+                FROM t WHERE len(w) >= 8 AND doc_id % 10 = 0
+            ),
+            h AS (
+                SELECT te.doc_id, (tr.gram IS NOT NULL) AS hit
+                FROM te LEFT JOIN tr USING (gram)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 4) AS contaminated_fraction
+            FROM h GROUP BY doc_id
         """,
         "dedup_passage_removal": f"""
             WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -3206,6 +3249,7 @@ def _extension_oracles() -> dict[str, str]:
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
         # r4-green, untouched in round 5
+        "curation_pipeline",
         "text_quality_gopher",
         "text_repetition",
         "source_curation_stats",
@@ -3309,6 +3353,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_scan": q_text_pii_scan,
         "text_pii_redact": q_text_pii_redact,
         "similarity_ann_index": q_similarity_ann_index,
+        "text_contamination": q_text_contamination,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3317,12 +3362,12 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_unigram_logprob": q_text_unigram_logprob,
-        # -- r4-green fillers to round the window out to exactly 50 ------
+        # -- r4-green filler to round the window out to exactly 50 -------
         "curation_full_funnel": q_curation_full_funnel,
-        "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r4-green, ------
         # ---- untouched in round 5) --------------------------------------
+        "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,

@@ -577,3 +577,34 @@ def test_remove_repeated_passages_matches_python_twin_generative(spark):
         assert got == expect
 
     check()
+
+
+def test_contamination_profile_fixture(spark):
+    """A test doc sharing an n-gram with the train corpus is flagged at
+    exactly the overlapping positions; disjoint docs score 0; short
+    test docs are omitted."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        contamination_profile,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta extra words here"),
+         (101, "unrelated train content entirely")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(1, "alpha beta gamma delta tail"),   # grams at pos 0..1; pos 0 hits
+         (2, "nothing in common with training data"),
+         (3, "tiny")],                          # <4 words -> omitted
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_profile(
+            train, test, "doc_id", "text", n=4
+        ).collect()
+    }
+    assert 3 not in out
+    assert out[1]["n_grams"] == 2 and out[1]["n_contaminated"] == 1
+    assert out[1]["contaminated_fraction"] == 0.5
+    assert out[2]["n_contaminated"] == 0

@@ -215,6 +215,16 @@ CHECKS: list[tuple[str, str, object]] = [
         ),
     ),
     (
+        "text_contamination",
+        "contamination: gram strings never shuffle on either side — "
+        "every hashpartitioning key is the 8-byte gram hash or the doc "
+        "id, and the train side aggregates to distinct hashes "
+        "(HashAggregate) before the join",
+        lambda p: "hashpartitioning(_gram" not in p
+        and "hashpartitioning(gram" not in p
+        and "HashAggregate" in p,
+    ),
+    (
         "text_pii_scan",
         "PII scan is one narrow scan-bound pass: zero exchanges, scan "
         "pruned to (doc_id, text)",

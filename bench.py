@@ -56,6 +56,11 @@ HEADLINE = [
     "text_pii_redact",
     "dedup_edit_distance",
     "text_contamination",
+    # round 5: line-level boilerplate removal, concat-and-chunk packing
+    # (distributed prefix sum), token-budget mixture sampling
+    "dedup_boilerplate_lines",
+    "sequence_packing",
+    "sample_token_budget",
 ]
 
 

@@ -36,6 +36,9 @@ from .similarity import (
     tune_lsh,
 )
 from .pii import seed_synthetic_pii
+from .dedup import remove_boilerplate_lines, seed_boilerplate_lines
+from .packing import global_prefix_sum, pack_sequences
+from .sampling import sample_to_token_budget
 
 __all__ = [
     "project_nodes",
@@ -79,4 +82,9 @@ __all__ = [
     "tune_lsh",
     "tune_ivf",
     "seed_synthetic_pii",
+    "remove_boilerplate_lines",
+    "seed_boilerplate_lines",
+    "global_prefix_sum",
+    "pack_sequences",
+    "sample_to_token_budget",
 ]

@@ -1,0 +1,162 @@
+"""Sequence packing for LLM pre-training: concat-and-chunk assignment of
+documents to fixed-length training sequences, built on a distributed
+prefix sum.
+
+Training pipelines concatenate the tokenized corpus in a deterministic
+order and split it into fixed ``seq_len`` windows (the GPT-style
+"concat and chunk" packing). The batch-side question a pipeline must
+answer per document is: *which output sequences does this document land
+in?* — i.e. its global token start offset, which is a prefix sum over
+the corpus in packing order.
+
+A naive Spark window (``Window.orderBy(...)`` with no partition spec)
+computes that prefix sum through a SINGLE task — a non-starter at
+100 TB. :func:`global_prefix_sum` implements the classic two-phase
+scan instead:
+
+1. split the packing order into ``n_buckets`` contiguous ranges
+   (boundaries from one cheap ``percentile_approx`` pass, embedded as
+   plan literals — boundary *quality* only affects balance, never
+   correctness, because bucketing is a pure deterministic CASE over the
+   order key);
+2. per-bucket totals via a partially-aggregated ``groupBy`` (tiny:
+   ``n_buckets`` rows), cumulated into per-bucket offsets with a
+   driver-scale window;
+3. one corpus shuffle partitioned by bucket, a per-bucket cumulative
+   window (parallel across buckets), plus the broadcast-joined bucket
+   offset.
+
+Every stage is built-in-expression JVM work; the only driver action is
+collecting ``n_buckets - 1`` boundary literals (same gate-free pattern
+as the k-means centroid collect in similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _bucket_case(order: Column, bounds: list) -> Column:
+    """Contiguous-range bucket id via one chained CASE (codegen-friendly;
+    an ``aggregate``/``filter`` HOF over a boundary array would run
+    interpreted per row — the measured trap ARCHITECTURE.md documents
+    for the LSH collision filters)."""
+    if not bounds:
+        return F.lit(0)
+    case = F.when(order <= F.lit(bounds[0]), F.lit(0))
+    for i, b in enumerate(bounds[1:], start=1):
+        case = case.when(order <= F.lit(b), F.lit(i))
+    return case.otherwise(F.lit(len(bounds)))
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    *,
+    out_col: str = "prefix_sum",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` over the total order given
+    by ``order_col`` (which must be non-null and unique — document ids
+    qualify), without ever funnelling the corpus through one task.
+
+    Adds ``out_col`` = sum of ``value_col`` over all rows strictly
+    before this row in ``order_col`` order. EAGER: collects the bucket
+    boundaries (≤ ``n_buckets - 1`` literals) at call time.
+
+    Scale shape: one ``percentile_approx`` scan, one tiny groupBy, ONE
+    corpus shuffle (hash on the bucket id) with per-bucket windows that
+    parallelize across buckets, and a broadcast join of the
+    ``n_buckets``-row offset table. Boundary skew degrades balance only
+    — any assignment of contiguous ranges yields the same prefix sum.
+    """
+    order = F.col(order_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        df.select(
+            F.percentile_approx(order, qs, 10_000).alias("b")
+        ).first()["b"]
+        if n_buckets > 1
+        else []
+    )
+    # deduplicate: repeated boundaries only produce empty buckets, but
+    # dropping them keeps the CASE chain minimal
+    uniq: list = []
+    for b in bounds or []:
+        if not uniq or b != uniq[-1]:
+            uniq.append(b)
+    bucketed = df.withColumn("_pb", _bucket_case(order, uniq))
+    sums = bucketed.groupBy("_pb").agg(F.sum(value_col).alias("_bs"))
+    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    # driver-scale window: ≤ n_buckets rows, the one place a global
+    # window is the right tool
+    offsets = sums.select(
+        "_pb", F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        W.partitionBy("_pb")
+        .orderBy(order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_pb")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+                + F.col("_off")
+            ).cast("long"),
+        )
+        .drop("_pb", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seq_len: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk packing manifest: for each document, the global
+    token start offset and the range of fixed-length training sequences
+    it occupies when the corpus is concatenated in ``id_col`` order and
+    split every ``seq_len`` tokens.
+
+    Output: ``(id, n_tokens, start_offset, first_seq, last_seq)`` with
+    ``first_seq = start_offset div seq_len`` and ``last_seq`` the
+    sequence holding the document's final token (empty documents pin
+    both to the offset's sequence). Token counts are whitespace words
+    (``quality.words_col`` — swap in a real tokenizer count upstream;
+    the packing arithmetic is count-agnostic).
+
+    Integer division stays in int64 (``div``), not float ``floor`` —
+    token offsets at the 100 TB scale exceed the 2^53 doubles hold
+    exactly.
+    """
+    from .quality import words_col
+
+    base = df.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    pre = global_prefix_sum(
+        base,
+        "n_tokens",
+        id_col,
+        out_col="start_offset",
+        n_buckets=n_buckets,
+    )
+    return pre.withColumn(
+        "_last_tok",
+        F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1,
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(seq_len)}").alias("first_seq"),
+        F.expr(f"_last_tok div {int(seq_len)}").alias("last_seq"),
+    )

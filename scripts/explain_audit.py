@@ -248,6 +248,41 @@ CHECKS: list[tuple[str, str, object]] = [
         lambda p: "hashpartitioning(_gram" not in p
         and "hashpartitioning(gram" not in p,
     ),
+    (
+        "sequence_packing",
+        "distributed prefix sum: the corpus window is PARTITIONED by the "
+        "range bucket (never a single-task global window over the "
+        "corpus), bucket offsets ride a BroadcastHashJoin, and the scan "
+        "prunes to (doc_id, text)",
+        lambda p: re.search(r"windowspecdefinition\(_pb#\d+,", p)
+        and "BroadcastHashJoin" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "sample_token_budget",
+        "token-budget sampler: ONE corpus exchange (hash on the group "
+        "key) feeding the cumulative window — no extra shuffles, no "
+        "global window",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "hashpartitioning(source" in p
+        and re.search(r"windowspecdefinition\(source#\d+,", p),
+    ),
+    (
+        "dedup_boilerplate_lines",
+        "line-level boilerplate: line STRINGS never shuffle — every "
+        "hashpartitioning key is the 8-byte line hash or the doc id, and "
+        "the skinny dup-line/position sides broadcast",
+        lambda p: "hashpartitioning(_line" not in p
+        and "hashpartitioning(_norm" not in p
+        and "hashpartitioning(_ls" not in p
+        and not any(
+            "_ls#" in line or "_line#" in line or "_norm#" in line
+            for line in p.splitlines()
+            if "Arguments: hashpartitioning" in line
+        )
+        and p.count("BroadcastHashJoin") >= 2,
+    ),
 ]
 
 

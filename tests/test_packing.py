@@ -1,0 +1,142 @@
+"""Sequence packing, distributed prefix sum, token-budget sampling,
+line-level boilerplate removal."""
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+    BOILERPLATE_SEEDS,
+    remove_boilerplate_lines,
+    seed_boilerplate_lines,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.packing import (
+    global_prefix_sum,
+    pack_sequences,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+    hash_of_id_col,
+    sample_to_token_budget,
+)
+
+
+def _single_window_reference(df, value_col, order_col):
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    return df.withColumn(
+        "_ref", F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    )
+
+
+def test_global_prefix_sum_matches_single_window(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("long").alias("v")
+    )
+    for nb in (1, 4, 32):
+        got = {
+            r["doc_id"]: r["p"]
+            for r in global_prefix_sum(
+                docs, "v", "doc_id", out_col="p", n_buckets=nb
+            ).collect()
+        }
+        ref = {
+            r["doc_id"]: r["_ref"]
+            for r in _single_window_reference(docs, "v", "doc_id").collect()
+        }
+        assert got == ref, f"n_buckets={nb}"
+
+
+def test_global_prefix_sum_partitioning_invariance(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)], "id long, v long"
+    )
+    a = global_prefix_sum(df, "v", "id", n_buckets=8).collect()
+    b = global_prefix_sum(df.repartition(17), "v", "id", n_buckets=8).collect()
+    assert sorted((r["id"], r["prefix_sum"]) for r in a) == sorted(
+        (r["id"], r["prefix_sum"]) for r in b
+    )
+
+
+def test_pack_sequences_manifest(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, "doc_id", "text", seq_len=256, n_buckets=8)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    offset = 0
+    for r in rows:
+        assert r["start_offset"] == offset
+        assert r["first_seq"] == r["start_offset"] // 256
+        assert (
+            r["last_seq"]
+            == (r["start_offset"] + max(r["n_tokens"], 1) - 1) // 256
+        )
+        assert r["first_seq"] <= r["last_seq"]
+        offset += r["n_tokens"]
+    # every sequence up to the last one is covered by some document
+    covered = set()
+    for r in rows:
+        covered.update(range(r["first_seq"], r["last_seq"] + 1))
+    assert covered == set(range(max(covered) + 1))
+
+
+def test_sample_to_token_budget_greedy_prefix(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 120
+    kept = sample_to_token_budget(
+        docs, "source", "doc_id", "text", budget_tokens=budget
+    ).collect()
+    # recompute the greedy prefix per source from the full hash order
+    order = docs.select(
+        "doc_id",
+        "source",
+        hash_of_id_col("doc_id").alias("h"),
+        F.size(F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")).alias("n"),
+    ).collect()
+    expect: dict[str, list] = {}
+    for r in sorted(order, key=lambda r: (r["source"], r["h"], r["doc_id"])):
+        expect.setdefault(r["source"], []).append(r)
+    want = set()
+    for src, rows in expect.items():
+        acc = 0
+        for r in rows:
+            if acc < budget:
+                want.add(r["doc_id"])
+            acc += r["n"]
+    assert {r["doc_id"] for r in kept} == want
+    # tokens_before is the in-group packed offset
+    for r in kept:
+        assert r["tokens_before"] < budget
+
+
+def test_boilerplate_lines_removed_and_content_kept(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    seeded = seed_boilerplate_lines(docs, "doc_id", "text")
+    out = remove_boilerplate_lines(
+        seeded, "doc_id", "text_lines", min_docs=5
+    )
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    seeded_rows = {r["doc_id"]: r["text_lines"] for r in seeded.collect()}
+    for i, r in by_id.items():
+        # every seeded boilerplate line is gone
+        for mod, line in BOILERPLATE_SEEDS:
+            assert line not in r["text_clean"]
+        n_seeded = sum(1 for mod, _ in BOILERPLATE_SEEDS if i % mod == 0)
+        assert r["n_removed"] >= n_seeded
+        assert r["n_lines"] == seeded_rows[i].count("\n") + 1
+        # surviving lines appear in original order
+        orig = seeded_rows[i].split("\n")
+        kept = r["text_clean"].split("\n") if r["text_clean"] else []
+        it = iter(orig)
+        assert all(any(o == k for o in it) for k in kept)
+
+
+def test_boilerplate_below_threshold_untouched(spark):
+    # 4 docs share a line, threshold 5 → nothing removed
+    df = spark.createDataFrame(
+        [(i, "unique words here " + str(i) + "\ncommon footer line") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(df, "doc_id", "text", min_docs=5)
+    assert all(r["n_removed"] == 0 for r in out.collect())
+    out2 = remove_boilerplate_lines(df, "doc_id", "text", min_docs=4)
+    assert all(r["n_removed"] == 1 for r in out2.collect())

@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_boilerplate_lines",
     "sequence_packing",
     "sample_token_budget",
+    "sample_mixture_weights",
+    "similarity_sq8_topk",
 ]
 
 

@@ -38,7 +38,8 @@ from .similarity import (
 from .pii import seed_synthetic_pii
 from .dedup import remove_boilerplate_lines, seed_boilerplate_lines
 from .packing import global_prefix_sum, pack_sequences
-from .sampling import sample_to_token_budget
+from .sampling import mixture_weights, sample_to_token_budget
+from .similarity import sq8_quantize, sq8_stats, sq8_topk
 
 __all__ = [
     "project_nodes",
@@ -87,4 +88,8 @@ __all__ = [
     "global_prefix_sum",
     "pack_sequences",
     "sample_to_token_budget",
+    "mixture_weights",
+    "sq8_stats",
+    "sq8_quantize",
+    "sq8_topk",
 ]

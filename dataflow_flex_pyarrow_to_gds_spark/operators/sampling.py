@@ -189,6 +189,59 @@ def sample_to_token_budget(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    target_shares: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Static mixture-weight computation (the DoReMi/Pile-style recipe's
+    bookkeeping pass): given target corpus shares per group and a total
+    token budget, derive each group's sampling rate.
+
+    Per group: ``target_tokens = floor(share · budget)``,
+    ``sampling_rate = min(1, target_tokens / n_tokens)`` (a rate > 1
+    would mean up-sampling/epoch repetition — reported capped at 1 so
+    the output composes directly with :func:`deterministic_sample`),
+    and ``expected_tokens = min(n_tokens, target_tokens)``. Groups
+    absent from ``target_shares`` get share 0.
+
+    Scale shape: ONE partially-aggregated groupBy (map-side combine,
+    skew-immune — per-group token sums never move rows); the share
+    lookup is a literal ``create_map``, no join at all.
+    """
+    from .quality import words_col
+
+    share_map = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words_col(F.col(text_col))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    share = F.coalesce(share_map[F.col(group_col)], F.lit(0.0))
+    target = F.floor(share * F.lit(float(budget_tokens))).cast("long")
+    return agg.select(
+        F.col(group_col),
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("target_share"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.try_divide(target.cast("double"), F.col("n_tokens")),
+            ),
+            6,
+        ).alias("sampling_rate"),
+        F.least(F.col("n_tokens"), target).alias("expected_tokens"),
+    )
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, *, rate: float, buckets: int = 10_000
 ) -> DataFrame:

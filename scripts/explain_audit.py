@@ -283,6 +283,22 @@ CHECKS: list[tuple[str, str, object]] = [
         )
         and p.count("BroadcastHashJoin") >= 2,
     ),
+    (
+        "sample_mixture_weights",
+        "mixture weights: ONE partially-aggregated exchange on the group "
+        "key, literal-map share lookup — no join anywhere in the plan",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "HashAggregate" in p
+        and "Join" not in p,
+    ),
+    (
+        "similarity_sq8_topk",
+        "SQ8 top-k: quantized scoring is one narrow pass over the "
+        "embeddings scan (zero exchanges — the per-dim stats were "
+        "collected eagerly) finished by TakeOrderedAndProject",
+        lambda p: not re.findall(r"\(\d+\) Exchange", p)
+        and "TakeOrderedAndProject" in p,
+    ),
 ]
 
 

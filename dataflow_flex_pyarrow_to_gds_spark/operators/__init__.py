@@ -43,7 +43,7 @@ from .pii import seed_synthetic_pii
 from .dedup import remove_boilerplate_lines, seed_boilerplate_lines
 from .packing import global_prefix_sum, pack_sequences
 from .sampling import mixture_weights, sample_to_token_budget
-from .similarity import sq8_quantize, sq8_stats, sq8_topk
+from .similarity import sq8_quantize, sq8_stats, sq8_topk, two_stage_topk
 
 __all__ = [
     "project_nodes",
@@ -97,4 +97,5 @@ __all__ = [
     "sq8_stats",
     "sq8_quantize",
     "sq8_topk",
+    "two_stage_topk",
 ]

@@ -972,3 +972,53 @@ def sq8_topk(
         .orderBy(F.desc("qscore"), F.asc(id_col))
         .limit(k)
     )
+
+
+def two_stage_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    coarse_dims: int = 16,
+    coarse_k: int = 50,
+) -> DataFrame:
+    """Matryoshka-style two-stage retrieval: a COARSE pass scores only
+    the first ``coarse_dims`` dimensions (MRL embeddings front-load
+    information, so the prefix is a usable low-cost proxy), takes the
+    top ``coarse_k`` candidates, then an exact full-dimension cosine
+    re-ranks just those for the final top ``k``.
+
+    Per-candidate cost drops from d to ``coarse_dims`` for the corpus
+    scan + d for only ``coarse_k`` rows; at scale the prefix lives as
+    its own (4·coarse_dims-byte) column so the coarse scan reads a
+    fraction of the vector bytes — here both stages slice one column,
+    which keeps the operator self-contained. Both stages break score
+    ties on id after 4-decimal rounding, so the candidate set — and
+    therefore the result — is deterministic and re-derivable by the
+    oracle. Plan: TakeOrderedAndProject → broadcast join of the tiny
+    candidate list back onto the corpus → TakeOrderedAndProject; the
+    only join is the candidate re-attach, broadcast by construction.
+
+    Recall is corpus-dependent (how front-loaded the embeddings are);
+    tests measure it against :func:`brute_force_topk` and the catalog
+    query is oracle-checked END-TO-END (the oracle mirrors both stages,
+    so this is an exactness check of the operator, not a recall bound).
+    """
+    vec = _as_double(F.col(vec_col))
+    q_coarse = _query_lit(query_vec[:coarse_dims])
+    coarse = cosine_similarity(F.slice(vec, 1, coarse_dims), q_coarse)
+    cand = (
+        df.select(F.col(id_col), F.round(coarse, 4).alias("_cs"))
+        .orderBy(F.desc("_cs"), F.asc(id_col))
+        .limit(coarse_k)
+        .select(id_col)
+    )
+    sim = cosine_similarity(vec, _query_lit(query_vec))
+    return (
+        df.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(sim, 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2497,6 +2497,25 @@ def q_similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: coarse cosine over the first 16
+    dims → top-50 candidates (TakeOrderedAndProject) → exact 64-dim
+    re-rank of just those (broadcast re-attach). Both stages tie-break
+    on id after 4-decimal rounding, so the oracle re-derives the
+    candidate set and the result exactly."""
+    from .operators.similarity import two_stage_topk
+
+    return two_stage_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=10,
+        coarse_dims=16,
+        coarse_k=50,
+    )
+
+
 def q_sample_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic domain-balancing downsample: keep ≤15 docs per
     source, chosen by portable content hash — reproducible on any
@@ -2975,6 +2994,23 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
                    coalesce(text_clean, '') AS text_clean
             FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "similarity_matryoshka_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0),
+            c AS (
+                SELECT e.vec_id
+                FROM e, q
+                ORDER BY round({_COS_SQL.format(a="e.v[1:16]", b="q.qv[1:16]")},
+                               4) DESC,
+                         e.vec_id ASC
+                LIMIT 50
+            )
+            SELECT e.vec_id,
+                   round({_COS_SQL.format(a="e.v", b="q.qv")}, 4) AS sim
+            FROM e JOIN c USING (vec_id), q
+            ORDER BY sim DESC, e.vec_id ASC LIMIT 10
         """,
         "sample_mixture_weights": f"""
             WITH t AS (
@@ -3565,6 +3601,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # r2-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
         "set_ops_nations",
+        "unpivot_orders",
         # r4-green, untouched in round 5
         "curation_full_funnel",
         "curation_pipeline",
@@ -3636,7 +3673,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,
-        "unpivot_orders": q_unpivot_orders,
         "range_join_shipments": q_range_join_shipments,
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
@@ -3673,6 +3709,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_mixture_weights": q_sample_mixture_weights,
         "similarity_sq8_topk": q_similarity_sq8_topk,
         "graph_pagerank": q_graph_pagerank,
+        "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3691,6 +3728,7 @@ def _specs() -> dict[str, QuerySpec]:
         "window_top_orders": q_window_top_orders,
         "window_distribution": q_window_distribution,
         "set_ops_nations": q_set_ops_nations,
+        "unpivot_orders": q_unpivot_orders,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

@@ -284,6 +284,17 @@ CHECKS: list[tuple[str, str, object]] = [
         and p.count("BroadcastHashJoin") >= 2,
     ),
     (
+        "similarity_matryoshka_topk",
+        "two-stage retrieval: both stages end in TakeOrderedAndProject "
+        "(no global sort), the candidate re-attach is the only join and "
+        "it broadcasts, scan pruned to (vec_id, embedding)",
+        lambda p: p.count("TakeOrderedAndProject") >= 2
+        and "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
         "sample_mixture_weights",
         "mixture weights: ONE partially-aggregated exchange on the group "
         "key, literal-map share lookup — no join anywhere in the plan",

@@ -195,3 +195,35 @@ def test_sq8_recall_and_code_range(spark, sf_dir):
     assert 0 <= rng["lo"] and rng["hi"] <= 255
     # max element of each dim must code to 255 (clamped), min to 0
     assert rng["lo"] == 0 and rng["hi"] == 255
+
+
+def test_matryoshka_two_stage(spark, sf_dir):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        brute_force_topk,
+        two_stage_topk,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    got = two_stage_topk(
+        emb, "vec_id", "embedding", q, k=10, coarse_dims=16, coarse_k=50
+    ).collect()
+    exact = brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    recall = len(
+        {r["vec_id"] for r in got} & {r["vec_id"] for r in exact}
+    ) / 10
+    # The synthetic vectors are NOT matryoshka-trained (information is
+    # spread evenly over dims), so prefix-16 is a weak proxy here —
+    # recall ~0.5; this asserts non-vacuousness, while the degenerate
+    # case below asserts the two-stage machinery is exact.
+    assert recall >= 0.4
+    # with coarse_k = corpus size the two stages degenerate to exact
+    n = emb.count()
+    full = two_stage_topk(
+        emb, "vec_id", "embedding", q, k=10, coarse_dims=16, coarse_k=n
+    ).collect()
+    assert [(r["vec_id"], r["sim"]) for r in full] == [
+        (r["vec_id"], r["sim"]) for r in exact
+    ]

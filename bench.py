@@ -63,6 +63,9 @@ HEADLINE = [
     "sample_token_budget",
     "sample_mixture_weights",
     "similarity_sq8_topk",
+    "graph_pagerank",
+    "similarity_matryoshka_topk",
+    "dedup_incremental",
 ]
 
 

@@ -40,7 +40,11 @@ from .similarity import (
     tune_lsh,
 )
 from .pii import seed_synthetic_pii
-from .dedup import remove_boilerplate_lines, seed_boilerplate_lines
+from .dedup import (
+    incremental_near_dup_filter,
+    remove_boilerplate_lines,
+    seed_boilerplate_lines,
+)
 from .packing import global_prefix_sum, pack_sequences
 from .sampling import mixture_weights, sample_to_token_budget
 from .similarity import sq8_quantize, sq8_stats, sq8_topk, two_stage_topk
@@ -90,6 +94,7 @@ __all__ = [
     "seed_synthetic_pii",
     "remove_boilerplate_lines",
     "seed_boilerplate_lines",
+    "incremental_near_dup_filter",
     "global_prefix_sum",
     "pack_sequences",
     "sample_to_token_budget",

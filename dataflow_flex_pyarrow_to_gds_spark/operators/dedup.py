@@ -1053,3 +1053,98 @@ def deduplicate_near(
     return df.join(
         drops, df[id_col] == drops["doc_id"], "left_anti"
     )
+
+
+def incremental_near_dup_filter(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 72,
+    bands: int = 24,
+    shingle_k: int = 1,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """Delta dedup — the shape a PRODUCTION corpus actually runs daily:
+    an incoming ``batch`` is admitted only where it is not a near
+    duplicate (exact jaccard ≥ ``threshold``) of anything already in
+    ``corpus``. Unlike :func:`minhash_lsh_pairs` (all pairs within one
+    table), candidates here come ONLY from batch↔corpus bucket
+    collisions — batch×batch and corpus×corpus pairs are never
+    generated, so per-increment cost scales with the batch, not the
+    accumulated corpus (the corpus side contributes one banding pass,
+    and a real deployment persists its bucket table once —
+    ``build_lsh_index`` pattern — making re-banding a no-op).
+
+    Output: one row per batch document —
+    ``(id, n_corpus_dups, keep)`` with ``keep = (n_corpus_dups = 0)``;
+    batch docs with no shingles (empty text) trivially keep.
+
+    Banding recall follows minhash_lsh_pairs (1-(1-j^r)^b; 72/24 → r=3,
+    miss ≈ 3.4e-8 per pair at j=0.8), and the verify join is exact
+    jaccard over the hashed shingle sets, auto-broadcast under the
+    corpus-count gate exactly like minhash (``broadcast_max_docs``).
+    """
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            spread_to_cluster(df)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.array_distinct(
+                    F.transform(
+                        shingles_col(tokens_col(F.col(text_col)), shingle_k),
+                        lambda x: F.xxhash64(x),
+                    )
+                ).alias("_sh"),
+            )
+            .filter(F.size("_sh") > 0)
+        )
+
+    b = prep(batch)
+    c = prep(corpus)
+
+    def buckets(t: DataFrame) -> DataFrame:
+        return t.select(
+            "_id",
+            F.posexplode(
+                lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
+            ).alias("_band", "_bkt"),
+        )
+
+    cand = (
+        buckets(b)
+        .withColumnRenamed("_id", "_bid")
+        .join(buckets(c).withColumnRenamed("_id", "_cid"), ["_band", "_bkt"])
+        .select("_bid", "_cid")
+        .distinct()
+    )
+    if broadcast_verify is None:
+        broadcast_verify = corpus.count() <= broadcast_max_docs
+    bsh = b.withColumnRenamed("_id", "_bid").withColumnRenamed("_sh", "_bsh")
+    csh = c.withColumnRenamed("_id", "_cid").withColumnRenamed("_sh", "_csh")
+    if broadcast_verify:
+        bsh, csh = F.broadcast(bsh), F.broadcast(csh)
+    verified = (
+        cand.join(bsh, "_bid")
+        .join(csh, "_cid")
+        .filter(jaccard_col(F.col("_bsh"), F.col("_csh")) >= threshold)
+    )
+    dups = verified.groupBy("_bid").agg(
+        F.count(F.lit(1)).alias("n_corpus_dups")
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(dups.withColumnRenamed("_bid", id_col), id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_corpus_dups", F.lit(0)).cast("long").alias(
+                "n_corpus_dups"
+            ),
+            (F.coalesce("n_corpus_dups", F.lit(0)) == 0).alias("keep"),
+        )
+    )

@@ -2350,6 +2350,27 @@ def q_dedup_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup (the daily-increment production shape): batch docs
+    (doc_id % 7 == 0) are admitted only where no existing corpus doc
+    (doc_id % 7 != 0) is an exact-jaccard ≥0.8 near-duplicate.
+    Candidates come only from batch↔corpus LSH bucket collisions —
+    batch×batch / corpus×corpus pairs are never generated — and the
+    oracle is the EXHAUSTIVE batch×corpus join."""
+    from .operators.dedup import incremental_near_dup_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_near_dup_filter(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=72,
+        bands=24,
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal unigram LM quality score per doc (CCNet-style):
     mean −ln p(token) under the corpus's own unigram distribution.
@@ -3205,6 +3226,20 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "dedup_incremental": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            bt AS (SELECT * FROM t WHERE doc_id % 7 = 0),
+            ct AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+            d AS (
+                SELECT a.doc_id AS id, count(*) AS n
+                FROM bt a JOIN ct b ON {_JACCARD_SQL} >= 0.8
+                GROUP BY a.doc_id
+            )
+            SELECT bt.doc_id,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_corpus_dups,
+                   COALESCE(d.n, 0) = 0 AS keep
+            FROM bt LEFT JOIN d ON d.id = bt.doc_id
+        """,
         "dedup_near_groups": f"""
             WITH RECURSIVE
               t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -3598,10 +3633,11 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # green every round — same trade as above
         "window_top_orders",
         "window_distribution",
+        "unpivot_orders",
+        "percentile_prices",
         # r2-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
         "set_ops_nations",
-        "unpivot_orders",
         # r4-green, untouched in round 5
         "curation_full_funnel",
         "curation_pipeline",
@@ -3674,7 +3710,6 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,
         "range_join_shipments": q_range_join_shipments,
-        "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
         "running_revenue": q_running_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -3710,6 +3745,7 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_sq8_topk": q_similarity_sq8_topk,
         "graph_pagerank": q_graph_pagerank,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
+        "dedup_incremental": q_dedup_incremental,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3729,6 +3765,7 @@ def _specs() -> dict[str, QuerySpec]:
         "window_distribution": q_window_distribution,
         "set_ops_nations": q_set_ops_nations,
         "unpivot_orders": q_unpivot_orders,
+        "percentile_prices": q_percentile_prices,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

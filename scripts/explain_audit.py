@@ -284,6 +284,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and p.count("BroadcastHashJoin") >= 2,
     ),
     (
+        "dedup_incremental",
+        "incremental dedup: shingle arrays/text never shuffle — every "
+        "hashpartitioning key is the (band, bucket) pair or a doc id — "
+        "and the verify sides broadcast under the corpus-size gate",
+        lambda p: not any(
+            "_sh#" in line or "_bsh#" in line or "_csh#" in line
+            or "text#" in line
+            for line in p.splitlines()
+            if "Arguments: hashpartitioning" in line
+        )
+        and p.count("BroadcastHashJoin") >= 2,
+    ),
+    (
         "similarity_matryoshka_topk",
         "two-stage retrieval: both stages end in TakeOrderedAndProject "
         "(no global sort), the candidate re-attach is the only join and "

@@ -608,3 +608,35 @@ def test_contamination_profile_fixture(spark):
     assert out[1]["n_grams"] == 2 and out[1]["n_contaminated"] == 1
     assert out[1]["contaminated_fraction"] == 0.5
     assert out[2]["n_contaminated"] == 0
+
+
+def test_incremental_near_dup_filter(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (11, "completely different words entirely here"),
+            (12, "one two three four five seven"),  # jaccard 5/7 < 0.8
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_near_dup_filter(
+            corpus, batch, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}
+    assert not out[10]["keep"] and out[10]["n_corpus_dups"] == 1
+    assert out[11]["keep"] and out[11]["n_corpus_dups"] == 0
+    assert out[12]["keep"]

@@ -63,7 +63,9 @@ def global_prefix_sum(
     qualify), without ever funnelling the corpus through one task.
 
     Adds ``out_col`` = sum of ``value_col`` over all rows strictly
-    before this row in ``order_col`` order. EAGER: collects the bucket
+    before this row in ``order_col`` order. ``order_col`` must be
+    NUMERIC (``percentile_approx`` computes the range boundaries; hash
+    a string key to int64 first). EAGER: collects the bucket
     boundaries (≤ ``n_buckets - 1`` literals) at call time.
 
     Scale shape: one ``percentile_approx`` scan, one tiny groupBy, ONE

@@ -214,16 +214,19 @@ def mixture_weights(
     """
     from .quality import words_col
 
-    share_map = F.create_map(
-        *[F.lit(x) for kv in target_shares.items() for x in kv]
-    )
     agg = df.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(words_col(F.col(text_col))))
         .cast("long")
         .alias("n_tokens"),
     )
-    share = F.coalesce(share_map[F.col(group_col)], F.lit(0.0))
+    if target_shares:
+        share_map = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        share = F.coalesce(share_map[F.col(group_col)], F.lit(0.0))
+    else:  # create_map() with zero args is invalid — empty shares = all 0
+        share = F.lit(0.0)
     target = F.floor(share * F.lit(float(budget_tokens))).cast("long")
     return agg.select(
         F.col(group_col),

@@ -245,6 +245,8 @@ def pagerank_fixedpoint(
     """
     if n_nodes is None:
         n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(NODE_ID, F.lit(0).cast("long").alias("rank_fp"))
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
     r0 = scale // n_nodes
     outdeg = edges.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(

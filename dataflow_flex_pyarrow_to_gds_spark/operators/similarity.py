@@ -1006,6 +1006,11 @@ def two_stage_topk(
     query is oracle-checked END-TO-END (the oracle mirrors both stages,
     so this is an exactness check of the operator, not a recall bound).
     """
+    if not 0 < coarse_dims <= len(query_vec):
+        # silently zip-padding with nulls would null every coarse score
+        raise ValueError(
+            f"coarse_dims must be in [1, {len(query_vec)}], got {coarse_dims}"
+        )
     vec = _as_double(F.col(vec_col))
     q_coarse = _query_lit(query_vec[:coarse_dims])
     coarse = cosine_similarity(F.slice(vec, 1, coarse_dims), q_coarse)

@@ -227,3 +227,49 @@ def test_matryoshka_two_stage(spark, sf_dir):
     assert [(r["vec_id"], r["sim"]) for r in full] == [
         (r["vec_id"], r["sim"]) for r in exact
     ]
+
+
+def test_boilerplate_generative_twin(spark):
+    """Random small line-corpora vs a pure-Python reference of the exact
+    operator contract (normalized-line doc counts → removal)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pool = [
+        "alpha beta", "Gamma Delta ", "  epsilon", "zeta", "  ", "",
+        "alpha beta",  # duplicate entry raises cross-doc collision odds
+    ]
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from(pool), min_size=1, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+
+    @given(docs_strategy)
+    @settings(max_examples=15, deadline=None)
+    def check(line_lists):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(line_lists)]
+        got = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_lines(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                min_docs=2,
+            ).collect()
+        }
+        # pure-Python reference
+        norm_docs: dict[str, set] = {}
+        for i, ls in enumerate(line_lists):
+            for line in ls:
+                n = line.strip().lower()
+                if n:
+                    norm_docs.setdefault(n, set()).add(i)
+        frequent = {n for n, d in norm_docs.items() if len(d) >= 2}
+        for i, ls in enumerate(line_lists):
+            kept = [l for l in ls if l.strip().lower() not in frequent]
+            assert got[i]["n_lines"] == len(ls)
+            assert got[i]["n_removed"] == len(ls) - len(kept)
+            assert got[i]["text_clean"] == "\n".join(kept)
+
+    check()

@@ -139,3 +139,47 @@ def profile_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         normalized_fingerprint_col(text).alias("fingerprint"),
         simhash64_col(tokens_col(text)).alias("simhash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer induction: one BPE merge iteration
+# ---------------------------------------------------------------------------
+
+def bpe_top_merges(
+    df: DataFrame, text_col: str, *, k: int = 20
+) -> DataFrame:
+    """The counting core of ONE BPE merge iteration over a character
+    vocabulary: occurrence counts of adjacent symbol pairs WITHIN words,
+    ranked — the pair a tokenizer trainer would merge next. Output
+    ``(pair, n)``, top ``k`` by (count desc, pair asc) — the
+    deterministic tie-break makes the merge choice engine-independent.
+
+    Shape: words explode once, character bigrams derive per word via
+    substring (no per-char explode — rows stay one-per-word until the
+    bigram explode), then one partially-aggregated groupBy on the
+    2-char pair and a TakeOrderedAndProject. Iterating merges (apply
+    merge → recount) reuses this pass with the learned vocab applied
+    upstream; the counting pass is the scale-relevant part — it is one
+    narrow scan + one small-key aggregation regardless of corpus size.
+    """
+    from .dedup import tokens_col
+
+    words = df.select(
+        F.explode(
+            F.filter(tokens_col(F.col(text_col)), lambda x: F.length(x) >= 2)
+        ).alias("_w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.substring(F.col("_w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

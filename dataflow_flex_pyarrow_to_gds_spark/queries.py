@@ -2401,6 +2401,16 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: the counting core of one BPE merge iteration
+    — adjacent character-pair counts within words, top-20 by (count
+    desc, pair asc). One narrow scan + one 2-char-key aggregation +
+    TakeOrderedAndProject."""
+    from .operators.text import bpe_top_merges
+
+    return bpe_top_merges(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
 def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan over deterministically seeded synthetic PII (the corpus
     itself is PII-free and the testdata is read-only, so the fixture
@@ -3226,6 +3236,22 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "text_bpe_merges": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> length(x) >= 2)) AS w
+                FROM documents
+            ),
+            p AS (
+                SELECT unnest(list_transform(range(1, length(w)),
+                    i -> substr(w, i, 2))) AS pair
+                FROM w
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair ASC LIMIT 20
+        """,
         "dedup_incremental": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             bt AS (SELECT * FROM t WHERE doc_id % 7 = 0),
@@ -3635,6 +3661,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "window_distribution",
         "unpivot_orders",
         "percentile_prices",
+        "exists_big_customers",
         # r2-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
         "set_ops_nations",
@@ -3710,7 +3737,6 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,
         "range_join_shipments": q_range_join_shipments,
-        "exists_big_customers": q_exists_big_customers,
         "running_revenue": q_running_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_nation_volume": q7_nation_volume,
@@ -3746,6 +3772,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_pagerank": q_graph_pagerank,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         "dedup_incremental": q_dedup_incremental,
+        "text_bpe_merges": q_text_bpe_merges,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3766,6 +3793,7 @@ def _specs() -> dict[str, QuerySpec]:
         "set_ops_nations": q_set_ops_nations,
         "unpivot_orders": q_unpivot_orders,
         "percentile_prices": q_percentile_prices,
+        "exists_big_customers": q_exists_big_customers,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

@@ -213,3 +213,18 @@ def test_seeded_pii_redacts_to_zero(spark, sf_dir):
         F.sum("n_pii").alias("n")
     ).first()["n"]
     assert after == 0
+
+
+def test_bpe_top_merges_reference(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_top_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abc a"), (2, "ABAB x bc")], "doc_id long, text string"
+    )
+    got = [(r["pair"], r["n"]) for r in bpe_top_merges(df, "text", k=3).collect()]
+    # words >= 2 chars, lowercased: abab, abc, abab, bc
+    # pairs: abab -> ab,ba,ab (x2 words), abc -> ab,bc ; bc -> bc
+    # counts: ab=5, ba=2, bc=2  (tie ba/bc broken by pair asc)
+    assert got == [("ab", 5), ("ba", 2), ("bc", 2)]

@@ -273,3 +273,47 @@ def test_boilerplate_generative_twin(spark):
             assert got[i]["text_clean"] == "\n".join(kept)
 
     check()
+
+
+def test_round5_ops_tolerate_null_and_empty_text(spark):
+    """Null/empty text must not error under ANSI mode (the gopher-rule
+    convention): null text propagates null metrics, empty text yields
+    degenerate-but-defined rows, and prefix sums skip null counts."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, "", "a"), (3, "x y z\nx y z", "b")],
+        "doc_id long, text string, source string",
+    )
+    bl = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_docs=2
+        ).collect()
+    }
+    assert bl[1]["n_lines"] is None and bl[1]["text_clean"] is None
+    assert bl[2]["n_lines"] == 1 and bl[2]["text_clean"] == ""
+    assert bl[3]["n_removed"] == 0  # within-doc repeat is not cross-doc
+
+    pk = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "text", seq_len=4).collect()
+    }
+    assert pk[1]["n_tokens"] is None and pk[1]["start_offset"] == 0
+    assert pk[3]["start_offset"] == 0 and pk[3]["last_seq"] == 1
+
+    tb = sample_to_token_budget(
+        df, "source", "doc_id", "text", budget_tokens=5
+    ).collect()
+    assert {r["doc_id"] for r in tb} == {1, 2, 3}
+
+    mw = {
+        r["source"]: r
+        for r in mixture_weights(
+            df, "source", "text", target_shares={"a": 1.0}, budget_tokens=10
+        ).collect()
+    }
+    assert mw["a"]["n_tokens"] == 0 and mw["a"]["expected_tokens"] == 0
+    assert mw["b"]["target_share"] == 0.0

@@ -20,7 +20,7 @@ from .similarity import (
     ivf_topk,
     embedding_near_dup_pairs_blocked,
 )
-from .text import bpe_top_merges, profile_documents
+from .text import bpe_top_merges, chunk_documents, profile_documents
 from .quality import gopher_quality, top_ngram_coverage, with_gopher_keep
 from .pii import redact_pii, scan_pii
 from .sampling import cap_per_group, cap_per_group_two_phase, deterministic_sample
@@ -73,6 +73,7 @@ __all__ = [
     "embedding_near_dup_pairs_blocked",
     "profile_documents",
     "bpe_top_merges",
+    "chunk_documents",
     "gopher_quality",
     "top_ngram_coverage",
     "with_gopher_keep",

@@ -183,3 +183,68 @@ def bpe_top_merges(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    stage): each document's whitespace tokens split into windows of
+    ``chunk_tokens`` words starting every ``chunk_tokens - overlap``
+    words; the final window may be shorter. Output one row per chunk:
+    ``(id, chunk_id, n_tokens, text_chunk)`` with ``chunk_id`` 0-based
+    in document order. Documents with no tokens (empty/null text)
+    produce no chunks.
+
+    One narrow pass: words derive per row, window structs generate via
+    ``transform`` over a per-doc sequence (bounded by doc length), and
+    a single ``posexplode`` emits the chunks — no shuffle at all, so
+    at 100 TB this is scan-bound and embarrassingly parallel. Text is
+    lowercased/whitespace-normalized like every token-stream operator
+    here (the normalization a tokenizer applies anyway).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    from .quality import words_col
+
+    stride = chunk_tokens - overlap
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    # every chunk after the first must contribute ≥1 NEW token (a naive
+    # "start < n" emits a final chunk fully contained in the previous
+    # one's overlap): ceil((n - overlap)/stride), clamped for tiny docs
+    n_chunks = (
+        F.floor(F.greatest(n - overlap - 1, F.lit(0)) / F.lit(stride)).cast(
+            "int"
+        )
+        + 1
+    )
+    chunks = F.when(
+        n.isNull() | (n <= 0), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * stride + 1, chunk_tokens)
+            ),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "text_chunk"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("text_chunk"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+        "text_chunk",
+    )

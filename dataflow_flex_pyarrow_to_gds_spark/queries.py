@@ -2411,6 +2411,18 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_merges(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: 32-word sliding windows every 24
+    words (8-word overlap), one row per chunk. Pure narrow pass — no
+    shuffle anywhere; scan-bound at any scale."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, overlap=8,
+    )
+
+
 def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan over deterministically seeded synthetic PII (the corpus
     itself is PII-free and the testdata is read-only, so the fixture
@@ -3236,6 +3248,27 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "text_chunking": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            c AS (
+                SELECT doc_id, (u).cid AS chunk_id, (u).txt AS text_chunk
+                FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, CAST(floor(greatest(len(w) - 9, 0) / 24.0)
+                                      AS BIGINT) + 1),
+                        i -> {{'cid': i,
+                              'txt': array_to_string(
+                                  list_slice(w, i*24 + 1, i*24 + 32), ' ')}}))
+                      AS u
+                    FROM t WHERE len(w) > 0
+                )
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(string_split_regex(text_chunk, '\\s+')) AS BIGINT)
+                     AS n_tokens,
+                   text_chunk
+            FROM c
+        """,
         "text_bpe_merges": r"""
             WITH w AS (
                 SELECT unnest(list_filter(
@@ -3662,6 +3695,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "unpivot_orders",
         "percentile_prices",
         "exists_big_customers",
+        "running_revenue",
         # r2-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
         "set_ops_nations",
@@ -3737,7 +3771,6 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_features": q_multimodal_features,
         "text_token_frequencies": q_text_token_frequencies,
         "range_join_shipments": q_range_join_shipments,
-        "running_revenue": q_running_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
@@ -3773,6 +3806,7 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         "dedup_incremental": q_dedup_incremental,
         "text_bpe_merges": q_text_bpe_merges,
+        "text_chunking": q_text_chunking,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3794,6 +3828,7 @@ def _specs() -> dict[str, QuerySpec]:
         "unpivot_orders": q_unpivot_orders,
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
+        "running_revenue": q_running_revenue,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

@@ -228,3 +228,35 @@ def test_bpe_top_merges_reference(spark):
     # pairs: abab -> ab,ba,ab (x2 words), abc -> ab,bc ; bc -> bc
     # counts: ab=5, ba=2, bc=2  (tie ba/bc broken by pair asc)
     assert got == [("ab", 5), ("ba", 2), ("bc", 2)]
+
+
+def test_chunk_documents_contract(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, None), (4, "x"), (5, "p q r s")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        df, "doc_id", "text", chunk_tokens=3, overlap=1
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["text_chunk"])
+    # empty/null docs emit nothing; no trailing chunk without new tokens
+    assert by_doc == {
+        1: ["a b c", "c d e", "e f g"],
+        4: ["x"],
+        5: ["p q r", "r s"],
+    }
+    # reconstruction: stripping the overlap re-yields the original text
+    rebuilt = by_doc[1][0] + "".join(
+        " " + " ".join(c.split()[1:]) for c in by_doc[1][1:]
+    )
+    assert rebuilt == "a b c d e f g"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=3)

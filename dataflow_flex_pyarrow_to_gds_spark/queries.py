@@ -2411,6 +2411,26 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_merges(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+def q_curation_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-time ingest curation (the batch twin of the streaming
+    path, streaming/documents.py): quality gate + PII count + ordered
+    redaction + token stats over PII-seeded text, in one stateless
+    narrow projection — the exact expression chain the streaming
+    variant runs under readStream (parity-tested)."""
+    from .operators.pii import seed_synthetic_pii
+    from .streaming.documents import curate_documents_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = seed_synthetic_pii(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("text_pii").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return curate_documents_batch(staged)
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/context-window chunking: 32-word sliding windows every 24
     words (8-word overlap), one row per chunk. Pure narrow pass — no
@@ -2799,17 +2819,17 @@ def _line_seed_sql(words_per_line: int = 10) -> str:
     """
 
 
-def _gopher_cte_sql() -> str:
+def _gopher_cte_sql(table: str = "documents") -> str:
     """Shared CTE chain computing the Gopher metrics + per-rule flags in
     DuckDB — the exact twin of operators.quality.gopher_quality (both
     engines compare the ROUNDED metrics, so flags can never disagree on
-    float dust)."""
+    float dust). ``table`` lets a caller point it at a seeded CTE."""
     from .operators.quality import DEFAULT_RULES as R
     from .operators.text import STOPWORDS
 
     stops = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
     return f"""
-      w AS (SELECT doc_id, source, lang, text, {_WORDS_SQL} AS w FROM documents),
+      w AS (SELECT doc_id, source, lang, text, {_WORDS_SQL} AS w FROM {table}),
       g AS (SELECT *, list_transform(range(1, len(w)),
                 i -> concat_ws(' ', w[i], w[i+1])) AS g2 FROM w),
       m AS (
@@ -3247,6 +3267,28 @@ def _extension_oracles() -> dict[str, str]:
                    round({_JACCARD_SQL}, 6) AS jaccard
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
+        """,
+        "curation_arrival": f"""
+            WITH seeded AS (
+                SELECT doc_id, {_PII_SEED_SQL} AS text, lang, source, n_chars
+                FROM documents
+            ),
+            {_gopher_cte_sql(table="seeded")}
+            SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{pii_email}'))
+                        + len(regexp_extract_all(text, '{pii_ip}'))
+                        + len(regexp_extract_all(text, '{_pii_phone}'))
+                        AS BIGINT) AS n_pii,
+                   (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                    AND ok_repetition) AS keep,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '{pii_email}', '[EMAIL]', 'g'),
+                           '{pii_ip}', '[IPV4]', 'g'),
+                       '{_pii_phone}', '[PHONE]', 'g') AS text_redacted
+            FROM f
         """,
         "text_chunking": f"""
             WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -3696,6 +3738,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "percentile_prices",
         "exists_big_customers",
         "running_revenue",
+        "text_token_frequencies",
         # r2-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
         "set_ops_nations",
@@ -3769,7 +3812,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "multimodal_features": q_multimodal_features,
-        "text_token_frequencies": q_text_token_frequencies,
         "range_join_shipments": q_range_join_shipments,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q7_nation_volume": q7_nation_volume,
@@ -3807,6 +3849,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_incremental": q_dedup_incremental,
         "text_bpe_merges": q_text_bpe_merges,
         "text_chunking": q_text_chunking,
+        "curation_arrival": q_curation_arrival,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3829,6 +3872,7 @@ def _specs() -> dict[str, QuerySpec]:
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
         "running_revenue": q_running_revenue,
+        "text_token_frequencies": q_text_token_frequencies,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,

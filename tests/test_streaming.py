@@ -290,3 +290,56 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in batch]
+
+
+def test_streaming_document_curation_matches_batch(spark, sf_dir, tmp_path):
+    """Arrival-time curation (quality gate + PII scan/redact + token
+    stats) is stateless, so the streaming run over a file source must
+    equal the batch run row-for-row — no watermark, no state store."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+        seed_synthetic_pii,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.documents import (
+        curate_documents_batch,
+        curate_documents_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # seed PII so the scan/redact columns are non-vacuous in the parity
+    seeded = seed_synthetic_pii(docs, "doc_id", "text", out_col="text_pii")
+    staged = seeded.select(
+        "doc_id",
+        F.col("text_pii").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    src = str(tmp_path / "docs_stream")
+    staged.write.parquet(src)
+
+    stream = curate_documents_stream(spark, src)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_curation_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_pii"], r["keep"], r["text_redacted"]
+            )
+            for r in spark.sql("SELECT * FROM doc_curation_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_pii"], r["keep"], r["text_redacted"]
+        )
+        for r in curate_documents_batch(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # seeded PII was seen
+    assert all("[EMAIL]" in v[3] for k, v in want.items() if k % 3 == 0)

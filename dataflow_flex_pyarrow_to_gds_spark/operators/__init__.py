@@ -48,6 +48,9 @@ from .dedup import (
 from .packing import global_prefix_sum, pack_sequences
 from .sampling import mixture_weights, sample_to_token_budget
 from .similarity import sq8_quantize, sq8_stats, sq8_topk, two_stage_topk
+from .dedup import decontaminate, set_similarity_join_pairs
+from .quality import bigram_logprob_profile
+from .retrieval import bm25_topk, corpus_df_stats
 
 __all__ = [
     "project_nodes",
@@ -105,4 +108,9 @@ __all__ = [
     "sq8_quantize",
     "sq8_topk",
     "two_stage_topk",
+    "decontaminate",
+    "set_similarity_join_pairs",
+    "bigram_logprob_profile",
+    "bm25_topk",
+    "corpus_df_stats",
 ]

@@ -1171,3 +1171,202 @@ def incremental_near_dup_filter(
             (F.coalesce("_nd", F.lit(0)) == 0).alias("keep"),
         )
     )
+
+
+def set_similarity_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs
+    (id_a < id_b) whose token sets have jaccard ≥ ``threshold``, with NO
+    false negatives. The deterministic sibling of
+    :func:`minhash_lsh_pairs` — minhash trades a ~1e-8 recall miss for a
+    fixed signature cost; prefix filtering is exact and wins when the
+    threshold is high (small prefixes) or misses are unacceptable
+    (compliance-grade dedup).
+
+    How: tokens are ordered by ascending GLOBAL document frequency
+    (rarest first; ties on the 8-byte token hash). If J(x,y) ≥ t then
+    |x∩y| ≥ t·|x| (J·|x∪y| ≥ t·|x| since |x∪y| ≥ |x|), so x's prefix of
+    its ``|x| − ⌈t·|x|⌉ + 1`` smallest tokens must contain a common
+    token; the SMALLEST common token g is then inside BOTH prefixes (all
+    tokens before g on either side are non-common by minimality), so an
+    equi-join of the exploded prefixes finds every qualifying pair.
+    Rare-first ordering makes prefix postings lists short — the frequent
+    tokens that would generate huge buckets sit at the suffix end and
+    are never indexed.
+
+    Per candidate row the PPJoin positional filter applies: at the
+    smallest common token (1-based positions pa, pb), the overlap is at
+    most ``1 + min(|x|−pa, |y|−pb)``, which must reach
+    ``⌈t/(1+t)·(|x|+|y|)⌉``; rows for later shared prefix tokens may
+    fail it, but the smallest-common-token row always survives for a
+    qualifying pair, and pairs are deduplicated afterwards (pair rows
+    are 32 B — the one pair shuffle is the skinny one).
+
+    Scale shape: the document-frequency table is the one auxiliary
+    aggregate (map-side combinable, vocab-sized); the prefix index
+    shuffles (token, id, n, pos) rows — O(Σ prefix) ≈ (1−t)·corpus
+    tokens, NOT all tokens; candidate generation is an equi-join whose
+    output streams into arithmetic filters; exact verification joins the
+    per-doc sorted token arrays back, broadcast only under the
+    corpus-count gate (mirrors minhash_lsh_pairs).
+    """
+    spark = df.sparkSession  # noqa: F841  (parity with siblings)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(tokens_col(F.col(text_col)), lambda x: F.xxhash64(x))
+        ).alias("_tk"),
+    ).filter(F.size("_tk") > 0)
+    if broadcast_verify is None:
+        broadcast_verify = df.count() <= broadcast_max_docs
+
+    toks = base.select("_id", F.explode("_tk").alias("_t"))
+    dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # Canonical per-doc ordering by (global df asc, token hash asc):
+    # sort_array over (df, token) structs, then strip to the token longs.
+    ordered = (
+        toks.join(dfreq, "_t")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_t"))),
+                lambda s: s["_t"],
+            ).alias("_tk")
+        )
+        .withColumn("_n", F.size("_tk"))
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast(
+        "int"
+    ) + F.lit(1)
+    prefix = ordered.select(
+        "_id",
+        "_n",
+        F.posexplode(F.slice("_tk", F.lit(1), prefix_len)).alias(
+            "_pos0", "_t"
+        ),
+    ).withColumn("_pos", F.col("_pos0") + 1)
+
+    left = prefix.alias("l")
+    right = prefix.alias("r")
+    # minimum overlap α for the pair (PPJoin):
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l._n") + F.col("r._n"))
+    )
+    size_ok = (F.col("l._n") >= threshold * F.col("r._n")) & (
+        F.col("r._n") >= threshold * F.col("l._n")
+    )
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("l._n") - F.col("l._pos"), F.col("r._n") - F.col("r._pos")
+        )
+    ) >= alpha
+    candidates = (
+        left.join(
+            right,
+            (F.col("l._t") == F.col("r._t"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .filter(size_ok)
+        .filter(positional_ok)
+        .groupBy(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._n").alias("n_a"),
+            F.col("r._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .drop("_hits")
+    )
+
+    sh_a = ordered.select(F.col("_id").alias("id_a"), F.col("_tk").alias("tk_a"))
+    sh_b = ordered.select(F.col("_id").alias("id_b"), F.col("_tk").alias("tk_b"))
+    if broadcast_verify:
+        sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
+    inter = F.size(F.array_intersect(F.col("tk_a"), F.col("tk_b")))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Benchmark-decontamination REMOVAL — the output stage whose
+    measurement pass is :func:`contamination_profile` (GPT-3 appendix C:
+    training documents overlapping an evaluation set are dropped so the
+    benchmark stays meaningful). Emits the CLEANED train corpus: one row
+    per KEPT train document with its overlap telemetry
+    ``(id, n_grams, n_test_hits)`` — kept ⟺ at most ``max_hits`` of its
+    word-``n``-gram positions match any test-set ``n``-gram. Train docs
+    shorter than ``n`` words have no n-grams and are always kept
+    (``n_grams = 0``).
+
+    Scale shape (the mirror image of the profile): the TEST side — tiny
+    by definition — reduces to its DISTINCT 8-byte gram hashes before
+    any join, and the 100-TB TRAIN side streams its gram hashes past
+    that set; gram strings never shuffle on either side. Hash collisions
+    can only over-drop (a clean gram falsely marked ~|test|/2⁶⁴ per
+    position) — conservative in the safe direction.
+    """
+    from .quality import ngrams_col, words_col
+
+    test_grams = (
+        spread_to_cluster(test)
+        .select(
+            F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram")
+        )
+        .select(F.xxhash64("_gram").alias("_gh"))
+        .distinct()
+    )
+    train_grams = spread_to_cluster(train).select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
+    ).select("_id", F.xxhash64("_gram").alias("_gh"))
+    per_doc = (
+        train_grams.join(
+            test_grams.withColumn("_hit", F.lit(1)), "_gh", "left_outer"
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_test_hits"),
+        )
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_test_hits", F.lit(0))
+            .cast("long")
+            .alias("n_test_hits"),
+        )
+        .filter(F.col("n_test_hits") <= max_hits)
+    )

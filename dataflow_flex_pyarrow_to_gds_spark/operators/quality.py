@@ -317,3 +317,63 @@ def top_ngram_coverage(
         ).alias("top_frac"),
         F.col("_top.ngram").alias("top_ngram"),
     )
+
+
+def bigram_logprob_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-internal BIGRAM LM score per document — one Markov order
+    above :func:`unigram_logprob_profile`, the cheapest LM that catches
+    scrambled/unnatural word ORDER (a shuffled document keeps its
+    unigram score but its bigrams crater). Per document with ≥ 2 words:
+    mean −ln p(wᵢ | wᵢ₋₁) under the corpus MLE
+    p(w₂|w₁) = c(w₁w₂) / c(w₁ ·), where c(w₁ ·) sums bigram counts by
+    first word (so every observed bigram has positive probability and
+    the conditional normalizes over observed successors). Documents with
+    fewer than 2 words have no bigrams and are omitted (mirrors
+    contamination_profile's no-n-gram rule).
+
+    Scale shape mirrors the unigram operator: one map-side-combinable
+    bigram-count aggregate, a first-word re-aggregate of THAT (bigram
+    table, not the token stream), then a token-stream join pinned
+    shuffle_hash — the bigram vocab is analytically never broadcastable
+    at target scale. Per-bigram −ln p is rounded to DECIMAL(18,6)
+    BEFORE summing, so per-doc sums are independent of reduction order
+    in both engines (the unigram determinism rule).
+    """
+    bigs = spread_to_cluster(df).select(
+        F.col(id_col),
+        F.explode(ngrams_col(words_col(F.col(text_col)), 2)).alias("_bg"),
+    )
+    bg_counts = bigs.groupBy("_bg").agg(F.count("*").alias("_cnt"))
+    ctx = F.substring_index(F.col("_bg"), " ", 1)
+    ctx_counts = (
+        bg_counts.groupBy(ctx.alias("_ctx"))
+        .agg(F.sum("_cnt").alias("_ctx_cnt"))
+    )
+    neglogp = (
+        bg_counts.withColumn("_ctx", ctx)
+        .join(ctx_counts.hint("shuffle_hash"), "_ctx")
+        .select(
+            "_bg",
+            F.round(-F.log(F.col("_cnt") / F.col("_ctx_cnt")), 6)
+            .cast("decimal(18,6)")
+            .alias("_nlp"),
+        )
+    )
+    return (
+        bigs.join(neglogp.hint("shuffle_hash"), "_bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_nlp").alias("_sum_nlp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.col("_sum_nlp").cast("double").alias("sum_neglogp"),
+            F.round(
+                F.col("_sum_nlp").cast("double") / F.col("n_bigrams"), 4
+            ).alias("avg_neglogp"),
+        )
+    )

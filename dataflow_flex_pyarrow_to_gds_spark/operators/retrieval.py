@@ -1,0 +1,129 @@
+"""Lexical retrieval over the document corpus — BM25 scoring and the
+document-frequency statistics it runs on.
+
+The reference pipeline (neo4j-field/dataflow-flex-pyarrow-to-gds) has no
+text-retrieval surface at all (SURVEY.md §2.8: the only string function
+is strtobool, reference neo4j_beam/util.py:61-74); this module is part
+of the LLM-training-data extension mandate: curating a 100-TB corpus
+needs keyword retrieval for audit queries ("show me the docs that
+mention X") and quality forensics, and BM25 is the standard lexical
+ranker (Robertson & Zaragoza 2009; the Lucene/Elasticsearch default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .quality import words_col
+
+__all__ = ["bm25_topk", "corpus_df_stats"]
+
+
+def corpus_df_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Document-frequency table: one row per distinct token with the
+    number of documents containing it. Map-side combinable twice over
+    (distinct within doc, then count across docs)."""
+    return (
+        df.select(
+            F.explode(
+                F.array_distinct(words_col(F.col(text_col)))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+
+
+def _term_eq(term: str):
+    return lambda x: x == F.lit(term)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag of ``query_terms``.
+
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+    with the Lucene idf variant ``ln(1 + (N − df + 0.5)/(df + 0.5))``
+    (always positive, so stopword-like terms dilute rather than flip
+    rankings). Only documents containing ≥ 1 query term are scored.
+
+    Scale shape — ZERO joins against corpus-sized tables: the query
+    terms are literals, so per-term tf is a ``size(filter(words, =t))``
+    expression inside the one narrow scan (no explode, no vocab join —
+    compare unigram_logprob_profile, whose vocab is data-sized and MUST
+    join), corpus stats (N, avgdl, per-term df) are ONE map-side
+    combinable 1-row aggregate broadcast back, and the top-k is a
+    TakeOrderedAndProject. Wide only in the 1-row broadcast; everything
+    else pipelines.
+
+    Cross-engine determinism: per-term contributions are rounded to
+    DECIMAL(18,6) before summing (decimal addition is exact and
+    order-independent — the unigram-LM rule), and the final ordering is
+    (rounded score DESC, id ASC), so ties at the k boundary resolve
+    identically in any engine.
+    """
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col),
+        words_col(F.col(text_col)).alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.size("_w").alias("_dl"),
+        *[
+            F.size(
+                # NB: the predicate must be unary — a binary lambda makes
+                # F.filter bind the second parameter to the element INDEX.
+                F.filter(F.col("_w"), _term_eq(t))
+            ).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"_tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        return (
+            F.round(idf * (tf * (k1 + 1.0)) / (tf + norm), 6)
+            .cast("decimal(18,6)")
+        )
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    tf_cols = [F.col(f"_tf_{i}") for i in range(len(terms))]
+    max_tf = tf_cols[0] if len(tf_cols) == 1 else F.greatest(*tf_cols)
+    matched = base.filter(max_tf > 0)
+    return (
+        matched.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            score.cast("double").alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

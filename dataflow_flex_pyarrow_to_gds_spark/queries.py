@@ -2857,6 +2857,75 @@ def _gopher_cte_sql(table: str = "documents") -> str:
     """
 
 
+def q_dedup_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering):
+    all token-set pairs with jaccard ≥ 0.8 and NO false negatives — the
+    deterministic sibling of dedup_minhash_pairs (same pair definition,
+    so the exhaustive oracle is shared up to minhash's ~1e-8 banding
+    miss). Tokens order by ascending global document frequency; only the
+    |x|−⌈t|x|⌉+1 rarest tokens per doc are indexed, the PPJoin
+    positional filter prunes candidates arithmetically, and exact
+    verification joins sorted hashed-token arrays back under the
+    corpus-count broadcast gate."""
+    from .operators.dedup import set_similarity_join_pairs
+
+    return set_similarity_join_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination REMOVAL (the output stage of
+    text_contamination's measurement): the CLEANED train split — train
+    docs (doc_id % 10 ≠ 0) kept only if ZERO of their word-8-gram
+    positions match any held-out-split (doc_id % 10 = 0) 8-gram; short
+    docs with no 8-grams always keep. The test side reduces to distinct
+    8-byte gram hashes before the join — gram strings never shuffle."""
+    from .operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=8,
+        max_hits=0,
+    )
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal BIGRAM LM score per doc: mean −ln p(wᵢ|wᵢ₋₁)
+    under the corpus MLE — the word-order-sensitive step up from
+    text_unigram_logprob. Per-bigram scores sum as DECIMAL(18,6) so the
+    per-doc sum is reduction-order-independent in both engines; the
+    token→score join is pinned shuffle_hash (bigram vocab is never
+    broadcastable at scale)."""
+    from .operators.quality import bigram_logprob_profile
+
+    return bigram_logprob_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for the literal query
+    {hash, vector, window} (k1=1.2, b=0.75, Lucene idf). Because the
+    query terms are literals, per-term tf is a filter-size expression in
+    ONE narrow scan — zero corpus-sized joins; corpus stats (N, avgdl,
+    per-term df) are a 1-row broadcast and the result is a
+    TakeOrderedAndProject on (rounded score desc, doc_id asc)."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["hash", "vector", "window"],
+        k=20,
+    )
+
+
 def _extension_oracles() -> dict[str, str]:
     from .operators.pii import PATTERNS as _pii_pat
     from .operators.pii import PHONE_PATTERN_PORTABLE as _pii_phone
@@ -2867,6 +2936,89 @@ def _extension_oracles() -> dict[str, str]:
     gopher = _gopher_cte_sql()
     pii_email, pii_ip = _pii_pat["email"], _pii_pat["ipv4"]
     return {
+        "dedup_set_similarity": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round({_JACCARD_SQL}, 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE {_JACCARD_SQL} >= 0.8
+        """,
+        "text_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            te AS (
+                SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+                    i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                  AS gram
+                FROM t WHERE len(w) >= 8 AND doc_id % 10 = 0
+            ),
+            tr AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                    i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                  AS gram
+                FROM t WHERE len(w) >= 8 AND doc_id % 10 <> 0
+            ),
+            h AS (
+                SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(CASE WHEN te.gram IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_test_hits
+                FROM tr LEFT JOIN te USING (gram) GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_test_hits, 0) AS BIGINT) AS n_test_hits
+            FROM documents d LEFT JOIN h USING (doc_id)
+            WHERE d.doc_id % 10 <> 0 AND coalesce(h.n_test_hits, 0) = 0
+        """,
+        "text_bigram_logprob": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                      i -> concat_ws(' ', w[i], w[i+1]))) AS bg
+                  FROM t WHERE len(w) >= 2),
+            c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1),
+            x AS (SELECT split_part(bg, ' ', 1) AS ctx, sum(cnt) AS ctx_cnt
+                  FROM c GROUP BY 1),
+            p AS (SELECT bg, CAST(round(-ln(cnt::DOUBLE / ctx_cnt), 6)
+                                  AS DECIMAL(18,6)) AS nlp
+                  FROM c JOIN x ON split_part(c.bg, ' ', 1) = x.ctx)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(nlp) AS DOUBLE) AS sum_neglogp,
+                   round(CAST(sum(nlp) AS DOUBLE) / count(*), 4)
+                     AS avg_neglogp
+            FROM b JOIN p USING (bg) GROUP BY doc_id
+        """,
+        "text_bm25_topk": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            b AS (SELECT doc_id, len(w) AS dl,
+                         len(list_filter(w, x -> x = 'hash')) AS tf0,
+                         len(list_filter(w, x -> x = 'vector')) AS tf1,
+                         len(list_filter(w, x -> x = 'window')) AS tf2
+                  FROM t),
+            s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                  FROM b)
+            SELECT doc_id,
+                   CAST(
+                     CAST(round(ln(1.0 + (n_docs - df0 + 0.5)::DOUBLE / (df0 + 0.5)::DOUBLE)
+                          * (tf0::DOUBLE * (1.2 + 1.0))
+                          / (tf0::DOUBLE + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+                   + CAST(round(ln(1.0 + (n_docs - df1 + 0.5)::DOUBLE / (df1 + 0.5)::DOUBLE)
+                          * (tf1::DOUBLE * (1.2 + 1.0))
+                          / (tf1::DOUBLE + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+                   + CAST(round(ln(1.0 + (n_docs - df2 + 0.5)::DOUBLE / (df2 + 0.5)::DOUBLE)
+                          * (tf2::DOUBLE * (1.2 + 1.0))
+                          / (tf2::DOUBLE + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+                   AS DOUBLE) AS bm25
+            FROM b, s
+            WHERE greatest(tf0, tf1, tf2) > 0
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
+        """,
         "text_pii_scan": f"""
             WITH s AS (SELECT doc_id, {_PII_SEED_SQL} AS tp FROM documents),
             c AS (
@@ -3732,6 +3884,10 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "date_functions",
         # r3-green, implementation unchanged since, locally re-verified
         # green every round — same trade as above
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
+        "q19_bracket_revenue",
         "window_top_orders",
         "window_distribution",
         "unpivot_orders",
@@ -3818,10 +3974,6 @@ def _specs() -> dict[str, QuerySpec]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_bracket_revenue": q19_bracket_revenue,
         "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -3850,6 +4002,10 @@ def _specs() -> dict[str, QuerySpec]:
         "text_bpe_merges": q_text_bpe_merges,
         "text_chunking": q_text_chunking,
         "curation_arrival": q_curation_arrival,
+        "dedup_set_similarity": q_dedup_set_similarity,
+        "text_decontaminate": q_text_decontaminate,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "text_bm25_topk": q_text_bm25_topk,
         # -- implementations touched in round 5 stay inside the window ---
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -3863,6 +4019,10 @@ def _specs() -> dict[str, QuerySpec]:
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
         "curation_full_funnel": q_curation_full_funnel,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_bracket_revenue": q19_bracket_revenue,
         "scalar_functions": q_scalar_functions,
         "date_functions": q_date_functions,
         "window_top_orders": q_window_top_orders,

@@ -1,0 +1,181 @@
+"""Round-5 additions: exact set-similarity join, decontamination removal,
+bigram LM scoring, BM25 retrieval — each checked against a Python twin on
+hand-built corpora (the catalog oracle covers the sf0.01 scale)."""
+
+import itertools
+import math
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+    decontaminate,
+    set_similarity_join_pairs,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+    bigram_logprob_profile,
+)
+from dataflow_flex_pyarrow_to_gds_spark.operators.retrieval import bm25_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "dog lazy the over jumps fox brown quick the"),  # same token set
+    (3, "the quick brown fox jumps over the lazy cat"),  # 8/10 jaccard
+    (4, "completely different content about spark engines"),
+    (5, "the quick brown fox jumps over the lazy dog today"),  # superset
+    (6, "spark engines process completely different content"),  # ≙ 4 set
+    (7, "one lone token"),
+]
+
+
+def _tokset(text):
+    return set(text.lower().split())
+
+
+def _exhaustive_pairs(threshold):
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        a, b = _tokset(ta), _tokset(tb)
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            out[(min(ia, ib), max(ia, ib))] = round(j, 6)
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_set_similarity_exact_vs_exhaustive(spark):
+    for threshold in (0.5, 0.7, 0.9):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in set_similarity_join_pairs(
+                _docs_df(spark), "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        assert got == _exhaustive_pairs(threshold), f"t={threshold}"
+
+
+def test_set_similarity_shuffle_verify_path_identical(spark):
+    df = _docs_df(spark)
+    bcast = set_similarity_join_pairs(
+        df, "doc_id", "text", threshold=0.6, broadcast_verify=True
+    )
+    shuffle = set_similarity_join_pairs(
+        df, "doc_id", "text", threshold=0.6, broadcast_verify=False
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    assert sorted(map(key, bcast.collect())) == sorted(
+        map(key, shuffle.collect())
+    )
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    span = "alpha beta gamma delta"
+    train = spark.createDataFrame(
+        [
+            (1, f"{span} one two"),  # contains the test 4-gram
+            (2, "clean doc with no shared span at all here"),
+            (3, "tiny"),  # < n words → no grams → always kept
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, f"prefix {span} suffix")], "doc_id long, text string"
+    )
+    kept = decontaminate(train, test, "doc_id", "text", n=4).collect()
+    by_id = {r["doc_id"]: r for r in kept}
+    assert set(by_id) == {2, 3}
+    assert by_id[3]["n_grams"] == 0 and by_id[3]["n_test_hits"] == 0
+    assert by_id[2]["n_grams"] == 6 and by_id[2]["n_test_hits"] == 0
+
+
+def test_decontaminate_max_hits_threshold(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )  # grams: "a b c d", "b c d e"
+    test = spark.createDataFrame(
+        [(9, "x a b c d y")], "doc_id long, text string"
+    )  # shares exactly one 4-gram
+    assert decontaminate(train, test, "doc_id", "text", n=4).count() == 0
+    relaxed = decontaminate(
+        train, test, "doc_id", "text", n=4, max_hits=1
+    ).collect()
+    assert [(r["doc_id"], r["n_test_hits"]) for r in relaxed] == [(1, 1)]
+
+
+def test_bigram_logprob_matches_python_twin(spark):
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b),(b,c)
+    counts = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    ctx = {"a": 3, "b": 2}
+    nlp = {
+        bg: round(-math.log(c / ctx[bg[0]]), 6) for bg, c in counts.items()
+    }
+    expect = {}
+    for doc_id, text in rows[:2]:
+        w = text.split()
+        bgs = list(zip(w, w[1:]))
+        s = round(sum(nlp[b] for b in bgs), 6)
+        expect[doc_id] = (len(bgs), s, round(s / len(bgs), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_neglogp"], r["avg_neglogp"])
+        for r in bigram_logprob_profile(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2}  # doc 3 has no bigrams
+    for doc_id, (n, s, avg) in expect.items():
+        gn, gs, gavg = got[doc_id]
+        assert gn == n
+        assert abs(gs - s) < 1e-6
+        assert abs(gavg - avg) < 1e-9
+
+
+def test_bm25_matches_python_twin(spark):
+    rows = [
+        (1, "hash join hash probe"),
+        (2, "vector scan"),
+        (3, "window window window frame"),
+        (4, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["hash", "vector", "window"]
+    k1, b = 1.2, 0.75
+    docs = {i: t.split() for i, t in rows}
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n_docs
+    dfreq = {
+        t: sum(1 for w in docs.values() if t in w) for t in terms
+    }
+    expect = {}
+    for i, w in docs.items():
+        score = 0.0
+        for t in terms:
+            tf = w.count(t)
+            idf = math.log(
+                1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            )
+            score += round(
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * len(w) / avgdl)),
+                6,
+            )
+        if any(t in w for t in terms):
+            expect[i] = round(score, 6)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(df, "doc_id", "text", terms, k=10).collect()
+    }
+    assert set(got) == set(expect) == {1, 2, 3}
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9
+
+
+def test_bm25_k_limit_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(i, "hash " * (i + 1)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    top2 = bm25_topk(df, "doc_id", "text", ["hash"], k=2).collect()
+    assert len(top2) == 2
+    assert top2[0]["bm25"] >= top2[1]["bm25"]

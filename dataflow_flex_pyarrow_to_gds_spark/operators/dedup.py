@@ -243,6 +243,7 @@ def minhash_lsh_pairs(
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
     collapse_identical: bool = True,
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
 
@@ -271,6 +272,20 @@ def minhash_lsh_pairs(
     collapsed table is operator-internally ``cache()``d — it is consumed
     by the banded path, both verification sides, and the member map, and
     recomputing the groupBy per reference measured 171 s vs 21 s at sf0.1.
+
+    ``max_bucket_docs`` (default None = off): OPT-IN skew guard for the
+    residual pathology the identical-set collapse cannot absorb — a
+    bucket of *near*-identical-but-distinct docs, whose C(bucket, 2)
+    generated rows all land in one task. When set, (band, bucket) groups
+    larger than the cap are EXCLUDED from candidate generation (one
+    extra map-side-combinable aggregate + equi-join on the skinny banded
+    stream). This TRADES RECALL for a hard per-task bound: a qualifying
+    pair is lost only if EVERY band it collides in is over-capped, so
+    with b independent bands the miss probability for a pair colliding
+    in k uncapped bands stays 0 — losses concentrate precisely on the
+    flood cluster the cap targets. Deliberately not default-on because
+    it changes results; production corpora with known dup floods should
+    set it to ~10⁴.
     """
     rows_per_band = num_hashes // bands
     spark = df.sparkSession
@@ -341,6 +356,21 @@ def minhash_lsh_pairs(
         "_bks",
     ).withColumn("bucket", F.element_at(F.col("_bks"), F.col("band") + 1))
 
+    if max_bucket_docs is not None:
+        # Skew cap (opt-in, recall-trading — see docstring): drop
+        # over-capped (band, bucket) groups before the self-join. The
+        # sizing aggregate runs on the skinny banded stream (16 B keys)
+        # and is map-side combinable; the filter join keys on the same
+        # (band, bucket) the candidate join uses, so AQE coalesces both
+        # into the one existing exchange footprint.
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket_docs)
+            .drop("_bsz")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"])
+
     # Candidate generation: equi-join on (band, bucket). The join output
     # (O(bands × pairs) rows on dup-heavy corpora) never hits a shuffle —
     # it streams straight into the filters below. Two earlier designs
@@ -372,16 +402,37 @@ def minhash_lsh_pairs(
     size_ok = (F.col("l._n") >= threshold * F.col("r._n")) & (
         F.col("r._n") >= threshold * F.col("l._n")
     )
-    candidates = (
-        raw_pairs.filter(size_ok)
-        .filter(~earlier_collision)
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._n").alias("n_a"),
-            F.col("r._n").alias("n_b"),
+    if max_bucket_docs is None:
+        candidates = (
+            raw_pairs.filter(size_ok)
+            .filter(~earlier_collision)
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("l._n").alias("n_a"),
+                F.col("r._n").alias("n_b"),
+            )
         )
-    )
+    else:
+        # With the bucket cap on, the arithmetic first-band dedup is
+        # WRONG: it keys off the _bks arrays, so a pair whose first
+        # colliding band was capped away would be dropped at every later
+        # band too. Dedup by pair instead — the cap bounds candidate
+        # volume (≤ bands × C(cap, 2) per flood cluster), which is
+        # exactly what makes the pair shuffle affordable here, and a
+        # pair then survives iff ANY of its colliding bands is
+        # under-capped (the docstring's guarantee).
+        candidates = (
+            raw_pairs.filter(size_ok)
+            .groupBy(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("l._n").alias("n_a"),
+                F.col("r._n").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("_nbands"))
+            .drop("_nbands")
+        )
 
     # Exact-Jaccard verification. The shingle side is per-*document* (tiny
     # next to the candidate stream when the corpus fits the broadcast

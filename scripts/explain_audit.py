@@ -323,6 +323,47 @@ CHECKS: list[tuple[str, str, object]] = [
         lambda p: not re.findall(r"\(\d+\) Exchange", p)
         and "TakeOrderedAndProject" in p,
     ),
+    (
+        "dedup_set_similarity",
+        "prefix-filter set-similarity: verify sides broadcast under the "
+        "corpus-count gate (two BroadcastHashJoins), scan pruned to "
+        "(doc_id, text)",
+        lambda p: p.count("BroadcastHashJoin") >= 2
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "text_decontaminate",
+        "decontamination: gram strings never shuffle on either side — "
+        "every hashpartitioning key is the 8-byte gram hash or the doc "
+        "id, and the test side reduces to distinct hashes "
+        "(HashAggregate) before the join",
+        lambda p: "hashpartitioning(_gram" not in p
+        and "hashpartitioning(gram" not in p
+        and "HashAggregate" in p,
+    ),
+    (
+        "text_bigram_logprob",
+        "bigram LM: both vocab-sized joins (bigram->ctx count and "
+        "token-stream->logp) are pinned shuffle joins keyed on the "
+        "bigram/ctx — a real bigram vocab never broadcasts",
+        lambda p: "hashpartitioning(_bg" in p
+        and "hashpartitioning(_ctx" in p
+        and "ShuffledHashJoin" in p,
+    ),
+    (
+        "text_bm25_topk",
+        "BM25: zero corpus-sized joins — the only join is the 1-row "
+        "stats broadcast (BroadcastNestedLoopJoin), no SortMergeJoin / "
+        "ShuffledHashJoin anywhere, finished by TakeOrderedAndProject, "
+        "scan pruned to (doc_id, text)",
+        lambda p: "BroadcastNestedLoopJoin" in p
+        and "SortMergeJoin" not in p
+        and "ShuffledHashJoin" not in p
+        and "TakeOrderedAndProject" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
 ]
 
 

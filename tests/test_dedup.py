@@ -640,3 +640,37 @@ def test_incremental_near_dup_filter(spark):
     assert not out[10]["keep"] and out[10]["n_corpus_dups"] == 1
     assert out[11]["keep"] and out[11]["n_corpus_dups"] == 0
     assert out[12]["keep"]
+
+
+def test_minhash_bucket_cap_bounds_flood_but_keeps_small_clusters(spark):
+    # flood: 30 near-identical-but-DISTINCT docs (20 shared tokens + one
+    # unique token each → pairwise jaccard 20/22 ≈ 0.909, no identical-set
+    # collapse possible); plus one small 2-doc near-dup cluster.
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [(i, f"{shared} uniq{i}") for i in range(30)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kapXa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=64, bands=32, threshold=0.8)
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", max_bucket_docs=5, **kw
+        ).collect()
+    }
+    # the cap never invents pairs, and surviving pairs keep their jaccard
+    assert set(capped) <= set(uncapped)
+    assert all(uncapped[p] == j for p, j in capped.items())
+    # the small cluster's buckets are under the cap → its pair survives
+    assert (100, 101) in capped
+    # the flood found plenty of pairs uncapped; the cap actually bites
+    flood_uncapped = [p for p in uncapped if p[0] < 100 and p[1] < 100]
+    flood_capped = [p for p in capped if p[0] < 100 and p[1] < 100]
+    assert len(flood_uncapped) > 100
+    assert len(flood_capped) < len(flood_uncapped)

@@ -179,3 +179,29 @@ def test_bm25_k_limit_and_ordering(spark):
     top2 = bm25_topk(df, "doc_id", "text", ["hash"], k=2).collect()
     assert len(top2) == 2
     assert top2[0]["bm25"] >= top2[1]["bm25"]
+
+
+def test_new_ops_tolerate_null_and_empty_text(spark):
+    """Null/empty text must not error under ANSI mode (the established
+    round-5 convention): docs without tokens simply drop out of
+    pair/score outputs; decontaminate always keeps them."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    pairs = set_similarity_join_pairs(
+        df, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+
+    test_side = spark.createDataFrame(
+        [(9, None), (10, "")], "doc_id long, text string"
+    )
+    kept = decontaminate(df, test_side, "doc_id", "text", n=2).collect()
+    assert {r["doc_id"] for r in kept} == {1, 2, 3, 4}
+
+    bl = bigram_logprob_profile(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in bl} == {3, 4}
+
+    bm = bm25_topk(df, "doc_id", "text", ["a"], k=10).collect()
+    assert {r["doc_id"] for r in bm} == {3, 4}

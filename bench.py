@@ -66,6 +66,13 @@ HEADLINE = [
     "graph_pagerank",
     "similarity_matryoshka_topk",
     "dedup_incremental",
+    # round 5 (second batch): exact prefix-filter set-similarity join
+    # (t=0.9 — the high-threshold regime prefix filtering is for),
+    # decontamination removal, bigram LM, BM25 retrieval
+    "dedup_set_similarity",
+    "text_decontaminate",
+    "text_bigram_logprob",
+    "text_bm25_topk",
 ]
 
 

@@ -4,6 +4,7 @@ from .graph_algo import (
     node_degrees,
     connected_components,
     pagerank_fixedpoint,
+    triangle_count,
 )
 from .asof import asof_join, range_join
 from .skew import salted_aggregate
@@ -113,4 +114,5 @@ __all__ = [
     "bigram_logprob_profile",
     "bm25_topk",
     "corpus_df_stats",
+    "triangle_count",
 ]

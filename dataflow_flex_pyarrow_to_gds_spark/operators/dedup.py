@@ -1232,6 +1232,7 @@ def set_similarity_join_pairs(
     threshold: float = 0.7,
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (AllPairs /
     PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs
@@ -1251,7 +1252,10 @@ def set_similarity_join_pairs(
     equi-join of the exploded prefixes finds every qualifying pair.
     Rare-first ordering makes prefix postings lists short — the frequent
     tokens that would generate huge buckets sit at the suffix end and
-    are never indexed.
+    are never indexed. (Exactness holds under ANY global total order;
+    rare-first is purely the performance choice, which is why computing
+    document frequency over collapsed representatives below stays
+    correct.)
 
     Per candidate row the PPJoin positional filter applies: at the
     smallest common token (1-based positions pa, pb), the overlap is at
@@ -1261,15 +1265,26 @@ def set_similarity_join_pairs(
     qualifying pair, and pairs are deduplicated afterwards (pair rows
     are 32 B — the one pair shuffle is the skinny one).
 
+    ``collapse_identical`` (default on — the minhash collapse, ported):
+    docs with IDENTICAL token sets collapse to one representative before
+    the prefix join and member pairs are re-expanded afterwards
+    (within-group at jaccard 1.0; cross-group inheriting the reps'
+    jaccard — identical sets have identical jaccard to anything, so the
+    expanded output is exactly the uncollapsed output). Saves
+    C(members, 2) − C(reps, 2) candidate work per identical clique;
+    measured 14 s → 10 s at sf0.1/t=0.9 on the synthetic corpus (only
+    ~21 % of its docs share a set; identical-dominated corpora gain
+    proportionally more).
+
     Scale shape: the document-frequency table is the one auxiliary
     aggregate (map-side combinable, vocab-sized); the prefix index
     shuffles (token, id, n, pos) rows — O(Σ prefix) ≈ (1−t)·corpus
     tokens, NOT all tokens; candidate generation is an equi-join whose
     output streams into arithmetic filters; exact verification joins the
     per-doc sorted token arrays back, broadcast only under the
-    corpus-count gate (mirrors minhash_lsh_pairs).
+    corpus-count gate (mirrors minhash_lsh_pairs); the expansion joins
+    shuffle only ids and 8-byte fingerprints, never token arrays.
     """
-    spark = df.sparkSession  # noqa: F841  (parity with siblings)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -1278,6 +1293,22 @@ def set_similarity_join_pairs(
     ).filter(F.size("_tk") > 0)
     if broadcast_verify is None:
         broadcast_verify = df.count() <= broadcast_max_docs
+
+    members = None
+    if collapse_identical:
+        # Canonical 64-bit set fingerprint; cached because the expansion
+        # joins below reference members/reps several times (the
+        # minhash_lsh_pairs rationale verbatim).
+        base = base.withColumn("_fp", F.xxhash64(F.array_sort("_tk")))
+        members = base.select("_id", "_fp").cache()
+        base = (
+            base.groupBy("_fp")
+            .agg(
+                F.min("_id").alias("_id"),
+                F.any_value("_tk").alias("_tk"),
+            )
+            .cache()
+        )
 
     toks = base.select("_id", F.explode("_tk").alias("_t"))
     dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
@@ -1340,21 +1371,82 @@ def set_similarity_join_pairs(
         .drop("_hits")
     )
 
+    # The pair dedup above is a deliberate SHUFFLE, and it is the right
+    # one: candidate rows are 32 B and the positional filter has already
+    # bounded their volume (1.96 M rows ≈ 80 MB at sf0.1 — vs minhash,
+    # whose UNfiltered generated stream is O(bands × pairs) and must
+    # dedup arithmetically). Deduping BEFORE the verify join matters
+    # because each verify probe materializes both ~800 B token arrays
+    # into the joined row: a zero-shuffle variant that deduped DURING
+    # verification (keep the row whose matched token is the pair's
+    # smallest common token) paid that materialization per candidate
+    # row instead of per pair and measured ~2× slower end to end.
     sh_a = ordered.select(F.col("_id").alias("id_a"), F.col("_tk").alias("tk_a"))
     sh_b = ordered.select(F.col("_id").alias("id_b"), F.col("_tk").alias("tk_b"))
     if broadcast_verify:
         sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
-    inter = F.size(F.array_intersect(F.col("tk_a"), F.col("tk_b")))
-    return (
+    common = F.array_intersect(F.col("tk_a"), F.col("tk_b"))
+    verified = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(common).alias("_inter"),
+        )
         .withColumn(
             "jaccard",
-            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
+            F.col("_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    if not collapse_identical:
+        return verified
+
+    # Re-expand representative pairs to member pairs — fingerprint groups
+    # are disjoint, so the two expansions cannot overlap and no final
+    # dedup shuffle is needed (minhash_lsh_pairs, verbatim logic).
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma._fp") == F.col("mb._fp"))
+            & (F.col("ma._id") < F.col("mb._id")),
+        )
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_fp = base.select(F.col("_id"), F.col("_fp"))
+    cross = (
+        verified.join(
+            rep_fp.select(
+                F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(
+                F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+        .join(ma, F.col("ma._fp") == F.col("fp_a"))
+        .join(mb, F.col("mb._fp") == F.col("fp_b"))
+        .select(
+            F.least(F.col("ma._id"), F.col("mb._id")).alias("id_a"),
+            F.greatest(F.col("ma._id"), F.col("mb._id")).alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def decontaminate(

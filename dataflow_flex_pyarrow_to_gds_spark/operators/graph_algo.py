@@ -279,3 +279,73 @@ def pagerank_fixedpoint(
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = SOURCE_ID, dst: str = TARGET_ID) -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph given by ``edges``
+    (direction and duplicates ignored; self-loops dropped) — the
+    compact-forward / degree-orientation algorithm (Latapy 2008; the
+    standard distributed formulation, cf. Suri & Vassilvitskii WWW'11):
+
+    1. canonicalize to distinct undirected edges;
+    2. orient every edge from its (degree, id)-SMALLER endpoint to the
+       larger — an acyclic orientation in which each triangle has
+       exactly one "wedge apex", so it is found exactly once;
+    3. wedge join (a→b)⋈(b→c) + closing-edge semi join (a→c).
+
+    Why orientation matters at 100 TB: wedge volume is Σᵥ outdeg(v)²,
+    and degree-orientation bounds every outdeg by O(√m) on any graph —
+    a raw id-ordering instead leaves hub nodes with outdeg ≈ deg, and
+    one celebrity node turns the wedge join into a cartesian blowup.
+    All three joins are equi-joins on node ids (skinny 16-B rows); the
+    closing check is a LEFT SEMI join so wedges never materialize the
+    third edge's payload. Returns a 1-row DataFrame ``(n_triangles)``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("_n", "_u").withColumnRenamed("_d", "_du"), "_u")
+        .join(deg.withColumnRenamed("_n", "_v").withColumnRenamed("_d", "_dv"), "_v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))),
+                F.struct(F.col("_u").alias("s"), F.col("_v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("_v").alias("s"), F.col("_u").alias("t"))
+            )
+            .alias("_o")
+        )
+        .select(F.col("_o.s").alias("_s"), F.col("_o.t").alias("_t"))
+    )
+    wedges = (
+        ranked.alias("e1")
+        .join(
+            ranked.alias("e2"),
+            F.col("e1._t") == F.col("e2._s"),
+        )
+        .select(
+            F.col("e1._s").alias("_a"),
+            F.col("e1._t").alias("_b"),
+            F.col("e2._t").alias("_c"),
+        )
+    )
+    closed = wedges.join(
+        ranked.select(F.col("_s").alias("_a"), F.col("_t").alias("_c")),
+        ["_a", "_c"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

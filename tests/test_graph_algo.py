@@ -160,3 +160,53 @@ def test_pagerank_partitioning_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_triangle_count_known_graph(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge + duplicate/reversed
+    # edges + a self-loop; expected count 4.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+            (4, 5),           # pendant — no new triangle
+            (2, 1), (3, 1),   # reversed duplicates
+            (5, 5),           # self-loop — dropped
+        ],
+        "src long, dst long",
+    )
+    [row] = triangle_count(edges, "src", "dst").collect()
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_random_vs_python(spark):
+    import itertools
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        triangle_count,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+            )
+            if a != b
+        }
+    )
+    eset = set(edges)
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    [row] = triangle_count(df, "src", "dst").collect()
+    assert row["n_triangles"] == expect

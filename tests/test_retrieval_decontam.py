@@ -205,3 +205,50 @@ def test_new_ops_tolerate_null_and_empty_text(spark):
 
     bm = bm25_topk(df, "doc_id", "text", ["a"], k=10).collect()
     assert {r["doc_id"] for r in bm} == {3, 4}
+
+
+def test_set_similarity_random_corpora_vs_exhaustive(spark):
+    """Generative exactness check: random token-set corpora (including
+    planted near-dups and identical sets) match the Python exhaustive
+    join at every threshold — both collapse paths."""
+    import random
+
+    vocab = [f"tok{i}" for i in range(30)]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(25):
+            k = rng.randint(1, 12)
+            rows.append((i, " ".join(rng.sample(vocab, k))))
+        # planted: identical set (reordered), near-dup, exact dup
+        rows.append((100, " ".join(reversed(rows[0][1].split()))))
+        rows.append((101, rows[1][1] + " extraword"))
+        rows.append((102, rows[2][1]))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def exhaustive(threshold):
+            import itertools
+
+            out = {}
+            for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+                a, b = set(ta.lower().split()), set(tb.lower().split())
+                j = len(a & b) / len(a | b)
+                if j >= threshold:
+                    out[(min(ia, ib), max(ia, ib))] = round(j, 6)
+            return out
+
+        for threshold in (0.4, 0.8):
+            for collapse in (True, False):
+                got = {
+                    (r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in set_similarity_join_pairs(
+                        df,
+                        "doc_id",
+                        "text",
+                        threshold=threshold,
+                        collapse_identical=collapse,
+                    ).collect()
+                }
+                assert got == exhaustive(threshold), (
+                    f"seed={seed} t={threshold} collapse={collapse}"
+                )

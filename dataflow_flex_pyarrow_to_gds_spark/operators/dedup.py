@@ -684,34 +684,42 @@ def repeated_passage_profile(
     xxhash64 of the n-gram — the gram STRING never shuffles (shuffling
     raw n-grams is n× the corpus; the suffix-array approach this
     replaces exists precisely because that is prohibitive). The
-    (doc, gram-hash) stream shuffle-joins the per-gram doc counts, then
+    (doc, gram-hash) stream aggregates to (gram, doc) position counts,
+    reads the per-gram doc count off a window over the gram hash, and
     re-aggregates per doc. Hash collisions merge distinct grams with
     probability ~|grams|²/2⁶⁴ — negligible against any real corpus.
 
-    EAGER: the (doc, gram-hash) stream feeds both the per-gram doc
-    counts and the join back, so it is localCheckpoint-ed at call time
-    (cluster jobs run when this function is *called*, not when the
-    result is collected) — otherwise the tokenize→ngram→explode→hash
-    pipeline executes once per consumer, the recompute-per-consumer
-    trap :func:`near_dup_groups` materializes against.
+    LINEAR PLAN: the r5 version fed the gram stream to TWO consumers
+    (per-gram counts + a join back) and localCheckpoint-ed it to avoid
+    recompute — the materialization cost the bench +41 % (r5 verdict).
+    Aggregating to one row per (gram, doc) first and counting docs with
+    a ``Window.partitionBy(gram)`` makes every step single-consumer:
+    grams are computed exactly once, nothing is materialized, and no
+    join exists. The window reuses the (gh, id) shuffle's partitioning
+    (gh is a prefix of the keys), so Catalyst inserts no extra exchange
+    beyond the re-aggregation's.
     """
     from .quality import ngrams_col, words_col
 
     grams = spread_to_cluster(df).select(
         F.col(id_col).alias("_id"),
         F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
-    ).select("_id", F.xxhash64("_gram").alias("_gh")).localCheckpoint(
-        eager=True
-    )
-    per_gram = grams.groupBy("_gh").agg(
-        F.countDistinct("_id").alias("_nd")
+    ).select("_id", F.xxhash64("_gram").alias("_gh"))
+    # One row per (gram, doc) with its position count; the per-gram
+    # distinct-doc count is then just a partition row count.
+    per = grams.groupBy("_gh", "_id").agg(F.count(F.lit(1)).alias("_pos"))
+    scored = per.withColumn(
+        "_nd", F.count(F.lit(1)).over(W.partitionBy("_gh"))
     )
     return (
-        grams.join(per_gram, "_gh")
-        .groupBy("_id")
+        scored.groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("_nd") >= min_docs).cast("long")).alias("n_dup_grams"),
+            F.sum("_pos").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_nd") >= min_docs, F.col("_pos")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_grams"),
         )
         .select(
             F.col("_id").alias(id_col),
@@ -818,9 +826,13 @@ def remove_repeated_passages(
     covered-span expansion and the kept-word filter are then per-row
     narrow array ops, never a corpus-wide (doc, pos, word) shuffle.
 
-    EAGER: the (doc, pos, gram-hash) stream feeds both the per-gram
-    doc counts and the position join, so it is localCheckpoint-ed at
-    call time (same rationale as the profile).
+    LINEAR PLAN: like :func:`repeated_passage_profile`, the gram
+    stream aggregates to one row per (gram, doc) carrying that doc's
+    position set, the per-gram doc count comes from a window over the
+    gram hash, and the duplicated-position sets re-aggregate per doc —
+    every step single-consumer, grams computed once, no checkpoint and
+    no gram-keyed join (the r5 localCheckpoint variant cost the bench
+    ~40 % on this machinery).
     """
     from .quality import ngrams_col, words_col
 
@@ -828,24 +840,20 @@ def remove_repeated_passages(
         F.col(id_col).alias("_id"),
         words_col(F.col(text_col)).alias("_w"),
     )
-    grams = (
-        docs.select(
-            "_id",
-            F.posexplode(ngrams_col(F.col("_w"), n)).alias("_pos", "_gram"),
-        )
-        .select("_id", "_pos", F.xxhash64("_gram").alias("_gh"))
-        .localCheckpoint(eager=True)
-    )
-    dup = (
-        grams.groupBy("_gh")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_gh")
+    grams = docs.select(
+        "_id",
+        F.posexplode(ngrams_col(F.col("_w"), n)).alias("_pos", "_gram"),
+    ).select("_id", "_pos", F.xxhash64("_gram").alias("_gh"))
+    per = grams.groupBy("_gh", "_id").agg(F.collect_set("_pos").alias("_ps"))
+    scored = per.withColumn(
+        "_nd", F.count(F.lit(1)).over(W.partitionBy("_gh"))
     )
     dup_pos = (
-        grams.join(dup, "_gh")
+        scored.filter(F.col("_nd") >= min_docs)
         .groupBy("_id")
-        .agg(F.collect_set("_pos").alias("_dps"))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_ps"))).alias("_dps")
+        )
     )
     # union of [pos, pos+n-1] spans, distinct word indices — stays ≤ doc
     # length, so the array is bounded by the doc itself

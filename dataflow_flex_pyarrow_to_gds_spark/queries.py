@@ -1745,21 +1745,21 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(72)+LSH(24×3) candidates, exact-Jaccard verified ≥0.8.
-    Oracle is the exhaustive O(n²) join. The 24×3 banding strictly
-    dominates the previous 24×4: per-pair miss probability at the
-    j=0.8 margin is (1-0.8³)²⁴ ≈ 3.4e-8 vs (1-0.8⁴)²⁴ ≈ 3.2e-6 (~100×
-    safer where the corpus holds ~536k marginal pairs at sf0.1) while
-    computing 25% fewer hashes per shingle. r=3 admits more false
-    candidates (41M vs 29M generated rows at sf0.1) but the size-ratio
-    + first-band filters kill them pre-verify; measured end-to-end
-    4.98 s → 4.52 s with output identical to the exhaustive join at
-    sf0.001/0.01/0.1."""
+    """MinHash(96)+LSH(24×4) candidates, exact-Jaccard verified ≥0.8.
+    Oracle is the exhaustive O(n²) join. 24×4 over the r5 experiment's
+    24×3: hashing is NOT the bottleneck, candidates are — r=3 raises
+    the per-band collision probability for sub-threshold pairs, and the
+    grown candidate stream cost the r5 bench +6 % (4.64 → 4.91 s
+    driver; 3.08 → 2.81 s r=3 vs r=4 interleaved best-of-4 locally
+    when reverted). Miss probability at the j=0.8 margin is
+    (1-0.8⁴)²⁴ ≈ 3.2e-6 — still ~zero expected misses against the
+    corpus's marginal-pair count; output is identical to the exhaustive
+    join at sf0.001/0.01/0.1."""
     from .operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=72, bands=24, threshold=0.8, shingle_k=1,
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
     )
 
 
@@ -1783,7 +1783,7 @@ def q_dedup_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        num_hashes=72, bands=24, threshold=0.8, shingle_k=1,
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
     )
     return near_dup_groups(pairs)
 
@@ -2366,7 +2366,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         threshold=0.8,
-        num_hashes=72,
+        num_hashes=96,
         bands=24,
     )
 

@@ -304,9 +304,11 @@ def minhash_lsh_pairs(
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     if broadcast_verify is None:
-        # Metadata-only count on the raw input (parquet footers — no
-        # shingle work) decides whether the per-doc shingle table fits the
-        # broadcast budget.
+        # Corpus row count (on the raw input, before shingle work)
+        # decides whether the per-doc shingle table fits the broadcast
+        # budget. Cheap (metadata-only) when ``df`` is a raw parquet
+        # scan, as at the catalog call sites; on a transformed input it
+        # is a real job — pass broadcast_verify explicitly there.
         broadcast_verify = df.count() <= broadcast_max_docs
 
     members = None
@@ -1284,19 +1286,31 @@ def set_similarity_join_pairs(
     ~21 % of its docs share a set; identical-dominated corpora gain
     proportionally more).
 
-    Scale shape: the document-frequency table is the one auxiliary
-    aggregate (map-side combinable, vocab-sized); the prefix index
-    shuffles (token, id, n, pos) rows — O(Σ prefix) ≈ (1−t)·corpus
-    tokens, NOT all tokens; candidate generation is an equi-join whose
-    output streams into arithmetic filters; exact verification joins the
-    per-doc sorted token arrays back, broadcast only under the
-    corpus-count gate (mirrors minhash_lsh_pairs); the expansion joins
-    shuffle only ids and 8-byte fingerprints, never token arrays.
+    Scale shape: per-token document frequency comes off a window over
+    the exploded token stream (one shuffle, no vocab join); the prefix
+    index is emitted directly from a second window over the doc id —
+    (token, id, n, pos) rows, O(Σ prefix) ≈ (1−t)·corpus tokens, NOT
+    all tokens, and never round-tripped through per-doc arrays;
+    candidate generation is an equi-join whose output streams into
+    arithmetic filters; exact verification joins the CACHED per-doc
+    token arrays back (order-insensitive array_intersect — the
+    df-sorted view exists only inside the prefix pass), broadcast only
+    under the corpus-count gate (mirrors minhash_lsh_pairs); the
+    expansion joins shuffle only ids and 8-byte fingerprints, never
+    token arrays.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
-            F.transform(tokens_col(F.col(text_col)), lambda x: F.xxhash64(x))
+            F.transform(
+                # Drop empty tokens: split() on empty/whitespace-only
+                # text yields [""], which would otherwise make every
+                # empty doc the singleton set {xxhash64("")} and pair
+                # all empty docs at jaccard 1.0 (r5 advice) — same
+                # policy as shingles_col, mirrored in the SQL oracle.
+                F.filter(tokens_col(F.col(text_col)), lambda x: x != ""),
+                lambda x: F.xxhash64(x),
+            )
         ).alias("_tk"),
     ).filter(F.size("_tk") > 0)
     if broadcast_verify is None:
@@ -1304,46 +1318,67 @@ def set_similarity_join_pairs(
 
     members = None
     if collapse_identical:
-        # Canonical 64-bit set fingerprint; cached because the expansion
-        # joins below reference members/reps several times (the
-        # minhash_lsh_pairs rationale verbatim).
-        base = base.withColumn("_fp", F.xxhash64(F.array_sort("_tk")))
-        members = base.select("_id", "_fp").cache()
-        base = (
-            base.groupBy("_fp")
-            .agg(
-                F.min("_id").alias("_id"),
-                F.any_value("_tk").alias("_tk"),
-            )
-            .cache()
+        # Canonical 64-bit set fingerprint. The PRE-collapse table is
+        # the one to cache: members and the rep groupBy both derive
+        # from it (the r5 version cached each separately, so the
+        # tokenize+fingerprint pass ran twice and two cache
+        # materializations were paid — ~1.5 s of the suite's slowest
+        # query).
+        pre = base.withColumn(
+            "_fp", F.xxhash64(F.array_sort("_tk"))
+        ).cache()
+        members = pre.select("_id", "_fp")
+        base = pre.groupBy("_fp").agg(
+            F.min("_id").alias("_id"),
+            F.any_value("_tk").alias("_tk"),
         )
+    # base feeds the prefix-index pass AND both verify sides — cache it
+    # (id + token array, the same footprint the minhash collapse caches;
+    # r5 advice: the uncached table recomputed its aggregation pipeline
+    # once per reference on the suite's slowest query).
+    base = base.cache()
 
     toks = base.select("_id", F.explode("_tk").alias("_t"))
-    dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    # Canonical per-doc ordering by (global df asc, token hash asc):
-    # sort_array over (df, token) structs, then strip to the token longs.
-    ordered = (
-        toks.join(dfreq, "_t")
-        .groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_df", "_t"))),
-                lambda s: s["_t"],
-            ).alias("_tk")
-        )
-        .withColumn("_n", F.size("_tk"))
+    # Prefix index directly on the exploded stream, no array round-trip:
+    # (1) per-token global document frequency via a window over the
+    # token (one shuffle — the agg+join form pays an extra exchange);
+    # (2) canonical rank within each doc via row_number over
+    # (df asc, token hash asc) plus the doc's set size from the same
+    # window partitioning (one _id shuffle). The r5 version rebuilt
+    # per-doc SORTED ARRAYS (collect_list → array_sort → posexplode,
+    # two ObjectHashAggregate stages) only to slice prefixes back out —
+    # the double-window form emits prefix rows straight off the stream.
+    with_df = toks.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("_t"))
     )
-    # prefix length p = n − ⌈t·n⌉ + 1
-    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast(
-        "int"
-    ) + F.lit(1)
-    prefix = ordered.select(
+    by_doc = W.partitionBy("_id")
+    ranked = with_df.select(
         "_id",
-        "_n",
-        F.posexplode(F.slice("_tk", F.lit(1), prefix_len)).alias(
-            "_pos0", "_t"
-        ),
-    ).withColumn("_pos", F.col("_pos0") + 1)
+        "_t",
+        F.row_number().over(by_doc.orderBy("_df", "_t")).alias("_pos"),
+        F.count(F.lit(1)).over(by_doc).alias("_n"),
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1. The ceilings subtract a 1e-9
+    # epsilon first: when t·n is exactly integral, float rounding can
+    # land a hair above it and ceil would bump by one — shortening the
+    # prefix and silently breaking the no-false-negative guarantee
+    # (r5 advice). The epsilon can only lengthen a prefix/loosen the
+    # filter, never the reverse, so exactness is preserved.
+    prefix_len = F.col("_n") - F.ceil(
+        F.lit(threshold) * F.col("_n") - F.lit(1e-9)
+    ).cast("int") + F.lit(1)
+    # The prefix stream is small in BYTES (rows ≈ (1−t)·corpus tokens)
+    # but the candidate join EXPLODES it — hot posting lists multiply
+    # each probe row by their length. AQE coalesces the probe side on
+    # input bytes and funneled the sf0.1 join's 12M generated rows
+    # through 2 tasks (~3 s serial wall). A numbered round-robin
+    # repartition is exempt from AQE coalescing and spreads the hot
+    # tokens' probe rows evenly; the re-shuffled stream is tiny, the
+    # reclaimed parallelism is not.
+    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    prefix = ranked.filter(F.col("_pos") <= prefix_len).repartition(
+        int(n_part)
+    )
 
     left = prefix.alias("l")
     right = prefix.alias("r")
@@ -1351,6 +1386,7 @@ def set_similarity_join_pairs(
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("l._n") + F.col("r._n"))
+        - F.lit(1e-9)  # epsilon guard — see prefix_len
     )
     size_ok = (F.col("l._n") >= threshold * F.col("r._n")) & (
         F.col("r._n") >= threshold * F.col("l._n")
@@ -1389,8 +1425,12 @@ def set_similarity_join_pairs(
     # verification (keep the row whose matched token is the pair's
     # smallest common token) paid that materialization per candidate
     # row instead of per pair and measured ~2× slower end to end.
-    sh_a = ordered.select(F.col("_id").alias("id_a"), F.col("_tk").alias("tk_a"))
-    sh_b = ordered.select(F.col("_id").alias("id_b"), F.col("_tk").alias("tk_b"))
+    # Verification reads the CACHED base arrays, not `ordered`:
+    # array_intersect is order-insensitive, so the df-sorted copy is
+    # needed only by the prefix index — `ordered` stays single-consumer
+    # and its window+aggregation pipeline runs exactly once.
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_tk").alias("tk_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_tk").alias("tk_b"))
     if broadcast_verify:
         sh_a, sh_b = F.broadcast(sh_a), F.broadcast(sh_b)
     common = F.array_intersect(F.col("tk_a"), F.col("tk_b"))

@@ -71,8 +71,17 @@ def bm25_topk(
     order-independent — the unigram-LM rule), and the final ordering is
     (rounded score DESC, id ASC), so ties at the k boundary resolve
     identically in any engine.
+
+    Terms are lowercased before matching — ``words_col`` lowercases the
+    corpus, so an uppercase query term could never match anything (r5
+    advice). An empty ``query_terms`` returns an empty DataFrame with
+    the output schema rather than raising.
     """
-    terms = sorted(set(query_terms))
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, bm25 double"
+        )
     base = df.select(
         F.col(id_col),
         words_col(F.col(text_col)).alias("_w"),

@@ -671,9 +671,12 @@ def embedding_near_dup_pairs_lsh(
     from .dedup import _earlier_collision_case, spread_to_cluster
 
     if verify_broadcast is None:
-        # Metadata-only count (parquet footers) decides whether the
-        # per-doc vector table fits the broadcast budget — mirrors
-        # minhash_lsh_pairs' broadcast_max_docs gate (dedup.py).
+        # Corpus row count decides whether the per-doc vector table fits
+        # the broadcast budget — mirrors minhash_lsh_pairs'
+        # broadcast_max_docs gate (dedup.py). Cheap (metadata-only) when
+        # ``df`` is a raw parquet scan, as at the catalog call sites; on
+        # a transformed input this count is a real job — pass
+        # verify_broadcast explicitly there if that matters.
         verify_broadcast = df.count() <= broadcast_max_docs
 
     pre = spread_to_cluster(slim).select(

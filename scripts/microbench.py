@@ -21,10 +21,13 @@ from dataflow_flex_pyarrow_to_gds_spark import queries as catalog
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     trials = 3
-    if "--trials" in sys.argv:
-        trials = int(sys.argv[sys.argv.index("--trials") + 1])
+    if "--trials" in argv:
+        i = argv.index("--trials")
+        trials = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="microbench")
     qs = catalog.queries()

@@ -181,12 +181,31 @@ def test_bm25_k_limit_and_ordering(spark):
     assert top2[0]["bm25"] >= top2[1]["bm25"]
 
 
+def test_bm25_empty_terms_and_case_insensitive(spark):
+    """Empty query bags return an empty k-schema frame; uppercase terms
+    match the lowercased corpus (r5 advice: both previously misfired —
+    IndexError and a silent zero-contribution respectively)."""
+    df = spark.createDataFrame(
+        [(1, "hash table lookup"), (2, "vector index")],
+        "doc_id long, text string",
+    )
+    empty = bm25_topk(df, "doc_id", "text", [], k=5)
+    assert empty.columns == ["doc_id", "bm25"]
+    assert empty.count() == 0
+    upper = bm25_topk(df, "doc_id", "text", ["HASH"], k=5).collect()
+    assert [r["doc_id"] for r in upper] == [1]
+
+
 def test_new_ops_tolerate_null_and_empty_text(spark):
     """Null/empty text must not error under ANSI mode (the established
     round-5 convention): docs without tokens simply drop out of
     pair/score outputs; decontaminate always keeps them."""
+    # TWO empty/whitespace-only docs (r5 advice): split() yields [""]
+    # for them, and without the operator's empty-token filter they
+    # would become identical singleton sets {xxhash64("")} and be
+    # reported as a jaccard-1.0 pair.
     df = spark.createDataFrame(
-        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d")],
+        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d"), (5, "   ")],
         "doc_id long, text string",
     )
     pairs = set_similarity_join_pairs(
@@ -198,7 +217,7 @@ def test_new_ops_tolerate_null_and_empty_text(spark):
         [(9, None), (10, "")], "doc_id long, text string"
     )
     kept = decontaminate(df, test_side, "doc_id", "text", n=2).collect()
-    assert {r["doc_id"] for r in kept} == {1, 2, 3, 4}
+    assert {r["doc_id"] for r in kept} == {1, 2, 3, 4, 5}
 
     bl = bigram_logprob_profile(df, "doc_id", "text").collect()
     assert {r["doc_id"] for r in bl} == {3, 4}

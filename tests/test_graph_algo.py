@@ -210,3 +210,76 @@ def test_triangle_count_random_vs_python(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     [row] = triangle_count(df, "src", "dst").collect()
     assert row["n_triangles"] == expect
+
+
+def test_pagerank_bucketed_matches_and_skips_edge_shuffle(spark, sf_dir):
+    """write_bucketed_edges + merge_edge_joins: identical ranks to the
+    plain path, and the physical plan reads the bucket layout with no
+    Exchange between the edge scan and the rank SortMergeJoin (the
+    control plan over raw parquet shuffles the edge side)."""
+    import io
+    import sys
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_fixedpoint,
+        write_bucketed_edges,
+    )
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from explain_audit import _no_exchange_between_scan_and_smj
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("sourceNodeId"),
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias(
+                "targetNodeId"
+            ),
+        )
+    )
+    # buckets >= shuffle.partitions/4: below that ratio Spark declines
+    # the bucketed scan and re-shuffles the edge side anyway
+    b = write_bucketed_edges(spark, edges, "test_pr_edges_b", buckets=8)
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    plain = {
+        r["nodeId"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(nodes, edges, iters=3).collect()
+    }
+    bucketed = {
+        r["nodeId"]: r["rank_fp"]
+        for r in pagerank_fixedpoint(
+            nodes, b, iters=3, merge_edge_joins=True
+        ).collect()
+    }
+    assert bucketed == plain  # the layout changes the plan, not the ranks
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p_bucketed = plan_of(
+        pagerank_fixedpoint(
+            nodes, b, iters=1, merge_edge_joins=True, checkpoint=False
+        )
+    )
+    assert "Bucketed: true" in p_bucketed
+    assert _no_exchange_between_scan_and_smj(p_bucketed)
+
+    # control: same SMJ-pinned iteration over raw parquet DOES exchange
+    # the edge side
+    p_raw = plan_of(
+        pagerank_fixedpoint(
+            nodes, edges, iters=1, merge_edge_joins=True, checkpoint=False
+        )
+    )
+    assert not _no_exchange_between_scan_and_smj(p_raw)
+    spark.sql("DROP TABLE IF EXISTS test_pr_edges_b")

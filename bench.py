@@ -73,6 +73,15 @@ HEADLINE = [
     "text_decontaminate",
     "text_bigram_logprob",
     "text_bm25_topk",
+    # round 6: bucketed-layout PageRank (includes the one-time bucketed
+    # write; the plan win is the deleted per-iteration edge exchange),
+    # batch BM25 over a query table, persisted-index incremental dedup
+    # (corpus banding amortized to a build step), streaming-admission
+    # batch twin (curation + index-probe dedup in one pass)
+    "graph_pagerank_bucketed",
+    "text_bm25_join",
+    "dedup_incremental_indexed",
+    "curation_admission",
 ]
 
 

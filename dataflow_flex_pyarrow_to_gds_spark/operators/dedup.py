@@ -1116,6 +1116,30 @@ def deduplicate_near(
     )
 
 
+def _shingle_fp_prep(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Shared shingle pipeline of the incremental-dedup family:
+    (id, hashed distinct shingle set, canonical set fingerprint), docs
+    without shingles dropped. Kept as ONE function so the persisted
+    index (:func:`build_minhash_index`) and every probe path hash
+    identically — a drifted copy would silently miss duplicates."""
+    return (
+        spread_to_cluster(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(
+                    shingles_col(tokens_col(F.col(text_col)), shingle_k),
+                    lambda x: F.xxhash64(x),
+                )
+            ).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_fp", F.xxhash64(F.array_sort("_sh")))
+    )
+
+
 def incremental_near_dup_filter(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1163,24 +1187,8 @@ def incremental_near_dup_filter(
     """
     rows_per_band = num_hashes // bands
 
-    def prep(df: DataFrame) -> DataFrame:
-        return (
-            spread_to_cluster(df)
-            .select(
-                F.col(id_col).alias("_id"),
-                F.array_distinct(
-                    F.transform(
-                        shingles_col(tokens_col(F.col(text_col)), shingle_k),
-                        lambda x: F.xxhash64(x),
-                    )
-                ).alias("_sh"),
-            )
-            .filter(F.size("_sh") > 0)
-            .withColumn("_fp", F.xxhash64(F.array_sort("_sh")))
-        )
-
-    b = prep(batch)
-    c = prep(corpus)
+    b = _shingle_fp_prep(batch, id_col, text_col, shingle_k)
+    c = _shingle_fp_prep(corpus, id_col, text_col, shingle_k)
     # (id → fingerprint) expansion map; ~16 B/doc, referenced twice
     b_members = b.select("_id", "_fp").cache()
     b_reps = (
@@ -1208,6 +1216,159 @@ def incremental_near_dup_filter(
     )
     if broadcast_verify is None:
         broadcast_verify = corpus.count() <= broadcast_max_docs
+    bsh = b_reps.select(F.col("_fp").alias("_bfp"), F.col("_sh").alias("_bsh"))
+    csh = c_groups.select(
+        F.col("_fp").alias("_cfp"), F.col("_sh").alias("_csh"), "_gc"
+    )
+    if broadcast_verify:
+        bsh, csh = F.broadcast(bsh), F.broadcast(csh)
+    verified = (
+        cand.join(bsh, "_bfp")
+        .join(csh, "_cfp")
+        .filter(jaccard_col(F.col("_bsh"), F.col("_csh")) >= threshold)
+    )
+    dups = verified.groupBy("_bfp").agg(F.sum("_gc").alias("_nd"))
+    return (
+        batch.select(F.col(id_col))
+        .join(
+            b_members.withColumnRenamed("_id", id_col), id_col, "left_outer"
+        )
+        .join(dups.withColumnRenamed("_bfp", "_fp"), "_fp", "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nd", F.lit(0)).cast("long").alias("n_corpus_dups"),
+            (F.coalesce("_nd", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    num_hashes: int = 96,
+    bands: int = 24,
+    shingle_k: int = 1,
+) -> None:
+    """Persist the CORPUS side of incremental near-dup admission — the
+    build-once step :func:`incremental_near_dup_filter`'s docstring
+    promises a deployment performs: the standing corpus is banded ONCE
+    and every later increment probes the stored tables instead of
+    re-shingling/re-banding 100 TB per day.
+
+    Layout under ``path``:
+
+    - ``groups``  — one row per distinct shingle set
+      ``(_fp, _sh, _gc)``: canonical fingerprint, hashed shingle array
+      (the exact-jaccard verify operand), member count (so admission
+      counts stay exact under the identical-set collapse);
+    - ``buckets`` — the banded LSH bucket table
+      ``(_band, _bkt, _fp)``: 20-byte rows, the only corpus-sized
+      operand a probe joins;
+    - ``meta.json`` — (num_hashes, bands, shingle_k), read back by
+      :func:`incremental_near_dup_filter_indexed` so a probe can never
+      band differently than the index it probes.
+
+    The bucket pass reads the MATERIALIZED groups parquet back rather
+    than recomputing the shingle pipeline (build cost = one corpus
+    pass + one groups-sized pass).
+    """
+    import json
+    import os
+
+    rows_per_band = num_hashes // bands
+    c = _shingle_fp_prep(corpus, id_col, text_col, shingle_k)
+    (
+        c.groupBy("_fp")
+        .agg(F.any_value("_sh").alias("_sh"), F.count("*").alias("_gc"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/groups")
+    )
+    groups = corpus.sparkSession.read.parquet(f"{path}/groups")
+    (
+        groups.select(
+            "_fp",
+            F.posexplode(
+                lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
+            ).alias("_band", "_bkt"),
+        )
+        .select("_band", "_bkt", "_fp")
+        .write.mode("overwrite")
+        .parquet(f"{path}/buckets")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_k": shingle_k,
+            },
+            f,
+        )
+
+
+def incremental_near_dup_filter_indexed(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """:func:`incremental_near_dup_filter` against a PERSISTED corpus
+    index (:func:`build_minhash_index`) — the daily-increment shape at
+    its true cost: the corpus contributes two parquet scans (buckets +
+    matched groups) and ZERO shingle/banding work; everything computed
+    per increment is proportional to the batch. Banding parameters come
+    from the index's ``meta.json`` — a probe cannot band differently
+    than the index it probes.
+
+    Join strategy: the batch's banded bucket stream (bands × batch
+    groups rows) is explicitly BROADCAST against the corpus-sized
+    bucket table — the deliberate inversion of the in-memory variant's
+    shape, because here the corpus side is the fat immutable operand
+    and the batch is by definition the small one. Verification then
+    touches only the matched groups, broadcast under the usual
+    corpus-count gate (counted on the groups parquet — metadata-only).
+
+    Output schema and semantics are identical to
+    :func:`incremental_near_dup_filter`; the catalog row shares its
+    exhaustive batch×corpus oracle.
+    """
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    bands = meta["bands"]
+    rows_per_band = meta["num_hashes"] // bands
+
+    b = _shingle_fp_prep(batch, id_col, text_col, meta["shingle_k"])
+    b_members = b.select("_id", "_fp").cache()
+    b_reps = b.groupBy("_fp").agg(F.any_value("_sh").alias("_sh")).cache()
+
+    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    c_groups = spark.read.parquet(f"{path}/groups")
+
+    bb = b_reps.select(
+        F.col("_fp").alias("_bfp"),
+        F.posexplode(
+            lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
+        ).alias("_band", "_bkt"),
+    )
+    cand = (
+        F.broadcast(bb)
+        .join(idx_buckets.withColumnRenamed("_fp", "_cfp"), ["_band", "_bkt"])
+        .select("_bfp", "_cfp")
+        .distinct()
+    )
+    if broadcast_verify is None:
+        broadcast_verify = c_groups.count() <= broadcast_max_docs
     bsh = b_reps.select(F.col("_fp").alias("_bfp"), F.col("_sh").alias("_bsh"))
     csh = c_groups.select(
         F.col("_fp").alias("_cfp"), F.col("_sh").alias("_csh"), "_gc"

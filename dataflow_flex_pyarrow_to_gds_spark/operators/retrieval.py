@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .quality import words_col
 
-__all__ = ["bm25_topk", "corpus_df_stats"]
+__all__ = ["bm25_join", "bm25_topk", "corpus_df_stats"]
 
 
 def corpus_df_stats(df: DataFrame, text_col: str) -> DataFrame:
@@ -135,4 +135,114 @@ def bm25_topk(
         )
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def bm25_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-``k`` documents PER QUERY for a whole
+    query TABLE → ``(query_id, id, bm25)``. The at-scale sibling of
+    :func:`bm25_topk`, whose literal-term formulation covers one ad-hoc
+    query — an audit workload replays thousands at once.
+
+    Same scoring as bm25_topk (Lucene idf, k1/b norm, per-term
+    contributions rounded to DECIMAL(18,6) before the order-independent
+    sum; ties at the k boundary resolve by ascending id).
+
+    Scale shape — an inverted-index equi-join with the corpus pruned
+    BEFORE anything wide happens:
+
+    1. the exploded corpus token stream is semi-joined against the
+       BROADCAST distinct query-term set, so only postings for terms
+       some query mentions survive (df-pruned postings) — the one
+       corpus-sized shuffle is the (doc, term) tf aggregate over that
+       pruned stream, and the corpus itself is NEVER broadcast;
+    2. per-term document frequency comes off a window over the pruned
+       tf table (the linear-plan trick — no vocab join);
+    3. query ids re-attach by a second broadcast of the (query, term)
+       pairs; corpus stats (N, avgdl) are a 1-row broadcast;
+    4. per-query top-k is a row_number window partitioned by query —
+       never a global sort.
+
+    Queries with no term in any document yield no rows (their every
+    contribution would be 0, matching bm25_topk's matched-docs-only
+    contract).
+    """
+    from pyspark.sql import Window as W
+
+    w = corpus.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    )
+    stats = w.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.size("_w")).alias("_avgdl"),
+    )
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(words_col(F.col(query_text_col)))
+        ).alias("_t"),
+    ).distinct()
+    terms = qt.select("_t").distinct()
+    postings = w.select(
+        F.col(id_col),
+        F.size("_w").alias("_dl"),
+        F.explode("_w").alias("_t"),
+    )
+    tf = (
+        postings.join(F.broadcast(terms), "_t")
+        .groupBy(id_col, "_t")
+        .agg(
+            F.count(F.lit(1)).alias("_tf"),
+            F.any_value("_dl").alias("_dl"),
+        )
+    )
+    # one row per (doc, term) → the per-term partition row count IS the
+    # document frequency
+    with_df = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("_t"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tfd = F.col("_tf").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = (
+        F.round(idf * (tfd * (k1 + 1.0)) / (tfd + norm), 6)
+        .cast("decimal(18,6)")
+    )
+    scored = (
+        with_df.join(F.broadcast(qt), "_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            contrib.alias("_c"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_c").cast("double").alias("bm25"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy(query_id_col).orderBy(
+            F.col("bm25").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

@@ -2405,6 +2405,44 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental against a PERSISTED corpus index: the standing
+    corpus (doc_id % 7 ≠ 0) is shingled + banded ONCE into parquet
+    (groups + bucket tables, build_minhash_index), then the batch
+    (doc_id % 7 = 0) is admitted by probing the stored tables — the
+    plan contains NO corpus shingling or banding, only two index scans
+    (plan-audited); the batch's banded bucket stream broadcasts against
+    the corpus-sized bucket table. Same split, same threshold, same
+    EXHAUSTIVE batch×corpus oracle as dedup_incremental — identical
+    admission decisions prove the persisted path changes cost, not
+    answers."""
+    import tempfile
+
+    from .operators.dedup import (
+        build_minhash_index,
+        incremental_near_dup_filter_indexed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="minhash_index_")
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        "doc_id",
+        "text",
+        path,
+        num_hashes=96,
+        bands=24,
+    )
+    return incremental_near_dup_filter_indexed(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        threshold=0.8,
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal unigram LM quality score per doc (CCNet-style):
     mean −ln p(token) under the corpus's own unigram distribution.
@@ -2463,6 +2501,38 @@ def q_curation_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     return curate_documents_batch(staged)
+
+
+def q_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest admission, batch twin (streaming/documents.py
+    admit_documents_batch — the exact per-micro-batch body of
+    admit_documents_stream's foreachBatch, parity-tested on a drained
+    stream): arriving docs (doc_id % 7 = 0) are quality-gated,
+    PII-redacted, AND rejected when a near-duplicate (jaccard ≥ 0.8) of
+    the standing corpus (doc_id % 7 ≠ 0), probed via the PERSISTED
+    minhash index — admit = quality AND no corpus dup. Oracle composes
+    the Gopher CTE with the exhaustive batch×corpus jaccard join. Raw
+    (unseeded) text: PII non-vacuity is carried by the seeded
+    curation_arrival/text_pii_* rows; this row grades the
+    dedup-admission composition."""
+    import tempfile
+
+    from .operators.dedup import build_minhash_index
+    from .streaming.documents import admit_documents_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="minhash_index_adm_")
+    build_minhash_index(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        "doc_id",
+        "text",
+        path,
+        num_hashes=96,
+        bands=24,
+    )
+    return admit_documents_batch(
+        spark, docs.filter(F.col("doc_id") % 7 == 0), path, threshold=0.8
+    )
 
 
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2963,6 +3033,39 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed query batch for the multi-query BM25 catalog row — mirrored
+#: verbatim as a VALUES table in the oracle.
+BM25_QUERY_BATCH: list[tuple[int, str]] = [
+    (1, "hash vector window"),
+    (2, "hash join"),
+    (3, "vector stream token"),
+]
+
+
+def q_text_bm25_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval — top-20 documents for EACH query in a
+    query table (the production audit shape; text_bm25_topk covers one
+    ad-hoc query). Inverted-index equi-join: the corpus explodes once,
+    is pruned to query terms by a broadcast semi-join BEFORE the one
+    (doc, term) tf shuffle, per-term df comes off a window (no vocab
+    join), and per-query top-k is a partitioned row_number — the
+    corpus is never broadcast (plan-audited). Same DECIMAL(18,6)
+    contribution rounding as text_bm25_topk, so scores are
+    reduction-order-independent in both engines."""
+    from .operators.retrieval import bm25_join
+
+    queries = spark.createDataFrame(
+        BM25_QUERY_BATCH, "query_id long, query_text string"
+    )
+    return bm25_join(
+        _t(spark, sf_dir, "documents"),
+        queries,
+        "doc_id",
+        "text",
+        k=20,
+    )
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the part co-order graph (parts linked
     when some order contains both) — the classic degree-orientation
@@ -2991,6 +3094,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_count(pairs, "src", "dst")
+
+
+#: VALUES rows for the text_bm25_join oracle — derived from
+#: BM25_QUERY_BATCH so the Spark query and the oracle can never drift.
+_BM25_BATCH_VALUES = ", ".join(
+    f"({qid}, '{txt}')" for qid, txt in BM25_QUERY_BATCH
+)
 
 
 def _extension_oracles() -> dict[str, str]:
@@ -3104,6 +3214,42 @@ def _extension_oracles() -> dict[str, str]:
             WHERE greatest(tf0, tf1, tf2) > 0
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT 20
+        """,
+        "text_bm25_join": f"""
+            WITH q(query_id, qtext) AS (VALUES {_BM25_BATCH_VALUES}),
+            qt AS (SELECT DISTINCT query_id, t.term
+                   FROM q, unnest(list_filter(
+                       string_split_regex(lower(trim(qtext)), '\\s+'),
+                       x -> x <> '')) AS t(term)),
+            w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            s AS (SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM w),
+            p AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+            tf AS (SELECT doc_id, term, any_value(dl) AS dl,
+                          count(*) AS tf
+                   FROM p WHERE term IN (SELECT term FROM qt)
+                   GROUP BY doc_id, term),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            c AS (SELECT qt.query_id, tf.doc_id,
+                    CAST(round(
+                      ln(1.0 + (s.n_docs - dfr.df + 0.5)::DOUBLE
+                               / (dfr.df + 0.5)::DOUBLE)
+                      * (tf.tf::DOUBLE * (1.2 + 1.0))
+                      / (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+                         + 0.75 * tf.dl / s.avgdl)), 6)
+                    AS DECIMAL(18,6)) AS contrib
+                  FROM tf
+                  JOIN dfr USING (term)
+                  JOIN qt ON qt.term = tf.term
+                  CROSS JOIN s),
+            sc AS (SELECT query_id, doc_id,
+                          CAST(sum(contrib) AS DOUBLE) AS bm25
+                   FROM c GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, bm25 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id ASC) AS rn
+                FROM sc)
+            WHERE rn <= 20
         """,
         "text_pii_scan": f"""
             WITH s AS (SELECT doc_id, {_PII_SEED_SQL} AS tp FROM documents),
@@ -3528,6 +3674,35 @@ def _extension_oracles() -> dict[str, str]:
                        '{_pii_phone}', '[PHONE]', 'g') AS text_redacted
             FROM f
         """,
+        "curation_admission": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            bt AS (SELECT * FROM t WHERE doc_id % 7 = 0),
+            ct AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+            d AS (
+                SELECT a.doc_id AS id, count(*) AS n
+                FROM bt a JOIN ct b ON {_JACCARD_SQL} >= 0.8
+                GROUP BY a.doc_id
+            ),
+            batch AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+            {_gopher_cte_sql(table="batch")}
+            SELECT f.doc_id, f.source,
+                   CAST(len(string_split_regex(trim(f.text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(f.text, '{pii_email}'))
+                        + len(regexp_extract_all(f.text, '{pii_ip}'))
+                        + len(regexp_extract_all(f.text, '{_pii_phone}'))
+                        AS BIGINT) AS n_pii,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_corpus_dups,
+                   (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                    AND ok_repetition AND COALESCE(d.n, 0) = 0) AS admit,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(f.text, '{pii_email}',
+                                          '[EMAIL]', 'g'),
+                           '{pii_ip}', '[IPV4]', 'g'),
+                       '{_pii_phone}', '[PHONE]', 'g') AS text_redacted
+            FROM f LEFT JOIN d ON d.id = f.doc_id
+        """,
         "text_chunking": f"""
             WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
             c AS (
@@ -3566,6 +3741,22 @@ def _extension_oracles() -> dict[str, str]:
             ORDER BY n DESC, pair ASC LIMIT 20
         """,
         "dedup_incremental": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+            bt AS (SELECT * FROM t WHERE doc_id % 7 = 0),
+            ct AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+            d AS (
+                SELECT a.doc_id AS id, count(*) AS n
+                FROM bt a JOIN ct b ON {_JACCARD_SQL} >= 0.8
+                GROUP BY a.doc_id
+            )
+            SELECT bt.doc_id,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_corpus_dups,
+                   COALESCE(d.n, 0) = 0 AS keep
+            FROM bt LEFT JOIN d ON d.id = bt.doc_id
+        """,
+        # identical exhaustive oracle: the persisted-index path must make
+        # the SAME admission decisions as the in-memory path
+        "dedup_incremental_indexed": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
             bt AS (SELECT * FROM t WHERE doc_id % 7 = 0),
             ct AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
@@ -3958,78 +4149,78 @@ def _extension_oracles() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 #: Queries that already carry a full driver-green row (rows+schema+hash)
-#: from CORRECTNESS_r04.json and whose code is untouched since — safe to
-#: place beyond the driver's 50-entry correctness window; the union of
+#: from CORRECTNESS_r04/r05.json and whose code is untouched since — safe
+#: to place beyond the driver's 50-entry correctness window; the union of
 #: per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        # r2-green, implementation unchanged since, locally re-verified
-        # green every round (scripts/check_oracle.py) — rotated back out
-        # of the window to make room for the round-5 operators
-        "scalar_functions",
-        "date_functions",
-        # r3-green, implementation unchanged since, locally re-verified
-        # green every round — same trade as above
-        "q11_important_stock",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q18_large_volume_customers",
-        "q19_bracket_revenue",
-        "window_top_orders",
-        "window_distribution",
-        "unpivot_orders",
-        "percentile_prices",
-        "exists_big_customers",
-        "running_revenue",
-        "text_token_frequencies",
-        # r2-green, implementation unchanged since, locally re-verified
-        # green every round — same trade as above
-        "set_ops_nations",
-        # r4-green, untouched in round 5
-        "curation_full_funnel",
-        "curation_pipeline",
-        "text_quality_gopher",
-        "text_repetition",
-        "source_curation_stats",
-        "events_anomaly",
-        "sample_per_source_cap",
-        "graph_nodes_project",
-        "graph_edges_project",
-        "graph_edge_resolution",
-        "graph_dangling_edges",
-        "graph_load_stats",
-        "graph_node_degrees",
-        "graph_connected_components",
-        "graph_cc_star",
-        "q6_forecast_revenue",
-        "q10_returned_revenue",
-        "q12_shipmode_priority",
-        "q4_order_priority",
-        "q13_customer_distribution",
-        "q16_supplier_exclusion",
-        "q17_small_quantity_revenue",
-        "q22_idle_customers",
-        "window_analytics",
-        "window_range_frame",
+        # r4-green (CORRECTNESS_r04.json), implementation unchanged
+        # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
-        "rollup_lineitem",
-        "regression_stats",
         "array_agg_orders",
+        "asof_purchase_click",
         "cube_lineitem",
-        "grouping_sets_lineitem",
-        "events_hourly",
+        "dedup_ngram3_pairs",
+        "dedup_simhash_pairs",
+        "events_attribution",
+        "events_dedup",
         "events_funnel",
+        "events_hourly",
         "events_retention",
         "events_sessionize",
         "events_type_pivot",
-        "events_attribution",
-        "events_dedup",
+        "grouping_sets_lineitem",
         "json_extract_events",
-        "asof_purchase_click",
+        "regression_stats",
+        "rollup_lineitem",
         "salted_agg_events",
-        "dedup_ngram3_pairs",
-        "dedup_simhash_pairs",
         "text_stats",
+        "window_analytics",
+        "window_range_frame",
+        # r5-green (CORRECTNESS_r05.json), implementation unchanged in
+        # round 6, locally re-verified green
+        "approx_stats",
+        "curation_arrival",
+        "dedup_boilerplate_lines",
+        "dedup_edit_distance",
+        "dedup_exact_groups",
+        "dedup_semantic_groups",
+        "embedding_near_dup",
+        "embedding_near_dup_lsh",
+        "graph_triangles",
+        "multimodal_features",
+        "q1_pricing_summary",
+        "q20_excess_shippers",
+        "q21_waiting_suppliers",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "range_join_shipments",
+        "sample_mixture_weights",
+        "sample_token_budget",
+        "sequence_packing",
+        "similarity_ann_index",
+        "similarity_ivf_topk",
+        "similarity_knn_join",
+        "similarity_lsh_topk",
+        "similarity_matryoshka_topk",
+        "similarity_sq8_topk",
+        "similarity_topk",
+        "sort_limit",
+        "text_bigram_logprob",
+        "text_bpe_merges",
+        "text_chunking",
+        "text_contamination",
+        "text_decontaminate",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_pii_redact",
+        "text_pii_scan",
+        "text_rolling_hash",
+        "text_unigram_logprob",
     }
 )
 
@@ -4046,83 +4237,42 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- rotated in (round 5): the 38 entries whose last driver-green
-        # -- row predates r4 — all re-verified green locally, this places
-        # -- fresh driver rows on them (VERDICT r4 next-round #1) --------
-        "sort_limit": q_sort_limit,
-        "approx_stats": q_approx_stats,
-        "embedding_near_dup": q_embedding_near_dup,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "range_join_shipments": q_range_join_shipments,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "similarity_topk": q_similarity_topk,
-        "similarity_knn_join": q_similarity_knn_join,
-        "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_rolling_hash": q_text_rolling_hash,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        # -- new in round 5 ----------------------------------------------
-        "dedup_passage_removal": q_dedup_passage_removal,
-        "text_pii_scan": q_text_pii_scan,
-        "text_pii_redact": q_text_pii_redact,
-        "similarity_ann_index": q_similarity_ann_index,
-        "text_contamination": q_text_contamination,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "sequence_packing": q_sequence_packing,
-        "sample_token_budget": q_sample_token_budget,
-        "sample_mixture_weights": q_sample_mixture_weights,
-        "similarity_sq8_topk": q_similarity_sq8_topk,
-        "graph_pagerank": q_graph_pagerank,
-        # -- new in round 6 ----------------------------------------------
+        # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
-        "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
-        "dedup_incremental": q_dedup_incremental,
-        "text_bpe_merges": q_text_bpe_merges,
-        "text_chunking": q_text_chunking,
-        "curation_arrival": q_curation_arrival,
+        "text_bm25_join": q_text_bm25_join,
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
+        "curation_admission": q_curation_admission,
+        # -- implementations touched in round 6 (linear passage plans, --
+        # -- minhash 24x4 revert, set-similarity rewrite, bm25 fixes, ---
+        # -- pagerank loop edit) stay inside the window -----------------
+        "dedup_repeated_passages": q_dedup_repeated_passages,
+        "dedup_passage_removal": q_dedup_passage_removal,
         "dedup_set_similarity": q_dedup_set_similarity,
-        "text_decontaminate": q_text_decontaminate,
-        "text_bigram_logprob": q_text_bigram_logprob,
         "text_bm25_topk": q_text_bm25_topk,
-        "graph_triangles": q_graph_triangles,
-        # -- implementations touched in round 5 stay inside the window ---
-        "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_near_groups": q_dedup_near_groups,
-        "dedup_semantic_groups": q_dedup_semantic_groups,
-        "dedup_repeated_passages": q_dedup_repeated_passages,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round, implementation unchanged since, and ------
-        # ---- re-verified green locally via scripts/check_oracle.py) -----
-        "curation_full_funnel": q_curation_full_funnel,
+        "dedup_incremental": q_dedup_incremental,
+        "graph_pagerank": q_graph_pagerank,
+        # -- rotated in (round 6): the 15 queries whose last driver-green
+        # -- row was r2/r3 (VERDICT r5 next-round #3) -------------------
+        "scalar_functions": q_scalar_functions,
+        "date_functions": q_date_functions,
         "q11_important_stock": q11_important_stock,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_bracket_revenue": q19_bracket_revenue,
-        "scalar_functions": q_scalar_functions,
-        "date_functions": q_date_functions,
         "window_top_orders": q_window_top_orders,
         "window_distribution": q_window_distribution,
-        "set_ops_nations": q_set_ops_nations,
         "unpivot_orders": q_unpivot_orders,
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
         "running_revenue": q_running_revenue,
         "text_token_frequencies": q_text_token_frequencies,
+        "set_ops_nations": q_set_ops_nations,
+        # -- rotated in (round 6): r4-green block, giving them a fresh --
+        # -- driver row (their last green predates r5's window) ---------
+        "curation_full_funnel": q_curation_full_funnel,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,
@@ -4145,6 +4295,52 @@ def _specs() -> dict[str, QuerySpec]:
         "q16_supplier_exclusion": q16_supplier_exclusion,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_idle_customers": q22_idle_customers,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round, implementation unchanged since, and ------
+        # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "sort_limit": q_sort_limit,
+        "approx_stats": q_approx_stats,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "multimodal_features": q_multimodal_features,
+        "range_join_shipments": q_range_join_shipments,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "similarity_topk": q_similarity_topk,
+        "similarity_knn_join": q_similarity_knn_join,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_rolling_hash": q_text_rolling_hash,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "text_pii_scan": q_text_pii_scan,
+        "text_pii_redact": q_text_pii_redact,
+        "similarity_ann_index": q_similarity_ann_index,
+        "text_contamination": q_text_contamination,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "sequence_packing": q_sequence_packing,
+        "sample_token_budget": q_sample_token_budget,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
+        "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
+        "text_bpe_merges": q_text_bpe_merges,
+        "text_chunking": q_text_chunking,
+        "curation_arrival": q_curation_arrival,
+        "text_decontaminate": q_text_decontaminate,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "graph_triangles": q_graph_triangles,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "text_unigram_logprob": q_text_unigram_logprob,
         "window_analytics": q_window_analytics,
         "window_range_frame": q_window_range_frame,
         "agg_distinct_parts": q_agg_distinct_parts,

@@ -61,3 +61,73 @@ def curate_documents_stream(spark: SparkSession, path: str) -> DataFrame:
     equals the batch run over the same files."""
     docs = spark.readStream.schema(DOCS_SCHEMA).parquet(path)
     return curate_documents_batch(docs)
+
+
+def admit_documents_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Arrival curation PLUS standing-corpus admission — one batch of
+    newly-landed documents quality-gated, PII-redacted, AND checked for
+    near-duplication against the persisted corpus index
+    (:func:`~..operators.dedup.build_minhash_index`):
+    ``(doc_id, source, n_tokens, n_pii, n_corpus_dups, admit,
+    text_redacted)`` with ``admit`` = quality-keep AND no corpus
+    near-dup (exact jaccard ≥ ``threshold``).
+
+    This is the batch twin :func:`admit_documents_stream` runs per
+    micro-batch inside ``foreachBatch`` — the corpus contributes only
+    its two index scans, so per-epoch cost is proportional to the
+    epoch (the incremental production shape the round-5 streaming
+    curation deliberately deferred to batch; with the persisted index
+    the cross-doc check IS affordable at arrival time)."""
+    from ..operators.dedup import incremental_near_dup_filter_indexed
+
+    curated = curate_documents_batch(docs)
+    adm = incremental_near_dup_filter_indexed(
+        spark, index_path, docs, "doc_id", "text", threshold=threshold
+    ).select("doc_id", "n_corpus_dups")
+    return curated.join(adm, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_pii",
+        "n_corpus_dups",
+        (F.col("keep") & (F.col("n_corpus_dups") == 0)).alias("admit"),
+        "text_redacted",
+    )
+
+
+def admit_documents_stream(
+    spark: SparkSession,
+    src_path: str,
+    index_path: str,
+    out_path: str,
+    *,
+    threshold: float = 0.8,
+    checkpoint: str | None = None,
+):
+    """Streaming ingest with standing-corpus admission: a file stream of
+    arriving documents runs :func:`admit_documents_batch` per
+    micro-batch via ``foreachBatch`` with per-epoch idempotent parquet
+    output (``out_path/epoch=N``, overwrite-on-retry — the exactly-once
+    pattern from tests/test_streaming.py). Cross-doc state lives
+    entirely in the persisted index, so the stream itself stays
+    stateless (no watermark, no state store) and drained output equals
+    the batch twin row-for-row. Returns the started StreamingQuery;
+    callers ``awaitTermination`` (the availableNow trigger stops the
+    query once the source is drained)."""
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(src_path)
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        admit_documents_batch(
+            spark, batch_df, index_path, threshold=threshold
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    writer = docs.writeStream.foreachBatch(_epoch).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

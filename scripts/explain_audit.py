@@ -365,6 +365,30 @@ CHECKS: list[tuple[str, str, object]] = [
         and len(m.group(1).split(",")) == 2,
     ),
     (
+        "text_bm25_join",
+        "batch BM25: corpus is NEVER broadcast (every BroadcastExchange "
+        "holds an aggregated — term/query/1-row-stats — input), per-query "
+        "top-k is a WindowGroupLimit (no global sort), scan pruned to "
+        "(doc_id, text)",
+        lambda p: "WindowGroupLimit" in p
+        and _broadcasts_only_hold_aggregates(p)
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "dedup_incremental_indexed",
+        "persisted-index incremental dedup: the corpus enters as TWO "
+        "index-parquet scans (groups + buckets) with zero corpus "
+        "shingling/banding — documents.parquet appears only on the "
+        "batch side (3 scans: the two cached prep views' builders + "
+        "the id re-attach; the corpus split filter appears nowhere)",
+        lambda p: len(re.findall(r"Location:[^\n]*minhash_index_", p)) >= 2
+        and len(re.findall(r"Location:[^\n]*documents\.parquet", p)) == 3
+        # batch filter is (doc_id % 7) = 0; the corpus's <> 0 form
+        # (NOT (...= 0)) must be absent — no corpus-side compute at all
+        and "NOT ((doc_id" not in p,
+    ),
+    (
         "@pagerank_bucketed_iter",
         "bucketed PageRank iteration: edges read their bucket layout "
         "(Bucketed: true), the rank join is sort-merge, and NO Exchange "
@@ -374,6 +398,39 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
 ]
+
+
+def _marker_col(line: str) -> int:
+    """Column of the tree marker ('+-' or ':-') on a plan line, -1 if
+    the line is not a tree node."""
+    a, b = line.find("+-"), line.find(":-")
+    if a < 0:
+        return b
+    if b < 0:
+        return a
+    return min(a, b)
+
+
+def _broadcasts_only_hold_aggregates(p: str) -> bool:
+    """True iff every BroadcastExchange subtree that contains a parquet
+    scan also contains a HashAggregate above it — i.e. only aggregated
+    (term-set / query-set / 1-row-stats) data is ever broadcast, never
+    a corpus-sized scan."""
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        col = _marker_col(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            c = _marker_col(nxt)
+            if 0 <= c <= col:
+                break  # sibling or ancestor — subtree ends
+            sub.append(nxt)
+        blob = "\n".join(sub)
+        if "Scan parquet" in blob and "HashAggregate" not in blob:
+            return False
+    return True
 
 
 def _no_exchange_between_scan_and_smj(p: str) -> bool:

@@ -271,3 +271,37 @@ def test_set_similarity_random_corpora_vs_exhaustive(spark):
                 assert got == exhaustive(threshold), (
                     f"seed={seed} t={threshold} collapse={collapse}"
                 )
+
+
+def test_bm25_join_per_query_topk_and_no_match(spark):
+    """bm25_join: per-query k limit, per-query ranking agrees with the
+    single-query literal path, and queries matching nothing vanish."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.retrieval import (
+        bm25_join,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "hash " * (i + 1) + "table") for i in range(5)]
+        + [(9, "vector index")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "hash"), (2, "vector"), (3, "zzz-no-such-term")],
+        "query_id long, query_text string",
+    )
+    rows = bm25_join(
+        corpus, queries, "doc_id", "text", k=2
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}  # query 3 matches nothing
+    assert len(by_q[1]) == 2  # k-limited
+    assert [r["doc_id"] for r in by_q[2]] == [9]
+    # agrees with the literal-term single-query path
+    single = bm25_topk(corpus, "doc_id", "text", ["hash"], k=2).collect()
+    got = sorted(
+        [(r["doc_id"], r["bm25"]) for r in by_q[1]], key=lambda t: -t[1]
+    )
+    want = [(r["doc_id"], r["bm25"]) for r in single]
+    assert got == want

@@ -343,3 +343,49 @@ def test_streaming_document_curation_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # seeded PII was seen
     assert all("[EMAIL]" in v[3] for k, v in want.items() if k % 3 == 0)
+
+
+def test_streaming_admission_matches_batch_twin(spark, sf_dir, tmp_path):
+    """admit_documents_stream (foreachBatch: curation + persisted-index
+    near-dup admission, per-epoch idempotent parquet) equals the batch
+    twin row-for-row once the availableNow source drains — cross-doc
+    state lives in the index, so the stream itself is stateless."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.documents import (
+        admit_documents_batch,
+        admit_documents_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+
+    index = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", index)
+
+    src = str(tmp_path / "arrivals")
+    # two files → at least one micro-batch each under availableNow
+    batch.repartition(2).write.parquet(src)
+    out = str(tmp_path / "admitted")
+
+    q = admit_documents_stream(
+        spark, src, index, out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["n_tokens"], r["n_pii"], r["n_corpus_dups"],
+        r["admit"], r["text_redacted"],
+    )
+    got = sorted(
+        map(key, spark.read.parquet(f"{out}/epoch=*").collect())
+    )
+    want = sorted(
+        map(key, admit_documents_batch(spark, batch, index).collect())
+    )
+    assert got == want and len(got) == batch.count()
+    # the admission is non-vacuous: some doc is rejected for duplication
+    assert any(r[3] > 0 for r in got)

@@ -958,15 +958,16 @@ def remove_boilerplate_lines(
     boilerplate set itself (hashes seen in ≥ min_docs docs) is tiny by
     construction.
 
-    EAGER: the (doc, pos, line-hash) stream feeds both the doc counts
-    and the position join, so it is localCheckpoint-ed at call time
-    (same rationale as remove_repeated_passages). The line ARRAYS are
-    deliberately NOT checkpointed — the final join re-derives them from
-    the source scan (one extra narrow pass). Checkpointing them instead
-    measures ~30 % faster at sf0.1 but materializes the whole corpus
-    text to executor disk, the wrong trade at 100 TB (and the sf0.1
-    delta is mostly the seeded-fixture HOF recomputing, which a real
-    line-structured corpus doesn't pay).
+    LINEAR PLAN (the repeated_passage_profile trick, r6): the line
+    stream aggregates to one row per (line-hash, doc) carrying that
+    doc's position set, the per-line doc count comes off a window over
+    the line hash, and duplicated-position sets re-aggregate per doc —
+    single-consumer at every step, no checkpoint, no line-hash join
+    (the r5 localCheckpoint variant measured −12 % slower at sf0.1).
+    The line ARRAYS are deliberately NOT materialized — the final join
+    re-derives them from the source scan (one extra narrow pass);
+    caching them instead materializes the whole corpus text, the wrong
+    trade at 100 TB.
     """
     import re as _re
 
@@ -979,18 +980,19 @@ def remove_boilerplate_lines(
         .withColumn("_norm", F.lower(F.trim("_line")))
         .filter(F.col("_norm") != "")
         .select("_id", "_pos", F.xxhash64("_norm").alias("_lh"))
-        .localCheckpoint(eager=True)
     )
-    dup = (
-        lines.groupBy("_lh")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_lh")
+    per = lines.groupBy("_lh", "_id").agg(
+        F.collect_set("_pos").alias("_ps")
+    )
+    scored = per.withColumn(
+        "_nd", F.count(F.lit(1)).over(W.partitionBy("_lh"))
     )
     dup_pos = (
-        lines.join(dup, "_lh")
+        scored.filter(F.col("_nd") >= min_docs)
         .groupBy("_id")
-        .agg(F.collect_set("_pos").alias("_dps"))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_ps"))).alias("_dps")
+        )
     )
     joined = docs.join(dup_pos, "_id", "left_outer").select(
         "_id",

@@ -17,7 +17,7 @@ the keep/drop split is observable in tests and oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import spread_to_cluster, tokens_col  # noqa: F401  (re-export)
@@ -333,44 +333,48 @@ def bigram_logprob_profile(
     fewer than 2 words have no bigrams and are omitted (mirrors
     contamination_profile's no-n-gram rule).
 
-    Scale shape mirrors the unigram operator: one map-side-combinable
-    bigram-count aggregate, a first-word re-aggregate of THAT (bigram
-    table, not the token stream), then a token-stream join pinned
-    shuffle_hash — the bigram vocab is analytically never broadcastable
-    at target scale. Per-bigram −ln p is rounded to DECIMAL(18,6)
-    BEFORE summing, so per-doc sums are independent of reduction order
-    in both engines (the unigram determinism rule).
+    Scale shape — LINEAR, zero joins, bigram STRINGS never shuffle:
+    bigrams and their context (first) words hash to 8 bytes at the
+    scan, the stream aggregates to one row per (doc, bigram), and the
+    corpus-wide bigram count and context count each come off a window
+    over the respective hash (the repeated_passage_profile linear-plan
+    trick — the r5 version shuffled the full bigram-string stream into
+    two shuffle_hash joins and ran +38 % slower at sf0.1). Hash
+    collisions merge distinct bigrams with probability
+    ~|bigrams|²/2⁶⁴ — negligible (the gram-hash convention). Per-bigram
+    −ln p is rounded to DECIMAL(18,6) BEFORE the multiplicity-weighted
+    sum, so per-doc sums are independent of reduction order in both
+    engines (the unigram determinism rule).
     """
     bigs = spread_to_cluster(df).select(
         F.col(id_col),
         F.explode(ngrams_col(words_col(F.col(text_col)), 2)).alias("_bg"),
+    ).select(
+        id_col,
+        F.xxhash64("_bg").alias("_bgh"),
+        F.xxhash64(F.substring_index(F.col("_bg"), " ", 1)).alias("_ctxh"),
     )
-    bg_counts = bigs.groupBy("_bg").agg(F.count("*").alias("_cnt"))
-    ctx = F.substring_index(F.col("_bg"), " ", 1)
-    ctx_counts = (
-        bg_counts.groupBy(ctx.alias("_ctx"))
-        .agg(F.sum("_cnt").alias("_ctx_cnt"))
+    per = bigs.groupBy(id_col, "_bgh", "_ctxh").agg(
+        F.count(F.lit(1)).alias("_pos")
     )
-    neglogp = (
-        bg_counts.withColumn("_ctx", ctx)
-        .join(ctx_counts.hint("shuffle_hash"), "_ctx")
-        .select(
-            "_bg",
-            F.round(-F.log(F.col("_cnt") / F.col("_ctx_cnt")), 6)
-            .cast("decimal(18,6)")
-            .alias("_nlp"),
-        )
+    w1 = per.withColumn("_cnt", F.sum("_pos").over(W.partitionBy("_bgh")))
+    w2 = w1.withColumn(
+        "_ctx_cnt", F.sum("_pos").over(W.partitionBy("_ctxh"))
+    )
+    nlp = (
+        F.round(-F.log(F.col("_cnt") / F.col("_ctx_cnt")), 6)
+        .cast("decimal(18,6)")
     )
     return (
-        bigs.join(neglogp.hint("shuffle_hash"), "_bg")
+        w2.withColumn("_nlp", nlp)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("_nlp").alias("_sum_nlp"),
+            F.sum("_pos").alias("n_bigrams"),
+            F.sum(F.col("_nlp") * F.col("_pos")).alias("_sum_nlp"),
         )
         .select(
             F.col(id_col),
-            "n_bigrams",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
             F.col("_sum_nlp").cast("double").alias("sum_neglogp"),
             F.round(
                 F.col("_sum_nlp").cast("double") / F.col("n_bigrams"), 4

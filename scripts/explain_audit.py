@@ -344,12 +344,15 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "text_bigram_logprob",
-        "bigram LM: both vocab-sized joins (bigram->ctx count and "
-        "token-stream->logp) are pinned shuffle joins keyed on the "
-        "bigram/ctx — a real bigram vocab never broadcasts",
-        lambda p: "hashpartitioning(_bg" in p
-        and "hashpartitioning(_ctx" in p
-        and "ShuffledHashJoin" in p,
+        "bigram LM: LINEAR plan — zero joins of any kind, bigram "
+        "strings never shuffle (every hashpartitioning keys on the "
+        "8-byte bigram/ctx hashes or the doc id), counts come off two "
+        "windows",
+        lambda p: "Join" not in p
+        and "hashpartitioning(_bgh" in p
+        and "hashpartitioning(_ctxh" in p
+        and p.count("Window") >= 2
+        and "hashpartitioning(_bg#" not in p,
     ),
     (
         "text_bm25_topk",

@@ -1350,9 +1350,14 @@ def incremental_near_dup_filter_indexed(
     bands = meta["bands"]
     rows_per_band = meta["num_hashes"] // bands
 
+    # Deliberately uncached: each batch-side view is consumed at most
+    # twice and the shingle prep is one narrow pass over the (small by
+    # definition) increment — two cache materialization jobs measured
+    # SLOWER than the recompute at sf0.1. A caller admitting a huge
+    # backfill batch can pre-cache `batch` itself.
     b = _shingle_fp_prep(batch, id_col, text_col, meta["shingle_k"])
-    b_members = b.select("_id", "_fp").cache()
-    b_reps = b.groupBy("_fp").agg(F.any_value("_sh").alias("_sh")).cache()
+    b_members = b.select("_id", "_fp")
+    b_reps = b.groupBy("_fp").agg(F.any_value("_sh").alias("_sh"))
 
     idx_buckets = spark.read.parquet(f"{path}/buckets")
     c_groups = spark.read.parquet(f"{path}/groups")

@@ -260,3 +260,46 @@ def deterministic_sample(
         F.pmod(hash_of_id_col(id_col), F.lit(buckets))
         < int(rate * buckets + 0.5)
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    *,
+    out_col: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic dataset splitting — the train/val/test assignment a
+    training pipeline needs to be REPRODUCIBLE and engine-independent:
+    each row's split is a pure function of its id (portable hash mod
+    ``buckets`` mapped through cumulative weight thresholds), so the
+    assignment survives re-runs, repartitions, engine changes, and
+    co-splits every table sharing the id (joining two split tables
+    keeps rows in the SAME split together — the property a random
+    split destroys).
+
+    ``splits`` is an ordered list of (name, weight); weights are
+    normalized, thresholds round to the nearest bucket (the
+    :func:`deterministic_sample` rounding rule — truncation turns float
+    dust into off-by-one splits). Narrow projection, no shuffle, no
+    RNG. Expected |split| ≈ weight·|df| with binomial concentration;
+    exact sizes are data-dependent by design (determinism over exact
+    proportions).
+    """
+    total = sum(w for _, w in splits)
+    bucket = F.pmod(hash_of_id_col(id_col), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        threshold = int(acc * buckets + 0.5)
+        cond = bucket < threshold
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

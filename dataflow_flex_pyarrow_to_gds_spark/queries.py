@@ -2470,6 +2470,22 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: split = pure
+    function of portable_hash(doc_id) mod 10⁴ through cumulative
+    thresholds — reproducible across engines/re-runs/partitionings and
+    co-splitting for any table sharing the id (the property a random
+    split destroys). Narrow, zero shuffle; oracle recomputes the hash
+    arithmetic verbatim."""
+    from .operators.sampling import stratified_split
+
+    return stratified_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal unigram LM quality score per doc (CCNet-style):
     mean −ln p(token) under the corpus's own unigram distribution.
@@ -3592,6 +3608,18 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, tokens_before
             FROM c WHERE tokens_before < 600
         """,
+        "sample_stratified_split": f"""
+            WITH h AS (
+                SELECT doc_id, source,
+                       ((({_ID_HASH_SQL}) % 10000) + 10000) % 10000 AS b
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
         "sample_per_source_cap": f"""
             WITH h AS (
                 SELECT doc_id, source, {_ID_HASH_SQL} AS hv FROM documents
@@ -4198,6 +4226,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "text_stats",
         "window_analytics",
         "window_range_frame",
+        "q22_idle_customers",
         # r5-green (CORRECTNESS_r05.json), implementation unchanged in
         # round 6, locally re-verified green
         "approx_stats",
@@ -4263,6 +4292,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_bm25_join": q_text_bm25_join,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "curation_admission": q_curation_admission,
+        "sample_stratified_split": q_sample_stratified_split,
         # -- implementations touched in round 6 (linear passage plans, --
         # -- minhash 24x4 revert, set-similarity rewrite, bm25 fixes, ---
         # -- pagerank loop edit) stay inside the window -----------------

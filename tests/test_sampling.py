@@ -153,3 +153,45 @@ def test_cap_per_group_two_phase_equivalence(spark, sf_dir):
         )
     )
     assert a1 == b1
+
+
+def test_stratified_split_deterministic_and_cosplitting(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(2000)], "doc_id long, source string"
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df, "doc_id", splits).collect()
+    }
+    # deterministic across invocations and partitionings
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(
+            df.repartition(7), "doc_id", splits
+        ).collect()
+    }
+    assert a == b
+    # proportions land near the weights (binomial concentration)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # co-splitting: another table sharing ids gets the same assignment
+    other = spark.createDataFrame(
+        [(i, i * 2) for i in range(0, 2000, 5)], "doc_id long, x long"
+    )
+    o = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(other, "doc_id", splits).collect()
+    }
+    assert all(a[k] == v for k, v in o.items())
+    # weights normalize; single split assigns everything
+    one = stratified_split(df, "doc_id", [("all", 3.0)]).collect()
+    assert {r["split"] for r in one} == {"all"}

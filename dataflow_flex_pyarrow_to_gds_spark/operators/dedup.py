@@ -1729,3 +1729,42 @@ def decontaminate(
         )
         .filter(F.col("n_test_hits") <= max_hits)
     )
+
+
+def canonical_keeper(
+    groups: DataFrame,
+    quality: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "keep_id",
+    score_col: str = "score",
+    out_col: str = "canonical_id",
+) -> DataFrame:
+    """Quality-aware canonical selection — the keeper policy production
+    dedup actually wants: within each near-dup group keep the BEST
+    member (max ``score_col``, ties broken by ascending id), not the
+    arbitrary minimum id :func:`near_dup_groups` labels groups with.
+    E.g. among near-duplicate crawls of one page, keep the longest /
+    highest-quality capture and map every member to it.
+
+    Inputs: ``groups`` = (id, group) from :func:`near_dup_groups` (the
+    group label is just an opaque component id here); ``quality`` =
+    (id, score) — any per-doc metric (word count, Gopher pass count, LM
+    score). Output: (id, canonical) for every grouped doc.
+
+    Scale shape: one id-keyed equi-join to attach scores, one
+    row_number window PARTITIONED by the group id (components are small
+    by construction — this is never a corpus-wide window), and one join
+    keyed on the group id to map members to their canonical doc. All
+    rows are ≤ 24 B; no text moves.
+    """
+    j = groups.join(quality, id_col)
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(group_col), F.col(id_col).alias(out_col))
+    )
+    return groups.join(best, group_col).select(id_col, out_col)

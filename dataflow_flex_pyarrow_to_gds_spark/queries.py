@@ -2470,6 +2470,34 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection on top of near-dup groups: the
+    keeper policy production dedup wants — within each jaccard≥0.8
+    component keep the member with the MOST words (ties → min id), not
+    the arbitrary minimum id. MinHash pairs → star-CC groups →
+    word-count argmax per group, all skinny id/score rows (the window
+    partitions by component, never corpus-wide). Oracle = recursive-CTE
+    closure + the same argmax."""
+    from .operators.dedup import (
+        canonical_keeper,
+        minhash_lsh_pairs,
+        near_dup_groups,
+    )
+    from .operators.quality import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+    )
+    groups = near_dup_groups(pairs)
+    quality = docs.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("score"),
+    )
+    return canonical_keeper(groups, quality)
+
+
 def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment: split = pure
     function of portable_hash(doc_id) mod 10⁴ through cumulative
@@ -3838,6 +3866,41 @@ def _extension_oracles() -> dict[str, str]:
               )
             SELECT a AS doc_id, min(b) AS keep_id FROM paths GROUP BY a
         """,
+        "dedup_canonical_keeper": f"""
+            WITH RECURSIVE
+              t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+              p AS (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM t a JOIN t b ON a.doc_id < b.doc_id
+                  WHERE {_JACCARD_SQL} >= 0.8
+              ),
+              sym(s, t2) AS (
+                  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p
+              ),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t2 FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT pp.a, sy.t2 FROM paths pp JOIN sym sy ON pp.b = sy.s
+              ),
+              g AS (SELECT a AS doc_id, min(b) AS keep_id
+                    FROM paths GROUP BY a),
+              q AS (SELECT doc_id,
+                           CAST(len({_WORDS_SQL}) AS BIGINT) AS score
+                    FROM documents),
+              best AS (
+                  SELECT keep_id, doc_id AS canonical_id FROM (
+                      SELECT g.keep_id, g.doc_id,
+                             row_number() OVER (
+                                 PARTITION BY g.keep_id
+                                 ORDER BY q.score DESC, g.doc_id ASC
+                             ) AS rn
+                      FROM g JOIN q USING (doc_id)
+                  ) WHERE rn = 1
+              )
+            SELECT g.doc_id, best.canonical_id
+            FROM g JOIN best USING (keep_id)
+        """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_distance=3),
         "dedup_ngram3_pairs": rf"""
             WITH raw AS (
@@ -4227,6 +4290,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "window_analytics",
         "window_range_frame",
         "q22_idle_customers",
+        "q17_small_quantity_revenue",
         # r5-green (CORRECTNESS_r05.json), implementation unchanged in
         # round 6, locally re-verified green
         "approx_stats",
@@ -4293,6 +4357,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "curation_admission": q_curation_admission,
         "sample_stratified_split": q_sample_stratified_split,
+        "dedup_canonical_keeper": q_dedup_canonical_keeper,
         # -- implementations touched in round 6 (linear passage plans, --
         # -- minhash 24x4 revert, set-similarity rewrite, bm25 fixes, ---
         # -- pagerank loop edit) stay inside the window -----------------

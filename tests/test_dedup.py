@@ -674,3 +674,28 @@ def test_minhash_bucket_cap_bounds_flood_but_keeps_small_clusters(spark):
     flood_capped = [p for p in capped if p[0] < 100 and p[1] < 100]
     assert len(flood_uncapped) > 100
     assert len(flood_capped) < len(flood_uncapped)
+
+
+def test_canonical_keeper_prefers_quality_then_min_id(spark):
+    """Within each component the canonical doc is the max-score member
+    (ties -> min id); singletons map to themselves."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        canonical_keeper,
+    )
+
+    groups = spark.createDataFrame(
+        # component A = {1,2,3} labeled 1; component B = {7,8} labeled 7;
+        # singleton {9}
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "doc_id long, keep_id long",
+    )
+    quality = spark.createDataFrame(
+        # A: doc 3 has the best score; B: tie between 7 and 8 -> 7
+        [(1, 10), (2, 30), (3, 50), (7, 5), (8, 5), (9, 2)],
+        "doc_id long, score long",
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in canonical_keeper(groups, quality).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 7: 7, 8: 7, 9: 9}

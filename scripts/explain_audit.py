@@ -392,6 +392,33 @@ CHECKS: list[tuple[str, str, object]] = [
         and "NOT ((doc_id" not in p,
     ),
     (
+        "curation_admission",
+        "streaming-admission batch twin: corpus enters only as index "
+        "scans (no corpus-side split filter anywhere), and the curation "
+        "chain stays narrow (no Python UDFs, no row-at-a-time eval)",
+        lambda p: len(re.findall(r"Location:[^\n]*minhash_index_", p)) >= 2
+        and "NOT ((doc_id" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "sample_stratified_split",
+        "stratified split: pure narrow projection — ZERO exchanges, "
+        "zero joins, scan pruned to (doc_id, source)",
+        lambda p: "Exchange" not in p
+        and "Join" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "dedup_canonical_keeper",
+        "canonical keeper: document text never shuffles — no "
+        "hashpartitioning keys on the text column; the argmax window "
+        "partitions by the component id",
+        lambda p: "hashpartitioning(text" not in p
+        and "Window" in p,
+    ),
+    (
         "@pagerank_bucketed_iter",
         "bucketed PageRank iteration: edges read their bucket layout "
         "(Bucketed: true), the rank join is sort-merge, and NO Exchange "

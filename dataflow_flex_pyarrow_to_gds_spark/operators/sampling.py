@@ -303,3 +303,80 @@ def stratified_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def grouped_split(
+    df: DataFrame,
+    groups: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    *,
+    group_col: str = "keep_id",
+    out_col: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-safe splitting: assign whole near-dup components to one
+    split. :func:`stratified_split` hashes each row's OWN id, so two
+    near-duplicate documents can land in train and test — and a
+    held-out example the model effectively saw in training inflates
+    eval scores (the split-contamination failure mode benchmark audits
+    keep finding). Here the hashed key is the component REPRESENTATIVE
+    (``groups`` = (id, group) from ``near_dup_groups``; ungrouped rows
+    fall back to their own id), so every member of a duplicate group
+    — and only whole groups — moves between splits together.
+
+    Scale shape: one left join of the corpus against the (much smaller)
+    grouped-doc table on the id, then the same narrow hash arithmetic;
+    the join is the only shuffle and both sides carry ≤16-B keys.
+    """
+    g = groups.select(F.col(id_col), F.col(group_col).alias("_rep"))
+    keyed = df.join(g, id_col, "left_outer").withColumn(
+        "_skey", F.coalesce(F.col("_rep"), F.col(id_col))
+    )
+    return stratified_split(
+        keyed, "_skey", splits, out_col=out_col, buckets=buckets
+    ).drop("_rep", "_skey")
+
+
+def split_leakage(
+    pairs: DataFrame,
+    assignment: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Audit a split assignment against a near-duplicate pair set:
+    1 row ``(total_pairs, cross_split_pairs)`` where ``cross`` counts
+    pairs whose endpoints landed in DIFFERENT splits — the train/eval
+    leakage a per-doc hash split permits and :func:`grouped_split`
+    eliminates by construction (both endpoints of every pair share a
+    component, hence a representative, hence a split).
+
+    Two skinny equi-joins (pair ids against the (id, split) table) and
+    a global count — the pair table is the small operand (near-dup
+    pairs, not the corpus) and nothing wider than id+split shuffles.
+    """
+    a = assignment.select(
+        F.col(id_col).alias(a_col), F.col(split_col).alias("_split_a")
+    )
+    b = assignment.select(
+        F.col(id_col).alias(b_col), F.col(split_col).alias("_split_b")
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(a, a_col)
+        .join(b, b_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_pairs"),
+            F.coalesce(
+                F.sum(
+                    (F.col("_split_a") != F.col("_split_b")).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cross_split_pairs"),
+        )
+    )

@@ -2514,6 +2514,44 @@ def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination audit: how many near-dup pairs (jaccard≥0.8)
+    span two different train/val/test splits under (a) the naive
+    per-doc hash split and (b) the group-aware split that co-assigns
+    whole near-dup components (hash the component representative, not
+    the member). Output = 2 rows (policy, total_pairs,
+    cross_split_pairs); the grouped policy is leakage-free BY
+    CONSTRUCTION — both endpoints of every pair share a representative
+    — and the audit proves it with a zero. Oracle: exhaustive-jaccard
+    pairs + recursive-CTE components + verbatim hash arithmetic."""
+    from .operators.dedup import minhash_lsh_pairs, near_dup_groups
+    from .operators.sampling import (
+        grouped_split,
+        split_leakage,
+        stratified_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+    )
+    groups = near_dup_groups(pairs)
+    splits = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    naive = stratified_split(ids, "doc_id", splits)
+    safe = grouped_split(ids, groups, "doc_id", splits)
+    return (
+        split_leakage(pairs, naive)
+        .withColumn("policy", F.lit("naive"))
+        .unionByName(
+            split_leakage(pairs, safe).withColumn("policy", F.lit("grouped"))
+        )
+        .select("policy", "total_pairs", "cross_split_pairs")
+        .orderBy("policy")
+    )
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal unigram LM quality score per doc (CCNet-style):
     mean −ln p(token) under the corpus's own unigram distribution.
@@ -2938,6 +2976,18 @@ _ID_HASH_SQL = """
           ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT END) * 4294967296
     + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
 """
+
+
+def _hash_sql_of(expr: str) -> str:
+    """DuckDB twin of ``operators.sampling.hash_of_id_col`` applied to an
+    arbitrary integer-valued SQL expression (``_ID_HASH_SQL`` is the
+    ``doc_id`` instance)."""
+    hi = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+    lo = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 9, 8))::BIGINT"
+    return (
+        f"(CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296"
+        f" ELSE {hi} END) * 4294967296 + {lo}"
+    )
 
 
 def _sq8_score_sql(dims: int = 64) -> str:
@@ -3901,6 +3951,67 @@ def _extension_oracles() -> dict[str, str]:
             SELECT g.doc_id, best.canonical_id
             FROM g JOIN best USING (keep_id)
         """,
+        "sample_split_leakage": f"""
+            WITH RECURSIVE
+              t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+              p AS (
+                  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM t a JOIN t b ON a.doc_id < b.doc_id
+                  WHERE {_JACCARD_SQL} >= 0.8
+              ),
+              sym(s, t2) AS (
+                  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p
+              ),
+              vertices(n) AS (SELECT s FROM sym UNION SELECT t2 FROM sym),
+              paths(a, b) AS (
+                  SELECT n, n FROM vertices
+                  UNION
+                  SELECT pp.a, sy.t2 FROM paths pp JOIN sym sy ON pp.b = sy.s
+              ),
+              g AS (SELECT a AS doc_id, min(b) AS keep_id
+                    FROM paths GROUP BY a),
+              naive AS (
+                  SELECT doc_id,
+                         CASE WHEN b < 9000 THEN 'train'
+                              WHEN b < 9500 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM (SELECT doc_id,
+                               ((({_ID_HASH_SQL}) % 10000) + 10000) % 10000
+                                 AS b
+                        FROM documents)
+              ),
+              rep AS (
+                  SELECT d.doc_id, COALESCE(g.keep_id, d.doc_id) AS skey
+                  FROM documents d LEFT JOIN g USING (doc_id)
+              ),
+              grouped AS (
+                  SELECT doc_id,
+                         CASE WHEN b < 9000 THEN 'train'
+                              WHEN b < 9500 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM (SELECT doc_id,
+                               ((({_hash_sql_of("skey")}) % 10000) + 10000)
+                                 % 10000 AS b
+                        FROM rep)
+              )
+            SELECT policy, total_pairs, cross_split_pairs FROM (
+                SELECT 'naive' AS policy,
+                       CAST(count(*) AS BIGINT) AS total_pairs,
+                       CAST(COALESCE(sum(CASE WHEN sa.split <> sb.split
+                                              THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS cross_split_pairs
+                FROM p JOIN naive sa ON p.id_a = sa.doc_id
+                       JOIN naive sb ON p.id_b = sb.doc_id
+                UNION ALL
+                SELECT 'grouped' AS policy,
+                       CAST(count(*) AS BIGINT) AS total_pairs,
+                       CAST(COALESCE(sum(CASE WHEN sa.split <> sb.split
+                                              THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS cross_split_pairs
+                FROM p JOIN grouped sa ON p.id_a = sa.doc_id
+                       JOIN grouped sb ON p.id_b = sb.doc_id
+            ) ORDER BY policy
+        """,
         "dedup_simhash_pairs": _simhash_oracle_sql(max_distance=3),
         "dedup_ngram3_pairs": rf"""
             WITH raw AS (
@@ -4291,6 +4402,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "window_range_frame",
         "q22_idle_customers",
         "q17_small_quantity_revenue",
+        "q16_supplier_exclusion",
         # r5-green (CORRECTNESS_r05.json), implementation unchanged in
         # round 6, locally re-verified green
         "approx_stats",
@@ -4358,6 +4470,7 @@ def _specs() -> dict[str, QuerySpec]:
         "curation_admission": q_curation_admission,
         "sample_stratified_split": q_sample_stratified_split,
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
+        "sample_split_leakage": q_sample_split_leakage,
         # -- implementations touched in round 6 (linear passage plans, --
         # -- minhash 24x4 revert, set-similarity rewrite, bm25 fixes, ---
         # -- pagerank loop edit) stay inside the window -----------------

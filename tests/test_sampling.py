@@ -195,3 +195,54 @@ def test_stratified_split_deterministic_and_cosplitting(spark):
     # weights normalize; single split assigns everything
     one = stratified_split(df, "doc_id", [("all", 3.0)]).collect()
     assert {r["split"] for r in one} == {"all"}
+
+
+def test_grouped_split_coassigns_components_and_leakage_audit(spark):
+    """grouped_split puts every member of a near-dup component in the
+    representative's split (leakage 0 by construction); split_leakage
+    counts cross-split pairs correctly for an arbitrary assignment."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        grouped_split,
+        split_leakage,
+        stratified_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # components: {0..9} rep 0, {100,101} rep 100; rest singletons
+    groups = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(100, 100), (101, 100)],
+        "doc_id long, keep_id long",
+    )
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    safe = grouped_split(df, groups, "doc_id", splits)
+    assign = {r["doc_id"]: r["split"] for r in safe.collect()}
+    assert len(assign) == 200
+    assert len({assign[i] for i in range(10)}) == 1
+    assert assign[100] == assign[101]
+    # members inherit the REPRESENTATIVE's split, singletons their own
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df, "doc_id", splits).collect()
+    }
+    assert all(assign[i] == naive[0] for i in range(10))
+    assert assign[150] == naive[150]
+    # leakage audit: pairs within each component
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(a + 1, 10)]
+        + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    row = split_leakage(pairs, safe).collect()[0]
+    assert (row["total_pairs"], row["cross_split_pairs"]) == (46, 0)
+    # a deliberately mixed assignment is counted, not hidden
+    mixed = df.withColumn(
+        "split",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+    row = split_leakage(pairs, mixed).collect()[0]
+    # within {0..9}: 5 even, 5 odd -> 25 cross pairs; (100,101) crosses
+    assert (row["total_pairs"], row["cross_split_pairs"]) == (46, 26)

@@ -419,6 +419,15 @@ CHECKS: list[tuple[str, str, object]] = [
         and "Window" in p,
     ),
     (
+        "sample_split_leakage",
+        "split-leakage audit: document text never shuffles (the pair "
+        "generator's property holds through the composition) and the "
+        "audit side joins/aggregates only skinny id+split rows — no "
+        "text column in any exchange key",
+        lambda p: "hashpartitioning(text" not in p
+        and "hashpartitioning(doc_id" in p,
+    ),
+    (
         "@pagerank_bucketed_iter",
         "bucketed PageRank iteration: edges read their bucket layout "
         "(Bucketed: true), the rank join is sort-merge, and NO Exchange "

@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     broadcast_max_docs: int = 200_000,
     collapse_identical: bool = True,
     max_bucket_docs: int | None = None,
+    max_exact_pairs: int = 20_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
 
@@ -252,6 +253,27 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b (128/32 → 1-5e-8 at j=0.8; 96/24 → 1-3.2e-6), so the
     verified output matches an exhaustive join w.h.p. while doing
     ~|candidate| work instead of n².
+
+    ``max_exact_pairs`` (default 20M, 0 disables): when the collapsed
+    corpus is small enough that C(reps, 2) fits this budget, banding is
+    SKIPPED and every size-compatible rep pair is verified directly
+    (broadcast nested-loop over the rep table — the budget bounds the
+    broadcast side to √(2·budget) ≈ 6.3k reps ≈ a few MB of shingle
+    arrays). This is not a shortcut but the honest crossover: LSH's
+    asymptotic win requires n² to be infeasible, and on dup-heavy
+    corpora banding barely prunes anyway — measured at sf0.1 (5k docs,
+    3.9k reps), 3.5M of the 7.7M rep pairs sit at jaccard ≥ 0.5, where
+    a 24-band r=4 scheme passes ≥ 96 % of pairs as candidates
+    (1-(1-j⁴)²⁴ ≥ 0.96 for j ≥ 0.6), so the banded path generated 29M
+    join rows to deliver 3.5M candidates while the exact path verifies
+    the 7.7M pairs once each with no banding cost at all. The exact
+    path's recall is 1.0 by construction (a strict superset of any
+    banding), so the output is unchanged wherever banding was already
+    exhaustive-green. Above the budget the banded path runs as before —
+    at 100 TB, reps ≫ budget and LSH is the only option. The crossover
+    is skipped when ``max_bucket_docs`` is set: that opt-in deliberately
+    TRADES recall by capping the banded generator, and silently
+    restoring the dropped pairs would invert the caller's choice.
 
     ``broadcast_verify``: None (default) auto-selects — the per-doc shingle
     table is broadcast for verification only when the corpus has at most
@@ -303,13 +325,6 @@ def minhash_lsh_pairs(
             )
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    if broadcast_verify is None:
-        # Corpus row count (on the raw input, before shingle work)
-        # decides whether the per-doc shingle table fits the broadcast
-        # budget. Cheap (metadata-only) when ``df`` is a raw parquet
-        # scan, as at the catalog call sites; on a transformed input it
-        # is a real job — pass broadcast_verify explicitly there.
-        broadcast_verify = df.count() <= broadcast_max_docs
 
     members = None
     if collapse_identical:
@@ -340,6 +355,28 @@ def minhash_lsh_pairs(
         # persisting breaks scan→shingle→signature codegen fusion
         # (measured net +2.7 s at sf0.1).
         base = spread_to_cluster(base)
+
+    if max_exact_pairs and max_bucket_docs is None:
+        # Exact small-corpus crossover (see docstring): below the pair
+        # budget, verify every size-compatible rep pair directly. The
+        # count is a cache hit in the collapse path; uncollapsed it
+        # costs one scan+shingle pass (off-default, documented).
+        # Skipped when the caller opted into the recall-trading bucket
+        # cap — that contract is about bounding the BANDED generator.
+        n_reps = base.count()
+        if n_reps * (n_reps - 1) // 2 <= max_exact_pairs:
+            verified = _exact_rep_pairs(base, threshold)
+            if not collapse_identical:
+                return verified
+            return _expand_collapsed_pairs(verified, base, members)
+
+    if broadcast_verify is None:
+        # Corpus row count (on the raw input, before shingle work)
+        # decides whether the per-doc shingle table fits the broadcast
+        # budget. Cheap (metadata-only) when ``df`` is a raw parquet
+        # scan, as at the catalog call sites; on a transformed input it
+        # is a real job — pass broadcast_verify explicitly there.
+        broadcast_verify = df.count() <= broadcast_max_docs
 
     # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
     # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
@@ -459,7 +496,49 @@ def minhash_lsh_pairs(
     )
     if not collapse_identical:
         return verified
+    return _expand_collapsed_pairs(verified, base, members)
 
+
+def _exact_rep_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """Verify ALL size-compatible rep pairs — the sub-budget branch of
+    :func:`minhash_lsh_pairs`. One side broadcasts (bounded by the pair
+    budget), the other is repartitioned to cluster width by NUMBER —
+    AQE would otherwise coalesce the few-MB rep table to one task and
+    serialize the n² loop (the set-similarity probe lesson)."""
+    spark = base.sparkSession
+    sh = base.select("_id", "_sh", F.size("_sh").alias("_n"))
+    a = sh.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_n").alias("n_a"),
+    )
+    b = sh.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_n").alias("n_b"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    size_ok = (F.col("n_a") >= threshold * F.col("n_b")) & (
+        F.col("n_b") >= threshold * F.col("n_a")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        # ordered conjuncts: the 3-comparison id/size gate runs before
+        # the O(|A|+|B|) intersect on every generated pair
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _expand_collapsed_pairs(
+    verified: DataFrame, base: DataFrame, members: DataFrame
+) -> DataFrame:
     # Re-expand representative pairs to member pairs. Fingerprint groups
     # are disjoint, so the two expansions below cannot overlap and no
     # final dedup shuffle is needed:
@@ -1504,6 +1583,14 @@ def set_similarity_join_pairs(
     # (id + token array, the same footprint the minhash collapse caches;
     # r5 advice: the uncached table recomputed its aggregation pipeline
     # once per reference on the suite's slowest query).
+    #
+    # Cache lifetime (ADVICE r6): these operator-internal caches are keyed
+    # by canonicalized plan, so REPEATED invocations on the same input
+    # re-hit the same entries rather than accumulating; distinct inputs in
+    # a long-lived session do accumulate until LRU eviction — the default
+    # Dataset storage level (MEMORY_AND_DISK) makes eviction a spill, not
+    # a recompute cliff. Callers looping over many distinct corpora should
+    # spark.catalog.clearCache() between corpora.
     base = base.cache()
 
     toks = base.select("_id", F.explode("_tk").alias("_t"))

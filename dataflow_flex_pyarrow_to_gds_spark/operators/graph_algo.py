@@ -224,14 +224,30 @@ def write_bucketed_edges(
     ``merge_edge_joins=True`` is the consumer). At 100 TB the edge
     table is the only fat operand — bucketing it turns each PageRank
     iteration's edge-side shuffle (the dominant cost, paid ``iters``
-    times) into a one-time write."""
+    times) into a one-time write.
+
+    Contract: ``table`` must be an UNQUALIFIED name in the default
+    database (enforced below) — the crash-leftover cleanup derives the
+    managed location as ``<warehouse.dir>/<lowercase name>``, which only
+    holds for that case, and only applies when the warehouse is a plain
+    local path (``file:`` URI); on any other catalog/filesystem the
+    cleanup is skipped and a genuinely orphaned dir surfaces as the
+    saveAsTable error it always was (ADVICE r6)."""
+    import os
     import shutil
 
+    if "." in table:
+        raise ValueError(
+            f"write_bucketed_edges requires an unqualified table name in "
+            f"the default database, got {table!r}"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a crashed run can leave the managed dir behind without a catalog
     # entry — clear it so saveAsTable doesn't fail
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:") or "://" not in wh:
+        leftover = os.path.join(wh.removeprefix("file:"), table.lower())
+        shutil.rmtree(leftover, ignore_errors=True)
     # Repartition on the bucket key first: without it every writer task
     # emits a file per bucket (tasks × buckets small files — measured
     # 2× slower iteration reads at 32 buckets); with it each bucket is

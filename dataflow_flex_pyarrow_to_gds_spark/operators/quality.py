@@ -381,3 +381,125 @@ def bigram_logprob_profile(
             ).alias("avg_neglogp"),
         )
     )
+
+
+def hashed_bucket_col(
+    token: Column, n_features: int, hash_fn=None
+) -> Column:
+    """Hashing-trick feature bucket for one token: ``pmod(h(token), n)``.
+
+    ``hash_fn`` maps a token Column to a 64-bit hash Column; defaults to
+    ``F.xxhash64`` (fastest). Pass ``dedup.portable_hash64_col`` when
+    bucket assignments must be reproducible outside Spark (the oracle
+    path — its md5 arithmetic is expressible verbatim in ANSI SQL).
+    """
+    hash_fn = hash_fn or (lambda t: F.xxhash64(t))
+    return F.pmod(hash_fn(token), F.lit(n_features))
+
+
+#: Seeded micro-unit weight for feature bucket b (an int64 in
+#: [-500000, 500010), i.e. weight ∈ [-0.5, 0.50001) after /1e6): a pure
+#: integer LCG step, so the DuckDB oracle reproduces it digit-for-digit
+#: with the same three integer ops. Used when no trained weights are
+#: supplied — the demo/test mode; production passes real weights.
+def _seeded_w6(bucket: Column) -> Column:
+    return (bucket * F.lit(1103515245) + F.lit(12345)) % F.lit(
+        100001
+    ) * F.lit(10) - F.lit(500000)
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_features: int = 64,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    hash_fn=None,
+    max_literal_features: int = 4096,
+) -> DataFrame:
+    """Model-based quality scoring — a fastText/DCLM-style LINEAR
+    classifier inference pass over hashed bag-of-words features:
+    ``logit = bias + Σ_tokens w[bucket(token)]``, ``score = σ(logit)``,
+    ``keep = logit > 0``. Output ``(id, logit, score, keep)``.
+
+    This is the model-driven sibling of the statistical Gopher rules
+    (:func:`with_gopher_keep`): the reference pipeline has nothing like
+    it, but every modern curation funnel (DCLM, FineWeb-Edu) gates on a
+    cheap linear classifier before anything expensive runs.
+
+    Scale shape — the whole inference is JVM expressions, no UDF:
+
+    * ``len(weights) ≤ max_literal_features`` (or seeded): ONE narrow
+      corpus pass, ZERO shuffles and ZERO joins — the weight vector
+      rides the plan as a literal array (or as three integer ops for
+      the seeded demo weights) and the per-document sum is an
+      ``aggregate`` over the token array in integer MICRO-UNITS
+      (round(w·1e6) as int64) — exact, order-independent addition, the
+      PageRank fixed-point rule, so the score is bit-reproducible in
+      any engine.
+    * larger weight vectors (a 2²⁰-bucket production model doesn't
+      belong in an expression tree): tokens explode to (doc, bucket),
+      BROADCAST-join the (bucket, w6) weight table, and one groupBy(id)
+      re-aggregates the micro-unit sum — one corpus shuffle on the id,
+      weights never shuffle.
+
+    Empty/stopword-free documents score ``σ(bias)`` (no token
+    contributions), and every input row gets an output row.
+    """
+    w6_bias = int(round(bias * 1_000_000))
+    tok = words_col(F.col(text_col))
+
+    if weights is not None and len(weights) != n_features:
+        raise ValueError(
+            f"weights has {len(weights)} entries, n_features={n_features}"
+        )
+
+    def bucket_of(c: Column) -> Column:
+        return hashed_bucket_col(c, n_features, hash_fn)
+
+    if weights is None or n_features <= max_literal_features:
+        if weights is None:
+            def w6_of(c: Column) -> Column:
+                return _seeded_w6(bucket_of(c))
+        else:
+            arr = F.array(
+                *[F.lit(int(round(w * 1_000_000))) for w in weights]
+            )
+            def w6_of(c: Column) -> Column:
+                return F.element_at(arr, bucket_of(c).cast("int") + 1)
+
+        micro = F.aggregate(
+            tok,
+            F.lit(w6_bias).cast("long"),
+            lambda acc, t: acc + w6_of(t),
+        )
+        scored = df.select(F.col(id_col), micro.alias("_micro"))
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(i, int(round(w * 1_000_000))) for i, w in enumerate(weights)],
+            "_bkt long, _w6 long",
+        )
+        contrib = (
+            df.select(F.col(id_col), F.explode(tok).alias("_t"))
+            .select(F.col(id_col), bucket_of(F.col("_t")).alias("_bkt"))
+            .join(F.broadcast(wdf), "_bkt")
+            .groupBy(id_col)
+            .agg(F.sum("_w6").alias("_c"))
+        )
+        scored = df.select(F.col(id_col)).join(
+            contrib, id_col, "left_outer"
+        ).select(
+            F.col(id_col),
+            (F.coalesce("_c", F.lit(0)) + F.lit(w6_bias)).alias("_micro"),
+        )
+
+    logit = F.col("_micro").cast("double") / F.lit(1_000_000.0)
+    return scored.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (F.col("_micro") > 0).alias("keep"),
+    )

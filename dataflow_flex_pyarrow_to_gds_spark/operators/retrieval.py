@@ -79,8 +79,11 @@ def bm25_topk(
     """
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
+        # Derive the id field's type from the input so the empty-case
+        # schema matches the non-empty path for any id type (ADVICE r6).
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, bm25 double"
+            [], f"{id_col} {id_type}, bm25 double"
         )
     base = df.select(
         F.col(id_col),
@@ -96,7 +99,12 @@ def bm25_topk(
             ).alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).cache()
+    # ^ base is consumed twice (the stats aggregate below and the scored
+    # scan) — uncached, the regex tokenization pass over the corpus runs
+    # for each. The cached footprint is skinny (id + dl + one int per
+    # term; the words array is projected away before the cache), and the
+    # entry is keyed by canonicalized plan so repeats re-hit it.
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),
@@ -149,11 +157,22 @@ def bm25_join(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Batch BM25 retrieval: top-``k`` documents PER QUERY for a whole
     query TABLE → ``(query_id, id, bm25)``. The at-scale sibling of
     :func:`bm25_topk`, whose literal-term formulation covers one ad-hoc
     query — an audit workload replays thousands at once.
+
+    Query-table bound: with ``broadcast_queries=True`` (default) the
+    exploded (query, term) table is broadcast TWICE (term pruning +
+    query re-attach), so it must fit an executor broadcast budget —
+    comfortably millions of query terms (a few hundred MB), the audit
+    workloads this operator exists for. For a query table beyond that,
+    pass ``broadcast_queries=False``: both joins become shuffle
+    equi-joins on the term (the pruned postings shuffle on ``_t`` once
+    more), same results — results are identical either way, only the
+    join strategy moves (tests/test_retrieval.py asserts the parity).
 
     Same scoring as bm25_topk (Lucene idf, k1/b norm, per-term
     contributions rounded to DECIMAL(18,6) before the order-independent
@@ -199,8 +218,10 @@ def bm25_join(
         F.size("_w").alias("_dl"),
         F.explode("_w").alias("_t"),
     )
+    if broadcast_queries:
+        qt, terms = F.broadcast(qt), F.broadcast(terms)
     tf = (
-        postings.join(F.broadcast(terms), "_t")
+        postings.join(terms, "_t")
         .groupBy(id_col, "_t")
         .agg(
             F.count(F.lit(1)).alias("_tf"),
@@ -226,7 +247,7 @@ def bm25_join(
         .cast("decimal(18,6)")
     )
     scored = (
-        with_df.join(F.broadcast(qt), "_t")
+        with_df.join(qt, "_t")
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(query_id_col),

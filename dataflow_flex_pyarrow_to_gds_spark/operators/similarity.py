@@ -1030,3 +1030,123 @@ def two_stage_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (SSL-prototypes / topic-balance pruning shape)
+# ---------------------------------------------------------------------------
+
+def centroid_score_sqls(vec_elem, centroids: list[list[float]]) -> list[str]:
+    """Per-centroid assignment scores as GENERATED SQL text:
+    ``s_i = -2·x·c_i + ||c_i||²`` (argmin-equivalent to squared distance
+    — the ||x||² term is constant per row). ``vec_elem(j)`` formats the
+    1-based j-th vector element for the target engine, so the SAME
+    generator emits the Spark expression and the DuckDB oracle twin —
+    identical balanced-tree parenthesization, identical literals,
+    identical IEEE result in both engines (the sq8_topk rule)."""
+    out: list[str] = []
+    for c in centroids:
+        terms = [
+            f"({vec_elem(j + 1)} * {_dbl(-2.0 * float(cj))})"
+            for j, cj in enumerate(c)
+        ]
+        while len(terms) > 1:
+            terms = [
+                f"({terms[j]} + {terms[j + 1]})"
+                if j + 1 < len(terms)
+                else terms[j]
+                for j in range(0, len(terms), 2)
+            ]
+        c2 = 0.0
+        for cj in c:
+            c2 += float(cj) * float(cj)
+        out.append(f"({terms[0]} + {_dbl(c2)})")
+    return out
+
+
+def assign_clusters_literal(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment with the centroids as PLAN LITERALS:
+    one narrow projection, zero joins, zero shuffles — for the k·d few
+    hundred doubles a balance/pruning pass actually uses, embedding the
+    centroids beats broadcasting them (nothing to build, nothing to
+    transfer, whole-stage codegen sees constants). Production obtains
+    the centroid list from :func:`kmeans_centroids` (or any trained
+    model) and passes it here. Ties break to the smallest cluster index
+    deterministically."""
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    sqls = centroid_score_sqls(
+        lambda j: f"element_at({vec_sql}, {j})", centroids
+    )
+    k = len(sqls)
+    scored = df.select(
+        "*", *[F.expr(s).alias(f"_s{i}") for i, s in enumerate(sqls)]
+    )
+    m = (
+        F.least(*[F.col(f"_s{i}") for i in range(k)])
+        if k > 1
+        else F.col("_s0")
+    )
+    cluster = F.lit(k - 1)
+    for i in range(k - 2, -1, -1):
+        cluster = F.when(F.col(f"_s{i}") == m, F.lit(i)).otherwise(cluster)
+    return scored.withColumn(out_col, cluster).drop(
+        *[f"_s{i}" for i in range(k)]
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cost_col: str,
+    centroids: list[list[float]],
+    *,
+    budget: int,
+) -> DataFrame:
+    """Cluster-balanced downsample — the embedding-space twin of the
+    per-source token budget (``sampling.sample_to_token_budget``): assign
+    every row to its nearest centroid, then greedily keep rows per
+    CLUSTER in (portable_hash(id), id) order while the cost accumulated
+    before the row is under ``budget``. This is the SSL-prototypes /
+    cluster-balance pruning shape: over-represented topics (giant
+    clusters) are cut to the budget while rare topics survive whole —
+    balancing what the corpus SAYS rather than where it came from.
+
+    Output: ``(id, cluster, <cost_col>, cost_before)`` for kept rows.
+
+    Scale shape: assignment is a narrow literal-centroid projection
+    (:func:`assign_clusters_literal` — no join, no shuffle), the
+    balance pass is ONE exchange on the cluster key + a bounded
+    cumulative window. At extreme cluster skew the big cluster's window
+    is a straggler; the remedy is the analytic-threshold two-phase
+    shape of ``sampling.cap_per_group_two_phase`` with the threshold
+    derived from ``budget / sum(cluster cost)``.
+    """
+    from .sampling import hash_of_id_col
+
+    assigned = assign_clusters_literal(
+        df.select(F.col(id_col), F.col(vec_col), F.col(cost_col)),
+        vec_col,
+        centroids,
+    )
+    w = (
+        W.partitionBy("cluster")
+        .orderBy(hash_of_id_col(id_col), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        assigned.withColumn(
+            "cost_before",
+            F.coalesce(
+                F.sum(F.col(cost_col)).over(w), F.lit(0)
+            ).cast("long"),
+        )
+        .filter(F.col("cost_before") < budget)
+        .select(id_col, "cluster", cost_col, "cost_before")
+    )

@@ -428,6 +428,24 @@ CHECKS: list[tuple[str, str, object]] = [
         and "hashpartitioning(doc_id" in p,
     ),
     (
+        "curation_full_funnel",
+        "funnel is LINEAR (r7): zero joins of any kind, exactly two "
+        "ranking windows, and nothing but skinny stage rows in any "
+        "exchange key (no text column ever shuffles)",
+        lambda p: "Join" not in p
+        and len(re.findall(r"\(\d+\) Window", p)) == 2
+        and not re.search(r"hashpartitioning\([^)]*text", p),
+    ),
+    (
+        "dedup_minhash_pairs",
+        "sub-budget exact crossover (r7): rep verification is a "
+        "broadcast nested-loop with NO banding stage in the plan "
+        "(no band-sequence explode, no band/bucket exchange)",
+        lambda p: "BroadcastNestedLoopJoin" in p
+        and "sequence(" not in p
+        and "hashpartitioning(band" not in p,
+    ),
+    (
         "@pagerank_bucketed_iter",
         "bucketed PageRank iteration: edges read their bucket layout "
         "(Bucketed: true), the rank join is sort-merge, and NO Exchange "

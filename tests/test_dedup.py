@@ -341,7 +341,11 @@ def test_minhash_skewed_bucket_triggers_aqe_skew_split(spark):
         # test's getOrCreate() may have rewritten the session default
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         pairs = minhash_lsh_pairs(
-            df, "doc_id", "text", num_hashes=96, bands=24, threshold=0.8
+            df, "doc_id", "text", num_hashes=96, bands=24, threshold=0.8,
+            # force the banded path: the skew splitter under test lives
+            # in the band join, which the sub-budget exact crossover
+            # (r7) would otherwise skip at fixture size
+            max_exact_pairs=0,
         )
         rows = pairs.collect()
         plan = pairs._jdf.queryExecution().executedPlan().toString()
@@ -699,3 +703,26 @@ def test_canonical_keeper_prefers_quality_then_min_id(spark):
         for r in canonical_keeper(groups, quality).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 7: 7, 8: 7, 9: 9}
+
+
+def test_minhash_exact_crossover_parity(spark):
+    """The sub-budget exact path (default) and the banded LSH path
+    (max_exact_pairs=0) return identical verified pairs — the crossover
+    changes the candidate generator, never the answer (r7)."""
+    docs = [(i, f"alpha beta gamma delta epsilon w{i % 4}") for i in range(12)]
+    docs += [(100 + i, f"totally different text number {i}") for i in range(6)]
+    docs += [(200, ""), (201, "   ")]  # shingle-less docs never pair
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(num_hashes=96, bands=24, threshold=0.6, shingle_k=1)
+    exact = {
+        tuple(r)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    banded = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", max_exact_pairs=0, **kw
+        ).collect()
+    }
+    assert exact == banded
+    assert exact  # non-vacuous: the w{i%4} cliques must pair

@@ -82,6 +82,11 @@ HEADLINE = [
     "text_bm25_join",
     "dedup_incremental_indexed",
     "curation_admission",
+    # round 7: model-based quality scoring (hashed-linear classifier,
+    # one narrow zero-shuffle pass) and embedding-cluster topic
+    # balancing (literal centroids + per-cluster token budget)
+    "text_quality_classifier",
+    "sample_cluster_balance",
 ]
 
 
@@ -105,6 +110,22 @@ def main() -> None:
         return simhash_pairs(docs, "doc_id", "text", max_distance=3)
 
     qs["dedup_simhash_pairs"] = _simhash_prod
+
+    # Headline classifier measures the PRODUCTION hash path (xxhash64);
+    # the catalog query runs the md5-derived portable hash so the DuckDB
+    # oracle recomputes buckets exactly — the same oracle-adapter cost
+    # split as simhash above.
+    def _classifier_prod(s, sf_dir):
+        from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+            linear_quality_score,
+        )
+
+        docs = s.read.parquet(f"{sf_dir}/documents.parquet")
+        return linear_quality_score(
+            docs, "doc_id", "text", n_features=64, bias=-0.05
+        )
+
+    qs["text_quality_classifier"] = _classifier_prod
 
     # Headline embedding near-dup measures the PRODUCTION pair path (BLAS
     # block matmul), which is equivalence-tested pair-identical to the

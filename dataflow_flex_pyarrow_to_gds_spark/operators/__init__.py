@@ -50,8 +50,9 @@ from .packing import global_prefix_sum, pack_sequences
 from .sampling import mixture_weights, sample_to_token_budget
 from .similarity import sq8_quantize, sq8_stats, sq8_topk, two_stage_topk
 from .dedup import decontaminate, set_similarity_join_pairs
-from .quality import bigram_logprob_profile
-from .retrieval import bm25_topk, corpus_df_stats
+from .quality import bigram_logprob_profile, linear_quality_score
+from .retrieval import bm25_join, bm25_topk, corpus_df_stats
+from .similarity import assign_clusters_literal, cluster_balanced_sample
 
 __all__ = [
     "project_nodes",
@@ -113,6 +114,10 @@ __all__ = [
     "set_similarity_join_pairs",
     "bigram_logprob_profile",
     "bm25_topk",
+    "bm25_join",
+    "linear_quality_score",
+    "assign_clusters_literal",
+    "cluster_balanced_sample",
     "corpus_df_stats",
     "triangle_count",
 ]

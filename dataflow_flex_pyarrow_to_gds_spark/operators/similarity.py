@@ -1134,7 +1134,10 @@ def cluster_balanced_sample(
         df.select(F.col(id_col), F.col(vec_col), F.col(cost_col)),
         vec_col,
         centroids,
-    )
+        # the vector is consumed by the assignment projection and dropped
+        # HERE — the cluster-key exchange below moves only
+        # (id, cost, cluster) ≈ 20 B rows, never the embedding
+    ).select(F.col(id_col), F.col(cost_col), F.col("cluster"))
     w = (
         W.partitionBy("cluster")
         .orderBy(hash_of_id_col(id_col), F.col(id_col))

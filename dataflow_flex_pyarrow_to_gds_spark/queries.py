@@ -2898,6 +2898,69 @@ def q_curation_full_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (DCLM/FineWeb-style linear classifier
+    inference): hashed bag-of-words features × seeded weight vector →
+    (logit, sigmoid score, keep). The whole inference is ONE narrow
+    JVM-expression pass — zero shuffles, zero joins, no UDF — with the
+    per-document sum in exact integer micro-units, so the DuckDB oracle
+    reproduces every digit. Weights here are the deterministic seeded
+    demo set (an in-query LCG over the feature index — the
+    seed_synthetic_pii convention, since /root/testdata is read-only);
+    production passes trained weights through the same operator."""
+    from .operators.dedup import portable_hash64_col
+    from .operators.quality import linear_quality_score
+
+    return linear_quality_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_features=64,
+        bias=-0.05,
+        hash_fn=portable_hash64_col,
+    )
+
+
+#: Fixed demo centroids for the cluster-balance row: k=4 over the 64-dim
+#: embedding space, values from a tiny integer formula so the oracle is
+#: deterministic and the literals are identical in both engines.
+#: Production derives centroids with similarity.kmeans_centroids.
+_CB_CENTROIDS: list[list[float]] = [
+    [((i * 64 + j) * 37 % 21 - 10) / 25.0 for j in range(64)]
+    for i in range(4)
+]
+
+
+def q_sample_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster topic balancing (SSL-prototypes / cluster-
+    balance pruning): documents are assigned to their nearest fixed
+    centroid (literal-embedded — a narrow projection, no centroid join)
+    and each CLUSTER is greedily cut to a 400-token budget in
+    (portable_hash(id), id) order — over-represented topics shrink,
+    rare topics survive whole. The embedding is dropped before the one
+    cluster-key exchange, so only (id, n_tokens, cluster) rows move;
+    the doc↔embedding id join broadcasts at this scale and is one
+    id-keyed equi-join at any scale."""
+    from .operators.quality import words_col
+    from .operators.similarity import cluster_balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return cluster_balanced_sample(
+        emb.join(docs, "doc_id"),
+        "doc_id",
+        "embedding",
+        "n_tokens",
+        _CB_CENTROIDS,
+        budget=400,
+    ).withColumnRenamed("cost_before", "tokens_before")
+
+
 def _lang_case_sql() -> str:
     from .operators.text import STOPWORDS
 
@@ -3246,13 +3309,85 @@ _BM25_BATCH_VALUES = ", ".join(
 def _extension_oracles() -> dict[str, str]:
     from .operators.pii import PATTERNS as _pii_pat
     from .operators.pii import PHONE_PATTERN_PORTABLE as _pii_phone
+    from .operators.similarity import centroid_score_sqls
 
     cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
     cos_dq = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="q.embedding::DOUBLE[]")
     gopher = _gopher_cte_sql()
     pii_email, pii_ip = _pii_pat["email"], _pii_pat["ipv4"]
+    # cluster-balance: the SAME generator that builds the Spark
+    # assignment expression emits the DuckDB twin — identical balanced
+    # tree, identical literals, identical IEEE doubles in both engines
+    # (the sq8 rule), so argmin picks the same cluster for every row.
+    _cb = centroid_score_sqls(
+        lambda j: f"(e.embedding[{j}])::DOUBLE", _CB_CENTROIDS
+    )
+    _cb_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(_cb))
+    _cb_least = "least(" + ", ".join(f"s{i}" for i in range(len(_cb))) + ")"
+    _cb_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s{i} = {_cb_least} THEN {i}" for i in range(len(_cb) - 1)
+        )
+        + f" ELSE {len(_cb) - 1} END"
+    )
     return {
+        # hashed-bucket linear classifier: md5-derived portable token
+        # hash (the simhash convention) → pmod 64 → seeded integer-LCG
+        # micro-unit weight, summed exactly; bias -0.05 = -50000 micro.
+        "text_quality_classifier": f"""
+            WITH w AS (
+                SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       ((({_hash_sql_of("tok")}) % 64) + 64) % 64 AS bkt
+                FROM w
+            ),
+            s AS (
+                SELECT doc_id,
+                       sum(((bkt * 1103515245 + 12345) % 100001) * 10
+                           - 500000) AS micro
+                FROM b GROUP BY doc_id
+            ),
+            f AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(s.micro, 0) - 50000 AS BIGINT) AS m
+                FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(m AS DOUBLE) / 1000000.0 AS logit,
+                   round(1.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0))),
+                         6) AS score,
+                   m > 0 AS keep
+            FROM f
+        """,
+        "sample_cluster_balance": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            sc AS (
+                SELECT e.vec_id AS doc_id, t.n_tokens, {_cb_cols}
+                FROM embeddings e JOIN t ON t.doc_id = e.vec_id
+            ),
+            a AS (
+                SELECT doc_id, n_tokens, {_cb_case} AS cluster,
+                       {_ID_HASH_SQL} AS hv
+                FROM sc
+            ),
+            c AS (
+                SELECT doc_id, cluster, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY cluster ORDER BY hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tokens_before
+                FROM a
+            )
+            SELECT doc_id, cluster, n_tokens, tokens_before
+            FROM c WHERE tokens_before < 400
+        """,
         "graph_triangles": """
             WITH li AS (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -4415,11 +4550,15 @@ def _extension_oracles() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 #: Queries that already carry a full driver-green row (rows+schema+hash)
-#: from CORRECTNESS_r04/r05.json and whose code is untouched since — safe
-#: to place beyond the driver's 50-entry correctness window; the union of
-#: per-round green rows still covers the whole catalog.
+#: from CORRECTNESS_r04/r05/r06.json and whose code is untouched since —
+#: safe to place beyond the driver's 50-entry correctness window; the
+#: union of per-round green rows still covers the whole catalog.
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # r6-green (CORRECTNESS_r06.json), displaced from the window by
+        # the two round-7 queries; implementation unchanged in r7
+        "q4_order_priority",
+        "q13_customer_distribution",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -4506,6 +4645,9 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in round 7: fresh queries, no prior driver row ----------
+        "text_quality_classifier": q_text_quality_classifier,
+        "sample_cluster_balance": q_sample_cluster_balance,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

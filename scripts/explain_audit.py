@@ -446,6 +446,27 @@ CHECKS: list[tuple[str, str, object]] = [
         and "hashpartitioning(band" not in p,
     ),
     (
+        "text_quality_classifier",
+        "linear classifier inference is ONE narrow pass: zero exchanges, "
+        "zero joins, no Python eval, scan pruned to (doc_id, text)",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 0
+        and "Join" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "sample_cluster_balance",
+        "cluster balance: centroids are plan literals (no centroid join "
+        "— the only join is the broadcast doc-emb id join), ONE exchange "
+        "on the cluster key, and the embedding never rides a shuffle",
+        lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and "hashpartitioning(cluster" in p
+        and not re.search(r"hashpartitioning\([^)]*embedding", p)
+        and "BroadcastHashJoin" in p,
+    ),
+    (
         "@pagerank_bucketed_iter",
         "bucketed PageRank iteration: edges read their bucket layout "
         "(Bucketed: true), the rank join is sort-merge, and NO Exchange "

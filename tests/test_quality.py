@@ -260,3 +260,80 @@ def test_chunk_documents_contract(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=3, overlap=3)
+
+
+def test_linear_quality_score_python_twin(spark):
+    """Hashed-linear classifier inference matches a pure-Python
+    re-computation (same hash, same LCG weights, same micro-unit sum),
+    empty docs score the bias, and every input row gets an output row."""
+    import hashlib
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        portable_hash64_col,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+        linear_quality_score,
+    )
+
+    docs = [
+        (0, "spark engine quality pass"),
+        (1, "spark spark spark"),
+        (2, ""),
+        (3, "   "),
+        (4, "totally different words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    nf, bias_micro = 64, -50_000
+    out = {
+        r["doc_id"]: r
+        for r in linear_quality_score(
+            df, "doc_id", "text", n_features=nf, bias=-0.05,
+            hash_fn=portable_hash64_col,
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+
+    def phash(tok: str) -> int:
+        hx = hashlib.md5(tok.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().strip().split() if t]
+        micro = bias_micro + sum(
+            ((phash(t) % nf + nf) % nf * 1103515245 + 12345) % 100001 * 10
+            - 500000
+            for t in toks
+        )
+        r = out[doc_id]
+        assert r["logit"] == micro / 1_000_000.0, (doc_id, r)
+        assert r["keep"] == (micro > 0)
+        assert 0.0 <= r["score"] <= 1.0
+
+
+def test_linear_quality_score_weights_paths_agree(spark):
+    """The literal-array weight path and the broadcast-join path (forced
+    via max_literal_features=0) produce identical scores."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+        linear_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} common word{i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    weights = [((j * 13) % 7 - 3) / 10.0 for j in range(16)]
+    lit = sorted(
+        map(tuple, linear_quality_score(
+            df, "doc_id", "text", n_features=16, weights=weights, bias=0.1,
+        ).collect())
+    )
+    joined = sorted(
+        map(tuple, linear_quality_score(
+            df, "doc_id", "text", n_features=16, weights=weights, bias=0.1,
+            max_literal_features=0,
+        ).collect())
+    )
+    assert lit == joined

@@ -320,3 +320,53 @@ def test_lsh_index_parity_and_pruning(spark, sf_dir, tmp_path):
         indexed_df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_cluster_balanced_sample_contract(spark):
+    """Cluster-balance sampler: every row is assigned to its true
+    nearest centroid (python argmin twin), per-cluster kept rows follow
+    the greedy hash-order budget, and rare clusters survive whole."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        assign_clusters_literal,
+        cluster_balanced_sample,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]]
+    # cluster 0: many expensive rows (budget must bite); cluster 1: a few
+    # cheap rows (survives whole); cluster 2: one row
+    rows = [(i, [0.9 + 0.01 * (i % 5), 0.05], 50) for i in range(20)]
+    rows += [(100 + i, [0.05, 1.1], 10) for i in range(4)]
+    rows += [(200, [-0.9, -0.8], 10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, n_tokens long"
+    )
+
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters_literal(df, "embedding", cents).collect()
+    }
+    for vid, vec, _ in rows:
+        dists = [
+            sum((x - c) ** 2 for x, c in zip(vec, cent)) for cent in cents
+        ]
+        assert assigned[vid] == dists.index(min(dists)), vid
+
+    kept = cluster_balanced_sample(
+        df, "vec_id", "embedding", "n_tokens", cents, budget=100
+    ).collect()
+    by_c = {}
+    for r in kept:
+        by_c.setdefault(r["cluster"], []).append(r)
+    # budget 100 over 50-token docs → greedy keeps docs while before<100:
+    # offsets 0, 50 and the overshooting third (before=100 is NOT < 100)
+    assert len(by_c[0]) == 2
+    # cheap clusters fit entirely
+    assert len(by_c[1]) == 4
+    assert len(by_c[2]) == 1
+    # cost_before is the running prefix in every cluster
+    for c, rs in by_c.items():
+        rs = sorted(rs, key=lambda r: r["cost_before"])
+        acc = 0
+        for r in rs:
+            assert r["cost_before"] == acc
+            acc += r["n_tokens"]

@@ -254,23 +254,30 @@ def minhash_lsh_pairs(
     verified output matches an exhaustive join w.h.p. while doing
     ~|candidate| work instead of n².
 
-    ``max_exact_pairs`` (default 20M, 0 disables): when the collapsed
-    corpus is small enough that C(reps, 2) fits this budget, banding is
-    SKIPPED and every size-compatible rep pair is verified directly
-    (broadcast nested-loop over the rep table — the budget bounds the
-    broadcast side to √(2·budget) ≈ 6.3k reps ≈ a few MB of shingle
-    arrays). This is not a shortcut but the honest crossover: LSH's
-    asymptotic win requires n² to be infeasible, and on dup-heavy
-    corpora banding barely prunes anyway — measured at sf0.1 (5k docs,
-    3.9k reps), 3.5M of the 7.7M rep pairs sit at jaccard ≥ 0.5, where
-    a 24-band r=4 scheme passes ≥ 96 % of pairs as candidates
-    (1-(1-j⁴)²⁴ ≥ 0.96 for j ≥ 0.6), so the banded path generated 29M
-    join rows to deliver 3.5M candidates while the exact path verifies
-    the 7.7M pairs once each with no banding cost at all. The exact
-    path's recall is 1.0 by construction (a strict superset of any
-    banding), so the output is unchanged wherever banding was already
-    exhaustive-green. Above the budget the banded path runs as before —
-    at 100 TB, reps ≫ budget and LSH is the only option. The crossover
+    ``max_exact_pairs`` (default 20M, 0 disables) selects among THREE
+    regimes, cheapest-exact first:
+
+    1. C(docs, 2) ≤ budget → DIRECT exact verify of every
+       size-compatible doc pair (broadcast nested-loop over the hashed
+       shingle table) — no collapse, no banding, no expansion joins;
+    2. else C(reps, 2) ≤ budget after the identical-set collapse (a
+       dup-heavy corpus can collapse 10×) → exact verify over rep
+       pairs, member pairs re-expanded as usual;
+    3. else → the banded LSH path below, unchanged — at 100 TB,
+       reps ≫ budget and LSH is the only option.
+
+    This is not a shortcut but the honest crossover: LSH's asymptotic
+    win requires n² to be infeasible, and on dup-heavy corpora banding
+    barely prunes anyway — measured at sf0.1 (5k docs, 3.9k reps), 3.5M
+    of the 7.7M rep pairs sit at jaccard ≥ 0.5, where a 24-band r=4
+    scheme passes ≥ 96 % of pairs as candidates (1-(1-j⁴)²⁴ ≥ 0.96 for
+    j ≥ 0.6), so the banded path generated 29M join rows to deliver
+    3.5M candidates while the exact path verifies each pair once with
+    no banding cost at all. The exact regimes' recall is 1.0 by
+    construction (a strict superset of any banding), so the output is
+    unchanged wherever banding was already exhaustive-green (parity
+    asserted in tests). The budget bounds the broadcast side to
+    √(2·budget) ≈ 6.3k rows ≈ a few MB of shingle arrays. The crossover
     is skipped when ``max_bucket_docs`` is set: that opt-in deliberately
     TRADES recall by capping the banded generator, and silently
     restoring the dropped pairs would invert the caller's choice.
@@ -325,6 +332,19 @@ def minhash_lsh_pairs(
             )
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0)
+
+    if max_exact_pairs and max_bucket_docs is None:
+        # Direct regime of the crossover cascade (see docstring): when
+        # even C(raw docs, 2) fits the budget, skip the identical-set
+        # collapse too — the collapse exists to keep giant dup cliques
+        # out of the BANDED generator, but an exact all-pairs verify
+        # emits every member pair anyway, so the groupBy, the member
+        # map, and the four expansion joins are pure overhead here
+        # (identical sets verify at jaccard exactly 1.0 on their own).
+        # df.count() is metadata-cheap on a raw parquet scan.
+        n_docs = df.count()
+        if n_docs * (n_docs - 1) // 2 <= max_exact_pairs:
+            return _exact_rep_pairs(base.cache(), threshold)
 
     members = None
     if collapse_identical:
@@ -1233,6 +1253,7 @@ def incremental_near_dup_filter(
     shingle_k: int = 1,
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
+    max_exact_pairs: int = 20_000_000,
 ) -> DataFrame:
     """Delta dedup — the shape a PRODUCTION corpus actually runs daily:
     an incoming ``batch`` is admitted only where it is not a near
@@ -1281,33 +1302,56 @@ def incremental_near_dup_filter(
         .cache()
     )
 
-    def buckets(t: DataFrame, out: str) -> DataFrame:
-        return t.select(
-            F.col("_fp").alias(out),
-            F.posexplode(
-                lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
-            ).alias("_band", "_bkt"),
-        )
+    exact = False
+    if max_exact_pairs:
+        # Exact crossover (the minhash_lsh_pairs rule applied to the
+        # delta shape): when batch-reps × corpus-reps fits the pair
+        # budget, skip both banding passes and the candidate distinct —
+        # every (batch rep, corpus rep) pair is verified directly, with
+        # the batch side broadcast (it is the small operand by
+        # construction; the budget bounds it regardless). Recall 1.0 by
+        # construction; above the budget the banded path runs unchanged
+        # — the 100-TB daily-admission shape. Both counts are cache
+        # hits on the rep tables.
+        exact = b_reps.count() * c_groups.count() <= max_exact_pairs
 
-    cand = (
-        buckets(b_reps, "_bfp")
-        .join(buckets(c_groups, "_cfp"), ["_band", "_bkt"])
-        .select("_bfp", "_cfp")
-        .distinct()
-    )
-    if broadcast_verify is None:
-        broadcast_verify = corpus.count() <= broadcast_max_docs
     bsh = b_reps.select(F.col("_fp").alias("_bfp"), F.col("_sh").alias("_bsh"))
     csh = c_groups.select(
         F.col("_fp").alias("_cfp"), F.col("_sh").alias("_csh"), "_gc"
     )
-    if broadcast_verify:
-        bsh, csh = F.broadcast(bsh), F.broadcast(csh)
-    verified = (
-        cand.join(bsh, "_bfp")
-        .join(csh, "_cfp")
-        .filter(jaccard_col(F.col("_bsh"), F.col("_csh")) >= threshold)
-    )
+    if exact:
+        spark = batch.sparkSession
+        verified = (
+            F.broadcast(bsh)
+            .crossJoin(
+                csh.repartition(spark.sparkContext.defaultParallelism)
+            )
+            .filter(jaccard_col(F.col("_bsh"), F.col("_csh")) >= threshold)
+        )
+    else:
+        def buckets(t: DataFrame, out: str) -> DataFrame:
+            return t.select(
+                F.col("_fp").alias(out),
+                F.posexplode(
+                    lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
+                ).alias("_band", "_bkt"),
+            )
+
+        cand = (
+            buckets(b_reps, "_bfp")
+            .join(buckets(c_groups, "_cfp"), ["_band", "_bkt"])
+            .select("_bfp", "_cfp")
+            .distinct()
+        )
+        if broadcast_verify is None:
+            broadcast_verify = corpus.count() <= broadcast_max_docs
+        if broadcast_verify:
+            bsh, csh = F.broadcast(bsh), F.broadcast(csh)
+        verified = (
+            cand.join(bsh, "_bfp")
+            .join(csh, "_cfp")
+            .filter(jaccard_col(F.col("_bsh"), F.col("_csh")) >= threshold)
+        )
     dups = verified.groupBy("_bfp").agg(F.sum("_gc").alias("_nd"))
     return (
         batch.select(F.col(id_col))

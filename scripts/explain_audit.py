@@ -100,11 +100,11 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "dedup_minhash_pairs",
-        "candidate pairs never shuffle; verification joins broadcast "
-        "at this corpus size",
+        "candidate pairs never shuffle; verification broadcasts at this "
+        "corpus size (direct exact regime: one broadcast nested-loop)",
         lambda p: "hashpartitioning(id_a" not in p
         and "hashpartitioning(id_b" not in p
-        and p.count("BroadcastHashJoin") >= 2,
+        and "BroadcastNestedLoopJoin" in p,
     ),
     (
         "graph_edge_resolution",

@@ -726,3 +726,35 @@ def test_minhash_exact_crossover_parity(spark):
     }
     assert exact == banded
     assert exact  # non-vacuous: the w{i%4} cliques must pair
+
+
+def test_incremental_exact_crossover_parity(spark):
+    """The sub-budget exact batch×corpus path (default) and the banded
+    path (max_exact_pairs=0) make identical admission decisions (r7)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 3}") for i in range(9)]
+        + [(50, "unrelated corpus text entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta w0"),   # dup of corpus cluster
+            (101, "nothing like the corpus here"),  # clean
+            (102, ""),                              # shingle-less: keeps
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.8, num_hashes=72, bands=24)
+    exact = sorted(map(tuple, incremental_near_dup_filter(
+        corpus, batch, "doc_id", "text", **kw).collect()))
+    banded = sorted(map(tuple, incremental_near_dup_filter(
+        corpus, batch, "doc_id", "text", max_exact_pairs=0, **kw).collect()))
+    assert exact == banded
+    d = {r[0]: (r[1], r[2]) for r in exact}
+    assert d[100][0] > 0 and d[100][1] is False
+    assert d[101] == (0, True)
+    assert d[102] == (0, True)

@@ -87,6 +87,13 @@ HEADLINE = [
     # balancing (literal centroids + per-cluster token budget)
     "text_quality_classifier",
     "sample_cluster_balance",
+    # round 7 (second batch): Resource-Allocation link prediction
+    # (wedge join → partial-agg → TakeOrdered), synchronous label
+    # propagation (3 rounds, broadcast labels over checkpointed edges),
+    # token-budget shard assignment (distributed prefix sum)
+    "graph_link_prediction",
+    "graph_label_propagation",
+    "sample_shard_assignment",
 ]
 
 

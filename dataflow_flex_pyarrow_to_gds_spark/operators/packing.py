@@ -162,3 +162,56 @@ def pack_sequences(
         F.expr(f"start_offset div {int(seq_len)}").alias("first_seq"),
         F.expr(f"_last_tok div {int(seq_len)}").alias("last_seq"),
     )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget_tokens: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign every document to an output SHARD so that consecutive
+    shards carry ~``budget_tokens`` tokens each — the write-side twin of
+    :func:`pack_sequences`: training jobs shard their corpus by token
+    mass, not row count (a shard of 10k long documents is not the same
+    unit of work as 10k short ones), and the shard id must be a pure
+    function of the corpus so re-runs are reproducible.
+
+    Documents are laid out in ``id_col`` order (numeric, unique — the
+    corpus's stable global order); a document lands in the shard where
+    its FIRST token falls: ``shard = tokens_before div budget_tokens``.
+    Shards are therefore contiguous id-ranges, every shard except the
+    last holds ≥ ``budget_tokens`` - (last doc overshoot) tokens, and a
+    downstream writer can ``repartitionByRange`` / partition-by the
+    shard column without re-deriving anything.
+
+    Scale shape: inherits :func:`global_prefix_sum` — one boundary
+    scan, ONE corpus shuffle on the range-bucket id, per-bucket windows,
+    a broadcast offset join; the corpus never funnels through a single
+    task the way a naive global cumulative window would. Integer
+    ``div`` end to end (the pack_sequences rule: token offsets at
+    100 TB exceed exact-double range).
+
+    Output: ``(id, n_tokens, tokens_before, shard)``.
+    """
+    from .quality import words_col
+
+    base = df.select(
+        F.col(id_col),
+        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    pre = global_prefix_sum(
+        base,
+        "n_tokens",
+        id_col,
+        out_col="tokens_before",
+        n_buckets=n_buckets,
+    )
+    return pre.select(
+        F.col(id_col),
+        "n_tokens",
+        "tokens_before",
+        F.expr(f"tokens_before div {int(budget_tokens)}").alias("shard"),
+    )

@@ -369,6 +369,76 @@ _GRAPH_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 # identical oracle by construction (the layout changes the plan only)
 _GRAPH_ORACLES["graph_pagerank_bucketed"] = _pagerank_oracle_sql()
 
+# Resource-Allocation link prediction over the part/order incidence:
+# integer micro-unit weights (1e6 div deg) so the score is hash-exact
+# across engines; the (ra, cn, a, b) sort is a total order so the
+# top-50 cut is deterministic on both sides.
+_GRAPH_ORACLES["graph_link_prediction"] = """
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS n, l_orderkey AS w FROM lineitem
+    ),
+    d AS (SELECT w, COUNT(*) AS deg FROM e GROUP BY w),
+    s AS (
+        SELECT a.n AS node_a, b.n AS node_b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+        FROM e a
+        JOIN e b ON a.w = b.w AND a.n < b.n
+        JOIN d ON d.w = a.w
+        GROUP BY a.n, b.n
+    )
+    SELECT node_a, node_b, common_neighbors, ra_micro
+    FROM s
+    ORDER BY ra_micro DESC, common_neighbors DESC, node_a, node_b
+    LIMIT 50
+"""
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous-LPA twin: iteration i's CTE pair (counts,
+    argmax-window) mirrors the operator's join + groupBy + row_number
+    exactly; the (count desc, label asc) tie-break is a total order per
+    node, so the fixed-round labels are engine-independent."""
+    blocks = []
+    for i in range(1, iters + 1):
+        blocks.append(f"""
+    c{i} AS (
+        SELECT s.b AS n, l.lbl, COUNT(*) AS c
+        FROM sym s JOIN l{i - 1} l ON s.a = l.n
+        GROUP BY s.b, l.lbl
+    ),
+    l{i} AS (
+        SELECT n, lbl FROM (
+            SELECT n, lbl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n ORDER BY c DESC, lbl
+                   ) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )""")
+    return (
+        """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 25
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    l0 AS (SELECT DISTINCT a AS n, a AS lbl FROM sym),"""
+        + ",".join(blocks)
+        + f"""
+    SELECT n AS nodeId, lbl AS label FROM l{iters}"""
+    )
+
+
+_GRAPH_ORACLES["graph_label_propagation"] = _lpa_oracle_sql(3)
+
 
 # --------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-2.8 categories the reference lacks; §7.3.4)
@@ -2731,6 +2801,21 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the write-side twin of
+    sequence_packing: every document lands in the ~2000-token shard
+    where its first token falls (``tokens_before div budget``), so
+    shards are contiguous id-ranges with near-equal token mass and the
+    layout is a pure function of the corpus. Distributed two-phase
+    prefix sum (one corpus shuffle on a range-bucket id, per-bucket
+    windows, broadcast offsets) — never a single-task global window."""
+    from .operators.packing import shard_by_token_budget
+
+    return shard_by_token_budget(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", budget_tokens=2000
+    )
+
+
 #: Target mixture shares for the mixture-weights catalog row: src_i gets
 #: share (i%5+1)/60 — deterministic, non-uniform, sums to 1 over the 20
 #: fixture sources. The oracle derives the same doubles from the same
@@ -3299,6 +3384,58 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs, "src", "dst")
 
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over
+    the part/order incidence: top-50 part pairs by shared orders,
+    weighted 1/deg(order) in exact integer micro-units (common-neighbor
+    count is the tie-break) — float 1/deg could not be hash-checked
+    across engines. One distinct, one map-side-combined degree agg, the
+    wedge equi-join on the order key (pair rows stream into partial
+    aggregation, never shuffling raw), and a TakeOrdered cut; the
+    100-TB hub guard is the documented ``max_via_degree`` cap."""
+    from .operators.graph_algo import link_prediction_scores
+
+    return link_prediction_scores(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_orderkey", k=50
+    )
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds, min-label tie-break — the
+    deterministic, engine-checkable formulation) over the high-volume
+    part co-order graph (parts linked when an order carries ≥ 25 units
+    of both). Per round: one skinny label join + a map-side-combined
+    (node, label) count + a per-node argmax window sharing the count's
+    exchange; edges fixed once and reused (the CC pay-once pattern)."""
+    from .operators.graph_algo import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("sourceNodeId"),
+            F.col("b.l_partkey").alias("targetNodeId"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return label_propagation(nodes, edges, iters=3, assume_canonical=True)
+
+
 #: VALUES rows for the text_bm25_join oracle — derived from
 #: BM25_QUERY_BATCH so the Spark query and the oracle can never drift.
 _BM25_BATCH_VALUES = ", ".join(
@@ -3826,6 +3963,24 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(start_offset // 512 AS BIGINT) AS first_seq,
                    CAST((start_offset + greatest(n_tokens, 1) - 1) // 512
                         AS BIGINT) AS last_seq
+            FROM c
+        """,
+        "sample_shard_assignment": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS tokens_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens, tokens_before,
+                   CAST(tokens_before // 2000 AS BIGINT) AS shard
             FROM c
         """,
         "sample_token_budget": f"""
@@ -4556,9 +4711,12 @@ def _extension_oracles() -> dict[str, str]:
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
         # r6-green (CORRECTNESS_r06.json), displaced from the window by
-        # the two round-7 queries; implementation unchanged in r7
+        # the round-7 queries; implementation unchanged in r7
         "q4_order_priority",
         "q13_customer_distribution",
+        "q6_forecast_revenue",
+        "q10_returned_revenue",
+        "q12_shipmode_priority",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -4648,6 +4806,9 @@ def _specs() -> dict[str, QuerySpec]:
         # -- new in round 7: fresh queries, no prior driver row ----------
         "text_quality_classifier": q_text_quality_classifier,
         "sample_cluster_balance": q_sample_cluster_balance,
+        "graph_link_prediction": q_graph_link_prediction,
+        "graph_label_propagation": q_graph_label_propagation,
+        "sample_shard_assignment": q_sample_shard_assignment,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

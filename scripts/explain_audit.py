@@ -475,6 +475,51 @@ CHECKS: list[tuple[str, str, object]] = [
         and "SortMergeJoin" in p
         and _no_exchange_between_scan_and_smj(p),
     ),
+    (
+        "graph_link_prediction",
+        "link prediction: scans pruned to the 2-column incidence, top-k "
+        "via TakeOrderedAndProject, no cartesian/BNL, and wedge output "
+        "partial-aggregates BEFORE its exchange (pair rows never "
+        "shuffle raw)",
+        lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and all(
+            len(m.split(",")) == 2
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        )
+        and re.search(r"Exchange \(\d+\)\s*\n\s*\+- HashAggregate", p),
+    ),
+    (
+        "@lpa_iter",
+        "label propagation iteration: the quantity filter reaches the "
+        "parquet scan, the per-node argmax is a WindowGroupLimit (map-"
+        "side pre-limit, never a global sort), and no Python eval "
+        "anywhere",
+        lambda p: "GreaterThanOrEqual(l_quantity" in p
+        and "WindowGroupLimit" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "Sort [" not in p.split("AdaptiveSparkPlan")[0],
+    ),
+    (
+        "sample_shard_assignment",
+        "shard assignment: corpus stream crosses exactly ONE exchange "
+        "(range-bucket id) straight into the per-bucket window; the "
+        "offset side aggregates before broadcasting; scan pruned to "
+        "(doc_id, text)",
+        lambda p: re.search(
+            r"Window \(\d+\)\s*\n\s*\+- Sort \(\d+\)\s*\n\s*\+- "
+            r"Exchange \(\d+\)\s*\n\s*\+- Project \(\d+\)\s*\n\s*\+- "
+            r"BroadcastHashJoin",
+            p,
+        )
+        and all(
+            "doc_id:bigint,text:string" in m
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        )
+        and len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1,
+    ),
 ]
 
 
@@ -565,8 +610,49 @@ def _pagerank_bucketed_iter(spark, sf: str):
 
 #: Checks whose plan comes from a purpose-built DataFrame rather than a
 #: catalog query (names start with "@").
+def _lpa_iter(spark, sf: str):
+    """One label-propagation round over the catalog's high-volume
+    co-order graph, checkpoint disabled so the iteration body is
+    visible to the audit (the catalog query's final plan is just the
+    checkpoint scan)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        label_propagation,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 25)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("sourceNodeId"),
+            F.col("b.l_partkey").alias("targetNodeId"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return label_propagation(
+        nodes, edges, iters=1, checkpoint=False, assume_canonical=True
+    )
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
+    "@lpa_iter": _lpa_iter,
 }
 
 

@@ -283,3 +283,115 @@ def test_pagerank_bucketed_matches_and_skips_edge_shuffle(spark, sf_dir):
     )
     assert not _no_exchange_between_scan_and_smj(p_raw)
     spark.sql("DROP TABLE IF EXISTS test_pr_edges_b")
+
+
+def test_link_prediction_scores_hand_computed(spark):
+    """RA micro-units and common-neighbor counts on a hand graph:
+    containers w1={1,2,3} (deg 3 → 333333 each), w2={1,2} (deg 2 →
+    500000), w3={9} (deg 1 — no pairs)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        link_prediction_scores,
+    )
+
+    e = spark.createDataFrame(
+        [(1, "w1"), (2, "w1"), (3, "w1"), (1, "w2"), (2, "w2"), (9, "w3"),
+         (1, "w2")],  # duplicate incidence must not double-count
+        "n long, w string",
+    )
+    rows = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["ra_micro"])
+        for r in link_prediction_scores(e, "n", "w", k=10).collect()
+    }
+    assert rows == {
+        (1, 2): (2, 333333 + 500000),
+        (1, 3): (1, 333333),
+        (2, 3): (1, 333333),
+    }
+    # hub guard: capping at deg ≤ 2 drops every pair whose only witness
+    # is the w1 hub, and removes w1's contribution elsewhere
+    capped = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["ra_micro"])
+        for r in link_prediction_scores(
+            e, "n", "w", k=10, max_via_degree=2
+        ).collect()
+    }
+    assert capped == {(1, 2): (1, 500000)}
+
+
+def test_link_prediction_topk_is_deterministic_total_order(spark):
+    """The k-cut orders by (ra desc, cn desc, a, b) — ties at the
+    boundary resolve by id, so two runs agree."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        link_prediction_scores,
+    )
+
+    e = spark.createDataFrame(
+        [(i, f"w{i % 4}") for i in range(12)], "n long, w string"
+    )
+    a = link_prediction_scores(e, "n", "w", k=5).collect()
+    b = link_prediction_scores(e, "n", "w", k=5).collect()
+    assert a == b and len(a) == 5
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles bridged by one edge: every node adopts its clique's
+    min label; the bridge does not merge the communities in 3 rounds."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "nodeId long"
+    )  # 99 is isolated — must keep its own label
+    got = {
+        r["nodeId"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=3).collect()
+    }
+    assert got[99] == 99
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_deterministic_ties(spark):
+    """A node whose neighbors all carry distinct labels takes the MIN
+    (count ties broken by smallest label) — the rule that makes the
+    fixed-round result engine-independent."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 7), (5, 9), (5, 3)], "sourceNodeId long, targetNodeId long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (3, 5, 7, 9)], "nodeId long")
+    got = {
+        r["nodeId"]: r["label"]
+        for r in label_propagation(nodes, edges, iters=1).collect()
+    }
+    assert got[5] == 3  # min of {7, 9, 3}
+    assert got[3] == got[7] == got[9] == 5  # their only neighbor
+
+
+def test_label_propagation_canonical_fast_path(spark):
+    """assume_canonical=True must agree with the general path on
+    deduplicated u<v input (the shuffle it skips is provably empty)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (10, 12)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12)], "nodeId long"
+    )
+    a = sorted(map(tuple, label_propagation(nodes, edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(
+        nodes, edges, iters=3, assume_canonical=True).collect()))
+    assert a == b

@@ -317,3 +317,69 @@ def test_round5_ops_tolerate_null_and_empty_text(spark):
     }
     assert mw["a"]["n_tokens"] == 0 and mw["a"]["expected_tokens"] == 0
     assert mw["b"]["target_share"] == 0.0
+
+
+def test_shard_by_token_budget_hand_computed(spark):
+    """Shards are exclusive-prefix-sum div budget over id order; a doc
+    spanning a boundary lands where its first token falls; empty docs
+    ride along at zero width."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.packing import (
+        shard_by_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, ""), (4, "f g h i j k"), (5, "l")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_before"], r["shard"])
+        for r in shard_by_token_budget(
+            docs, "doc_id", "text", budget_tokens=4
+        ).collect()
+    }
+    # cumsum: 0, 3, 5, 5, 11
+    assert rows == {
+        1: (3, 0, 0),
+        2: (2, 3, 0),   # starts at 3 < 4 → shard 0 (overshoots, by design)
+        3: (0, 5, 1),
+        4: (6, 5, 1),
+        5: (1, 11, 2),
+    }
+
+
+def test_shard_by_token_budget_matches_single_window(spark):
+    """The distributed two-phase prefix sum equals a naive global
+    cumulative window at any bucket count."""
+    from pyspark.sql import Window, functions as F
+    from dataflow_flex_pyarrow_to_gds_spark.operators.packing import (
+        shard_by_token_budget,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import words_col
+
+    docs = spark.range(97).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 7).cast("int"))
+        ).alias("text"),
+    )
+    for n_buckets in (1, 4, 32):
+        got = {
+            r["doc_id"]: (r["tokens_before"], r["shard"])
+            for r in shard_by_token_budget(
+                docs, "doc_id", "text",
+                budget_tokens=10, n_buckets=n_buckets,
+            ).collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        want = {
+            r["doc_id"]: (r["tb"], r["tb"] // 10)
+            for r in docs.select(
+                "doc_id",
+                F.coalesce(
+                    F.sum(F.size(words_col(F.col("text")))).over(w), F.lit(0)
+                ).cast("long").alias("tb"),
+            ).collect()
+        }
+        assert got == want

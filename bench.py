@@ -94,6 +94,11 @@ HEADLINE = [
     "graph_link_prediction",
     "graph_label_propagation",
     "sample_shard_assignment",
+    # round 7 (third batch): the banded minhash configuration with
+    # lossless df=1 shingle pruning — the 100-TB path exercised
+    # end-to-end (the exact crossover short-circuits banding at test
+    # SFs, so this row keeps the at-scale pipeline measured and green)
+    "dedup_minhash_banded",
 ]
 
 

@@ -245,8 +245,29 @@ def minhash_lsh_pairs(
     collapse_identical: bool = True,
     max_bucket_docs: int | None = None,
     max_exact_pairs: int = 20_000_000,
+    prune_unique_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
+
+    ``prune_unique_shingles=True`` drops corpus-frequency-1 shingles
+    from the BANDED candidate generator only — a LOSSLESS shrink,
+    unlike the top-δ common-shingle pruning sometimes used for the same
+    purpose: a shingle shared by any true pair has document frequency
+    ≥ 2 by definition, so pruning df=1 shingles removes only UNshared
+    elements, which can only RAISE each true pair's jaccard on the
+    pruned sets and therefore its collision probability (1-(1-j^r)^b is
+    monotone in j); verification always runs on the full sets, so
+    precision is exact regardless. Docs whose every shingle is unique
+    drop out of banding entirely — they cannot pair with anything. On
+    web-scale corpora the df=1 long tail is the BULK of the shingle
+    mass (typo/entity/boilerplate-fragment singletons), so this trades
+    one extra skinny shuffle (8-byte shingle hashes, map-side-combined
+    df count) + an array rebuild for a banding stage that hashes and
+    explodes only the shingles that can ever collide. Off by default:
+    at test scale the synthetic vocabulary is dense (few df=1
+    shingles), so the extra passes are pure overhead — the flag is the
+    100-TB configuration, exercised end-to-end (banding forced) by the
+    ``dedup_minhash_banded`` catalog row.
 
     shingle → minhash → band → bucket-join → dedup candidates → verify:
     with b bands of r rows the candidate recall at jaccard j is
@@ -398,15 +419,47 @@ def minhash_lsh_pairs(
         # is a real job — pass broadcast_verify explicitly there.
         broadcast_verify = df.count() <= broadcast_max_docs
 
+    band_base, band_sh = base, F.col("_sh")
+    if prune_unique_shingles:
+        # Lossless df≥2 prune (see docstring). df is counted over the
+        # banding input (reps, post-collapse): a shingle shared by any
+        # CROSS-group true pair has df ≥ 2 there; within-group pairs
+        # come from member expansion, never banding. The rebuild keeps
+        # the full ``_sh`` beside the pruned ``_shp`` — the size filter
+        # and verification stay on full sets. collect_list order is
+        # irrelevant: lsh_bucket_cols takes per-band minima.
+        ex = base.select("_id", F.explode("_sh").alias("_s"))
+        kept = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= 2)
+            .select("_s")
+        )
+        pruned = (
+            ex.join(kept, "_s")
+            .groupBy("_id")
+            .agg(F.collect_list("_s").alias("_shp"))
+        )
+        # inner join: a doc with NO df≥2 shingle shares nothing with
+        # anyone — correctly absent from banding. Numbered repartition
+        # because the signature hashing downstream is the CPU-heavy
+        # stage and AQE coalesces the few-MB join output to 1-2 tasks
+        # (the set-similarity probe trap; measured 33 s vs 7 s at
+        # sf0.1 without it).
+        band_base = base.join(pruned, "_id").repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+        band_sh = F.col("_shp")
+
     # Per doc: band-bucket hash array (bands × 8B). Members stay SKINNY —
     # (id, n, buckets) ≈ 270B — because dup-heavy corpora explode giant
     # buckets into O(bands × pairs) generated rows; every byte of member
     # payload is copied per generated pair. (Carrying token arrays here
     # measured 100× slower at sf0.1.)
-    with_buckets = base.select(
+    with_buckets = band_base.select(
         "_id",
         F.size("_sh").alias("_n"),
-        lsh_bucket_cols(F.col("_sh"), bands, rows_per_band).alias("_bks"),
+        lsh_bucket_cols(band_sh, bands, rows_per_band).alias("_bks"),
     )
     banded = with_buckets.select(
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),

@@ -1884,6 +1884,24 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BANDED 100-TB configuration end-to-end: max_exact_pairs=0
+    disables the small-corpus exact crossover (which otherwise
+    short-circuits banding at every test SF), and df=1 shingles are
+    pruned from the candidate generator — the lossless shrink (shared
+    shingles have df ≥ 2 by definition, so pruning only raises true
+    pairs' collision probability; verify runs on full sets). Same
+    exhaustive oracle as dedup_minhash_pairs: the banded+pruned pipeline
+    must reproduce the O(n²) ground truth exactly."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=96, bands=24, threshold=0.8, shingle_k=1,
+        max_exact_pairs=0, prune_unique_shingles=True,
+    )
+
+
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle variant; the oracle re-derives trigrams in SQL via
     list_transform and joins exhaustively."""
@@ -4094,6 +4112,14 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        # banded+pruned path must reproduce the SAME exhaustive truth
+        "dedup_minhash_banded": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round({_JACCARD_SQL}, 6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE {_JACCARD_SQL} >= 0.8
+        """,
         "curation_arrival": f"""
             WITH seeded AS (
                 SELECT doc_id, {_PII_SEED_SQL} AS text, lang, source, n_chars
@@ -4717,6 +4743,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q6_forecast_revenue",
         "q10_returned_revenue",
         "q12_shipmode_priority",
+        "graph_cc_star",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -4809,6 +4836,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_link_prediction": q_graph_link_prediction,
         "graph_label_propagation": q_graph_label_propagation,
         "sample_shard_assignment": q_sample_shard_assignment,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

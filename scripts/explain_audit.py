@@ -476,6 +476,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
     (
+        "dedup_minhash_banded",
+        "banded 100-TB configuration: candidate pairs never shuffle "
+        "(no exchange keyed on pair ids), the df-prune aggregate and "
+        "the pruned shingle array both appear (banding consumes _shp, "
+        "not the full set), and verification broadcasts at this corpus "
+        "size",
+        lambda p: "hashpartitioning(id_a" not in p
+        and "hashpartitioning(id_b" not in p
+        and "AS _df" in p
+        and "_shp" in p
+        and len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2,
+    ),
+    (
         "graph_link_prediction",
         "link prediction: scans pruned to the 2-column incidence, top-k "
         "via TakeOrderedAndProject, no cartesian/BNL, and wedge output "

@@ -758,3 +758,32 @@ def test_incremental_exact_crossover_parity(spark):
     assert d[100][0] > 0 and d[100][1] is False
     assert d[101] == (0, True)
     assert d[102] == (0, True)
+
+
+def test_minhash_unique_shingle_prune_parity(spark):
+    """df=1 pruning is lossless vs GROUND TRUTH: banded+pruned and
+    banded+unpruned both reproduce the exact crossover's exhaustive
+    output on a corpus where most shingles are unique (each doc carries
+    private typo tokens around a big shared core). Pairs sit at
+    jaccard 0.75 — far enough above the 0.7 threshold that the 24x4
+    banding's miss probability is ~1e-4 per pair (pruning can only
+    raise it further: pruned same-core sets are identical, j=1.0)."""
+    core = " ".join(f"w{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [(i, f"{core} c{i % 3} typo{i}x typo{i}y") for i in range(24)]
+        + [(100, "entirely unique singleton shingle document")],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=96, bands=24, threshold=0.7, shingle_k=1)
+    truth = sorted(map(tuple, minhash_lsh_pairs(
+        docs, "doc_id", "text", **kw).collect()))  # exact crossover
+    plain = sorted(map(tuple, minhash_lsh_pairs(
+        docs, "doc_id", "text", max_exact_pairs=0, **kw).collect()))
+    pruned = sorted(map(tuple, minhash_lsh_pairs(
+        docs, "doc_id", "text", max_exact_pairs=0,
+        prune_unique_shingles=True, **kw).collect()))
+    assert truth  # non-vacuous: the shared core must pair
+    assert plain == truth
+    assert pruned == truth
+    # doc 100 shares nothing; no pair may involve it
+    assert all(a != 100 and b != 100 for a, b, _ in truth)

@@ -99,6 +99,12 @@ HEADLINE = [
     # end-to-end (the exact crossover short-circuits banding at test
     # SFs, so this row keeps the at-scale pipeline measured and green)
     "dedup_minhash_banded",
+    # round 7 (fourth batch): snapshot diff (delta-sized output, text
+    # never shuffles), JL random projection (zero-shuffle codegen pass),
+    # exact per-column table profile (Expand-planned multi-distinct)
+    "curation_corpus_diff",
+    "embedding_random_projection",
+    "stats_table_profile",
 ]
 
 

@@ -1153,3 +1153,66 @@ def cluster_balanced_sample(
         .filter(F.col("cost_before") < budget)
         .select(id_col, "cluster", cost_col, "cost_before")
     )
+
+
+def random_projection_sqls(
+    vec_elem, in_dims: int, out_dims: int, *, seed: int = 41
+) -> list[str]:
+    """Johnson–Lindenstrauss ±1 sign projection (Achlioptas 2003) as
+    GENERATED SQL text, one expression per output dimension:
+    ``p_j = (Σ_i s_ij · x_i) / √k`` with ``s_ij ∈ {+1, -1}`` drawn from
+    a deterministic 64-bit LCG on ``(i, j)`` — the matrix is part of
+    the query, never materialized, and re-runs/other engines rebuild it
+    bit-for-bit. Same dual-engine contract as
+    :func:`centroid_score_sqls`: ``vec_elem(j)`` formats the 1-based
+    element for the target engine; identical balanced-tree
+    parenthesization + exact double literals ⇒ identical IEEE doubles
+    in Spark and DuckDB, so projections are hash-checkable."""
+    out: list[str] = []
+    scale = 1.0 / (out_dims ** 0.5)
+    for j in range(out_dims):
+        terms = []
+        for i in range(in_dims):
+            state = (seed + i * out_dims + j) & 0xFFFFFFFFFFFFFFFF
+            state = (
+                state * 6364136223846793005 + 1442695040888963407
+            ) & 0xFFFFFFFFFFFFFFFF
+            sign = "1.0" if (state >> 33) & 1 == 0 else "-1.0"
+            terms.append(f"({vec_elem(i + 1)} * {sign})")
+        while len(terms) > 1:
+            terms = [
+                f"({terms[k]} + {terms[k + 1]})"
+                if k + 1 < len(terms)
+                else terms[k]
+                for k in range(0, len(terms), 2)
+            ]
+        out.append(f"({terms[0]} * {_dbl(scale)})")
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dims: int,
+    out_dims: int,
+    *,
+    seed: int = 41,
+) -> DataFrame:
+    """``(id, p0..p{k-1})`` — JL dimensionality reduction of an embedding
+    column to ``out_dims`` doubles via :func:`random_projection_sqls`.
+    One narrow zero-shuffle pass, whole-stage-codegen arithmetic only
+    (the seeded-literal pattern of ``sq8_codes_col``/
+    ``assign_clusters_literal``); distance distortion follows the JL
+    bound (ε ≈ √(8·ln n / k)), which is the documented trade for a 4×
+    smaller working set in downstream coarse search."""
+    exprs = random_projection_sqls(
+        lambda j: f"CAST(element_at({vec_col}, {j}) AS DOUBLE)",
+        in_dims,
+        out_dims,
+        seed=seed,
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.expr(e).alias(f"p{j}") for j, e in enumerate(exprs)],
+    )

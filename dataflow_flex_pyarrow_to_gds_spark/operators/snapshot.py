@@ -1,0 +1,69 @@
+"""Corpus snapshot comparison — the bookkeeping operator every
+incremental pipeline needs before it can BE incremental: given two
+versions of a corpus, classify every document as added / removed /
+changed so downstream stages (dedup index maintenance, re-embedding,
+re-tokenization) run on the delta only.
+
+The reference has no versioning notion (it re-streams the whole input,
+``pipeline.py:48-96``); this follows the repo's incremental-dedup stance
+(``dedup.py`` ``incremental_near_dup_filter``): per-run cost must be
+proportional to the delta, and the operators that make that possible are
+first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64_col
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """``(id, status)`` with status ∈ added | removed | changed (and
+    unchanged, opt-in) comparing two corpus snapshots by CONTENT
+    fingerprint.
+
+    Scale shape: each side reduces to 17-B ``(id, fingerprint)`` rows in
+    a narrow pass — document text never rides the full-outer join's
+    shuffle — and the default output is |delta|-sized: diffing a 100-TB
+    corpus against yesterday moves ~2 × 16 B × |corpus| through one
+    shuffle and emits only what changed. The fingerprint is the portable
+    md5-derived 64-bit hash (:func:`~.dedup.portable_hash64_col`), so an
+    external system (or the DuckDB oracle, which compares raw text —
+    an INDEPENDENT formulation equivalent up to md5 collision) agrees
+    on every status. Null and empty text hash identically (coalesce) —
+    presence is tracked by a marker column, not fingerprint nullness,
+    so a null-text document present on both sides is 'unchanged', not
+    phantom-'added'.
+    """
+
+    def side(df: DataFrame, fp: str, mark: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            portable_hash64_col(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias(fp),
+            F.lit(1).alias(mark),
+        )
+
+    j = side(old, "_fo", "_po").join(
+        side(new, "_fn", "_pn"), "_id", "full_outer"
+    )
+    status: Column = (
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("_id").alias(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -1902,6 +1902,75 @@ def q_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the operator that makes a pipeline incremental:
+    classify every document as added/removed/changed between two corpus
+    versions, both derived deterministically in-query (the read-only-
+    fixture rule): the OLD snapshot drops doc_id%11==3 (those become
+    'added'), stales doc_id%13==0 text (→ 'changed'), and carries
+    re-keyed doc_id%17==0 ghosts (→ 'removed'). Each side reduces to
+    (id, portable-fingerprint) before the full-outer join — text never
+    shuffles; output is |delta|-sized. The oracle compares RAW text
+    (independent formulation, equivalent up to md5 collision)."""
+    from .operators.snapshot import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" [stale]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, docs, "doc_id", "text")
+
+
+def q_embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JL ±1 sign projection 64 → 16 dims (Achlioptas 2003): the
+    projection matrix is a seeded LCG rebuilt inside the query — one
+    narrow zero-shuffle whole-stage-codegen pass, 4× smaller working
+    set for downstream coarse search. The oracle runs the SAME
+    generated expression tree (the sq8/centroid dual-engine rule), so
+    every projected double is hash-exact."""
+    from .operators.similarity import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 64, 16
+    )
+
+
+def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling of orders (6 columns): exact null + distinct
+    counts in ONE Expand-planned aggregation — the schema-contract
+    check a pipeline runs on every new data drop. Oracle is a UNION ALL
+    of per-column aggregates."""
+    from .operators.profile import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "orders"),
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle variant; the oracle re-derives trigrams in SQL via
     list_transform and joins exhaustively."""
@@ -3475,6 +3544,13 @@ def _extension_oracles() -> dict[str, str]:
     # assignment expression emits the DuckDB twin — identical balanced
     # tree, identical literals, identical IEEE doubles in both engines
     # (the sq8 rule), so argmin picks the same cluster for every row.
+    from .operators.similarity import random_projection_sqls
+
+    _rp = random_projection_sqls(
+        lambda j: f"(e.embedding[{j}])::DOUBLE", 64, 16
+    )
+    _rp_cols = ", ".join(f"{e} AS p{j}" for j, e in enumerate(_rp))
+
     _cb = centroid_score_sqls(
         lambda j: f"(e.embedding[{j}])::DOUBLE", _CB_CENTROIDS
     )
@@ -4112,6 +4188,67 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        "stats_table_profile": """
+            SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+            FROM orders
+        """,
+        # SAME generated expression tree as the Spark side (dual-engine
+        # generator) — identical parenthesization, identical doubles
+        "embedding_random_projection": f"""
+            SELECT vec_id, {_rp_cols}
+            FROM embeddings e
+        """,
+        # independent formulation: the oracle compares raw text where the
+        # operator compares portable md5 fingerprints
+        "curation_corpus_diff": """
+            WITH old AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 3
+                UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 17 = 0
+            ),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text IS DISTINCT FROM n.text
+                                 THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM old o FULL OUTER JOIN documents n
+                  ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        """,
         # banded+pruned path must reproduce the SAME exhaustive truth
         "dedup_minhash_banded": f"""
             WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
@@ -4744,6 +4881,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q10_returned_revenue",
         "q12_shipmode_priority",
         "graph_cc_star",
+        "graph_load_stats",
+        "graph_node_degrees",
+        "graph_connected_components",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -4837,6 +4977,9 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_label_propagation": q_graph_label_propagation,
         "sample_shard_assignment": q_sample_shard_assignment,
         "dedup_minhash_banded": q_dedup_minhash_banded,
+        "curation_corpus_diff": q_curation_corpus_diff,
+        "embedding_random_projection": q_embedding_random_projection,
+        "stats_table_profile": q_stats_table_profile,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

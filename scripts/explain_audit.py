@@ -476,6 +476,37 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
     (
+        "curation_corpus_diff",
+        "snapshot diff: full-outer join on skinny (id, fingerprint) "
+        "rows — document text appears in no exchange key; scans pruned "
+        "to (doc_id, text)",
+        lambda p: "FullOuter" in p
+        and not re.search(r"hashpartitioning\([^)]*text", p)
+        and all(
+            m == "doc_id:bigint,text:string"
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        ),
+    ),
+    (
+        "embedding_random_projection",
+        "JL projection: ONE narrow whole-stage-codegen pass — zero "
+        "exchanges, zero joins, no Python eval, scan pruned to "
+        "(vec_id, embedding)",
+        lambda p: not re.search(r"\(\d+\) Exchange", p)
+        and not re.search(r"\(\d+\) \w*Join", p)
+        and "EvalPython" not in p
+        and "vec_id:bigint,embedding:array<float" in p,
+    ),
+    (
+        "stats_table_profile",
+        "table profile: Expand-planned multi-distinct (per-column "
+        "single-value streams, map-side partial aggregation before the "
+        "one exchange)",
+        lambda p: re.search(r"\(\d+\) Expand", p)
+        and re.search(r"Exchange \(\d+\)\s*\n\s*\+- HashAggregate", p)
+        and len(re.findall(r"\(\d+\) Exchange", p)) == 2,
+    ),
+    (
         "dedup_minhash_banded",
         "banded 100-TB configuration: candidate pairs never shuffle "
         "(no exchange keyed on pair ids), the df-prune aggregate and "

@@ -1,0 +1,78 @@
+"""Tests for table_profile, corpus_diff, and random_projection (r7)."""
+
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.profile import table_profile
+from dataflow_flex_pyarrow_to_gds_spark.operators.snapshot import corpus_diff
+from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+    random_projection,
+)
+
+
+def test_table_profile_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (None, "b")],
+        "k long, v string",
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in table_profile(df, ["k", "v"]).collect()
+    }
+    assert got == {"k": (5, 1, 4), "v": (5, 1, 2)}
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    # doc 1 unchanged (dropped by default); doc 5: null text on BOTH
+    # sides must read as unchanged, not phantom added/removed
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    with_unchanged = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(
+            old, new, "doc_id", "text", include_unchanged=True
+        ).collect()
+    }
+    assert with_unchanged[1] == "unchanged"
+    assert with_unchanged[5] == "unchanged"
+
+
+def test_random_projection_linearity_and_determinism(spark):
+    """The projection is a fixed linear map: proj(2x) = 2*proj(x)
+    exactly (IEEE: doubling is exponent arithmetic), proj(0) = 0, and
+    the seed changes the matrix."""
+    base = [float(i % 7 - 3) for i in range(64)]
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, [2.0 * v for v in base]),
+            (3, [0.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+        for r in random_projection(
+            df, "vec_id", "embedding", 64, 16
+        ).collect()
+    }
+    assert rows[3] == [0.0] * 16
+    assert rows[2] == [2.0 * v for v in rows[1]]
+    assert any(v != 0.0 for v in rows[1])  # non-trivial map
+    reseeded = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(16)]
+        for r in random_projection(
+            df, "vec_id", "embedding", 64, 16, seed=99
+        ).collect()
+    }
+    assert reseeded[1] != rows[1]

@@ -105,6 +105,9 @@ HEADLINE = [
     "curation_corpus_diff",
     "embedding_random_projection",
     "stats_table_profile",
+    # round 7 (fifth batch): quality-curriculum sampling — classifier
+    # banding + per-band deterministic rates in one fused narrow pass
+    "sample_quality_curriculum",
 ]
 
 
@@ -144,6 +147,36 @@ def main() -> None:
         )
 
     qs["text_quality_classifier"] = _classifier_prod
+
+    # Same split for the curriculum composition: production token hash
+    # (xxhash64) in the classifier stage; the id-hash gate stays
+    # portable — that IS the operator's reproducibility contract.
+    def _curriculum_prod(s, sf_dir):
+        from pyspark.sql import functions as F
+
+        from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+            linear_quality_score,
+        )
+        from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+            banded_sample,
+        )
+
+        docs = s.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = linear_quality_score(
+            docs, "doc_id", "text", n_features=64, bias=-0.05
+        )
+        banded = scored.select(
+            "doc_id",
+            F.when(F.col("logit") >= 0.02, F.lit("high"))
+            .when(F.col("logit") >= -0.02, F.lit("mid"))
+            .otherwise(F.lit("low"))
+            .alias("band"),
+        )
+        return banded_sample(
+            banded, "doc_id", "band", {"high": 1.0, "mid": 0.5, "low": 0.1}
+        )
+
+    qs["sample_quality_curriculum"] = _curriculum_prod
 
     # Headline embedding near-dup measures the PRODUCTION pair path (BLAS
     # block matmul), which is equivalence-tested pair-identical to the

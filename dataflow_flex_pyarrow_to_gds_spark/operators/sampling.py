@@ -380,3 +380,33 @@ def split_leakage(
             .alias("cross_split_pairs"),
         )
     )
+
+
+def banded_sample(
+    df: DataFrame,
+    id_col: str,
+    band_col: str,
+    rates: dict[str, float],
+    *,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-band Bernoulli sampling — the quality-curriculum
+    rung between the classifier and the mixture: keep a row iff
+    ``portable_hash(id) mod buckets < round(rate(band) · buckets)``, so
+    high-quality bands pass whole while low bands thin to their rate,
+    and the decision is a pure function of the id (reproducible across
+    engines/re-runs, co-sampled with any table sharing the id — the
+    :func:`stratified_split` contract applied to rates). Bands absent
+    from ``rates`` drop entirely (rate 0) — an explicit-allowlist
+    default: a typo'd band name should vanish loudly in counts, not
+    pass silently at full rate. Narrow, zero shuffle, no RNG.
+    """
+    bucket = F.pmod(hash_of_id_col(id_col), F.lit(buckets))
+    expr = None
+    for name, rate in rates.items():
+        threshold = int(rate * buckets + 0.5)
+        cond = (F.col(band_col) == name) & (bucket < threshold)
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        expr = F.lit(False)
+    return df.filter(expr)

@@ -1971,6 +1971,40 @@ def q_stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling (the DCLM/FineWeb practice after the
+    classifier runs): band documents on the classifier logit (high ≥
+    0.02 > mid ≥ -0.02 > low) and keep each band at its own
+    deterministic rate (100 % / 50 % / 10 %) via portable-id-hash
+    Bernoulli — high-quality text passes whole, the tail thins, and the
+    whole decision is a pure function of the document (reproducible,
+    engine-independent, co-sampled with any table sharing the id).
+    One narrow zero-shuffle pass end to end: classifier inference,
+    banding CASE, and the hash gate all fuse into the scan."""
+    from .operators.dedup import portable_hash64_col
+    from .operators.quality import linear_quality_score
+    from .operators.sampling import banded_sample
+
+    scored = linear_quality_score(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_features=64,
+        bias=-0.05,
+        hash_fn=portable_hash64_col,
+    )
+    banded = scored.select(
+        "doc_id",
+        F.when(F.col("logit") >= 0.02, F.lit("high"))
+        .when(F.col("logit") >= -0.02, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
+    )
+    return banded_sample(
+        banded, "doc_id", "band", {"high": 1.0, "mid": 0.5, "low": 0.1}
+    )
+
+
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle variant; the oracle re-derives trigrams in SQL via
     list_transform and joins exhaustively."""
@@ -4188,6 +4222,44 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        # classifier CTEs verbatim + banding CASE + hash gate — the
+        # Spark plan's exact arithmetic, logit compared as the same
+        # double division
+        "sample_quality_curriculum": f"""
+            WITH w AS (
+                SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       ((({_hash_sql_of("tok")}) % 64) + 64) % 64 AS bkt
+                FROM w
+            ),
+            s AS (
+                SELECT doc_id,
+                       sum(((bkt * 1103515245 + 12345) % 100001) * 10
+                           - 500000) AS micro
+                FROM b GROUP BY doc_id
+            ),
+            f AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(s.micro, 0) - 50000 AS BIGINT) AS m
+                FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN CAST(m AS DOUBLE) / 1000000.0 >= 0.02
+                                 THEN 'high'
+                            WHEN CAST(m AS DOUBLE) / 1000000.0 >= -0.02
+                                 THEN 'mid'
+                            ELSE 'low' END AS band,
+                       ((({_ID_HASH_SQL}) % 10000) + 10000) % 10000 AS hb
+                FROM f
+            )
+            SELECT doc_id, band FROM g
+            WHERE (band = 'high' AND hb < 10000)
+               OR (band = 'mid'  AND hb < 5000)
+               OR (band = 'low'  AND hb < 1000)
+        """,
         "stats_table_profile": """
             SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
@@ -4884,6 +4956,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_load_stats",
         "graph_node_degrees",
         "graph_connected_components",
+        "graph_dangling_edges",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -4980,6 +5053,7 @@ def _specs() -> dict[str, QuerySpec]:
         "curation_corpus_diff": q_curation_corpus_diff,
         "embedding_random_projection": q_embedding_random_projection,
         "stats_table_profile": q_stats_table_profile,
+        "sample_quality_curriculum": q_sample_quality_curriculum,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

@@ -246,3 +246,33 @@ def test_grouped_split_coassigns_components_and_leakage_audit(spark):
     row = split_leakage(pairs, mixed).collect()[0]
     # within {0..9}: 5 even, 5 odd -> 25 cross pairs; (100,101) crosses
     assert (row["total_pairs"], row["cross_split_pairs"]) == (46, 26)
+
+
+def test_banded_sample_rates_and_determinism(spark):
+    """Per-band rates hold in expectation, rate-1.0 bands pass whole,
+    absent bands drop entirely, and the decision is id-deterministic."""
+    from pyspark.sql import functions as F
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        banded_sample,
+    )
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("band"),
+    )
+    rates = {"a": 1.0, "b": 0.3}
+    kept = banded_sample(df, "doc_id", "band", rates).collect()
+    by_band = {}
+    for r in kept:
+        by_band.setdefault(r["band"], set()).add(r["doc_id"])
+    assert len(by_band.get("a", ())) == 1000      # rate 1.0: all pass
+    assert "c" not in by_band                     # absent band drops
+    assert 200 < len(by_band["b"]) < 400          # ~300 expected
+    again = {
+        r["doc_id"]
+        for r in banded_sample(df, "doc_id", "band", rates).collect()
+    }
+    assert again == by_band["a"] | by_band["b"]   # pure function of id

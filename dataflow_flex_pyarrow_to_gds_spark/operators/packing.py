@@ -215,3 +215,43 @@ def shard_by_token_budget(
         "tokens_before",
         F.expr(f"tokens_before div {int(budget_tokens)}").alias("shard"),
     )
+
+
+def write_token_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    budget_tokens: int,
+    n_buckets: int = 32,
+) -> int:
+    """Materialize the corpus as ``shard=N/`` parquet directories of
+    ~``budget_tokens`` tokens each — :func:`shard_by_token_budget`
+    driven through to disk, the layout a training job actually reads:
+    one directory per shard, contiguous id-ranges, reproducible from
+    the corpus alone. Returns the shard count.
+
+    The write repartitions BY THE SHARD COLUMN before ``partitionBy``
+    (the bucketed-edge lesson: without it every task holds a sliver of
+    every shard and the sink emits tasks × shards small files); shard
+    ids are contiguous ranges of the prefix sum, so this is one
+    shuffle whose key is the 8-byte shard id. Text rides that shuffle
+    once — unavoidable for a materialized layout, and exactly once.
+    """
+    assigned = shard_by_token_budget(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        budget_tokens=budget_tokens,
+        n_buckets=n_buckets,
+    ).select(id_col, "n_tokens", "shard")
+    (
+        df.join(assigned, id_col)
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return spark.read.parquet(path).select("shard").distinct().count()

@@ -29,6 +29,8 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     amplification is the documented cost — profile the columns you
     care about, not ``df.columns``, when the table is wide.
     """
+    if not cols:
+        raise ValueError("table_profile: cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(

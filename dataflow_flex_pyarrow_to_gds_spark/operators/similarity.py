@@ -1205,7 +1205,10 @@ def random_projection(
     (the seeded-literal pattern of ``sq8_codes_col``/
     ``assign_clusters_literal``); distance distortion follows the JL
     bound (ε ≈ √(8·ln n / k)), which is the documented trade for a 4×
-    smaller working set in downstream coarse search."""
+    smaller working set in downstream coarse search. ``in_dims`` must
+    equal the stored vector length — ``element_at`` past the end is an
+    ANSI runtime error, deliberately loud (a silently null-padded
+    projection would corrupt every downstream distance)."""
     exprs = random_projection_sqls(
         lambda j: f"CAST(element_at({vec_col}, {j}) AS DOUBLE)",
         in_dims,

@@ -42,7 +42,9 @@ def corpus_diff(
     on every status. Null and empty text hash identically (coalesce) —
     presence is tracked by a marker column, not fingerprint nullness,
     so a null-text document present on both sides is 'unchanged', not
-    phantom-'added'.
+    phantom-'added'. Ids must be unique within each snapshot (the
+    corpus-key contract everywhere in this repo); duplicate ids would
+    fan the full-outer join out multiplicatively.
     """
 
     def side(df: DataFrame, fp: str, mark: str) -> DataFrame:

@@ -383,3 +383,34 @@ def test_shard_by_token_budget_matches_single_window(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_write_token_shards_roundtrip(spark, tmp_path):
+    """Shard directories materialize, every doc lands in its assigned
+    shard, and the layout reproduces shard_by_token_budget exactly."""
+    from pyspark.sql import functions as F
+    from dataflow_flex_pyarrow_to_gds_spark.operators.packing import (
+        shard_by_token_budget,
+        write_token_shards,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.col("id") % 9).cast("int"))
+        ).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    n = write_token_shards(docs, "doc_id", "text", out, budget_tokens=25)
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in shard_by_token_budget(
+            docs, "doc_id", "text", budget_tokens=25
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    assert n == len(set(want.values())) and n > 1

@@ -108,6 +108,9 @@ HEADLINE = [
     # round 7 (fifth batch): quality-curriculum sampling — classifier
     # banding + per-band deterministic rates in one fused narrow pass
     "sample_quality_curriculum",
+    # round 7 (sixth batch): BPE tokenizer application — fixed merge
+    # table as chained JVM replaces, one narrow pass
+    "text_bpe_encode",
 ]
 
 

@@ -248,3 +248,91 @@ def chunk_documents(
         ),
         "text_chunk",
     )
+
+
+#: Demo merge table for the catalog row: common English digraph merges,
+#: applied in rank order. A trained tokenizer drops in the same shape —
+#: the operator takes merges as data, both engines see the same
+#: literals.
+BPE_DEMO_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "r"),
+    ("e", "s"),
+    ("s", "t"),
+]
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Tokens per document under a FIXED BPE merge table — tokenizer
+    APPLICATION, the pass a training pipeline runs on every document it
+    ever ingests (the budget unit for sampling/packing/sharding is
+    tokens under the model's tokenizer, not whitespace words; this
+    repo's other operators take that count as an input column, and this
+    operator is where it comes from).
+
+    Classic BPE encode, expressed entirely in JVM string expressions:
+    each word is exploded to space-separated characters, then every
+    merge ``(a, b) → ab`` applies as a global ``replace(' a b ' →
+    ' ab ')`` in rank order — exactly the training-time greedy order,
+    and ``replace`` handles overlapping runs the way BPE's left-to-
+    right scan does for the digraph merges used here. The per-word
+    token count is then ``(spaces in the encoded word) + 1``. One
+    narrow zero-shuffle pass — no UDF, no explode (words stay inside a
+    ``transform`` HOF; counts aggregate with ``aggregate``), and the
+    merge table rides the plan as literals, so a DuckDB oracle chaining
+    the SAME replaces reproduces every count.
+
+    Output: ``(id, n_words, n_bpe_tokens)`` — ``n_bpe_tokens`` is null-
+    safe 0 for empty docs. ~``len(merges)`` chained string passes per
+    word; a production 32k-merge vocab belongs in an Arrow-batched
+    Pandas UDF wrapping a real tokenizer (the multimodal decode
+    stance), but the budget arithmetic downstream is count-agnostic.
+    """
+    from .quality import words_col
+
+    if merges is None:
+        merges = BPE_DEMO_MERGES
+
+    def encode(w):
+        # ' t e x t ' — guard spaces so merges match whole symbols
+        enc = F.concat(
+            F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")
+        )
+        for a, b in merges:
+            # twice: one replace() pass skips an occurrence that shares
+            # its boundary space with the match before it ("t h t h" →
+            # " th t h" on pass 1); a skipped occurrence always stands
+            # alone afterwards, so the second pass saturates the rule —
+            # matching BPE's merge-every-occurrence semantics. The
+            # oracle chains the IDENTICAL double pass.
+            for _ in range(2):
+                enc = F.replace(
+                    enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                )
+        return enc
+
+    words = words_col(F.col(text_col))
+    counts = F.transform(
+        words,
+        lambda w: F.size(F.split(F.trim(encode(w)), " ")).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.size(words).cast("long"), F.lit(0)).alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ),
+            F.lit(0),
+        ).alias("n_bpe_tokens"),
+    )

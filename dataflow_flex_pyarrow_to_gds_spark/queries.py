@@ -2005,6 +2005,19 @@ def q_sample_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: per-document token counts under a fixed
+    8-merge BPE table (the demo stand-in for a trained vocab) — the
+    count every budget-denominated operator downstream (packing,
+    sharding, mixtures) should really run on. Whole encode is chained
+    JVM string replaces inside a transform HOF — one narrow
+    zero-shuffle pass, no UDF; the oracle chains the IDENTICAL
+    replaces, so every count is hash-exact."""
+    from .operators.text import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle variant; the oracle re-derives trigrams in SQL via
     list_transform and joins exhaustively."""
@@ -4222,6 +4235,26 @@ def _extension_oracles() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE {_JACCARD_SQL} >= 0.8
         """,
+        # the IDENTICAL replace chain as the Spark encode (double pass
+        # per merge — saturation), so counts are hash-exact
+        "text_bpe_encode": f"""
+            WITH w AS (
+                SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+            ),
+            c AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       list_transform(
+                           ws,
+                           x -> len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || regexp_replace(x, '(.)', '\\1 ', 'g'), ' t h ', ' th '), ' t h ', ' th '), ' th e ', ' the '), ' th e ', ' the '), ' i n ', ' in '), ' i n ', ' in '), ' e r ', ' er '), ' e r ', ' er '), ' a n ', ' an '), ' a n ', ' an '), ' o r ', ' or '), ' o r ', ' or '), ' e s ', ' es '), ' e s ', ' es '), ' s t ', ' st '), ' s t ', ' st ')), ' '))
+                       ) AS cs
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(cs), 0) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM c
+        """,
         # classifier CTEs verbatim + banding CASE + hash gate — the
         # Spark plan's exact arithmetic, logit compared as the same
         # double division
@@ -4957,6 +4990,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_node_degrees",
         "graph_connected_components",
         "graph_dangling_edges",
+        "graph_edge_resolution",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -5054,6 +5088,7 @@ def _specs() -> dict[str, QuerySpec]:
         "embedding_random_projection": q_embedding_random_projection,
         "stats_table_profile": q_stats_table_profile,
         "sample_quality_curriculum": q_sample_quality_curriculum,
+        "text_bpe_encode": q_text_bpe_encode,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,

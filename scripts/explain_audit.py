@@ -476,6 +476,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
     (
+        "text_bpe_encode",
+        "BPE tokenizer application: chained-replace encode fuses into "
+        "ONE narrow pass — zero exchanges, zero joins, no Python eval, "
+        "scan pruned to (doc_id, text)",
+        lambda p: not re.search(r"\(\d+\) Exchange", p)
+        and not re.search(r"\(\d+\) \w*Join", p)
+        and "EvalPython" not in p
+        and all(
+            m == "doc_id:bigint,text:string"
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        ),
+    ),
+    (
         "sample_quality_curriculum",
         "quality-curriculum sampling: classifier inference + banding + "
         "hash gate fuse into ONE narrow pass — zero exchanges, zero "

@@ -1,0 +1,51 @@
+
+
+def test_bpe_token_count_hand_computed(spark):
+    """'the'→[the]=1; 'thin'→[th,in]=2; 'tether'→[t,e,the,r]=4 (merge
+    cascade t,h→th then th,e→the; e..r not adjacent); empty/null → 0."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the thin tether"), (2, ""), (3, None), (4, "zzz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (3, 7), 2: (0, 0), 3: (0, 0), 4: (1, 3)}
+
+
+def test_bpe_token_count_saturates_alternating_runs(spark):
+    """'ththth' merges EVERY (t,h) occurrence — the double replace pass
+    catches the boundary-sharing occurrences one pass skips."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ththth thththth")], "doc_id long, text string"
+    )
+    got = bpe_token_count(df, "doc_id", "text").collect()[0]
+    assert (got["n_words"], got["n_bpe_tokens"]) == (1 + 1, 3 + 4)
+
+
+def test_bpe_merges_fire_on_fixture(spark):
+    """Non-vacuity at the catalog config: on the documents fixture the
+    encoded count must be strictly below the raw character count for
+    many docs (merges actually fire)."""
+    from pyspark.sql import functions as F
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_token_count,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("nc"),
+    )
+    j = bpe_token_count(docs, "doc_id", "text").join(chars, "doc_id")
+    n_merged = j.filter(F.col("n_bpe_tokens") < F.col("nc")).count()
+    assert n_merged > j.count() * 0.5

@@ -298,10 +298,13 @@ def minhash_lsh_pairs(
     construction (a strict superset of any banding), so the output is
     unchanged wherever banding was already exhaustive-green (parity
     asserted in tests). The budget bounds the broadcast side to
-    √(2·budget) ≈ 6.3k rows ≈ a few MB of shingle arrays. The crossover
-    is skipped when ``max_bucket_docs`` is set: that opt-in deliberately
-    TRADES recall by capping the banded generator, and silently
-    restoring the dropped pairs would invert the caller's choice.
+    √(2·budget) ≈ 6.3k rows — a few MB for typical documents, but
+    unbounded per-row, which is why an explicit ``broadcast_verify=
+    False`` (the caller's no-broadcast guard for huge shingle arrays)
+    disables the exact regimes too. The crossover is also skipped when
+    ``max_bucket_docs`` is set: that opt-in deliberately TRADES recall
+    by capping the banded generator, and silently restoring the
+    dropped pairs would invert the caller's choice.
 
     ``broadcast_verify``: None (default) auto-selects — the per-doc shingle
     table is broadcast for verification only when the corpus has at most
@@ -354,7 +357,17 @@ def minhash_lsh_pairs(
         ).alias("_sh"),
     ).filter(F.size("_sh") > 0)
 
-    if max_exact_pairs and max_bucket_docs is None:
+    n_docs: int | None = None
+    # The exact regimes broadcast one rep side (full shingle arrays);
+    # an explicit broadcast_verify=False is the caller saying those
+    # arrays must NOT be broadcast (the documented OOM guard), so it
+    # disables the crossover too — the banded path then honors the
+    # shuffle-verify choice as before.
+    if (
+        max_exact_pairs
+        and max_bucket_docs is None
+        and broadcast_verify is not False
+    ):
         # Direct regime of the crossover cascade (see docstring): when
         # even C(raw docs, 2) fits the budget, skip the identical-set
         # collapse too — the collapse exists to keep giant dup cliques
@@ -362,7 +375,8 @@ def minhash_lsh_pairs(
         # emits every member pair anyway, so the groupBy, the member
         # map, and the four expansion joins are pure overhead here
         # (identical sets verify at jaccard exactly 1.0 on their own).
-        # df.count() is metadata-cheap on a raw parquet scan.
+        # df.count() is metadata-cheap on a raw parquet scan; computed
+        # once and reused by the banded path's broadcast gate below.
         n_docs = df.count()
         if n_docs * (n_docs - 1) // 2 <= max_exact_pairs:
             return _exact_rep_pairs(base.cache(), threshold)
@@ -397,13 +411,19 @@ def minhash_lsh_pairs(
         # (measured net +2.7 s at sf0.1).
         base = spread_to_cluster(base)
 
-    if max_exact_pairs and max_bucket_docs is None:
+    if (
+        max_exact_pairs
+        and max_bucket_docs is None
+        and broadcast_verify is not False
+    ):
         # Exact small-corpus crossover (see docstring): below the pair
         # budget, verify every size-compatible rep pair directly. The
         # count is a cache hit in the collapse path; uncollapsed it
         # costs one scan+shingle pass (off-default, documented).
         # Skipped when the caller opted into the recall-trading bucket
-        # cap — that contract is about bounding the BANDED generator.
+        # cap — that contract is about bounding the BANDED generator —
+        # or out of broadcast verification (the exact regime IS a
+        # broadcast).
         n_reps = base.count()
         if n_reps * (n_reps - 1) // 2 <= max_exact_pairs:
             verified = _exact_rep_pairs(base, threshold)
@@ -416,8 +436,11 @@ def minhash_lsh_pairs(
         # decides whether the per-doc shingle table fits the broadcast
         # budget. Cheap (metadata-only) when ``df`` is a raw parquet
         # scan, as at the catalog call sites; on a transformed input it
-        # is a real job — pass broadcast_verify explicitly there.
-        broadcast_verify = df.count() <= broadcast_max_docs
+        # is a real job — pass broadcast_verify explicitly there. The
+        # direct-regime gate above may have counted already; reuse it.
+        broadcast_verify = (
+            n_docs if n_docs is not None else df.count()
+        ) <= broadcast_max_docs
 
     band_base, band_sh = base, F.col("_sh")
     if prune_unique_shingles:
@@ -1356,17 +1379,26 @@ def incremental_near_dup_filter(
     )
 
     exact = False
-    if max_exact_pairs:
+    if max_exact_pairs and broadcast_verify is not False:
         # Exact crossover (the minhash_lsh_pairs rule applied to the
         # delta shape): when batch-reps × corpus-reps fits the pair
+        # budget AND the broadcast side (the batch) fits the doc
         # budget, skip both banding passes and the candidate distinct —
-        # every (batch rep, corpus rep) pair is verified directly, with
-        # the batch side broadcast (it is the small operand by
-        # construction; the budget bounds it regardless). Recall 1.0 by
-        # construction; above the budget the banded path runs unchanged
-        # — the 100-TB daily-admission shape. Both counts are cache
-        # hits on the rep tables.
-        exact = b_reps.count() * c_groups.count() <= max_exact_pairs
+        # every (batch rep, corpus rep) pair is verified directly with
+        # the batch side broadcast. The pair budget alone bounds only
+        # the PRODUCT (a 2M-doc batch against a 10-group corpus passes
+        # it while broadcasting gigabytes of shingle arrays), so the
+        # batch side is additionally held to ``broadcast_max_docs`` —
+        # the same knob that gates the banded path's verify broadcast;
+        # an explicit broadcast_verify=False disables the regime
+        # entirely. Recall 1.0 by construction; above either bound the
+        # banded path runs unchanged — the 100-TB daily-admission
+        # shape. Both counts are cache hits on the rep tables.
+        n_batch = b_reps.count()
+        exact = (
+            n_batch <= broadcast_max_docs
+            and n_batch * c_groups.count() <= max_exact_pairs
+        )
 
     bsh = b_reps.select(F.col("_fp").alias("_bfp"), F.col("_sh").alias("_bsh"))
     csh = c_groups.select(

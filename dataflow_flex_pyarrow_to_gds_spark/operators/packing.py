@@ -200,7 +200,12 @@ def shard_by_token_budget(
 
     base = df.select(
         F.col(id_col),
-        F.size(words_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        # coalesce: null text must ride along at zero width like the
+        # empty string (size() of a NULL array is NULL under ANSI, and
+        # a NULL n_tokens would otherwise persist into written shards)
+        F.coalesce(
+            F.size(words_col(F.col(text_col))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
     )
     pre = global_prefix_sum(
         base,
@@ -246,6 +251,7 @@ def write_token_shards(
         budget_tokens=budget_tokens,
         n_buckets=n_buckets,
     ).select(id_col, "n_tokens", "shard")
+    assigned = assigned.cache()  # written AND counted — one compute
     (
         df.join(assigned, id_col)
         .repartition(F.col("shard"))
@@ -253,5 +259,6 @@ def write_token_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    spark = df.sparkSession
-    return spark.read.parquet(path).select("shard").distinct().count()
+    # count from the skinny assignment, not a re-scan of the written
+    # corpus (listing + reading the full output just for a count)
+    return assigned.select("shard").distinct().count()

@@ -470,10 +470,16 @@ def linear_quality_score(
             def w6_of(c: Column) -> Column:
                 return F.element_at(arr, bucket_of(c).cast("int") + 1)
 
-        micro = F.aggregate(
-            tok,
+        # coalesce: aggregate() over a NULL token array (null text) is
+        # NULL — a null-text doc must score σ(bias) exactly like the
+        # broadcast path's left_outer + coalesce gives it
+        micro = F.coalesce(
+            F.aggregate(
+                tok,
+                F.lit(w6_bias).cast("long"),
+                lambda acc, t: acc + w6_of(t),
+            ),
             F.lit(w6_bias).cast("long"),
-            lambda acc, t: acc + w6_of(t),
         )
         scored = df.select(F.col(id_col), micro.alias("_micro"))
     else:

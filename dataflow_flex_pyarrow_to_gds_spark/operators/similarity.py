@@ -867,6 +867,23 @@ def sq8_stats(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
     return mins, deltas
 
 
+def balanced_sum_sql(terms: list[str]) -> str:
+    """Pairwise balanced-tree sum of SQL term strings. The
+    parenthesization IS the cross-engine IEEE contract — float addition
+    order changes the last bits, so every dual-engine score generator
+    (sq8, centroid assignment, random projection, and their DuckDB
+    twins) must reduce through THIS one helper; a second copy that
+    drifts would silently break oracle hash-parity."""
+    if not terms:
+        raise ValueError("balanced_sum_sql: terms must be non-empty")
+    while len(terms) > 1:
+        terms = [
+            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
+            for j in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _dbl(x: float) -> str:
     """Exact double literal for generated Spark SQL: repr() round-trips
     the value and the string-to-double CAST parses it exactly (bare
@@ -965,13 +982,11 @@ def sq8_topk(
             f"(({_dbl(float(m))} + ({code} + {_dbl(0.5)}) * {_dbl(float(d))})"
             f" * {_dbl(float(qi))})"
         )
-    while len(terms) > 1:
-        terms = [
-            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
-            for j in range(0, len(terms), 2)
-        ]
     return (
-        df.select(F.col(id_col), F.round(F.expr(terms[0]), 4).alias("qscore"))
+        df.select(
+            F.col(id_col),
+            F.round(F.expr(balanced_sum_sql(terms)), 4).alias("qscore"),
+        )
         .orderBy(F.desc("qscore"), F.asc(id_col))
         .limit(k)
     )
@@ -1050,17 +1065,10 @@ def centroid_score_sqls(vec_elem, centroids: list[list[float]]) -> list[str]:
             f"({vec_elem(j + 1)} * {_dbl(-2.0 * float(cj))})"
             for j, cj in enumerate(c)
         ]
-        while len(terms) > 1:
-            terms = [
-                f"({terms[j]} + {terms[j + 1]})"
-                if j + 1 < len(terms)
-                else terms[j]
-                for j in range(0, len(terms), 2)
-            ]
         c2 = 0.0
         for cj in c:
             c2 += float(cj) * float(cj)
-        out.append(f"({terms[0]} + {_dbl(c2)})")
+        out.append(f"({balanced_sum_sql(terms)} + {_dbl(c2)})")
     return out
 
 
@@ -1179,14 +1187,7 @@ def random_projection_sqls(
             ) & 0xFFFFFFFFFFFFFFFF
             sign = "1.0" if (state >> 33) & 1 == 0 else "-1.0"
             terms.append(f"({vec_elem(i + 1)} * {sign})")
-        while len(terms) > 1:
-            terms = [
-                f"({terms[k]} + {terms[k + 1]})"
-                if k + 1 < len(terms)
-                else terms[k]
-                for k in range(0, len(terms), 2)
-            ]
-        out.append(f"({terms[0]} * {_dbl(scale)})")
+        out.append(f"({balanced_sum_sql(terms)} * {_dbl(scale)})")
     return out
 
 

@@ -3311,12 +3311,9 @@ def _sq8_score_sql(dims: int = 64) -> str:
         f" * q.qv[{i}])"
         for i in range(1, dims + 1)
     ]
-    while len(terms) > 1:
-        terms = [
-            f"({terms[j]} + {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
-            for j in range(0, len(terms), 2)
-        ]
-    return terms[0]
+    from .operators.similarity import balanced_sum_sql
+
+    return balanced_sum_sql(terms)
 
 
 def _line_seed_sql(words_per_line: int = 10) -> str:
@@ -3582,6 +3579,29 @@ def _extension_oracles() -> dict[str, str]:
     from .operators.pii import PHONE_PATTERN_PORTABLE as _pii_phone
     from .operators.similarity import centroid_score_sqls
 
+    # classifier inference CTEs (hashed buckets -> seeded LCG micro
+    # weights -> per-doc sum) — ONE definition shared by every oracle
+    # that embeds the classifier, so a retune cannot drift between rows
+    _clf_ctes = f"""            WITH w AS (
+                SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       ((({_hash_sql_of("tok")}) % 64) + 64) % 64 AS bkt
+                FROM w
+            ),
+            s AS (
+                SELECT doc_id,
+                       sum(((bkt * 1103515245 + 12345) % 100001) * 10
+                           - 500000) AS micro
+                FROM b GROUP BY doc_id
+            ),
+            f AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(s.micro, 0) - 50000 AS BIGINT) AS m
+                FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+            )"""
+
     cos_ab = _COS_SQL.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     cos_eq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
     cos_dq = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="q.embedding::DOUBLE[]")
@@ -3615,25 +3635,7 @@ def _extension_oracles() -> dict[str, str]:
         # hash (the simhash convention) → pmod 64 → seeded integer-LCG
         # micro-unit weight, summed exactly; bias -0.05 = -50000 micro.
         "text_quality_classifier": f"""
-            WITH w AS (
-                SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
-            ),
-            b AS (
-                SELECT doc_id,
-                       ((({_hash_sql_of("tok")}) % 64) + 64) % 64 AS bkt
-                FROM w
-            ),
-            s AS (
-                SELECT doc_id,
-                       sum(((bkt * 1103515245 + 12345) % 100001) * 10
-                           - 500000) AS micro
-                FROM b GROUP BY doc_id
-            ),
-            f AS (
-                SELECT d.doc_id,
-                       CAST(COALESCE(s.micro, 0) - 50000 AS BIGINT) AS m
-                FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-            )
+            {_clf_ctes}
             SELECT doc_id,
                    CAST(m AS DOUBLE) / 1000000.0 AS logit,
                    round(1.0 / (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0))),
@@ -4109,7 +4111,8 @@ def _extension_oracles() -> dict[str, str]:
         "sample_shard_assignment": f"""
             WITH t AS (
                 SELECT doc_id,
-                       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+                       CAST(coalesce(len({_WORDS_SQL}), 0) AS BIGINT)
+                           AS n_tokens
                 FROM documents
             ),
             c AS (
@@ -4259,25 +4262,7 @@ def _extension_oracles() -> dict[str, str]:
         # Spark plan's exact arithmetic, logit compared as the same
         # double division
         "sample_quality_curriculum": f"""
-            WITH w AS (
-                SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
-            ),
-            b AS (
-                SELECT doc_id,
-                       ((({_hash_sql_of("tok")}) % 64) + 64) % 64 AS bkt
-                FROM w
-            ),
-            s AS (
-                SELECT doc_id,
-                       sum(((bkt * 1103515245 + 12345) % 100001) * 10
-                           - 500000) AS micro
-                FROM b GROUP BY doc_id
-            ),
-            f AS (
-                SELECT d.doc_id,
-                       CAST(COALESCE(s.micro, 0) - 50000 AS BIGINT) AS m
-                FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-            ),
+            {_clf_ctes},
             g AS (
                 SELECT doc_id,
                        CASE WHEN CAST(m AS DOUBLE) / 1000000.0 >= 0.02

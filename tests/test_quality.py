@@ -337,3 +337,34 @@ def test_linear_quality_score_weights_paths_agree(spark):
         ).collect())
     )
     assert lit == joined
+
+
+def test_linear_quality_score_null_text_both_paths(spark):
+    """Null-text docs score exactly σ(bias) on BOTH the literal and the
+    broadcast weight paths (review r7: the literal path's aggregate()
+    over a NULL token array returned NULL before the coalesce)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+        linear_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some words here")],
+        "doc_id long, text string",
+    )
+    lit_rows = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in linear_quality_score(
+            df, "doc_id", "text", n_features=8,
+            weights=[0.1] * 8, bias=-0.05,
+        ).collect()
+    }
+    big_rows = {
+        r["doc_id"]: (r["logit"], r["keep"])
+        for r in linear_quality_score(
+            df, "doc_id", "text", n_features=8,
+            weights=[0.1] * 8, bias=-0.05, max_literal_features=4,
+        ).collect()
+    }
+    assert lit_rows == big_rows
+    assert lit_rows[1] == (-0.05, False)  # null text → σ(bias), not NULL
+    assert lit_rows[2] == (-0.05, False)

@@ -4976,6 +4976,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_connected_components",
         "graph_dangling_edges",
         "graph_edge_resolution",
+        "graph_nodes_project",
+        "graph_edges_project",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -5074,6 +5076,11 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_table_profile": q_stats_table_profile,
         "sample_quality_curriculum": q_sample_quality_curriculum,
         "text_bpe_encode": q_text_bpe_encode,
+        # -- implementations touched in round 7 beyond the blocks below:
+        # -- ngram3 shares minhash_lsh_pairs (exact-crossover rewrite),
+        # -- sq8 shares the balanced-sum generator (refactor) ----------
+        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
         # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,
@@ -5169,7 +5176,6 @@ def _specs() -> dict[str, QuerySpec]:
         "sequence_packing": q_sequence_packing,
         "sample_token_budget": q_sample_token_budget,
         "sample_mixture_weights": q_sample_mixture_weights,
-        "similarity_sq8_topk": q_similarity_sq8_topk,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         "text_bpe_merges": q_text_bpe_merges,
         "text_chunking": q_text_chunking,
@@ -5199,7 +5205,6 @@ def _specs() -> dict[str, QuerySpec]:
         "json_extract_events": q_json_extract_events,
         "asof_purchase_click": q_asof_purchase_click,
         "salted_agg_events": q_salted_agg_events,
-        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_stats": q_text_stats,
     }

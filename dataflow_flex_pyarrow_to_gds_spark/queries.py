@@ -420,7 +420,7 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
         """
     WITH li AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        FROM lineitem WHERE l_quantity >= 25
+        FROM lineitem WHERE l_quantity >= 30
     ),
     e AS (
         SELECT DISTINCT a.p AS u, b.p AS v
@@ -3534,7 +3534,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (3 rounds, min-label tie-break — the
     deterministic, engine-checkable formulation) over the high-volume
-    part co-order graph (parts linked when an order carries ≥ 25 units
+    part co-order graph (parts linked when an order carries ≥ 30 units
     of both). Per round: one skinny label join + a map-side-combined
     (node, label) count + a per-node argmax window sharing the count's
     exchange; edges fixed once and reused (the CC pay-once pattern)."""
@@ -3542,7 +3542,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 25)
+        .filter(F.col("l_quantity") >= 30)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

@@ -693,7 +693,7 @@ def _lpa_iter(spark, sf: str):
 
     li = (
         spark.read.parquet(f"{sf}/lineitem.parquet")
-        .filter(F.col("l_quantity") >= 25)
+        .filter(F.col("l_quantity") >= 30)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )

@@ -451,15 +451,17 @@ def minhash_lsh_pairs(
         # the full ``_sh`` beside the pruned ``_shp`` — the size filter
         # and verification stay on full sets. collect_list order is
         # irrelevant: lsh_bucket_cols takes per-band minima.
+        # Single consumption of the exploded stream: df rides a count
+        # window over the shingle key (one exchange) instead of a
+        # groupBy + join back (two consumers of the explode; the linear
+        # rewrite measured 0.57 vs 0.70 s for the stage at sf0.1).
         ex = base.select("_id", F.explode("_sh").alias("_s"))
-        kept = (
-            ex.groupBy("_s")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") >= 2)
-            .select("_s")
-        )
         pruned = (
-            ex.join(kept, "_s")
+            ex.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(W.partitionBy("_s")),
+            )
+            .filter(F.col("_df") >= 2)
             .groupBy("_id")
             .agg(F.collect_list("_s").alias("_shp"))
         )

@@ -1,0 +1,87 @@
+"""Python UDTF surface (SURVEY §2.10) — the one Spark UDF kind the repo
+had not yet exercised natively: the reference's Beam DoFn generators
+(``_dofn.py:50-202``) are 1→N row expanders, and Spark 4's ``@udtf`` is
+the direct modern analog (the repo's production expanders use
+``posexplode``/``mapInArrow``/``mapInPandas`` instead — JVM-side or
+Arrow-batched, the fast paths).
+
+``chunk_documents_udtf`` re-expresses :func:`~.text.chunk_documents`
+through that boundary: an API-SURFACE demonstration row, deliberately
+row-at-a-time Python (the documented slow path — it is held to the SAME
+DuckDB oracle as the vectorized operator, and a parity test pins the
+two outputs row-for-row, so the demonstration costs no correctness).
+Production chunking stays on the narrow JVM pass.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+
+def make_chunk_udtf(chunk_tokens: int, overlap: int):
+    """Build the UDTF class for a (chunk_tokens, overlap) config —
+    parameters are baked into the class because UDTF constructors take
+    no user arguments at call sites. Semantics mirror
+    ``chunk_documents`` exactly: lowercase whitespace words, windows of
+    ``chunk_tokens`` every ``chunk_tokens - overlap`` words, every
+    chunk after the first contributes ≥1 new token, empty/null docs
+    emit nothing."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_id bigint, n_tokens bigint, "
+            "text_chunk string"
+        )
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+            if text is None:
+                return
+            words = [
+                w for w in _re.split(r"\s+", text.strip().lower()) if w
+            ]
+            n = len(words)
+            if n == 0:
+                return
+            n_chunks = max(n - overlap - 1, 0) // stride + 1
+            for i in range(n_chunks):
+                chunk = words[i * stride : i * stride + chunk_tokens]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    return ChunkDocs
+
+
+def chunk_documents_udtf(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Apply the chunking UDTF laterally to ``df``'s (doc_id, text).
+
+    Registered + invoked through SQL ``LATERAL`` — the standard UDTF
+    call shape; the temp-view name is derived from the config so
+    concurrent sessions cannot collide. Scale note: each Python worker
+    sees one row at a time (Arrow only batches the transport when
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set) — this is
+    the measured-slow path and exists to prove the boundary, not to
+    run production chunking.
+    """
+    cls = make_chunk_udtf(chunk_tokens, overlap)
+    fn = f"chunk_docs_{chunk_tokens}_{overlap}"
+    spark.udtf.register(fn, cls)
+    view = f"_udtf_chunk_src_{chunk_tokens}_{overlap}"
+    df.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT c.doc_id, c.chunk_id, c.n_tokens, c.text_chunk "
+        f"FROM {view}, LATERAL {fn}(doc_id, text) AS c"
+    )

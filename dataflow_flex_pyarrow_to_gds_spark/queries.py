@@ -2018,6 +2018,22 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_text_chunking_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 completion row: the SAME 32/8 chunking re-expressed
+    through Spark 4's native Python ``@udtf`` + SQL LATERAL — the
+    modern analog of the reference's Beam DoFn generators
+    (``_dofn.py:50-202``). Deliberately the row-at-a-time slow path,
+    held to the IDENTICAL oracle as text_chunking and parity-tested
+    row-for-row against the vectorized operator; production chunking
+    stays on the narrow JVM pass (which is why this row is not in the
+    bench headline)."""
+    from .operators.udtf_chunk import chunk_documents_udtf
+
+    return chunk_documents_udtf(
+        spark, _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_dedup_ngram3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle variant; the oracle re-derives trigrams in SQL via
     list_transform and joins exhaustively."""
@@ -4424,6 +4440,28 @@ def _extension_oracles() -> dict[str, str]:
                    text_chunk
             FROM c
         """,
+        # identical semantics through the Python-UDTF boundary
+        "text_chunking_udtf": f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            c AS (
+                SELECT doc_id, (u).cid AS chunk_id, (u).txt AS text_chunk
+                FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, CAST(floor(greatest(len(w) - 9, 0) / 24.0)
+                                      AS BIGINT) + 1),
+                        i -> {{'cid': i,
+                              'txt': array_to_string(
+                                  list_slice(w, i*24 + 1, i*24 + 32), ' ')}}))
+                      AS u
+                    FROM t WHERE len(w) > 0
+                )
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(string_split_regex(text_chunk, '\\s+')) AS BIGINT)
+                     AS n_tokens,
+                   text_chunk
+            FROM c
+        """,
         "text_bpe_merges": r"""
             WITH w AS (
                 SELECT unnest(list_filter(
@@ -4978,6 +5016,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_edge_resolution",
         "graph_nodes_project",
         "graph_edges_project",
+        "sample_per_source_cap",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -5076,6 +5115,7 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_table_profile": q_stats_table_profile,
         "sample_quality_curriculum": q_sample_quality_curriculum,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_chunking_udtf": q_text_chunking_udtf,
         # -- implementations touched in round 7 beyond the blocks below:
         # -- ngram3 shares minhash_lsh_pairs (exact-crossover rewrite),
         # -- sq8 shares the balanced-sum generator (refactor) ----------

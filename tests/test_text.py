@@ -49,3 +49,30 @@ def test_bpe_merges_fire_on_fixture(spark):
     j = bpe_token_count(docs, "doc_id", "text").join(chars, "doc_id")
     n_merged = j.filter(F.col("n_bpe_tokens") < F.col("nc")).count()
     assert n_merged > j.count() * 0.5
+
+
+def test_chunking_udtf_matches_vectorized(spark):
+    """The §2.10 Python-UDTF chunker reproduces the JVM operator
+    row-for-row (including empty/null docs emitting nothing)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        chunk_documents,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.udtf_chunk import (
+        chunk_documents_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),
+            (2, "short doc"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, chunk_documents_udtf(
+        spark, docs, chunk_tokens=32, overlap=8).collect()))
+    b = sorted(map(tuple, chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8).collect()))
+    assert a == b and a  # non-vacuous
+    assert not any(r[0] in (3, 4) for r in a)

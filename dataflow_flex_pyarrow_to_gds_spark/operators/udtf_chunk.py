@@ -45,8 +45,15 @@ def make_chunk_udtf(chunk_tokens: int, overlap: int):
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
             if text is None:
                 return
+            # ASCII \s to mirror the JVM operator and the oracle: Java
+            # regex \s is [ \t\n\x0b\f\r] while Python's default is
+            # Unicode-aware (U+00A0 etc. would tokenize differently);
+            # no strip() — empty tokens filter out anyway, and Python
+            # strip() is Unicode-aware too
             words = [
-                w for w in _re.split(r"\s+", text.strip().lower()) if w
+                w
+                for w in _re.split(r"\s+", text.lower(), flags=_re.ASCII)
+                if w
             ]
             n = len(words)
             if n == 0:
@@ -69,8 +76,11 @@ def chunk_documents_udtf(
     """Apply the chunking UDTF laterally to ``df``'s (doc_id, text).
 
     Registered + invoked through SQL ``LATERAL`` — the standard UDTF
-    call shape; the temp-view name is derived from the config so
-    concurrent sessions cannot collide. Scale note: each Python worker
+    call shape. Temp views are session-scoped; the config-derived name
+    only keeps same-session calls with DIFFERENT configs from clobbering
+    each other (same-config calls overwrite the view, which is safe
+    because ``spark.sql`` analyzes the LATERAL plan eagerly — a deferred
+    sql() refactor would need per-call unique names). Scale note: each Python worker
     sees one row at a time (Arrow only batches the transport when
     ``spark.sql.execution.pythonUDTF.arrow.enabled`` is set) — this is
     the measured-slow path and exists to prove the boundary, not to

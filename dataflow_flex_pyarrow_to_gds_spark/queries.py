@@ -3598,6 +3598,28 @@ def _extension_oracles() -> dict[str, str]:
     # classifier inference CTEs (hashed buckets -> seeded LCG micro
     # weights -> per-doc sum) — ONE definition shared by every oracle
     # that embeds the classifier, so a retune cannot drift between rows
+    _chunking_oracle = f"""
+            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+            c AS (
+                SELECT doc_id, (u).cid AS chunk_id, (u).txt AS text_chunk
+                FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, CAST(floor(greatest(len(w) - 9, 0) / 24.0)
+                                      AS BIGINT) + 1),
+                        i -> {{'cid': i,
+                              'txt': array_to_string(
+                                  list_slice(w, i*24 + 1, i*24 + 32), ' ')}}))
+                      AS u
+                    FROM t WHERE len(w) > 0
+                )
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(string_split_regex(text_chunk, '\\s+')) AS BIGINT)
+                     AS n_tokens,
+                   text_chunk
+            FROM c
+        """
+
     _clf_ctes = f"""            WITH w AS (
                 SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents
             ),
@@ -4419,49 +4441,10 @@ def _extension_oracles() -> dict[str, str]:
                        '{_pii_phone}', '[PHONE]', 'g') AS text_redacted
             FROM f LEFT JOIN d ON d.id = f.doc_id
         """,
-        "text_chunking": f"""
-            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-            c AS (
-                SELECT doc_id, (u).cid AS chunk_id, (u).txt AS text_chunk
-                FROM (
-                    SELECT doc_id, unnest(list_transform(
-                        range(0, CAST(floor(greatest(len(w) - 9, 0) / 24.0)
-                                      AS BIGINT) + 1),
-                        i -> {{'cid': i,
-                              'txt': array_to_string(
-                                  list_slice(w, i*24 + 1, i*24 + 32), ' ')}}))
-                      AS u
-                    FROM t WHERE len(w) > 0
-                )
-            )
-            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                   CAST(len(string_split_regex(text_chunk, '\\s+')) AS BIGINT)
-                     AS n_tokens,
-                   text_chunk
-            FROM c
-        """,
-        # identical semantics through the Python-UDTF boundary
-        "text_chunking_udtf": f"""
-            WITH t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-            c AS (
-                SELECT doc_id, (u).cid AS chunk_id, (u).txt AS text_chunk
-                FROM (
-                    SELECT doc_id, unnest(list_transform(
-                        range(0, CAST(floor(greatest(len(w) - 9, 0) / 24.0)
-                                      AS BIGINT) + 1),
-                        i -> {{'cid': i,
-                              'txt': array_to_string(
-                                  list_slice(w, i*24 + 1, i*24 + 32), ' ')}}))
-                      AS u
-                    FROM t WHERE len(w) > 0
-                )
-            )
-            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                   CAST(len(string_split_regex(text_chunk, '\\s+')) AS BIGINT)
-                     AS n_tokens,
-                   text_chunk
-            FROM c
-        """,
+        "text_chunking": _chunking_oracle,
+        # identical semantics through the Python-UDTF boundary —
+        # the SAME constant, so the parity claim cannot drift
+        "text_chunking_udtf": _chunking_oracle,
         "text_bpe_merges": r"""
             WITH w AS (
                 SELECT unnest(list_filter(
@@ -5023,7 +5006,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "array_agg_orders",
         "asof_purchase_click",
         "cube_lineitem",
-        "dedup_ngram3_pairs",
         "dedup_simhash_pairs",
         "events_attribution",
         "events_dedup",
@@ -5073,7 +5055,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "similarity_knn_join",
         "similarity_lsh_topk",
         "similarity_matryoshka_topk",
-        "similarity_sq8_topk",
         "similarity_topk",
         "sort_limit",
         "text_bigram_logprob",

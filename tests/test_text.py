@@ -76,3 +76,14 @@ def test_chunking_udtf_matches_vectorized(spark):
         docs, "doc_id", "text", chunk_tokens=32, overlap=8).collect()))
     assert a == b and a  # non-vacuous
     assert not any(r[0] in (3, 4) for r in a)
+    # Unicode whitespace: Java regex \\s is ASCII-only, so NBSP must NOT
+    # tokenize — the UDTF splits with re.ASCII to match (review r7)
+    nbsp = spark.createDataFrame(
+        [(9, "foo\u00a0bar baz")], "doc_id long, text string"
+    )
+    ua = sorted(map(tuple, chunk_documents_udtf(
+        spark, nbsp, chunk_tokens=2, overlap=0).collect()))
+    ub = sorted(map(tuple, chunk_documents(
+        nbsp, "doc_id", "text", chunk_tokens=2, overlap=0).collect()))
+    assert ua == ub
+    assert ua[0][2] == 2 and "foo\u00a0bar" in ua[0][3]

@@ -111,6 +111,9 @@ HEADLINE = [
     # round 7 (sixth batch): BPE tokenizer application — fixed merge
     # table as chained JVM replaces, one narrow pass
     "text_bpe_encode",
+    # round 7 (seventh batch): the release report — quality gate →
+    # dedup keeper → stratified split → per-(split, source) counts
+    "curation_release",
 ]
 
 

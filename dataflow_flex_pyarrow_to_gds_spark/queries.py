@@ -1857,6 +1857,61 @@ _COS_SQL = (
 )
 
 
+def q_curation_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release report — the LAST query a data-release pipeline runs:
+    Gopher quality gate → exact-dedup keeper (min doc_id per normalized
+    fingerprint, the full-funnel window trick: rn=1 within the
+    (fingerprint, keep) partition) → deterministic stratified
+    train/val/test split (portable-hash thresholds — engine- and
+    re-run-independent) → per-(split, source) document and token
+    counts: the table a model card publishes. One text-width narrow
+    pass, then nothing but ≤60-byte stage rows move: exchange on
+    (fingerprint, keep) for the keeper window, and the split/source
+    aggregate's own map-side-combined exchange."""
+    from .operators.dedup import normalized_fingerprint_col
+    from .operators.quality import (
+        spread_to_cluster,
+        with_gopher_keep,
+        words_col,
+    )
+    from .operators.sampling import stratified_split
+
+    t = F.col("text")
+    # cached for the same reason the funnel caches its stage table: the
+    # keeper window + the keep filter (a partition key, so Catalyst
+    # pushes it below the window) would otherwise re-evaluate the
+    # text-width Gopher pass several times (measured 6.0 vs 0.7 s at
+    # sf0.1); what persists is the ≤60-B projection, never the text
+    docs = (
+        with_gopher_keep(
+            spread_to_cluster(_t(spark, sf_dir, "documents")), "text"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "keep",
+            normalized_fingerprint_col(t).alias("fingerprint"),
+            F.coalesce(F.size(words_col(t)).cast("long"), F.lit(0)).alias(
+                "n_tokens"
+            ),
+        )
+        .cache()
+    )
+    staged = docs.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("fingerprint", "keep").orderBy("doc_id")
+        ),
+    ).filter(F.col("keep") & (F.col("_rn") == 1))
+    split = stratified_split(
+        staged, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on md5 of the sorted distinct-token set
     (catches reordered copies; 32-byte shuffle key)."""
@@ -4207,6 +4262,39 @@ def _extension_oracles() -> dict[str, str]:
                 FROM h
             ) WHERE sample_rank <= 15
         """,
+        "curation_release": f"""
+            WITH {gopher},
+            d AS (
+                SELECT doc_id, source,
+                       (ok_word_count AND ok_mean_word_len AND ok_stopwords
+                        AND ok_repetition) AS keep,
+                       md5(array_to_string(list_sort({_TOKS_SQL}), ' '))
+                         AS fingerprint,
+                       CAST(coalesce(len({_WORDS_SQL}), 0) AS BIGINT)
+                         AS n_tokens
+                FROM f
+            ),
+            q AS (SELECT * FROM d WHERE keep),
+            k AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                    FROM q
+                ) WHERE rn = 1
+            ),
+            s AS (
+                SELECT *,
+                       ((({_ID_HASH_SQL}) % 10000) + 10000) % 10000 AS b
+                FROM k
+            )
+            SELECT CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1, 2
+        """,
         "curation_full_funnel": f"""
             WITH {gopher},
             d AS (
@@ -5000,6 +5088,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_nodes_project",
         "graph_edges_project",
         "sample_per_source_cap",
+        "events_anomaly",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -5097,6 +5186,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_quality_curriculum": q_sample_quality_curriculum,
         "text_bpe_encode": q_text_bpe_encode,
         "text_chunking_udtf": q_text_chunking_udtf,
+        "curation_release": q_curation_release,
         # -- implementations touched in round 7 beyond the blocks below:
         # -- ngram3 shares minhash_lsh_pairs (exact-crossover rewrite),
         # -- sq8 shares the balanced-sum generator (refactor) ----------

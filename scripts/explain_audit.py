@@ -476,6 +476,16 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
     (
+        "curation_release",
+        "release report: the cached ≤60-B stage projection feeds the "
+        "keeper window and the split/source aggregate — document text "
+        "appears in no exchange key, and the text-width Gopher pass is "
+        "materialized once (InMemoryTableScan)",
+        lambda p: "InMemoryTableScan" in p
+        and not re.search(r"hashpartitioning\([^)]*text", p)
+        and ("WindowGroupLimit" in p or "Window" in p),
+    ),
+    (
         "text_bpe_encode",
         "BPE tokenizer application: chained-replace encode fuses into "
         "ONE narrow pass — zero exchanges, zero joins, no Python eval, "

@@ -91,3 +91,41 @@ def test_fields_always_include_key(sources):
         fields = n.fields()
         assert "kf" in fields and "a" in fields
         assert all(fields)  # no falsy entries (pipeline.py:113 filter)
+
+
+def test_balanced_sum_sql_cross_engine_bitwise(spark):
+    """The balanced-tree sum helper is the repo's IEEE contract: for
+    arbitrary double literals, Spark and DuckDB must produce the SAME
+    bits. Property-tested over adversarial magnitudes (cancellation,
+    spread exponents) where a different association order WOULD differ
+    in the last ulps."""
+    import struct
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        _dbl,
+        balanced_sum_sql,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e12,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(vals):
+        expr = balanced_sum_sql([_dbl(v) for v in vals])
+        got_spark = spark.sql(f"SELECT {expr} AS s").collect()[0]["s"]
+        got_duck = duckdb.sql(f"SELECT {expr} AS s").fetchone()[0]
+        assert struct.pack("<d", got_spark) == struct.pack("<d", got_duck)
+
+    check()

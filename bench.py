@@ -114,6 +114,10 @@ HEADLINE = [
     # round 7 (seventh batch): the release report — quality gate →
     # dedup keeper → stratified split → per-(split, source) counts
     "curation_release",
+    # round 7 (eighth batch): skew-salted shuffle join (hot fact keys
+    # split across salt reducers, dim replicated — AQE can't split a
+    # single hot KEY finer than its map partition)
+    "salted_join_parts",
 ]
 
 

@@ -48,3 +48,43 @@ def salted_aggregate(
     if count_alias:
         final_aggs.append(F.sum("_p_cnt").cast("long").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: each FACT row gets a salt that varies
+    WITHIN a key (``spark_partition_id() % n`` — zero compute, already
+    spread, the :func:`salted_aggregate` choice; a key-derived salt
+    would put every row of the hot key in the same bucket and fix
+    nothing), and the DIM side replicates each row across all salts via
+    one ``explode(sequence(...))``. Joining on (key, salt) splits a hot
+    key's rows across ``salt_buckets`` reducers instead of funnelling
+    them into one straggler task. The salt assignment cannot affect the
+    RESULT — every fact row meets every matching dim row exactly once
+    (its own salt replica) under ANY assignment — so the output is
+    engine/partitioning-deterministic even though the salt is not.
+
+    Results are EXACTLY the plain join's, so the oracle for a salted
+    query is the unsalted join. Cost model: the dim
+    shuffle grows ``salt_buckets``×; use it when the fact side's key
+    histogram is heavy-tailed and the dim side is small-ish but above
+    the broadcast threshold — the regime where neither broadcast nor
+    AQE's size-based skew splitting (which needs the skew to show up in
+    map output sizes, and cannot split a single hot KEY finer than its
+    partition) fully covers. Returns the joined frame with internal
+    salt columns dropped.
+    """
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be ≥ 1, got {salt_buckets}")
+    f = fact.withColumn(
+        "_salt", (F.spark_partition_id() % salt_buckets).cast("long")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return f.join(d, [key, "_salt"]).drop("_salt")

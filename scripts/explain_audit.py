@@ -476,6 +476,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and _no_exchange_between_scan_and_smj(p),
     ),
     (
+        "salted_join_parts",
+        "salted join: both join exchanges key on (partkey, _salt) — the "
+        "hot key genuinely splits across salt reducers — and the join "
+        "is the pinned sort-merge, not a broadcast that would bypass "
+        "the salted shuffle",
+        lambda p: len(
+            re.findall(r"hashpartitioning\(l_partkey#\d+L?, _salt", p)
+        )
+        >= 2
+        and "SortMergeJoin" in p
+        and "BroadcastHashJoin" not in p,
+    ),
+    (
         "curation_release",
         "release report: the cached ≤60-B stage projection feeds the "
         "keeper window and the split/source aggregate — document text "

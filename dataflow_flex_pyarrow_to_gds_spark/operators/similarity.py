@@ -184,8 +184,16 @@ def lsh_topk(
     hamming_probe: int = 1,
     seed: int = 42,
     n_tables: int = 1,
+    exact_below: int = 0,
 ) -> DataFrame:
     """ANN top-k: restrict to LSH-probed buckets, exact re-rank within.
+
+    ``exact_below`` (0 = off) is the minhash exact-crossover rule
+    applied to ANN: at or below that corpus size, brute force IS the
+    better index (one narrow pass, recall 1.0 by construction — fixed
+    LSH params are corpus-specific and under-recall tiny corpora). Off
+    by default so tests exercise the approximate machinery at any size;
+    catalog rows enable it.
 
     ``n_tables`` > 1 is the standard OR-construction: a row is a candidate
     if it collides with the query in ANY table (independent hyperplane sets
@@ -193,6 +201,9 @@ def lsh_topk(
     the scan stays one pass — the candidate predicate is a single
     disjunction evaluated per row, not L separate scans.
     """
+    if exact_below and df.count() <= exact_below:
+        return brute_force_topk(df, id_col, vec_col, query_vec, k)
+
     dim = len(query_vec)
     cond = None
     for t in range(n_tables):
@@ -299,6 +310,7 @@ def ivf_topk(
     nprobe: int = 4,
     centroids: np.ndarray | None = None,
     assigned: DataFrame | None = None,
+    exact_below: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: probe the nprobe nearest centroids, exact re-rank.
 
@@ -308,6 +320,11 @@ def ivf_topk(
     Centroids default to a Spark ML KMeans fit (:func:`kmeans_centroids`);
     pass precomputed ``centroids`` to skip the build.
     """
+    # the lsh_topk exact-crossover rule (see that docstring); checked
+    # BEFORE any k-means fit so tiny corpora skip the build entirely
+    if exact_below and df.count() <= exact_below:
+        return brute_force_topk(df, id_col, vec_col, query_vec, k)
+
     if centroids is None:
         centroids = kmeans_centroids(df, id_col, vec_col, n_centroids)
     cn = _normalize_rows(centroids)
@@ -509,6 +526,7 @@ def ivf_index_topk(
     vec_col: str,
     k: int = 10,
     nprobe: int = 4,
+    exact_below: int = 0,
 ) -> DataFrame:
     """Query side of the persisted IVF index: rank centroids driver-side
     (k×dim dot products), read ONLY the probed cluster partitions, exact
@@ -516,6 +534,15 @@ def ivf_index_topk(
     centroids/nprobe (parity-tested); the difference is the plan — the
     parquet scan carries ``PartitionFilters: [cluster IN (...)]`` and
     never opens the other clusters' files."""
+    if exact_below:
+        # the lsh_topk exact-crossover rule; row count of the index
+        # data is parquet-metadata cheap
+        data_all = spark.read.parquet(f"{path}/data")
+        if data_all.count() <= exact_below:
+            return brute_force_topk(
+                data_all, id_col, vec_col, query_vec, k
+            )
+
     import json
 
     with open(f"{path}/centroids.json") as f:

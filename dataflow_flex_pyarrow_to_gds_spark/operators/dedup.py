@@ -299,12 +299,19 @@ def minhash_lsh_pairs(
     unchanged wherever banding was already exhaustive-green (parity
     asserted in tests). The budget bounds the broadcast side to
     √(2·budget) ≈ 6.3k rows — a few MB for typical documents, but
-    unbounded per-row, which is why an explicit ``broadcast_verify=
-    False`` (the caller's no-broadcast guard for huge shingle arrays)
-    disables the exact regimes too. The crossover is also skipped when
-    ``max_bucket_docs`` is set: that opt-in deliberately TRADES recall
-    by capping the banded generator, and silently restoring the
-    dropped pairs would invert the caller's choice.
+    unbounded per-row, which is why the crossover runs ONLY when
+    ``broadcast_verify`` is left at its ``None`` auto-default: an
+    explicit ``False`` is the caller's no-broadcast guard for huge
+    shingle arrays (the exact regime IS a broadcast), and an explicit
+    ``True`` is the documented way to skip count jobs on transformed,
+    non-metadata-cheap inputs — the regime probes cost up to two
+    counts (one forcing the shingle pass), which a 100-TB caller must
+    not pay for a crossover that cannot fire there (ADVICE r07;
+    ``max_exact_pairs=0`` likewise disables both probes). The
+    crossover is also skipped when ``max_bucket_docs`` is set: that
+    opt-in deliberately TRADES recall by capping the banded generator,
+    and silently restoring the dropped pairs would invert the caller's
+    choice.
 
     ``broadcast_verify``: None (default) auto-selects — the per-doc shingle
     table is broadcast for verification only when the corpus has at most
@@ -358,15 +365,19 @@ def minhash_lsh_pairs(
     ).filter(F.size("_sh") > 0)
 
     n_docs: int | None = None
-    # The exact regimes broadcast one rep side (full shingle arrays);
-    # an explicit broadcast_verify=False is the caller saying those
-    # arrays must NOT be broadcast (the documented OOM guard), so it
-    # disables the crossover too — the banded path then honors the
-    # shuffle-verify choice as before.
+    # The crossover regimes run ONLY in auto mode (broadcast_verify is
+    # None). An explicit False is the caller's no-broadcast OOM guard
+    # (the exact regimes broadcast full shingle arrays); an explicit
+    # True is the documented way to SKIP count probes on transformed,
+    # non-metadata-cheap inputs — at 100 TB the crossover can never
+    # fire, so paying up to two count jobs (one forcing the shingle
+    # pass) to discover that would defeat the flag's purpose (ADVICE
+    # r07). Either explicit value therefore routes straight to the
+    # banded path with the chosen verify strategy.
     if (
         max_exact_pairs
         and max_bucket_docs is None
-        and broadcast_verify is not False
+        and broadcast_verify is None
     ):
         # Direct regime of the crossover cascade (see docstring): when
         # even C(raw docs, 2) fits the budget, skip the identical-set
@@ -379,6 +390,10 @@ def minhash_lsh_pairs(
         # once and reused by the banded path's broadcast gate below.
         n_docs = df.count()
         if n_docs * (n_docs - 1) // 2 <= max_exact_pairs:
+            # Cache lifetime (ADVICE r6/r07): keyed by canonicalized
+            # plan — repeats re-hit, distinct corpora accumulate until
+            # MEMORY_AND_DISK LRU spill; loop-over-corpora callers
+            # should spark.catalog.clearCache() between corpora.
             return _exact_rep_pairs(base.cache(), threshold)
 
     members = None
@@ -414,7 +429,7 @@ def minhash_lsh_pairs(
     if (
         max_exact_pairs
         and max_bucket_docs is None
-        and broadcast_verify is not False
+        and broadcast_verify is None
     ):
         # Exact small-corpus crossover (see docstring): below the pair
         # budget, verify every size-compatible rep pair directly. The
@@ -422,8 +437,9 @@ def minhash_lsh_pairs(
         # costs one scan+shingle pass (off-default, documented).
         # Skipped when the caller opted into the recall-trading bucket
         # cap — that contract is about bounding the BANDED generator —
-        # or out of broadcast verification (the exact regime IS a
-        # broadcast).
+        # or passed broadcast_verify explicitly (False: the exact
+        # regime IS a broadcast; True: the caller is avoiding count
+        # probes on a transformed input — ADVICE r07).
         n_reps = base.count()
         if n_reps * (n_reps - 1) // 2 <= max_exact_pairs:
             verified = _exact_rep_pairs(base, threshold)
@@ -1395,7 +1411,11 @@ def incremental_near_dup_filter(
         # an explicit broadcast_verify=False disables the regime
         # entirely. Recall 1.0 by construction; above either bound the
         # banded path runs unchanged — the 100-TB daily-admission
-        # shape. Both counts are cache hits on the rep tables.
+        # shape. Unlike minhash_lsh_pairs (where explicit True also
+        # skips the crossover to avoid count jobs on raw input), an
+        # explicit True keeps it here: both counts are cache hits on
+        # rep tables this function materializes regardless, so there
+        # is no probe cost to avoid.
         n_batch = b_reps.count()
         exact = (
             n_batch <= broadcast_max_docs

@@ -244,13 +244,22 @@ def write_token_shards(
     shuffle whose key is the 8-byte shard id. Text rides that shuffle
     once — unavoidable for a materialized layout, and exactly once.
     """
+    if "shard" in df.columns:
+        # The join below adds `shard`; a pre-existing one would make
+        # the written schema ambiguous (ADVICE r07).
+        raise ValueError(
+            "write_token_shards: input already has a 'shard' column; "
+            "rename it before sharding"
+        )
     assigned = shard_by_token_budget(
         df.select(F.col(id_col), F.col(text_col)),
         id_col,
         text_col,
         budget_tokens=budget_tokens,
         n_buckets=n_buckets,
-    ).select(id_col, "n_tokens", "shard")
+    ).select(id_col, "shard")  # id+shard only: n_tokens is derivable
+    # from the written text and a duplicate-name hazard if df carries
+    # its own n_tokens column (ADVICE r07)
     assigned = assigned.cache()  # written AND counted — one compute
     (
         df.join(assigned, id_col)
@@ -260,5 +269,10 @@ def write_token_shards(
         .parquet(path)
     )
     # count from the skinny assignment, not a re-scan of the written
-    # corpus (listing + reading the full output just for a count)
-    return assigned.select("shard").distinct().count()
+    # corpus (listing + reading the full output just for a count).
+    n_shards = assigned.select("shard").distinct().count()
+    # terminal action done — release the operator-internal cache so
+    # long-lived sessions sharding many corpora don't accumulate
+    # MEMORY_AND_DISK entries (ADVICE r07)
+    assigned.unpersist()
+    return n_shards

@@ -31,15 +31,28 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("table_profile: cols must be non-empty")
+    # Typed expressions end-to-end (ADVICE r07): no selectExpr/stack()
+    # SQL interpolation, so column names containing quotes, backticks,
+    # or dots cannot malform the plan. Input columns are referenced via
+    # df[...] (exact-name lookup, unparsed) and the per-column
+    # aggregates carry INDEX-based aliases (no name pasting at all);
+    # the unpivot is F.inline over an array<struct> literal — same
+    # 1-row driver-light shape as the stack() it replaces.
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
-        )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(df[c].isNull().cast("long")).alias(f"_nn_{i}"))
+        aggs.append(F.countDistinct(df[c]).alias(f"_nd_{i}"))
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', `_nn_{c}`, `_nd_{c}`" for c in cols)
-    return row.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
-        "_n AS n_rows",
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                row[f"_nn_{i}"].alias("n_nulls"),
+                row[f"_nd_{i}"].alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(
+        row["_n"].alias("n_rows"), F.inline(pairs)
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")

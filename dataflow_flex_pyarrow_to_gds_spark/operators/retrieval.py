@@ -105,6 +105,10 @@ def bm25_topk(
     # for each. The cached footprint is skinny (id + dl + one int per
     # term; the words array is projected away before the cache), and the
     # entry is keyed by canonicalized plan so repeats re-hit it.
+    # Cache lifetime (ADVICE r07): distinct corpora/term-sets in a
+    # long-lived session accumulate entries until MEMORY_AND_DISK LRU
+    # spill; loop-over-corpora callers should spark.catalog.clearCache()
+    # between corpora.
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),

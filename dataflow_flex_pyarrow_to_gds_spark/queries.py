@@ -1949,9 +1949,13 @@ def q_salted_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, part, "l_partkey", salt_buckets=8)
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
-            "revenue_d"
-        ),
+        # Sum in DECIMAL for exactness, then cast to DOUBLE for the
+        # cross-engine hash: Spark types this sum DECIMAL(28,4) but
+        # DuckDB DECIMAL(38,4), and the driver hashes the string form
+        # of the type-faithful value (the q11/bm25 convention).
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue_d"),
     )
 
 
@@ -5085,7 +5089,8 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "salted_join_parts": """
             SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue_d
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue_d
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,

@@ -555,3 +555,98 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)  # truncate lineage
     return labels
+
+
+def _l1_normalize_fp(raw: DataFrame, scale: int) -> DataFrame:
+    """``(nodeId, _score)`` with ``_score = (raw · scale) div Σ raw`` —
+    the integer L1 normalization both HITS half-steps share. The 1-row
+    total rides a broadcast cross join; the product is computed in
+    DECIMAL(38,0) headroom (raw ≤ 10²⁵ covers 10¹² edges at 10¹²
+    scale) so no int64 overflow anywhere, and ``div`` on decimals
+    returns BIGINT with the same floor semantics as ANSI ``//`` —
+    bit-exact on any engine, any aggregation order.
+    """
+    tot = raw.agg(F.sum("_raw").alias("_tot"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        NODE_ID,
+        F.expr(
+            f"(CAST(_raw AS DECIMAL(25,0))"
+            f" * CAST({scale} AS DECIMAL(13,0))) div _tot"
+        )
+        .cast("long")
+        .alias("_score"),
+    )
+
+
+def hits_fixedpoint(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) in integer
+    micro-units → ``(nodeId, kind, score_fp)`` with ``kind`` ∈
+    {'hub', 'authority'} and ``score_fp`` ≈ score · ``scale``.
+
+    Same cross-engine contract as :func:`pagerank_fixedpoint`: every
+    step is exact integer arithmetic (int64/decimal sums, floor
+    division), so the scores hash-match an ANSI oracle bit-for-bit —
+    float HITS cannot be checked that way because Σ picks up
+    order-dependent rounding dust. Per half-iteration::
+
+        auth_raw(v) = Σ_{u→v} hub(u);   auth = L1-normalize to scale
+        hub_raw(u)  = Σ_{u→v} auth(v);  hub  = L1-normalize to scale
+
+    L1 (sum) normalization replaces the textbook L2 — no integer sqrt,
+    and the eigenvector direction (the ranking) is the same; fixed
+    ``iters`` truncation is part of the operator contract (the oracle
+    unrolls the same count).
+
+    Scale shape: per half-iteration ONE edge-keyed join of the skinny
+    8-byte score table + one partially-aggregated groupBy + a 1-row
+    broadcast total — the edge table never moves beyond its join
+    shuffle (bucket it by the join key to delete even that, the
+    :func:`write_bucketed_edges` pattern). Hub scores exist for source
+    endpoints, authority scores for target endpoints (a bipartite
+    citation layout is the canonical input); lineage is checkpointed
+    per round, CC-style.
+    """
+    e = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    hubs = (
+        e.select(F.col(SOURCE_ID).alias(NODE_ID))
+        .distinct()
+        .select(NODE_ID, F.lit(scale).cast("long").alias("_score"))
+    )
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .groupBy(F.col(TARGET_ID).alias(NODE_ID))
+            .agg(
+                F.sum(F.col("_score").cast("decimal(25,0)")).alias("_raw")
+            )
+        )
+        auth = _l1_normalize_fp(a_raw, scale)
+        h_raw = (
+            e.join(auth.withColumnRenamed(NODE_ID, TARGET_ID), TARGET_ID)
+            .groupBy(F.col(SOURCE_ID).alias(NODE_ID))
+            .agg(
+                F.sum(F.col("_score").cast("decimal(25,0)")).alias("_raw")
+            )
+        )
+        hubs = _l1_normalize_fp(h_raw, scale)
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    return hubs.select(
+        NODE_ID,
+        F.lit("hub").alias("kind"),
+        F.col("_score").alias("score_fp"),
+    ).unionByName(
+        auth.select(
+            NODE_ID,
+            F.lit("authority").alias("kind"),
+            F.col("_score").alias("score_fp"),
+        )
+    )

@@ -9,7 +9,7 @@ that "describe what I just read" idea to per-column statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,60 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(
         row["_n"].alias("n_rows"), F.inline(pairs)
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def contract_violations(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Data-contract validation: ``(rule, n_rows, n_violations,
+    violation_ppm)`` — one row per rule, computed in ONE aggregation
+    pass over the table.
+
+    ``rules`` is an ordered list of ``(rule_name, violation_predicate)``
+    — the predicate marks a BAD row (contract breach), e.g.
+    ``F.col("o_totalprice") <= 0``. A NULL predicate result counts as a
+    violation too (a row where the check cannot even evaluate has not
+    met the contract) — ``coalesce(pred, true)`` keeps that explicit.
+
+    This is the admission gate a pipeline runs on every new 100-TB drop
+    before letting it near training: the scan is one narrow pass (all
+    rules ride the same partial aggregate, no shuffle beyond the 1-row
+    final agg), and the per-rule output is unpivoted driver-light with
+    the same typed ``F.inline`` shape as :func:`table_profile` — no SQL
+    string interpolation, arbitrary rule names are safe.
+
+    ``violation_ppm`` is integer parts-per-million (``(n_violations *
+    1_000_000) div n_rows``) — exact int64 arithmetic, no float ratio,
+    so the result hash-matches any ANSI engine bit-for-bit.
+    """
+    if not rules:
+        raise ValueError("contract_violations: rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(
+            F.sum(F.coalesce(pred, F.lit(True)).cast("long")).alias(
+                f"_v_{i}"
+            )
+        )
+    row = df.agg(*aggs)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                row[f"_v_{i}"].alias("n_violations"),
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return (
+        row.select(row["_n"].alias("n_rows"), F.inline(out))
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.expr(
+                "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_violations * 1000000 div n_rows END"
+            ).alias("violation_ppm"),
+        )
+    )

@@ -410,3 +410,71 @@ def banded_sample(
     if expr is None:
         expr = F.lit(False)
     return df.filter(expr)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 0,
+    n_buckets: int = 32,
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic global training order: adds ``out_col`` = this
+    row's 0-based position in the corpus-wide shuffle order given by
+    ``(portable_hash(id # seed), id)``.
+
+    Training-data pipelines need the example ORDER to be reproducible
+    (restart a run, re-materialize a shard, audit what the model saw at
+    step N) and re-drawable per epoch — ``seed`` salts the hash, so
+    each epoch is a fresh, equally-uniform permutation that any ANSI
+    engine can re-derive row-for-row (same portable-hash contract as
+    :func:`stratified_split`; a ``Rand()``-based shuffle is
+    partitioning- and engine-dependent). Uniformity is the md5 mix;
+    ties (hash collisions) break on the id, so the order is total.
+
+    Scale shape — the :func:`~.packing.global_prefix_sum` pattern, a
+    global ``row_number()`` window would funnel 100 TB through ONE
+    task: range-bucket the hash on sketched quantile boundaries (the
+    approximation skews only bucket BALANCE, never the order — bucket
+    ranges are contiguous in the hash, ties land in one bucket via the
+    ``<=`` boundary rule), rank per bucket in parallel windows, then
+    add broadcast per-bucket offsets. One corpus shuffle on the 8-byte
+    bucket key, one ≤ ``n_buckets``-row driver window.
+    """
+    from .packing import _bucket_case
+
+    h = portable_hash64_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    )
+    d = df.withColumn("_h", h)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        d.select(F.percentile_approx("_h", qs, 10_000).alias("b")).first()[
+            "b"
+        ]
+        if n_buckets > 1
+        else []
+    )
+    uniq: list = []
+    for b in bounds or []:
+        if not uniq or b != uniq[-1]:
+            uniq.append(b)
+    bucketed = d.withColumn("_pb", _bucket_case(F.col("_h"), uniq))
+    counts = bucketed.groupBy("_pb").agg(F.count(F.lit(1)).alias("_bc"))
+    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    # ≤ n_buckets rows — the one place a global window is right
+    offsets = counts.select(
+        "_pb", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = W.partitionBy("_pb").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        bucketed.join(F.broadcast(offsets), "_pb")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_local) - 1 + F.col("_off")).cast(
+                "long"
+            ),
+        )
+        .drop("_h", "_pb", "_off")
+    )

@@ -95,6 +95,69 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    data: DataFrame,
+    anchors: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining: for each anchor, the ``k`` corpus rows most
+    similar to it that carry a DIFFERENT label (and a different id) —
+    the pairs that teach a contrastive/retrieval model the most,
+    because they sit exactly where the decision boundary is wrong.
+
+    Same scale contract as :func:`knn_join`: the anchor set is
+    broadcast (mining runs over a sampled anchor batch, not all-pairs),
+    the corpus is never shuffled until the per-anchor top-k window,
+    and the label-inequality filter runs BEFORE ranking so positives
+    never occupy top-k slots. ``sim`` is cosine rounded to 4 (the
+    cross-engine float rule all similarity rows follow).
+
+    Output: ``(anchor_id, negative_id, anchor_label, negative_label,
+    sim, rn)`` with ``rn`` 1-based by descending similarity, id
+    ascending on ties.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("_aid"),
+        F.col(label_col).alias("anchor_label"),
+        _as_double(F.col(vec_col)).alias("_avec"),
+    )
+    d = data.select(
+        F.col(id_col).alias("_did"),
+        F.col(label_col).alias("negative_label"),
+        _as_double(F.col(vec_col)).alias("_dvec"),
+    )
+    sim = cosine_similarity(F.col("_dvec"), F.col("_avec"))
+    w = W.partitionBy("_aid").orderBy(F.desc("sim"), F.asc("_did"))
+    return (
+        d.crossJoin(F.broadcast(a))
+        .filter(
+            (F.col("negative_label") != F.col("anchor_label"))
+            & (F.col("_did") != F.col("_aid"))
+        )
+        .select(
+            "_aid",
+            "_did",
+            "anchor_label",
+            "negative_label",
+            F.round(sim, 4).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("_aid").alias("anchor_id"),
+            F.col("_did").alias("negative_id"),
+            "anchor_label",
+            "negative_label",
+            "sim",
+            "rn",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -336,3 +336,45 @@ def bpe_token_count(
             F.lit(0),
         ).alias("n_bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML stripping
+# ---------------------------------------------------------------------------
+
+#: entity → replacement, applied in THIS order: specific entities first,
+#: ``&amp;`` LAST (so ``&amp;lt;`` decodes to the literal ``&lt;`` text,
+#: not a second-round ``<`` — the standard single-pass decode rule).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html_col(text: Column) -> Column:
+    """Visible text of an HTML fragment: tags dropped, the six common
+    entities decoded, whitespace collapsed, ends trimmed.
+
+    Web-crawl curation runs this on every document before any quality or
+    dedup stage — markup inflates token counts, pollutes shingles, and
+    leaks boilerplate into n-gram statistics. Pure JVM regex/replace
+    chain (one narrow pass, codegen'd, no UDF); every pattern is
+    RE2-compatible so an ANSI oracle reproduces it verbatim
+    (``regexp_replace(..., 'g')`` in DuckDB — Spark replaces all
+    occurrences by default).
+
+    Tag removal is the pragmatic ``<[^>]*>`` rule (any angle-bracket run
+    with no ``>`` inside) — it does not attempt full HTML5 parsing
+    (CDATA, comments spanning ``>``, script bodies); crawl extractors
+    that need DOM fidelity run a real parser upstream. Tags become a
+    space so ``a<br>b`` keeps its word boundary; the collapse pass then
+    normalizes runs.
+    """
+    out = F.regexp_replace(text, r"<[^>]*>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -612,6 +612,8 @@ def hits_fixedpoint(
     citation layout is the canonical input); lineage is checkpointed
     per round, CC-style.
     """
+    if iters < 1:
+        raise ValueError("hits_fixedpoint: iters must be >= 1")
     e = edges.select(SOURCE_ID, TARGET_ID).distinct()
     hubs = (
         e.select(F.col(SOURCE_ID).alias(NODE_ID))

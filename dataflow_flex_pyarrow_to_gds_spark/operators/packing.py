@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _bucket_case(order: Column, bounds: list) -> Column:
+def bucket_case(order: Column, bounds: list) -> Column:
     """Contiguous-range bucket id via one chained CASE (codegen-friendly;
     an ``aggregate``/``filter`` HOF over a boundary array would run
     interpreted per row — the measured trap ARCHITECTURE.md documents
@@ -48,6 +48,61 @@ def _bucket_case(order: Column, bounds: list) -> Column:
     for i, b in enumerate(bounds[1:], start=1):
         case = case.when(order <= F.lit(b), F.lit(i))
     return case.otherwise(F.lit(len(bounds)))
+
+
+def range_bucketed(
+    df: DataFrame,
+    order: Column,
+    *,
+    n_buckets: int,
+    bucket_col: str = "_pb",
+) -> DataFrame:
+    """Tag each row with its contiguous-range bucket id over ``order``:
+    one ``percentile_approx`` sketch pass collects ≤ ``n_buckets - 1``
+    boundary literals (deduped — repeated boundaries only make empty
+    buckets), then one chained CASE assigns buckets. Boundary quality
+    skews bucket BALANCE only, never which order positions exist —
+    ranges stay contiguous in the order key and ties land in one bucket
+    via the ``<=`` rule. EAGER: runs the sketch at call time.
+
+    The shared scaffold behind :func:`global_prefix_sum`,
+    :func:`~.sampling.training_order`, and any other
+    distributed-scan operator (promoted from their inline copies,
+    ADVICE r08 — one implementation, no drift).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        df.select(
+            F.percentile_approx(order, qs, 10_000).alias("b")
+        ).first()["b"]
+        if n_buckets > 1
+        else []
+    )
+    uniq: list = []
+    for b in bounds or []:
+        if not uniq or b != uniq[-1]:
+            uniq.append(b)
+    return df.withColumn(bucket_col, bucket_case(order, uniq))
+
+
+def bucket_offsets(
+    bucketed: DataFrame,
+    value: Column,
+    *,
+    bucket_col: str = "_pb",
+    out_col: str = "_off",
+) -> DataFrame:
+    """``(bucket_col, out_col)`` — exclusive prefix over buckets of the
+    per-bucket Σ``value``: a partially-aggregated groupBy down to
+    ≤ ``n_buckets`` rows, then the ONE place a global window is right
+    (driver-scale input). Broadcast-join the result back onto the
+    bucketed rows."""
+    sums = bucketed.groupBy(bucket_col).agg(F.sum(value).alias("_bs"))
+    w_off = W.orderBy(bucket_col).rowsBetween(W.unboundedPreceding, -1)
+    return sums.select(
+        bucket_col,
+        F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias(out_col),
+    )
 
 
 def global_prefix_sum(
@@ -75,28 +130,8 @@ def global_prefix_sum(
     — any assignment of contiguous ranges yields the same prefix sum.
     """
     order = F.col(order_col)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = (
-        df.select(
-            F.percentile_approx(order, qs, 10_000).alias("b")
-        ).first()["b"]
-        if n_buckets > 1
-        else []
-    )
-    # deduplicate: repeated boundaries only produce empty buckets, but
-    # dropping them keeps the CASE chain minimal
-    uniq: list = []
-    for b in bounds or []:
-        if not uniq or b != uniq[-1]:
-            uniq.append(b)
-    bucketed = df.withColumn("_pb", _bucket_case(order, uniq))
-    sums = bucketed.groupBy("_pb").agg(F.sum(value_col).alias("_bs"))
-    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
-    # driver-scale window: ≤ n_buckets rows, the one place a global
-    # window is the right tool
-    offsets = sums.select(
-        "_pb", F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_off")
-    )
+    bucketed = range_bucketed(df, order, n_buckets=n_buckets)
+    offsets = bucket_offsets(bucketed, F.col(value_col))
     w_local = (
         W.partitionBy("_pb")
         .orderBy(order)

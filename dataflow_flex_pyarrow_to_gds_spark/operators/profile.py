@@ -79,8 +79,10 @@ def contract_violations(
     string interpolation, arbitrary rule names are safe.
 
     ``violation_ppm`` is integer parts-per-million (``(n_violations *
-    1_000_000) div n_rows``) — exact int64 arithmetic, no float ratio,
-    so the result hash-matches any ANSI engine bit-for-bit.
+    1_000_000) div n_rows``) — exact integer arithmetic (the product is
+    widened through DECIMAL(25,0) so even >9.2e12 violations cannot
+    wrap int64), no float ratio, so the result hash-matches any ANSI
+    engine bit-for-bit.
     """
     if not rules:
         raise ValueError("contract_violations: rules must be non-empty")
@@ -107,9 +109,13 @@ def contract_violations(
             "rule",
             "n_rows",
             "n_violations",
+            # DECIMAL(25,0) headroom before the ×1e6 (ADVICE r08):
+            # int64 n_violations above ~9.2e12 would otherwise wrap
+            # under non-ANSI Spark — same pattern as _l1_normalize_fp.
             F.expr(
                 "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE n_violations * 1000000 div n_rows END"
+                "ELSE CAST(CAST(n_violations AS DECIMAL(25,0)) "
+                "* 1000000 div n_rows AS BIGINT) END"
             ).alias("violation_ppm"),
         )
     )

@@ -442,31 +442,14 @@ def training_order(
     add broadcast per-bucket offsets. One corpus shuffle on the 8-byte
     bucket key, one ≤ ``n_buckets``-row driver window.
     """
-    from .packing import _bucket_case
+    from .packing import bucket_offsets, range_bucketed
 
     h = portable_hash64_col(
         F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
     )
     d = df.withColumn("_h", h)
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = (
-        d.select(F.percentile_approx("_h", qs, 10_000).alias("b")).first()[
-            "b"
-        ]
-        if n_buckets > 1
-        else []
-    )
-    uniq: list = []
-    for b in bounds or []:
-        if not uniq or b != uniq[-1]:
-            uniq.append(b)
-    bucketed = d.withColumn("_pb", _bucket_case(F.col("_h"), uniq))
-    counts = bucketed.groupBy("_pb").agg(F.count(F.lit(1)).alias("_bc"))
-    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
-    # ≤ n_buckets rows — the one place a global window is right
-    offsets = counts.select(
-        "_pb", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
-    )
+    bucketed = range_bucketed(d, F.col("_h"), n_buckets=n_buckets)
+    offsets = bucket_offsets(bucketed, F.lit(1))
     w_local = W.partitionBy("_pb").orderBy(F.col("_h"), F.col(id_col))
     return (
         bucketed.join(F.broadcast(offsets), "_pb")

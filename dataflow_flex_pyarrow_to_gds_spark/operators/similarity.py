@@ -119,6 +119,15 @@ def hard_negatives(
     Output: ``(anchor_id, negative_id, anchor_label, negative_label,
     sim, rn)`` with ``rn`` 1-based by descending similarity, id
     ascending on ties.
+
+    NULL labels are EXCLUDED by design (ADVICE r08, made explicit):
+    a NULL-labeled corpus row cannot be proven a different-label
+    negative (it might be an unlabeled positive — mining it would
+    poison the contrastive loss), and a NULL-labeled anchor has no
+    label to differ from, so it yields zero rows. The standard
+    ``!=`` filter gives exactly that semantics (NULL comparison →
+    NULL → dropped); label your anchors/corpus upstream if unlabeled
+    rows should participate.
     """
     a = anchors.select(
         F.col(id_col).alias("_aid"),

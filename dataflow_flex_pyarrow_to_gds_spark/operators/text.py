@@ -355,6 +355,46 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
 )
 
 
+def seed_synthetic_markup(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "html"
+) -> DataFrame:
+    """Deterministically wrap a plain-text corpus in HTML markup — the
+    fixture generator behind the strip-html catalog row (the driver's
+    testdata is read-only and markup-free, so the seeding happens
+    in-query and the oracle mirrors it verbatim in SQL — the
+    ``seed_synthetic_pii`` precedent, pii.py).
+
+    Per row (id arithmetic, no randomness): every document gains a
+    ``<div id=...><p>...</p></div>`` wrapper; ``id % 3`` rotates through
+    the six entities :data:`HTML_ENTITIES` decodes (including the
+    ``&amp;`` double-escape case the single-pass order exists for);
+    ``id % 4 == 0`` gains a ``<script>`` block whose tags strip but
+    whose body survives (the documented non-goal of the regex rule),
+    everyone else a ``<br/>`` word boundary.
+    """
+    i = F.col(id_col)
+    entity = (
+        F.when(i % 3 == 0, F.lit(" Tom &amp; Jerry &amp;lt;3"))
+        .when(i % 3 == 1, F.lit(" 5 &gt; 4 &quot;quoted&quot;"))
+        .otherwise(F.lit(" it&#39;s&nbsp;here"))
+    )
+    block = F.when(
+        i % 4 == 0, F.lit("<script>var x = 1;</script>")
+    ).otherwise(F.lit("<br/>"))
+    return df.withColumn(
+        out_col,
+        F.concat(
+            F.lit('<div id="'),
+            i.cast("string"),
+            F.lit("\" class='doc'><p>"),
+            F.col(text_col),
+            entity,
+            block,
+            F.lit("</p></div>"),
+        ),
+    )
+
+
 def strip_html_col(text: Column) -> Column:
     """Visible text of an HTML fragment: tags dropped, the six common
     entities decoded, whitespace collapsed, ends trimmed.

@@ -369,6 +369,49 @@ _GRAPH_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
 # identical oracle by construction (the layout changes the plan only)
 _GRAPH_ORACLES["graph_pagerank_bucketed"] = _pagerank_oracle_sql()
 
+
+def _hits_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """DuckDB twin of operators.graph_algo.hits_fixedpoint over the
+    namespaced customer→order edges: the same fixed number of
+    hub/authority half-iterations unrolled as CTEs, the same integer
+    L1 normalization (``(raw · scale) // Σ raw`` — HUGEINT carries the
+    DECIMAL(38) headroom the Spark side uses), so every score_fp
+    hash-matches bit-for-bit (the pagerank_fixedpoint contract)."""
+    txt = f"""
+        WITH e AS (SELECT DISTINCT o_custkey AS s,
+                          o_orderkey + 1000000000 AS t
+                   FROM orders),
+        h0 AS (SELECT DISTINCT s AS id, CAST({scale} AS HUGEINT) AS r
+               FROM e)"""
+    prev = "h0"
+    for i in range(1, iters + 1):
+        txt += f""",
+        ar{i} AS (
+            SELECT e.t AS id, CAST(sum(h.r) AS HUGEINT) AS raw
+            FROM e JOIN {prev} h ON h.id = e.s GROUP BY e.t),
+        a{i} AS (
+            SELECT id, (raw * {scale})
+                       // (SELECT CAST(sum(raw) AS HUGEINT) FROM ar{i}) AS r
+            FROM ar{i}),
+        hr{i} AS (
+            SELECT e.s AS id, CAST(sum(a.r) AS HUGEINT) AS raw
+            FROM e JOIN a{i} a ON a.id = e.t GROUP BY e.s),
+        h{i} AS (
+            SELECT id, (raw * {scale})
+                       // (SELECT CAST(sum(raw) AS HUGEINT) FROM hr{i}) AS r
+            FROM hr{i})"""
+        prev = f"h{i}"
+    txt += f"""
+        SELECT id AS nodeId, 'hub' AS kind, CAST(r AS BIGINT) AS score_fp
+        FROM h{iters}
+        UNION ALL
+        SELECT id AS nodeId, 'authority' AS kind, CAST(r AS BIGINT) AS score_fp
+        FROM a{iters}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_hits"] = _hits_oracle_sql()
+
 # Resource-Allocation link prediction over the part/order incidence:
 # integer micro-unit weights (1e6 div deg) so the score is hash-exact
 # across engines; the (ra, cn, a, b) sort is a total order so the
@@ -3824,7 +3867,138 @@ def _extension_oracles() -> dict[str, str]:
         )
         + f" ELSE {len(_cb) - 1} END"
     )
+    cos_da = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="a.embedding::DOUBLE[]")
     return {
+        # ONE aggregation pass, unpivoted per rule — COALESCE(pred, TRUE)
+        # mirrors the operator's NULL-is-a-violation rule; ppm is exact
+        # integer floor division (HUGEINT sums // count)
+        "stats_contract_violations": """
+            WITH agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN COALESCE(o_totalprice <= 0, TRUE)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                       CAST(sum(CASE WHEN o_custkey IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                       CAST(sum(CASE WHEN COALESCE(
+                                         o_orderstatus NOT IN ('O','F','P'),
+                                         TRUE)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                       CAST(sum(CASE WHEN COALESCE(
+                                         NOT regexp_matches(o_orderpriority,
+                                                            '^[1-5]-'),
+                                         TRUE)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                       CAST(sum(CASE WHEN COALESCE(
+                                         o_orderdate <
+                                           TIMESTAMP '1995-01-01 00:00:00',
+                                         TRUE)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS v4
+                FROM orders
+            )
+            SELECT 'nonpositive_price' AS rule, n AS n_rows,
+                   v0 AS n_violations,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE (v0 * 1000000) // n END AS BIGINT)
+                     AS violation_ppm
+            FROM agg
+            UNION ALL
+            SELECT 'null_custkey', n, v1,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE (v1 * 1000000) // n END AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT 'unknown_status', n, v2,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE (v2 * 1000000) // n END AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT 'bad_priority', n, v3,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE (v3 * 1000000) // n END AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT 'pre_epoch_date', n, v4,
+                   CAST(CASE WHEN n = 0 THEN 0
+                             ELSE (v4 * 1000000) // n END AS BIGINT)
+            FROM agg
+        """,
+        # the single-task global window the distributed operator refuses
+        # to run — identical permutation by construction (same salted
+        # portable hash, same (hash, id) total order)
+        "sample_training_order": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       {_hash_sql_of("CAST(doc_id AS VARCHAR) || '#1'")} AS hh
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT)
+                     AS position
+            FROM h
+        """,
+        # exhaustive ranked different-label pairs; NULL labels drop on
+        # both sides exactly as the operator's != filter does
+        "similarity_hard_negatives": f"""
+            WITH pairs AS (
+                SELECT a.vec_id AS anchor_id, d.vec_id AS negative_id,
+                       a.label AS anchor_label, d.label AS negative_label,
+                       round({cos_da}, 4) AS sim
+                FROM embeddings d
+                CROSS JOIN (SELECT * FROM embeddings
+                            WHERE vec_id % 50 = 0) a
+                WHERE d.label <> a.label AND d.vec_id <> a.vec_id
+            )
+            SELECT anchor_id, negative_id, anchor_label, negative_label,
+                   sim, rn
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY anchor_id
+                    ORDER BY sim DESC, negative_id ASC) AS rn
+                FROM pairs
+            ) WHERE rn <= 5
+        """,
+        # seeding mirrored verbatim; replace chain applied in the SAME
+        # single-pass entity order (&amp; outermost/last)
+        "text_strip_html": """
+            WITH marked AS (
+                SELECT doc_id,
+                       '<div id="' || CAST(doc_id AS VARCHAR)
+                       || '" class=''doc''><p>' || text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' Tom &amp; Jerry &amp;lt;3'
+                               WHEN doc_id % 3 = 1
+                               THEN ' 5 &gt; 4 &quot;quoted&quot;'
+                               ELSE ' it&#39;s&nbsp;here' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '<script>var x = 1;</script>'
+                               ELSE '<br/>' END
+                       || '</p></div>' AS html
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS text_clean
+            FROM marked
+        """,
+        # plain-table twin of the partitioned-layout join: the hive
+        # layout changes the PLAN (DPP partition skip), never the answer
+        "layout_dpp_revenue": """
+            WITH dim AS (
+                SELECT DISTINCT month(o_orderdate) AS o_month FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1996-08-01 00:00:00'
+            )
+            SELECT month(o_orderdate) AS o_month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders JOIN dim ON month(o_orderdate) = dim.o_month
+            GROUP BY 1
+        """,
         # hashed-bucket linear classifier: md5-derived portable token
         # hash (the simhash convention) → pmod 64 → seeded integer-LCG
         # micro-unit weight, summed exactly; bias -0.05 = -50000 micro.
@@ -5178,8 +5352,177 @@ def _extension_oracles() -> dict[str, str]:
 #: from CORRECTNESS_r04/r05/r06.json and whose code is untouched since —
 #: safe to place beyond the driver's 50-entry correctness window; the
 #: union of per-round green rows still covers the whole catalog.
+# ---------------------------------------------------------------------------
+# round 9: catalog wiring for the six round-8 operators (VERDICT r8 #1)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (3 half-iterations, 10¹² micro-units) over
+    the namespaced customer→order graph — integer L1-normalized
+    fixed-point arithmetic end to end (decimal-headroom products, floor
+    division), so the scores are BIT-EXACT against the oracle's
+    unrolled CTEs, the pagerank_fixedpoint contract. Per half-iteration
+    ONE edge join of the skinny 8-byte score table + one partial-agg
+    groupBy + a 1-row broadcast total; lineage checkpointed per round."""
+    from .operators.graph_algo import hits_fixedpoint
+
+    edges = _orders_edges(spark, sf_dir).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+    )
+    return hits_fixedpoint(edges, iters=3)
+
+
+def q_stats_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract admission gate on orders: five rules (sign, null,
+    enum, format, date-range) counted in ONE partially-aggregated pass —
+    no shuffle beyond the 1-row final agg, per-rule rows unpivoted
+    driver-light via typed F.inline, violation rate as exact integer
+    ppm (DECIMAL-headroom product, hash-exact on any ANSI engine). A
+    NULL predicate counts as a violation (a row the check cannot even
+    evaluate has not met the contract) — mirrored by COALESCE(...,
+    TRUE) in the oracle."""
+    from .operators.profile import contract_violations
+
+    rules = [
+        ("nonpositive_price", F.col("o_totalprice") <= 0),
+        ("null_custkey", F.col("o_custkey").isNull()),
+        ("unknown_status", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("bad_priority", ~F.col("o_orderpriority").rlike("^[1-5]-")),
+        (
+            "pre_epoch_date",
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"),
+        ),
+    ]
+    return contract_violations(_t(spark, sf_dir, "orders"), rules)
+
+
+def q_sample_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (seed 1) over documents:
+    position = rank in the corpus-wide permutation given by the
+    seed-salted portable hash (ties broken on doc_id — a total order
+    any ANSI engine re-derives row-for-row, unlike a Rand() shuffle).
+    Never a single-task global window: the shared range-bucket scaffold
+    (percentile_approx boundaries → per-bucket parallel row_number →
+    broadcast bucket offsets) gives the same numbers with ONE corpus
+    shuffle on the 8-byte bucket key; the oracle IS the single-window
+    row_number the operator refuses to run at scale."""
+    from .operators.sampling import training_order
+
+    return training_order(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        seed=1,
+        n_buckets=8,
+    )
+
+
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each of the
+    ~2 % sampled anchors (vec_id % 50 == 0, broadcast), the 5 corpus
+    vectors most cosine-similar to it with a DIFFERENT label — the
+    label filter runs BEFORE the per-anchor top-k window so positives
+    never occupy negative slots; the corpus is never broadcast and
+    never shuffled until the windowed top-k. Oracle: exhaustive ranked
+    pairs with (sim DESC, id ASC) tie-breaks."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        k=5,
+    )
+
+
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML stripping on a deterministically seeded markup corpus (the
+    seed_synthetic_pii precedent — testdata is read-only and
+    markup-free, so seed_synthetic_markup wraps each document in
+    id-keyed tags/entities in-query and the oracle mirrors the seeding
+    verbatim): tags → space, the six entities decoded in single-pass
+    order (&amp; last), whitespace collapsed. Pure JVM regex/replace
+    chain, one narrow codegen pass, RE2-safe so the DuckDB twin is
+    regexp_replace(..., 'g') verbatim."""
+    from .operators.text import seed_synthetic_markup, strip_html_col
+
+    seeded = seed_synthetic_markup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return seeded.select(
+        "doc_id", strip_html_col(F.col("html")).alias("text_clean")
+    )
+
+
+#: Session memo of written month-partitioned orders tables (one per
+#: sf_dir) — write-once/read-many, the bucketed-edges pattern.
+_PARTITIONED_ORDERS_MEMO: set[str] = set()
+
+
+def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue through a hive-PARTITIONED fact layout with
+    dynamic partition pruning: orders are written ONCE per session
+    partitioned on o_month (write_partitioned_table — repartition by
+    the partition column first, no tasks×partitions small files), then
+    joined against a runtime-filtered dimension (the distinct months of
+    a 5-month o_orderdate slice). The month set is only knowable at
+    runtime — month(o_orderdate) membership cannot be statically
+    inferred from the date range — so Catalyst inserts a
+    dynamicpruningexpression into the fact scan's PartitionFilters and
+    skips 7 of 12 partition directories at execution (plan-audited;
+    at 100 TB this is scanning 5/12ths of the fact table instead of
+    all of it). Revenue sums ride DECIMAL(18,6) — exact in both
+    engines, rounded before the double cast."""
+    from .operators.layout import write_partitioned_table
+
+    table = "orders_by_month_" + re.sub(
+        r"[^0-9a-zA-Z]+", "_", sf_dir
+    ).strip("_")
+    if table not in _PARTITIONED_ORDERS_MEMO or not spark.catalog.tableExists(
+        table
+    ):
+        orders = _t(spark, sf_dir, "orders").withColumn(
+            "o_month", F.month("o_orderdate")
+        )
+        write_partitioned_table(spark, orders, table, "o_month")
+        _PARTITIONED_ORDERS_MEMO.add(table)
+    fact = spark.table(table)
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-08-01").cast("timestamp"))
+        )
+        .select(F.month("o_orderdate").alias("o_month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # r8-green (CORRECTNESS_r08.json), displaced from the window by
+        # the round-9 queries; implementation unchanged in r9
+        "window_top_orders",
+        "window_distribution",
+        "unpivot_orders",
+        "percentile_prices",
+        "exists_big_customers",
+        "running_revenue",
+        "text_token_frequencies",
         # r6-green (CORRECTNESS_r06.json), displaced from the window by
         # the round-7 queries; implementation unchanged in r7
         "q4_order_priority",
@@ -5283,12 +5626,24 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in round 9: the six round-8 operators, wired (VERDICT
+        # -- r8 #1) — fresh queries, no prior driver row ----------------
+        "graph_hits": q_graph_hits,
+        "stats_contract_violations": q_stats_contract_violations,
+        "sample_training_order": q_sample_training_order,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
+        "text_strip_html": q_text_strip_html,
+        "layout_dpp_revenue": q_layout_dpp_revenue,
+        # -- implementations touched in round 9: the shared range-bucket
+        # -- scaffold (packing.range_bucketed/bucket_offsets) now backs
+        # -- the prefix-sum family --------------------------------------
+        "sample_shard_assignment": q_sample_shard_assignment,
+        "sequence_packing": q_sequence_packing,
         # -- new in round 7: fresh queries, no prior driver row ----------
         "text_quality_classifier": q_text_quality_classifier,
         "sample_cluster_balance": q_sample_cluster_balance,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_label_propagation": q_graph_label_propagation,
-        "sample_shard_assignment": q_sample_shard_assignment,
         "dedup_minhash_banded": q_dedup_minhash_banded,
         "curation_corpus_diff": q_curation_corpus_diff,
         "embedding_random_projection": q_embedding_random_projection,
@@ -5395,7 +5750,6 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_redact": q_text_pii_redact,
         "text_contamination": q_text_contamination,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "sequence_packing": q_sequence_packing,
         "sample_token_budget": q_sample_token_budget,
         "sample_mixture_weights": q_sample_mixture_weights,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,

@@ -613,6 +613,66 @@ CHECKS: list[tuple[str, str, object]] = [
         )
         and len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1,
     ),
+    # ---- round 9: the six newly wired operators ----------------------
+    (
+        "layout_dpp_revenue",
+        "partitioned fact scan carries a dynamicpruningexpression in "
+        "PartitionFilters — the runtime month set prunes directories "
+        "no static predicate could (the module's headline claim, "
+        "asserted per VERDICT r8 #2)",
+        lambda p: re.search(
+            r"PartitionFilters: \[[^\]]*dynamicpruningexpression", p
+        ),
+    ),
+    (
+        "stats_contract_violations",
+        "admission gate: all rules ride ONE parquet scan with map-side "
+        "partial aggregation below the single 1-row exchange",
+        lambda p: p.count("ReadSchema:") == 1
+        and len(re.findall(r"\(\d+\) Exchange", p)) == 1
+        and re.search(r"Exchange \(\d+\)\s*\n\s*\+- HashAggregate", p),
+    ),
+    (
+        "text_strip_html",
+        "strip-html is one narrow zero-shuffle JVM pass: no Exchange, "
+        "no Python eval, scan pruned to (doc_id, text)",
+        lambda p: "Exchange" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and all(
+            "doc_id:bigint,text:string" in m
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        ),
+    ),
+    (
+        "sample_training_order",
+        "training order: the corpus ranks in parallel per-bucket windows "
+        "behind ONE bucket-key exchange (never a single global window "
+        "over the corpus)",
+        lambda p: "hashpartitioning(_pb" in p,
+    ),
+    (
+        "similarity_hard_negatives",
+        "the anchor batch broadcasts; the corpus is NEVER broadcast "
+        "(exactly one BroadcastExchange in the whole plan)",
+        lambda p: len(re.findall(r"\(\d+\) BroadcastExchange", p)) == 1,
+    ),
+    (
+        "@hits_iter",
+        "HITS half-iteration: skinny score joins partial-aggregate "
+        "before the 1-row totals; every nested-loop join is a 1-row "
+        "broadcast normalization (Cross BuildRight), no cartesian "
+        "product (the un-checkpointed union lineage repeats the auth "
+        "subtree, so the BNLJ count is >= 2, not == 2)",
+        lambda p: "CartesianProduct" not in p
+        and len(re.findall(r"BroadcastNestedLoopJoin Cross BuildRight", p))
+        >= 2
+        and all(
+            "Cross BuildRight" in ln
+            for ln in p.splitlines()
+            if "BroadcastNestedLoopJoin" in ln and "+-" in ln
+        ),
+    ),
 ]
 
 
@@ -743,9 +803,29 @@ def _lpa_iter(spark, sf: str):
     )
 
 
+def _hits_iter(spark, sf: str):
+    """One un-checkpointed HITS iteration over the catalog's namespaced
+    customer→order graph (the catalog query checkpoints per round,
+    which explains as an opaque RDD scan — this rebuilds the iteration
+    with checkpoint=False so the join/normalize body is visible)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        hits_fixedpoint,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _orders_edges
+
+    edges = _orders_edges(spark, sf).select(
+        "sourceNodeId",
+        (F.col("targetNodeId") + F.lit(1_000_000_000)).alias("targetNodeId"),
+    )
+    return hits_fixedpoint(edges, iters=1, checkpoint=False)
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
+    "@hits_iter": _hits_iter,
 }
 
 

@@ -395,3 +395,57 @@ def test_label_propagation_canonical_fast_path(spark):
     b = sorted(map(tuple, label_propagation(
         nodes, edges, iters=3, assume_canonical=True).collect()))
     assert a == b
+
+
+def test_hits_matches_integer_recurrence(spark):
+    """hits_fixedpoint must reproduce the exact integer recurrence
+    (L1-normalized half-steps, floor division) — the same contract the
+    DuckDB oracle unrolls as CTEs, replicated here in plain Python."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        hits_fixedpoint,
+    )
+
+    edges = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12), (4, 12)]
+    scale = 10**12
+    srcs = sorted({u for u, _ in edges})
+    tgts = sorted({v for _, v in edges})
+    hubs = {u: scale for u in srcs}
+    auth: dict = {}
+    for _ in range(3):
+        raw_a = {
+            v: sum(hubs[u] for u, vv in edges if vv == v) for v in tgts
+        }
+        tot_a = sum(raw_a.values())
+        auth = {v: raw_a[v] * scale // tot_a for v in tgts}
+        raw_h = {
+            u: sum(auth[v] for uu, v in edges if uu == u) for u in srcs
+        }
+        tot_h = sum(raw_h.values())
+        hubs = {u: raw_h[u] * scale // tot_h for u in srcs}
+    df = spark.createDataFrame(
+        edges, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        (r["nodeId"], r["kind"]): r["score_fp"]
+        for r in hits_fixedpoint(df, iters=3).collect()
+    }
+    assert got == {
+        **{(u, "hub"): hubs[u] for u in srcs},
+        **{(v, "authority"): auth[v] for v in tgts},
+    }
+
+
+def test_hits_rejects_zero_iterations(spark):
+    """iters=0 would leave auth undefined — the contract is iters >= 1
+    (ADVICE r08)."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        hits_fixedpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2)], "sourceNodeId long, targetNodeId long"
+    )
+    with _pytest.raises(ValueError, match="iters"):
+        hits_fixedpoint(df, iters=0)

@@ -76,3 +76,43 @@ def test_random_projection_linearity_and_determinism(spark):
         ).collect()
     }
     assert reseeded[1] != rows[1]
+
+
+def test_contract_violations_counts_ppm_and_null_rule(spark):
+    """Known violation counts, exact integer ppm, and the
+    NULL-predicate-is-a-violation rule (a row the check cannot
+    evaluate has not met the contract)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        contract_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, None),
+            (3, 0.0, "B"),
+            (4, 2.0, "C"),
+        ],
+        "id long, price double, status string",
+    )
+    out = {
+        r["rule"]: r
+        for r in contract_violations(
+            df,
+            [
+                ("nonpositive_price", F.col("price") <= 0),
+                # NULL status -> NULL predicate -> counts as violation
+                ("status_len_gate", F.length("status") > 99),
+            ],
+        ).collect()
+    }
+    assert out["nonpositive_price"]["n_rows"] == 4
+    assert out["nonpositive_price"]["n_violations"] == 2
+    assert out["nonpositive_price"]["violation_ppm"] == 500_000
+    assert out["status_len_gate"]["n_violations"] == 1
+    assert out["status_len_gate"]["violation_ppm"] == 250_000
+    with _pytest.raises(ValueError):
+        contract_violations(df, [])

@@ -276,3 +276,53 @@ def test_banded_sample_rates_and_determinism(spark):
         for r in banded_sample(df, "doc_id", "band", rates).collect()
     }
     assert again == by_band["a"] | by_band["b"]   # pure function of id
+
+
+def test_training_order_permutation_partition_invariance_and_seed(spark):
+    """position is a 0..n-1 permutation, identical under any input
+    partitioning (the distributed scaffold can't leak layout into the
+    order), equal to the single-window reference rank, and re-drawn by
+    the seed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        portable_hash64_col,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        training_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(101)], "doc_id long")
+    a = {
+        r["doc_id"]: r["position"]
+        for r in training_order(df, "doc_id", seed=3, n_buckets=4).collect()
+    }
+    assert sorted(a.values()) == list(range(101))
+    b = {
+        r["doc_id"]: r["position"]
+        for r in training_order(
+            df.repartition(7), "doc_id", seed=3, n_buckets=4
+        ).collect()
+    }
+    assert a == b
+    # single-window reference (the oracle shape): same total order
+    h = portable_hash64_col(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#3"))
+    )
+    ref = {
+        r["doc_id"]: r["rn"] - 1
+        for r in df.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(h.asc(), F.col("doc_id").asc()))
+            .alias("rn"),
+        ).collect()
+    }
+    assert a == ref
+    reseeded = {
+        r["doc_id"]: r["position"]
+        for r in training_order(df, "doc_id", seed=4, n_buckets=4).collect()
+    }
+    assert reseeded != a
+    assert sorted(reseeded.values()) == list(range(101))

@@ -87,3 +87,68 @@ def test_chunking_udtf_matches_vectorized(spark):
         nbsp, "doc_id", "text", chunk_tokens=2, overlap=0).collect()))
     assert ua == ub
     assert ua[0][2] == 2 and "foo\u00a0bar" in ua[0][3]
+
+
+def test_strip_html_rules(spark):
+    """Tag→space, six entities in single-pass order (&amp; LAST — the
+    double-escape case stays literal text), whitespace collapse, trim,
+    and the documented script-body non-goal."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        strip_html_col,
+    )
+
+    rows = [
+        (1, "<p>a<br>b</p>"),
+        (2, "&amp;lt;x&amp;gt;"),  # decodes ONCE: literal &lt;x&gt;
+        (3, 'A &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e &amp; f'),
+        (4, "<script>var x=1;</script>ok"),
+        (5, "  <div>  spaced   out  </div>  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", strip_html_col(F.col("html")).alias("c")
+        ).collect()
+    }
+    assert got[1] == "a b"
+    assert got[2] == "&lt;x&gt;"
+    assert got[3] == 'A <b> "c" \'d\' e & f'
+    assert got[4] == "var x=1; ok"
+    assert got[5] == "spaced out"
+
+
+def test_seed_synthetic_markup_is_deterministic_and_strips_clean(spark):
+    """The seeded fixture round-trips: markup in, the original text (plus
+    the seeded visible words) out — and the seeding is a pure function
+    of the id."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        seed_synthetic_markup,
+        strip_html_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(12)], "doc_id long, text string"
+    )
+    seeded = seed_synthetic_markup(df, "doc_id", "text")
+    out = {
+        r["doc_id"]: r["c"]
+        for r in seeded.select(
+            "doc_id", strip_html_col(F.col("html")).alias("c")
+        ).collect()
+    }
+    assert out[0] == "doc 0 body Tom & Jerry &lt;3 var x = 1;"
+    assert out[1] == 'doc 1 body 5 > 4 "quoted"'
+    assert out[2] == "doc 2 body it's here"
+    # pure function of the id: a second invocation is identical
+    again = {
+        r["doc_id"]: r["c"]
+        for r in seed_synthetic_markup(df, "doc_id", "text")
+        .select("doc_id", strip_html_col(F.col("html")).alias("c"))
+        .collect()
+    }
+    assert out == again

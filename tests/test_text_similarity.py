@@ -370,3 +370,51 @@ def test_cluster_balanced_sample_contract(spark):
         for r in rs:
             assert r["cost_before"] == acc
             acc += r["n_tokens"]
+
+
+def test_hard_negatives_label_rules_and_ranking(spark):
+    """Same-label and same-id rows never occupy negative slots; NULL
+    labels are excluded on BOTH sides (documented semantics: an
+    unlabeled row can't be proven a negative); ranking is cosine DESC
+    with id ASC tie-breaks."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),  # same label as anchor -> excluded
+            (3, [0.8, 0.2], "b"),
+            (4, [0.0, 1.0], "b"),
+            (5, [0.99, 0.01], None),  # NULL label -> never mined
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = hard_negatives(
+        df,
+        df.filter(F.col("vec_id") == 1),
+        id_col="vec_id",
+        vec_col="embedding",
+        label_col="label",
+        k=2,
+    ).collect()
+    assert [(r["negative_id"], r["rn"]) for r in sorted(out, key=lambda r: r["rn"])] == [
+        (3, 1),
+        (4, 2),
+    ]
+    assert all(r["anchor_id"] == 1 and r["anchor_label"] == "a" for r in out)
+    # NULL-labeled anchor has no label to differ from -> zero rows
+    assert (
+        hard_negatives(
+            df,
+            df.filter(F.col("vec_id") == 5),
+            id_col="vec_id",
+            vec_col="embedding",
+            label_col="label",
+            k=2,
+        ).count()
+        == 0
+    )

@@ -118,6 +118,18 @@ HEADLINE = [
     # split across salt reducers, dim replicated — AQE can't split a
     # single hot KEY finer than its map partition)
     "salted_join_parts",
+    # round 9: the six round-8 operators, wired — HITS fixed-point
+    # (iterative integer joins), DPP through the partitioned layout
+    # (includes the one-time partitioned write; the plan win is the
+    # pruned fact scan), single-pass contract gate, distributed
+    # training-order permutation, broadcast-anchor negative mining,
+    # zero-shuffle HTML stripping
+    "graph_hits",
+    "layout_dpp_revenue",
+    "stats_contract_violations",
+    "sample_training_order",
+    "similarity_hard_negatives",
+    "text_strip_html",
 ]
 
 
@@ -252,17 +264,41 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             isolated[name] = round(best, 3)
 
-    out = {
+    # Full artifact → file; stdout gets ONE compact line. The driver
+    # captures only the last ~2000 chars of stdout, so the r7/r8 lines
+    # (suite + isolated dicts, ~3.5 kB) truncated and recorded
+    # "parsed": null (VERDICT r8 #3). The printed line keeps the
+    # contract fields ({metric, value, unit, queries, sf}) with 2-dp
+    # per-query values and compact separators (~1.9 kB); the isolated
+    # per-query dict and raw trials live in BENCH_FULL.json.
+    full = {
         "metric": "headline_suite_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "trials": {k: [round(t, 3) for t in v] for k, v in trials.items()},
     }
     if isolated:
-        out["queries_isolated"] = isolated
-        out["isolated_total"] = round(sum(isolated.values()), 3)
-    print(json.dumps(out))
+        full["queries_isolated"] = isolated
+        full["isolated_total"] = round(sum(isolated.values()), 3)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": sf,
+    }
+    if isolated:
+        out["isolated_total"] = full["isolated_total"]
+        out["full"] = "BENCH_FULL.json"
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -338,6 +338,126 @@ def bpe_token_count(
     )
 
 
+def _bpe_encode_len(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under canonical greedy BPE: repeatedly
+    merge the LOWEST-rank adjacent symbol pair, all occurrences
+    leftmost-first per round (the GPT-2 encoder loop). Cost scales with
+    word length, never with |ranks|."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        a, b = best
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_token_count_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    merges: list[tuple[str, str]] | None = None,
+    cache_cap: int = 1 << 16,
+) -> DataFrame:
+    """Arrow-batched BPE token counting — the PRODUCTION-vocab path the
+    expression-tree :func:`bpe_token_count` documents as its own bound:
+    that encoder chains 2·|merges| JVM string passes per word (perfect
+    for a demo table, hopeless for a 32k-merge vocab whose plan would
+    hold 64k replace nodes), while this one ships the merge table once
+    per task and runs the canonical rank-dict greedy encode, so
+    per-word cost scales with WORD LENGTH, not vocabulary size.
+
+    Same output contract as :func:`bpe_token_count` — ``(id, n_words,
+    n_bpe_tokens)``, null/empty docs at (0, 0) — and parity-tested
+    against it on the demo merge table (tests/test_text.py). The two
+    agree on training-derived merge tables (each merge's parts exist
+    only via earlier merges, so sequential-replace order and rank-dict
+    order coincide); this path is the canonical semantics.
+
+    Scale shape: ``mapInPandas`` (Arrow batch transfer, never
+    row-at-a-time pickling), input pruned to the two columns before
+    the Python stage, one narrow pass, zero shuffle. A per-task word
+    cache (capped at ``cache_cap`` entries) exploits the Zipf head —
+    the same trick real tokenizers use. Tokenization mirrors
+    ``quality.words_col`` exactly (ASCII ``\\s`` — Java regex ``\\s``
+    is ASCII-only while Python's default is Unicode-aware; the
+    udtf_chunk lesson).
+
+    Crossover (measured sf0.1, local[8], best-of-3, noop sink): the
+    word cache makes this path faster at EVERY table size on a natural
+    corpus — 8 merges 0.76 s expr / 0.36 s arrow, 32 → 1.19 / 0.29,
+    128 → 3.49 / 0.28 (expr cost grows with the replace chain, arrow
+    stays flat); at 512 merges the expression plan did not finish
+    compiling within the bench window. The expression path's remaining
+    role is the oracle-expressible demo (DuckDB chains the identical
+    replaces); production counting belongs here.
+    """
+    if merges is None:
+        merges = BPE_DEMO_MERGES
+    merges_t = [tuple(m) for m in merges]
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        ranks = {m: i for i, m in enumerate(merges_t)}
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_words: list[int] = []
+            n_tokens: list[int] = []
+            for text in pdf[text_col]:
+                if text is None:
+                    n_words.append(0)
+                    n_tokens.append(0)
+                    continue
+                words = [
+                    w
+                    for w in _re.split(
+                        r"\s+", text.lower(), flags=_re.ASCII
+                    )
+                    if w
+                ]
+                tot = 0
+                for w in words:
+                    n = cache.get(w)
+                    if n is None:
+                        n = _bpe_encode_len(w, ranks)
+                        if len(cache) < cache_cap:
+                            cache[w] = n
+                    tot += n
+                n_words.append(len(words))
+                n_tokens.append(tot)
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_bpe_tokens": n_tokens,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"`{id_col}` {id_type}, n_words bigint, n_bpe_tokens bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # HTML stripping
 # ---------------------------------------------------------------------------

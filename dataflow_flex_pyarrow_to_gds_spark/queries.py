@@ -3868,7 +3868,7 @@ def _extension_oracles() -> dict[str, str]:
         + f" ELSE {len(_cb) - 1} END"
     )
     cos_da = _COS_SQL.format(a="d.embedding::DOUBLE[]", b="a.embedding::DOUBLE[]")
-    return {
+    out = {
         # ONE aggregation pass, unpivoted per rule — COALESCE(pred, TRUE)
         # mirrors the operator's NULL-is-a-violation rule; ppm is exact
         # integer floor division (HUGEINT sums // count)
@@ -5342,6 +5342,11 @@ def _extension_oracles() -> dict[str, str]:
             FROM orders
         """,
     }
+    # the Arrow-batched BPE path computes the SAME counts as the
+    # expression-tree encoder (parity-tested on the demo merge table) —
+    # held to the IDENTICAL oracle, so both paths are driver-verified
+    out["text_bpe_encode_arrow"] = out["text_bpe_encode"]
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -5458,6 +5463,21 @@ def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-vocab tokenizer path (VERDICT r8 #5): the same
+    per-document BPE token counts as text_bpe_encode, computed by the
+    Arrow-batched rank-dict encoder (mapInPandas) whose per-word cost
+    scales with word length, not |merges| — the route a 32k-merge
+    trained vocab takes, where the expression tree's 2·|merges| chained
+    replaces stop being a plan. Held to the IDENTICAL oracle as the
+    expression path, so BOTH encoders are driver-verified equal."""
+    from .operators.text import bpe_token_count_arrow
+
+    return bpe_token_count_arrow(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 #: Session memo of written month-partitioned orders tables (one per
 #: sf_dir) — write-once/read-many, the bucketed-edges pattern.
 _PARTITIONED_ORDERS_MEMO: set[str] = set()
@@ -5516,6 +5536,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
         # r8-green (CORRECTNESS_r08.json), displaced from the window by
         # the round-9 queries; implementation unchanged in r9
+        "q19_bracket_revenue",
         "window_top_orders",
         "window_distribution",
         "unpivot_orders",
@@ -5634,6 +5655,7 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "text_strip_html": q_text_strip_html,
         "layout_dpp_revenue": q_layout_dpp_revenue,
+        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
         # -- implementations touched in round 9: the shared range-bucket
         # -- scaffold (packing.range_bucketed/bucket_offsets) now backs
         # -- the prefix-sum family --------------------------------------

@@ -152,3 +152,67 @@ def test_seed_synthetic_markup_is_deterministic_and_strips_clean(spark):
         .collect()
     }
     assert out == again
+
+
+def test_bpe_arrow_parity_with_expression_encoder(spark, sf_dir):
+    """The Arrow-batched rank-dict encoder and the expression-tree
+    replace chain must produce IDENTICAL counts on the demo merge table
+    over the real fixture corpus (the udtf_chunk parity pattern), and
+    agree on null/empty/single-char edge docs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_token_count,
+        bpe_token_count_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count(docs, "doc_id", "text").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count_arrow(docs, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) == docs.count()
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x"), (4, "  the  thin  "), (5, "ththt")],
+        "doc_id long, text string",
+    )
+    ea = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count(edge, "doc_id", "text").collect()
+    }
+    eb = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_count_arrow(edge, "doc_id", "text").collect()
+    }
+    assert ea == eb
+    assert ea[1] == (0, 0) and ea[2] == (0, 0) and ea[3] == (1, 1)
+    # 'the' -> th -> the (1 token); 'thin' -> th,in (2)
+    assert ea[4] == (2, 3)
+
+
+def test_bpe_arrow_scales_with_word_length_not_vocab(spark):
+    """A 512-merge table must not change the Arrow path's answer shape
+    (the expression path would chain 1024 replaces per word — the
+    documented bound this operator exists for)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        bpe_token_count_arrow,
+    )
+
+    big = [("t", "h"), ("th", "e")] + [
+        (chr(97 + i % 26), chr(97 + (i * 7 + 3) % 26)) for i in range(510)
+    ]
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "zzz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count_arrow(
+            df, "doc_id", "text", merges=big
+        ).collect()
+    }
+    assert got[1] == 3  # 'the' fully merges under ranks 0..1
+    assert got[2] >= 1

@@ -4,6 +4,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "=== repo hygiene ==="
+# no git-ignored scratch worktrees inside the repo root (VERDICT r8 #4:
+# a stale .r4wt/ distorted the LoC diagnostic and risked stale copies)
+if [[ -n "$(git worktree list --porcelain | grep -c '^worktree' || true)" ]] \
+   && [[ "$(git worktree list --porcelain | grep -c '^worktree')" -gt 1 ]]; then
+  echo "FAIL: extra git worktrees registered inside the repo:" >&2
+  git worktree list >&2
+  exit 1
+fi
+echo "no scratch worktrees"
+
 echo "=== pytest ==="
 python -m pytest tests/ -q
 

@@ -130,6 +130,19 @@ HEADLINE = [
     "sample_training_order",
     "similarity_hard_negatives",
     "text_strip_html",
+    # round 9 (second batch): multi-source BFS (frontier joins, early
+    # exit), per-node clustering coefficient (oriented wedge join +
+    # 3-corner explode), GraphSAGE-style neighbor sampling
+    # (WindowGroupLimit fan-out cap), broadcast-delta corpus merge,
+    # temperature-scaled (α=0.5) mixture sampling
+    "graph_bfs",
+    "graph_clustering",
+    "graph_sample_neighbors",
+    "curation_apply_delta",
+    "sample_temperature",
+    # round 9 (third batch): Z-order layout (includes the one-time
+    # interleaved write; the win is two-dimensional file skipping)
+    "layout_zorder_revenue",
 ]
 
 

@@ -17,7 +17,7 @@ the node/edge DataFrames:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
@@ -555,6 +555,210 @@ def label_propagation(
         if checkpoint:
             labels = labels.localCheckpoint(eager=True)  # truncate lineage
     return labels
+
+
+def bfs_hop_distance(
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    max_hops: int,
+    directed: bool = False,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """Multi-source BFS: ``(nodeId, hop)`` for every node reachable from
+    ``seeds`` within ``max_hops`` edges, with ``hop`` = the MINIMUM edge
+    count from any seed (seeds themselves at hop 0).
+
+    The k-hop reachability pass graph curation keeps needing — "every
+    page within 3 clicks of the seed whitelist", "all entities ≤2 hops
+    from a trusted node" — and the frontier-expansion skeleton GNN
+    sampling builds on. The reference defers all graph compute to the
+    GDS server; owning the materialization makes this a first-class,
+    oracle-checkable operator (the DuckDB twin is a recursive CTE over
+    the same edge set).
+
+    Scale shape: the textbook frontier loop, which is also the right
+    distributed one — per round ONE equi-join of the current frontier
+    (skinny 8-byte ids) against the adjacency list and one anti-join
+    against the visited set; the adjacency table is fixed once
+    (checkpointed) and only frontier/visited rows — never edge payloads
+    — move per round. Early exit when a frontier drains; lineage is
+    truncated per round (the CC pattern). ``hop`` needs no min-combine:
+    a node is claimed by the FIRST round that reaches it, which is the
+    minimum by construction.
+    """
+    if max_hops < 0:
+        raise ValueError("bfs_hop_distance: max_hops must be >= 0")
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = (
+        adj.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(NODE_ID))
+        .distinct()
+        .select(NODE_ID, F.lit(0).cast("long").alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select(NODE_ID)
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier[NODE_ID] == adj["a"])
+            .select(F.col("b").alias(NODE_ID))
+            .distinct()
+        )
+        fresh = (
+            reached.join(dist, NODE_ID, "left_anti")
+            .select(NODE_ID, F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if fresh.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh.select(NODE_ID)
+    return dist
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    *,
+    k: int,
+    seed: int = 0,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """Deterministic per-node neighbor sampling — the GraphSAGE-style
+    fan-out cap (Hamilton et al. 2017) that turns a power-law graph into
+    a bounded-degree one before neighborhood aggregation: for every
+    source node keep at most ``k`` distinct out-neighbors, chosen by
+    ``(portable_hash(src # dst # seed), dst)`` order.
+
+    Hash-ordered, not random: the sample is a pure function of the edge
+    and the seed, so a re-run, a different partitioning, or another
+    engine re-derives the SAME minibatch neighborhoods (the
+    :func:`~.sampling.stratified_split` contract), and each epoch's
+    ``seed`` re-draws a fresh uniform sample. Output ``(src, dst,
+    sample_rank)`` with ``sample_rank`` 1-based in hash order.
+
+    Scale shape: one shuffle on the source key; the rank-≤-k filter
+    compiles to WindowGroupLimit, so each partition keeps a k-row heap
+    per node — never the full neighbor list — and hub nodes cost
+    O(deg) scan, O(k) state (plan-audited). No global sort, no
+    collect.
+    """
+    if k < 1:
+        raise ValueError("sample_neighbors: k must be >= 1")
+    from .dedup import portable_hash64_col
+
+    e = edges.select(F.col(src), F.col(dst)).distinct()
+    hv = portable_hash64_col(
+        F.concat_ws(
+            "#",
+            F.col(src).cast("string"),
+            F.col(dst).cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    w = Window.partitionBy(src).orderBy(hv.asc(), F.col(dst).asc())
+    return (
+        e.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = SOURCE_ID, dst: str = TARGET_ID
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient of the
+    undirected graph: ``(nodeId, degree, n_triangles, clustering_ppm)``
+    with ``clustering_ppm = (2·10⁶·triangles) div (deg·(deg−1))`` —
+    exact integer parts-per-million (Watts & Strogatz 1998), 0 for
+    degree < 2, so every value hash-matches any ANSI engine (a float
+    ratio could not).
+
+    Triangle discovery reuses :func:`triangle_count`'s degree
+    orientation — each triangle survives the wedge join exactly once as
+    ``(a, b, c)`` — but the closing edge check must be an INNER join
+    here (a semi join would be fine too; inner keeps one plan shape),
+    after which each triangle credits all three corners via one
+    3-element explode. Per-corner counts partial-aggregate before their
+    shuffle; the ppm arithmetic runs in DECIMAL(25,0) headroom (a
+    10⁶-degree hub's deg·(deg−1) alone is 10¹², and ×2·10⁶ would wrap
+    int64 — the :func:`~.profile.contract_violations` lesson).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # degrees + orientation + closing join
+    )
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("_n", "_u").withColumnRenamed("_d", "_du"), "_u")
+        .join(deg.withColumnRenamed("_n", "_v").withColumnRenamed("_d", "_dv"), "_v")
+        .select(
+            F.when(
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))),
+                F.struct(F.col("_u").alias("s"), F.col("_v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("_v").alias("s"), F.col("_u").alias("t")))
+            .alias("_o")
+        )
+        .select(F.col("_o.s").alias("_s"), F.col("_o.t").alias("_t"))
+    )
+    triangles = (
+        ranked.alias("e1")
+        .join(ranked.alias("e2"), F.col("e1._t") == F.col("e2._s"))
+        .select(
+            F.col("e1._s").alias("_a"),
+            F.col("e1._t").alias("_b"),
+            F.col("e2._t").alias("_c"),
+        )
+        .join(
+            ranked.select(F.col("_s").alias("_a"), F.col("_t").alias("_c")),
+            ["_a", "_c"],
+            "left_semi",
+        )
+    )
+    per_node = (
+        triangles.select(
+            F.explode(F.array("_a", "_b", "_c")).alias("_n")
+        )
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_tri"))
+    )
+    return (
+        deg.join(per_node, "_n", "left_outer")
+        .select(
+            F.col("_n").alias(NODE_ID),
+            F.col("_d").cast("long").alias("degree"),
+            F.coalesce(F.col("_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(F.col("_d") < 2, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(CAST(coalesce(_tri, 0) AS DECIMAL(25,0)) * 2000000)"
+                    " div (CAST(_d AS DECIMAL(25,0)) * (_d - 1))"
+                )
+            )
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
 
 
 def _l1_normalize_fp(raw: DataFrame, scale: int) -> DataFrame:

@@ -412,6 +412,79 @@ def banded_sample(
     return df.filter(expr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    budget_docs: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5): downsample each
+    group so the OUTPUT mixture follows ``p(g) ∝ n_g^α`` under a total
+    document budget — the standard multilingual-pretraining rebalance
+    (XLM-R §3.1 shape: raw proportions starve tail languages; a uniform
+    mixture overfits them; temperature interpolates). High-resource
+    groups thin toward the budget, low-resource groups pass (rates cap
+    at 1 — no upsampling/repetition here; compose with epoch logic for
+    that).
+
+    α is fixed at 1/2 because ``sqrt`` is the one power IEEE 754
+    guarantees correctly rounded — ``floor(sqrt(n·10⁶))`` is therefore
+    bit-identical on every engine, keeping the whole rate derivation in
+    exact integers (an arbitrary ``pow(n, α)`` differs in the last ulp
+    across libms and could flip a floor). Weights carry 3 extra decimal
+    digits (the ·10⁶ under the root) so small groups don't quantize to
+    equal weights.
+
+    Per group: ``w_g = floor(sqrt(n_g·10⁶))``, ``target_g =
+    (budget·w_g) div Σw``, ``rate_ppm_g = min(10⁶, (target_g·10⁶) div
+    n_g)``; a row survives iff ``pmod(portable_hash(id # seed), 10⁶) <
+    rate_ppm`` — the :func:`banded_sample` gate, so survival is a pure
+    function of the row and any ANSI engine re-derives it. All
+    products run in DECIMAL(38,0) headroom (budget·w can pass int64).
+
+    Scale shape: ONE map-side-combined groupBy for the counts (group
+    cardinality is tiny — sources/languages), the ≤|groups|-row rate
+    table broadcasts back, and the gate itself is a narrow filter —
+    the corpus never shuffles. Output: the surviving rows' ``(id,
+    group)`` plus the group's ``rate_ppm`` for audit.
+    """
+    if budget_docs < 0:
+        raise ValueError("temperature_sample: budget_docs must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    weighted = counts.select(
+        group_col,
+        "_n",
+        F.floor(F.sqrt(F.col("_n").cast("double") * F.lit(1e6)))
+        .cast("long")
+        .alias("_w"),
+    )
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    rates = weighted.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(10**6).cast("long"),
+            F.expr(
+                f"(CAST(CAST({budget_docs} AS DECIMAL(19,0)) * _w div _tw"
+                f" AS DECIMAL(25,0)) * 1000000) div _n"
+            ).cast("long"),
+        ).alias("rate_ppm"),
+    )
+    gate = F.pmod(
+        portable_hash64_col(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+        ),
+        F.lit(10**6),
+    )
+    return (
+        df.select(id_col, group_col)
+        .join(F.broadcast(rates), group_col)
+        .filter(gate < F.col("rate_ppm"))
+        .select(id_col, group_col, "rate_ppm")
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str,

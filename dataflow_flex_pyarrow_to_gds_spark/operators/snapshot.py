@@ -19,6 +19,60 @@ from pyspark.sql import functions as F
 from .dedup import portable_hash64_col
 
 
+def apply_corpus_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Produce the next corpus version from ``base`` plus a ``delta``
+    table of ``upsert`` / ``delete`` operations — the write side of
+    :func:`corpus_diff` and the MERGE-INTO shape every incremental
+    pipeline needs: yesterday's snapshot + today's changes → today's
+    snapshot, without rewriting rows that didn't change hands.
+
+    ``delta`` carries the base's columns plus ``op_col`` ∈
+    {'upsert', 'delete'}: upserts replace-or-insert their id, deletes
+    drop it. Ids must be unique within the delta (the corpus-key
+    contract; a duplicated delta id would make the result
+    order-dependent — guarded). Unknown op values raise rather than
+    silently passing through.
+
+    Scale shape: the delta is the small side by definition (a day's
+    changes vs a 100-TB corpus), so with ``broadcast_delta`` the
+    delta's id set BROADCASTS into a hash anti-join and the base never
+    shuffles — the whole merge is one narrow pass over the corpus plus
+    a union of the (tiny) upsert set. Set ``broadcast_delta=False``
+    only when the delta itself is shuffle-worthy; then the anti-join
+    keys on 8-byte ids and base text rides exactly one shuffle.
+    """
+    extra = set(delta.columns) - set(base.columns) - {op_col}
+    missing = set(base.columns) - set(delta.columns)
+    if extra or missing or op_col not in delta.columns:
+        raise ValueError(
+            "apply_corpus_delta: delta columns must be base columns + "
+            f"'{op_col}' (extra={sorted(extra)}, missing={sorted(missing)})"
+        )
+    bad_op = delta.filter(~F.col(op_col).isin("upsert", "delete"))
+    if bad_op.limit(1).count() > 0:
+        raise ValueError("apply_corpus_delta: op must be upsert|delete")
+    dup = (
+        delta.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    if dup.limit(1).count() > 0:
+        raise ValueError("apply_corpus_delta: delta ids must be unique")
+    ids = delta.select(id_col).distinct()
+    if broadcast_delta:
+        ids = F.broadcast(ids)
+    kept = base.join(ids, id_col, "left_anti")
+    upserts = delta.filter(F.col(op_col) == "upsert").select(*base.columns)
+    return kept.unionByName(upserts)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

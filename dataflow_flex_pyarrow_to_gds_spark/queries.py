@@ -3755,13 +3755,26 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; edges fixed once and reused (the CC pay-once pattern)."""
     from .operators.graph_algo import label_propagation
 
+    edges = _co_order_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return label_propagation(nodes, edges, iters=3, assume_canonical=True)
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str):
+    """The thinned part co-order graph (parts linked when an order
+    carries ≥ 30 units of both) — shared by the LPA / BFS / clustering
+    rows so their fixtures can't drift."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 30)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    edges = (
+    return (
         li.alias("a")
         .join(
             li.alias("b"),
@@ -3774,12 +3787,301 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = (
-        edges.select(F.col("sourceNodeId").alias("nodeId"))
-        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
-        .distinct()
+
+
+#: DuckDB CTE text for the same thinned co-order graph (canonical u < v).
+_CO_ORDER_SQL = """
+    li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        WHERE l_quantity >= 30
+    ),
+    e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
     )
-    return label_propagation(nodes, edges, iters=3, assume_canonical=True)
+"""
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the thinned part co-order
+    graph, seeded at every size-50 part, 3 hops, undirected. Per round
+    one skinny frontier⋈adjacency equi-join + one visited anti-join,
+    adjacency checkpointed once, early exit on a drained frontier; hop
+    is claimed by the first round that reaches a node, so no
+    min-combine. The oracle is a recursive CTE over the same edges."""
+    from .operators.graph_algo import bfs_hop_distance
+
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("nodeId"))
+    )
+    return bfs_hop_distance(
+        seeds, _co_order_edges(spark, sf_dir), max_hops=3, directed=False
+    )
+
+
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient (exact
+    integer ppm) of the thinned co-order graph — degree-oriented wedge
+    join (each triangle found once, hub out-degrees bounded O(√m)),
+    one 3-corner explode into a partial-aggregated count, DECIMAL
+    headroom on the ppm product. The oracle recounts triangles with the
+    plain id-ordered triple join."""
+    from .operators.graph_algo import local_clustering_coefficient
+
+    return local_clustering_coefficient(_co_order_edges(spark, sf_dir))
+
+
+def q_graph_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic fan-out cap on the customer→order
+    graph: per customer keep ≤ 5 orders in (portable_hash(src#dst#7),
+    dst) order. One source-key shuffle; the rank filter compiles to
+    WindowGroupLimit (k-row heaps, never the full neighbor list); the
+    sample is a pure function of edge+seed, so the oracle re-derives it
+    row-for-row."""
+    from .operators.graph_algo import sample_neighbors
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("sourceNodeId"),
+        F.col("o_orderkey").alias("targetNodeId"),
+    )
+    return sample_neighbors(edges, k=5, seed=7)
+
+
+def q_curation_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO corpus versioning: documents + an in-query delta
+    (docs ≡3 mod 7 re-texted as upserts, ≡5 mod 11 deleted, one new
+    insert per ≡0 mod 97 id) → the next snapshot, fingerprinted for the
+    hash gate. The delta's id set broadcasts into a hash anti-join, so
+    the corpus never shuffles — per-day merge cost ∝ the delta."""
+    from .operators.snapshot import apply_corpus_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = lambda pfx: F.concat(  # noqa: E731
+        F.lit(pfx), F.coalesce(F.col("text"), F.lit(""))
+    )
+    ups = (
+        docs.filter(F.col("doc_id") % 7 == 3)
+        .withColumn("text", text2("v2 "))
+        .withColumn("op", F.lit("upsert"))
+    )
+    ins = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000))
+        .withColumn("text", text2("new "))
+        .withColumn("op", F.lit("upsert"))
+    )
+    dels = docs.filter(
+        (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 7 != 3)
+    ).withColumn("op", F.lit("delete"))
+    delta = ups.unionByName(ins).unionByName(dels)
+    merged = apply_corpus_delta(docs, delta, id_col="doc_id", op_col="op")
+    return merged.select(
+        "doc_id",
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 16).alias(
+            "fp"
+        ),
+        "source",
+    )
+
+
+_ZORDER_LINEITEM_MEMO: set[str] = set()
+
+
+def q_layout_zorder_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket revenue through a Z-ORDERED lineitem layout: the table
+    is rewritten ONCE per session range-partitioned + sorted on the
+    Morton interleave of (l_partkey, l_suppkey) — Delta/Iceberg
+    OPTIMIZE ZORDER semantics — so each parquet file's footer covers a
+    tight min/max rectangle in BOTH dimensions and a range predicate
+    on EITHER skips ~√selectivity of the files (measured in
+    tests/test_layout.py against a single-column-sorted control whose
+    second dimension prunes nothing). The layout changes the file
+    pruning, never the answer — the oracle is the plain-table SQL
+    twin (the layout_dpp_revenue rule)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .operators.layout import write_zorder_table
+
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        "zorder_lineitem_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_"),
+    )
+    if path not in _ZORDER_LINEITEM_MEMO or not _os.path.exists(path):
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        )
+        write_zorder_table(
+            spark, li, path, ["l_partkey", "l_suppkey"], files=8
+        )
+        _ZORDER_LINEITEM_MEMO.add(path)
+    scan = spark.read.parquet(path)
+    return (
+        scan.filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 40))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) language rebalance of the documents
+    corpus under a 300-doc budget: per-language rates ∝ √n_lang,
+    derived in exact integers (floor(sqrt(n·10⁶)) is IEEE-correctly-
+    rounded on every engine), survival gated by the portable id hash.
+    Summarized per language; the oracle mirrors every integer step."""
+    from .operators.sampling import temperature_sample
+
+    kept = temperature_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        budget_docs=300,
+        seed=3,
+    )
+    return (
+        kept.groupBy("lang", "rate_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .select("lang", "rate_ppm", "n_kept")
+    )
+
+
+_GRAPH_ORACLES["graph_bfs"] = f"""
+    WITH RECURSIVE {_CO_ORDER_SQL},
+    e AS (SELECT u AS a, v AS b FROM e0
+          UNION ALL SELECT v AS a, u AS b FROM e0),
+    seeds AS (SELECT DISTINCT p_partkey AS n FROM part WHERE p_size = 50),
+    bfs(n, hop) AS (
+        SELECT n, 0 FROM seeds
+        UNION
+        SELECT e.b, bfs.hop + 1 FROM bfs JOIN e ON e.a = bfs.n
+        WHERE bfs.hop < 3
+    )
+    SELECT n AS "nodeId", CAST(min(hop) AS BIGINT) AS hop
+    FROM bfs GROUP BY 1
+"""
+
+_GRAPH_ORACLES["graph_clustering"] = f"""
+    WITH {_CO_ORDER_SQL},
+    deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0
+        ) GROUP BY 1
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e0 e1
+        JOIN e0 e2 ON e2.u = e1.v
+        JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tr AS (
+        SELECT n, count(*) AS tri FROM (
+            SELECT a AS n FROM t
+            UNION ALL SELECT b AS n FROM t
+            UNION ALL SELECT c AS n FROM t
+        ) GROUP BY 1
+    )
+    SELECT deg.n AS "nodeId",
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tr.tri, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d < 2 THEN 0
+                ELSE (CAST(coalesce(tr.tri, 0) AS HUGEINT) * 2000000)
+                     // (CAST(deg.d AS HUGEINT) * (deg.d - 1)) END
+                AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN tr ON tr.n = deg.n
+"""
+
+_GRAPH_ORACLES["graph_sample_neighbors"] = f"""
+    WITH e AS (
+        SELECT DISTINCT o_custkey AS s, o_orderkey AS t FROM orders
+    ),
+    h AS (
+        SELECT s, t,
+               {_hash_sql_of(
+                   "concat_ws('#', CAST(s AS VARCHAR),"
+                   " CAST(t AS VARCHAR), '7')"
+               )} AS hv
+        FROM e
+    ),
+    r AS (
+        SELECT s, t,
+               row_number() OVER (PARTITION BY s ORDER BY hv, t) AS rk
+        FROM h
+    )
+    SELECT s AS "sourceNodeId", t AS "targetNodeId",
+           CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= 5
+"""
+
+_RELATIONAL_ORACLES["curation_apply_delta"] = """
+    WITH delta_ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 11 = 5 AND doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id + 20000000 FROM documents WHERE doc_id % 97 = 0
+    ),
+    result AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        LEFT JOIN delta_ids i ON i.doc_id = d.doc_id
+        WHERE i.doc_id IS NULL
+        UNION ALL
+        SELECT doc_id, 'v2 ' || coalesce(text, ''), source
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 20000000, 'new ' || coalesce(text, ''), source
+        FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, substr(md5(coalesce(text, '')), 1, 16) AS fp, source
+    FROM result
+"""
+
+_RELATIONAL_ORACLES["layout_zorder_revenue"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_partkey <= 200 AND l_suppkey <= 40
+    GROUP BY 1
+"""
+
+_RELATIONAL_ORACLES["sample_temperature"] = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    w AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT)
+                 AS w
+        FROM c
+    ),
+    tw AS (SELECT sum(w) AS tw FROM w),
+    r AS (
+        SELECT lang, n,
+               least(1000000,
+                     ((CAST(300 AS HUGEINT) * w // tw) * 1000000) // n)
+                 AS rate_ppm
+        FROM w, tw
+    ),
+    k AS (
+        SELECT d.lang, r.rate_ppm FROM documents d
+        JOIN r ON r.lang = d.lang
+        WHERE ((({_hash_sql_of("CAST(doc_id AS VARCHAR) || '#3'")})
+                % 1000000) + 1000000) % 1000000 < r.rate_ppm
+    )
+    SELECT lang, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM k GROUP BY 1, 2
+"""
 
 
 #: VALUES rows for the text_bm25_join oracle — derived from
@@ -5567,6 +5869,14 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "text_quality_gopher",
         "sample_stratified_split",
         "set_ops_nations",
+        # r8-green (CORRECTNESS_r08.json), displaced past the window by
+        # the round-9 second batch; implementation unchanged since r8
+        "scalar_functions",
+        "date_functions",
+        "q11_important_stock",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
         "agg_distinct_parts",
@@ -5647,6 +5957,17 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in round 9, second batch: BFS, clustering coefficient,
+        # -- GNN neighbor sampling, corpus merge, temperature sampling --
+        "graph_bfs": q_graph_bfs,
+        "graph_clustering": q_graph_clustering,
+        "graph_sample_neighbors": q_graph_sample_neighbors,
+        "curation_apply_delta": q_curation_apply_delta,
+        "sample_temperature": q_sample_temperature,
+        "layout_zorder_revenue": q_layout_zorder_revenue,
+        # -- graph_label_propagation shares the co-order fixture helper
+        # -- with the new rows (refactor, same semantics) — kept inside
+        # -- the window below
         # -- new in round 9: the six round-8 operators, wired (VERDICT
         # -- r8 #1) — fresh queries, no prior driver row ----------------
         "graph_hits": q_graph_hits,

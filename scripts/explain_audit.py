@@ -673,6 +673,60 @@ CHECKS: list[tuple[str, str, object]] = [
             if "BroadcastNestedLoopJoin" in ln and "+-" in ln
         ),
     ),
+    # ---- round 9, second batch ----------------------------------------
+    (
+        "graph_sample_neighbors",
+        "neighbor sampling: the rank<=k filter compiles to "
+        "WindowGroupLimit (k-row heaps per node, hub-safe) and nothing "
+        "funnels through a single partition",
+        lambda p: "WindowGroupLimit" in p and "SinglePartition" not in p,
+    ),
+    (
+        "graph_clustering",
+        "clustering coefficient: the closing-edge check is a LEFT SEMI "
+        "join (wedges never materialize third-edge payload) and every "
+        "lineitem scan is pruned to the 3 graph columns",
+        lambda p: "Join type: LeftSemi" in p
+        and all(
+            m == "l_orderkey:bigint,l_partkey:bigint,l_quantity:decimal(12,2)"
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+            if "l_" in m
+        ),
+    ),
+    (
+        "curation_apply_delta",
+        "corpus merge: the delete/replace pass is a BROADCAST hash anti "
+        "join whose probe side is the raw base scan — the 100-TB base "
+        "never shuffles for the merge (the only doc_id exchange is the "
+        "tiny delta-id distinct feeding the BroadcastExchange)",
+        lambda p: re.search(
+            r"BroadcastHashJoin LeftAnti BuildRight \(\d+\)\s*\n"
+            r"[\s:]*:- Scan parquet",
+            p,
+        ),
+    ),
+    (
+        "layout_zorder_revenue",
+        "z-ordered scan: both range predicates reach the parquet scan "
+        "as PushedFilters (row-group/footer skipping on EITHER "
+        "dimension — the point of the interleaved layout) and the scan "
+        "is pruned to the 5 stored columns",
+        lambda p: "LessThanOrEqual(l_partkey" in p
+        and "LessThanOrEqual(l_suppkey" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 5,
+    ),
+    (
+        "sample_temperature",
+        "temperature sampling: the only hash exchanges key on the tiny "
+        "group column (per-group counts); the rate table broadcasts "
+        "back and the survival gate is a narrow filter on the corpus",
+        lambda p: "BroadcastHashJoin" in p
+        and all(
+            k.startswith("lang")
+            for k in re.findall(r"hashpartitioning\((\w+)", p)
+        ),
+    ),
 ]
 
 

@@ -449,3 +449,193 @@ def test_hits_rejects_zero_iterations(spark):
     )
     with _pytest.raises(ValueError, match="iters"):
         hits_fixedpoint(df, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hand_graph(spark):
+    """Path 1-2-3-4-5 plus branch 2-10; seeds {1}: textbook hops, the
+    unreachable island {100-101} absent, max_hops cuts the tail."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        bfs_hop_distance,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (100, 101)])
+    seeds = spark.createDataFrame([(1,)], "nodeId long")
+    got = {
+        r["nodeId"]: r["hop"]
+        for r in bfs_hop_distance(seeds, edges, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}
+
+
+def test_bfs_multi_seed_min_hop(spark):
+    """Two seeds: every node gets the MINIMUM hop over all seeds, and a
+    seed reached by another seed still reports 0."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        bfs_hop_distance,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (4,)], "nodeId long")
+    got = {
+        r["nodeId"]: r["hop"]
+        for r in bfs_hop_distance(seeds, edges, max_hops=5).collect()
+    }
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1, 5: 1}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        bfs_hop_distance,
+    )
+
+    edges = _edges(spark, [(2, 1), (2, 3)])  # arrows out of 2
+    seeds = spark.createDataFrame([(1,)], "nodeId long")
+    directed = {
+        r["nodeId"]: r["hop"]
+        for r in bfs_hop_distance(
+            seeds, edges, max_hops=3, directed=True
+        ).collect()
+    }
+    undirected = {
+        r["nodeId"]: r["hop"]
+        for r in bfs_hop_distance(seeds, edges, max_hops=3).collect()
+    }
+    assert directed == {1: 0}  # 2→1 gives 1 no out-neighbors
+    assert undirected == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_isolated_seed_and_guard(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        bfs_hop_distance,
+    )
+
+    edges = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(99,)], "nodeId long")
+    got = bfs_hop_distance(seeds, edges, max_hops=2).collect()
+    assert [(r["nodeId"], r["hop"]) for r in got] == [(99, 0)]
+    with _pytest.raises(ValueError, match="max_hops"):
+        bfs_hop_distance(seeds, edges, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic neighbor sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_neighbors_caps_and_ranks(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        sample_neighbors,
+    )
+
+    edges = _edges(
+        spark, [(1, d) for d in range(10, 22)] + [(2, 10), (3, 10), (3, 11)]
+    )
+    out = sample_neighbors(edges, k=4, seed=1).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["sourceNodeId"], []).append(r["sample_rank"])
+    assert sorted(by_src[1]) == [1, 2, 3, 4]  # hub capped at k
+    assert sorted(by_src[2]) == [1]  # degree < k keeps all
+    assert sorted(by_src[3]) == [1, 2]
+
+
+def test_sample_neighbors_partitioning_invariant_and_seeded(spark):
+    """Same edges, different physical partitioning → identical sample;
+    a different seed redraws it."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        sample_neighbors,
+    )
+
+    edges = _edges(spark, [(s, d) for s in range(5) for d in range(30)])
+    a = {
+        (r["sourceNodeId"], r["targetNodeId"])
+        for r in sample_neighbors(edges, k=3, seed=9).collect()
+    }
+    b = {
+        (r["sourceNodeId"], r["targetNodeId"])
+        for r in sample_neighbors(
+            edges.repartition(7), k=3, seed=9
+        ).collect()
+    }
+    c = {
+        (r["sourceNodeId"], r["targetNodeId"])
+        for r in sample_neighbors(edges, k=3, seed=10).collect()
+    }
+    assert a == b
+    assert a != c  # 5 nodes × C(30,3) choices — collision ≈ 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sample_neighbors(edges, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_local_clustering_hand_graph(spark):
+    """Triangle 1-2-3 with pendant 4 on node 1: c(1) = 1/(3·2/2)·1e6
+    rounded down, c(2)=c(3)=1e6, c(4)=0 (deg<2)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        local_clustering_coefficient,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4)])
+    got = {
+        r["nodeId"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in local_clustering_coefficient(edges).collect()
+    }
+    assert got[1] == (3, 1, 333333)  # 2·1e6·1 div 3·2
+    assert got[2] == (2, 1, 1000000)
+    assert got[3] == (2, 1, 1000000)
+    assert got[4] == (1, 0, 0)
+
+
+def test_local_clustering_vs_python_bruteforce(spark):
+    """Seeded random graph vs a pure-Python recount (direction and
+    duplicate edges must not matter)."""
+    import itertools
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        local_clustering_coefficient,
+    )
+
+    rng = random.Random(42)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(20), rng.randrange(20)) for _ in range(80)
+        )
+        if a != b
+    }
+    # feed the operator noisy input: both directions + dups
+    noisy = list(pairs) + [(b, a) for a, b in pairs][:10] + list(pairs)[:5]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for n, nbrs in adj.items():
+        tri = sum(
+            1 for x, y in itertools.combinations(sorted(nbrs), 2)
+            if (min(x, y), max(x, y)) in pairs
+        )
+        d = len(nbrs)
+        ppm = 0 if d < 2 else (2 * 10**6 * tri) // (d * (d - 1))
+        expect[n] = (d, tri, ppm)
+    got = {
+        r["nodeId"]: (r["degree"], r["n_triangles"], r["clustering_ppm"])
+        for r in local_clustering_coefficient(
+            _edges(spark, noisy)
+        ).collect()
+    }
+    assert got == expect

@@ -116,3 +116,71 @@ def test_contract_violations_counts_ppm_and_null_rule(spark):
     assert out["status_len_gate"]["violation_ppm"] == 250_000
     with _pytest.raises(ValueError):
         contract_violations(df, [])
+
+
+def test_apply_corpus_delta_merge_semantics(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.snapshot import (
+        apply_corpus_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(2, "two-v2", "upsert"), (3, None, "delete"), (9, "nine", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in apply_corpus_delta(base, delta).collect()
+    }
+    assert got == {1: "one", 2: "two-v2", 9: "nine"}
+
+
+def test_apply_corpus_delta_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.snapshot import (
+        apply_corpus_delta,
+    )
+
+    base = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    bad_cols = spark.createDataFrame(
+        [(1, "upsert")], "doc_id long, op string"
+    )
+    with _pytest.raises(ValueError, match="columns"):
+        apply_corpus_delta(base, bad_cols)
+    bad_op = spark.createDataFrame(
+        [(1, "x", "replace")], "doc_id long, text string, op string"
+    )
+    with _pytest.raises(ValueError, match="op must be"):
+        apply_corpus_delta(base, bad_op)
+    dup_ids = spark.createDataFrame(
+        [(1, "a", "upsert"), (1, "b", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        apply_corpus_delta(base, dup_ids)
+
+
+def test_apply_corpus_delta_roundtrips_corpus_diff(spark):
+    """diff(base, apply(base, delta)) re-derives exactly the delta's
+    intent — the two operators are inverse views of the same change."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.snapshot import (
+        apply_corpus_delta,
+        corpus_diff,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "t3-v2", "upsert"), (7, None, "delete"), (42, "new", "upsert")],
+        "doc_id long, text string, op string",
+    )
+    merged = apply_corpus_delta(base, delta)
+    statuses = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(base, merged, "doc_id", "text").collect()
+    }
+    assert statuses == {3: "changed", 7: "removed", 42: "added"}

@@ -326,3 +326,68 @@ def test_training_order_permutation_partition_invariance_and_seed(spark):
     }
     assert reseeded != a
     assert sorted(reseeded.values()) == list(range(101))
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """Skewed two-group corpus: rates follow √n weights exactly (python
+    integer twin), survival is partitioning-independent, and the big
+    group thins harder than the small one."""
+    import math
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (i + 1000, "small") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    budget = 100
+    n = {"big": 400, "small": 25}
+    w = {g: math.floor(math.sqrt(v * 10**6)) for g, v in n.items()}
+    tw = sum(w.values())
+    rate = {
+        g: min(10**6, (budget * w[g] // tw) * 10**6 // n[g]) for g in n
+    }
+    out = temperature_sample(
+        df, "grp", "doc_id", budget_docs=budget, seed=0
+    )
+    got_rates = {
+        r["grp"]: r["rate_ppm"]
+        for r in out.select("grp", "rate_ppm").distinct().collect()
+    }
+    assert got_rates == rate
+    assert rate["small"] > rate["big"]  # √-scaling favors the tail
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(
+            df.repartition(13), "grp", "doc_id", budget_docs=budget, seed=0
+        ).collect()
+    }
+    assert a == b
+    # kept counts concentrate near rate·n (binomial; generous bounds)
+    kept_big = sum(1 for i in a if i < 1000)
+    assert 0 < kept_big < 2 * (rate["big"] * 400 // 10**6 + 10)
+
+
+def test_temperature_sample_caps_and_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(20)], "doc_id long, grp string"
+    )
+    # budget >= corpus → rate caps at 1e6 and everything survives
+    out = temperature_sample(df, "grp", "doc_id", budget_docs=1000)
+    assert out.count() == 20
+    assert out.select("rate_ppm").distinct().collect()[0][0] == 10**6
+    # zero budget → empty
+    assert (
+        temperature_sample(df, "grp", "doc_id", budget_docs=0).count() == 0
+    )
+    with _pytest.raises(ValueError, match="budget"):
+        temperature_sample(df, "grp", "doc_id", budget_docs=-1)

@@ -141,8 +141,13 @@ HEADLINE = [
     "curation_apply_delta",
     "sample_temperature",
     # round 9 (third batch): Z-order layout (includes the one-time
-    # interleaved write; the win is two-dimensional file skipping)
+    # interleaved write; the win is two-dimensional file skipping),
+    # k-core peeling (iterative fixpoint over semi joins)
     "layout_zorder_revenue",
+    "graph_kcore",
+    # round 9 (fourth batch): Luhn-validated card-number PII (seed +
+    # checksum + scan in one narrow HOF pass)
+    "text_pii_cards",
 ]
 
 

@@ -761,6 +761,69 @@ def local_clustering_coefficient(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int,
+    max_iter: int = 50,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """The k-core of the undirected graph: iteratively peel nodes of
+    degree < ``k`` until a fixpoint (Seidman 1983; the standard graph
+    cleanup before community/centrality passes — spam rings and
+    scrape noise live in the low-degree shell, the dense core is where
+    structure is). Returns ``(nodeId, core_degree)`` for surviving
+    nodes, ``core_degree`` = degree WITHIN the core.
+
+    Each round: one partial-aggregated degree count over surviving
+    edges + two semi joins filtering edges to surviving endpoints —
+    all on skinny 8-byte ids, lineage checkpointed per round (the CC
+    pattern), early exit when no node is removed. Rounds are
+    data-dependent (≤ peel depth); raises at ``max_iter`` rather than
+    silently returning a non-core. Peeling is monotone and idempotent
+    at the fixpoint, so an oracle that unrolls MORE rounds than the
+    fixpoint needs computes the identical set — the catalog oracle
+    unrolls a fixed count with margin.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        removed = e.count() - e2.count()
+        e = e2
+        if removed == 0:
+            return (
+                e.select(F.col("u").alias(NODE_ID))
+                .unionByName(e.select(F.col("v").alias(NODE_ID)))
+                .groupBy(NODE_ID)
+                .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+                .filter(F.col("core_degree") >= k)
+            )
+    raise RuntimeError(f"kcore: no fixpoint in {max_iter} rounds")
+
+
 def _l1_normalize_fp(raw: DataFrame, scale: int) -> DataFrame:
     """``(nodeId, _score)`` with ``_score = (raw · scale) div Σ raw`` —
     the integer L1 normalization both HITS half-steps share. The 1-row

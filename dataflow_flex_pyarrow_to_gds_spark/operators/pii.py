@@ -78,6 +78,131 @@ def seed_synthetic_pii(
     return df.withColumn(out_col, F.concat(F.col(text_col), email, ip, phone))
 
 
+#: 16-digit payment-card candidates: contiguous or 4-4-4-4 grouped with
+#: one separator style. Alternation only — no lookaround — so the same
+#: pattern runs verbatim on RE2-class engines (the DuckDB oracle).
+CARD_CANDIDATE_PATTERN = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b"
+
+
+def luhn_valid_col(candidate: Column) -> Column:
+    """True iff the candidate's digit string passes the Luhn mod-10
+    checksum (ISO/IEC 7812) — the validation step that separates real
+    card numbers from arbitrary 16-digit strings (order ids,
+    timestamps, hashes), cutting the naive digit-regex false-positive
+    flood ~10×. Pure integer HOF arithmetic over the digit positions
+    (doubling every second from the right, −9 above 9), identical in
+    any ANSI engine — no UDF, stays inside whole-stage codegen.
+    """
+    digits = F.regexp_replace(candidate, r"[^0-9]", "")
+
+    def d(x):  # digit at 1-based position x (from the left)
+        return digits.substr(x, F.lit(1)).cast("int")
+
+    # position x (1-based from the LEFT of 16 digits) doubles when the
+    # position from the right (17 - x) is even, i.e. x is odd
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            x % 2 == 1,
+            F.when(d(x) * 2 > 9, d(x) * 2 - 9).otherwise(d(x) * 2),
+        ).otherwise(d(x)),
+    )
+    return F.when(
+        F.length(digits) == 16, total % 10 == 0
+    ).otherwise(F.lit(False))
+
+
+def scan_card_numbers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row card-number profile: ``(id, n_candidates, n_valid)`` —
+    candidates from :data:`CARD_CANDIDATE_PATTERN`, validity by
+    :func:`luhn_valid_col`. One narrow zero-shuffle pass."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), 0
+    )
+    valid = F.filter(cands, luhn_valid_col)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid"),
+    )
+
+
+def redact_card_numbers(
+    df: DataFrame, text_col: str, *, out_col: str | None = None
+) -> DataFrame:
+    """Replace only LUHN-VALID card candidates with ``[CARD]`` — an
+    invalid 16-digit string (order id, checksum-broken typo) survives,
+    which is exactly the false-positive discipline a naive regex
+    redactor lacks. The replace folds the validated candidate list
+    over the text with literal (non-regex) substitution — still one
+    narrow JVM pass."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CARD_CANDIDATE_PATTERN), 0
+    )
+    valid = F.filter(cands, luhn_valid_col)
+    redacted = F.aggregate(
+        valid,
+        F.col(text_col),
+        lambda acc, c: F.replace(acc, c, F.lit("[CARD]")),
+    )
+    return df.withColumn(out_col or text_col, redacted)
+
+
+def seed_synthetic_cards(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "text_cards"
+) -> DataFrame:
+    """Deterministically append synthetic 16-digit card numbers (the
+    :func:`seed_synthetic_pii` pattern): ``id % 6 == 0`` gains a
+    LUHN-VALID grouped card (15-digit payload from id arithmetic, the
+    16th digit COMPUTED as the Luhn check digit — in-query, so any
+    engine derives the same number), ``id % 7 == 0`` gains an INVALID
+    one (the same payload with the check digit shifted +1 mod 10 —
+    guaranteed to fail the checksum). Scan/redact rows stay
+    non-vacuous and false-positive discipline is directly testable."""
+    i = F.col(id_col)
+    payload = F.concat(
+        F.lit("4"), F.lpad(((i * 7919) % 100_000_000_000_000).cast("string"), 14, "0")
+    )
+    # Luhn sum of the 15-digit payload within a 16-digit number: payload
+    # position i (1-based from left) doubles when i is odd
+    psum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            x % 2 == 1,
+            F.when(
+                payload.substr(x, F.lit(1)).cast("int") * 2 > 9,
+                payload.substr(x, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(payload.substr(x, F.lit(1)).cast("int")* 2),
+        ).otherwise(payload.substr(x, F.lit(1)).cast("int")),
+    )
+    check = (10 - psum % 10) % 10
+    full_valid = F.concat(payload, check.cast("string"))
+    full_invalid = F.concat(payload, ((check + 1) % 10).cast("string"))
+
+    def grouped(full: Column) -> Column:
+        return F.concat_ws(
+            "-",
+            full.substr(1, 4),
+            full.substr(5, 4),
+            full.substr(9, 4),
+            full.substr(13, 4),
+        )
+
+    card_v = F.when(
+        i % 6 == 0, F.concat(F.lit(" pay "), grouped(full_valid))
+    ).otherwise(F.lit(""))
+    card_i = F.when(
+        i % 7 == 0, F.concat(F.lit(" ref "), grouped(full_invalid))
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        out_col, F.concat(F.col(text_col), card_v, card_i)
+    )
+
+
 def pii_count_col(text: Column, kind: str) -> Column:
     """Occurrence count of one PII kind (long)."""
     return F.size(F.regexp_extract_all(text, F.lit(PATTERNS[kind]), 0)).cast(

@@ -3764,13 +3764,15 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(nodes, edges, iters=3, assume_canonical=True)
 
 
-def _co_order_edges(spark: SparkSession, sf_dir: str):
+def _co_order_edges(spark: SparkSession, sf_dir: str, min_qty: int = 30):
     """The thinned part co-order graph (parts linked when an order
-    carries ≥ 30 units of both) — shared by the LPA / BFS / clustering
-    rows so their fixtures can't drift."""
+    carries ≥ ``min_qty`` units of both) — shared by the LPA / BFS /
+    clustering rows (threshold 30) and the k-core row (43: sparse
+    enough that peeling actually cascades) so the fixtures can't
+    drift."""
     li = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 30)
+        .filter(F.col("l_quantity") >= min_qty)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -3789,17 +3791,60 @@ def _co_order_edges(spark: SparkSession, sf_dir: str):
     )
 
 
-#: DuckDB CTE text for the same thinned co-order graph (canonical u < v).
-_CO_ORDER_SQL = """
+def _co_order_sql(min_qty: int = 30) -> str:
+    """DuckDB CTE text for the same thinned co-order graph (canonical
+    u < v)."""
+    return f"""
     li AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-        WHERE l_quantity >= 30
+        WHERE l_quantity >= {min_qty}
     ),
     e0 AS (
         SELECT DISTINCT a.p AS u, b.p AS v
         FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
     )
 """
+
+
+_CO_ORDER_SQL = _co_order_sql()
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 10, min_qty: int = 43) -> str:
+    """Unrolled peeling twin of :func:`~.operators.graph_algo.kcore`:
+    each round keeps nodes of degree ≥ k over the surviving edges.
+    Peeling is monotone and a no-op past the fixpoint, so ``rounds``
+    only needs to be ≥ the true peel depth (the Spark side raises if
+    ITS fixpoint isn't reached, so a silent under-unroll cannot pass)."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and a 10-round unroll
+    # where every round references its predecessor ~5x would expand to
+    # 5^10 scans of the lineitem view ("Too many open files")
+    ctes = [_co_order_sql(min_qty).strip().rstrip()]
+    prev = "e0"
+    for i in range(rounds):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT n FROM (
+            SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+        ) GROUP BY n HAVING count(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+        SELECT {prev}.u, {prev}.v FROM {prev}
+        JOIN k{i} a ON a.n = {prev}.u
+        JOIN k{i} b ON b.n = {prev}.v
+    )"""
+        )
+        prev = f"e{i + 1}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT n AS "nodeId", CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev})
+    GROUP BY n HAVING count(*) >= {k}
+"""
+    )
 
 
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3819,6 +3864,18 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hop_distance(
         seeds, _co_order_edges(spark, sf_dir), max_hops=3, directed=False
     )
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the sparse (quantity ≥ 43) part co-order graph — the
+    degree-< k peel cascades for several rounds at both fixture SFs
+    (sf0.01: 1790 → 626 nodes), exercising the fixpoint loop, not one
+    filter. Per round one partial-aggregated degree count + two
+    skinny semi joins, checkpointed; the oracle unrolls 10 peels
+    (idempotent past the true depth, so margin is free)."""
+    from .operators.graph_algo import kcore
+
+    return kcore(_co_order_edges(spark, sf_dir, min_qty=43), k=3)
 
 
 def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3884,6 +3941,97 @@ def q_curation_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "source",
     )
+
+
+def q_text_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card detection: deterministic in-query
+    seeding (valid cards on ≡0 mod 6 ids — 15-digit payload from id
+    arithmetic + the COMPUTED mod-10 check digit — and checksum-broken
+    decoys on ≡0 mod 7), then a scan that counts regex candidates vs
+    Luhn-valid matches. The checksum is pure integer HOF arithmetic
+    (no UDF, RE2-safe candidate regex), so DuckDB re-derives the seeded
+    numbers AND the validation digit-for-digit; the decoys keep the
+    false-positive discipline visible in the output (n_candidates >
+    n_valid)."""
+    from .operators.pii import scan_card_numbers, seed_synthetic_cards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    seeded = seed_synthetic_cards(docs, "doc_id", "text")
+    return scan_card_numbers(seeded, "doc_id", "text_cards").filter(
+        F.col("n_candidates") > 0
+    )
+
+
+def _luhn_sql(c: str) -> str:
+    """DuckDB twin of operators.pii.luhn_valid_col over candidate
+    expression ``c``."""
+    digits = f"regexp_replace({c}, '[^0-9]', '', 'g')"
+    dig = f"CAST(substring({digits}, x, 1) AS INT)"
+    return (
+        f"(length({digits}) = 16 AND list_sum(list_transform(range(1, 17),"
+        f" x -> CASE WHEN x % 2 = 1 THEN"
+        f" CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 ELSE 2 * {dig} END"
+        f" ELSE {dig} END)) % 10 = 0)"
+    )
+
+
+def _card_seed_sql() -> str:
+    """DuckDB twin of operators.pii.seed_synthetic_cards on documents."""
+    payload = (
+        "'4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR),"
+        " 14, '0')"
+    )
+    pdig = f"CAST(substring({payload}, x, 1) AS INT)"
+    psum = (
+        f"list_sum(list_transform(range(1, 16),"
+        f" x -> CASE WHEN x % 2 = 1 THEN"
+        f" CASE WHEN 2 * {pdig} > 9 THEN 2 * {pdig} - 9"
+        f" ELSE 2 * {pdig} END ELSE {pdig} END))"
+    )
+    check = f"(10 - {psum} % 10) % 10"
+    full_v = f"({payload}) || CAST({check} AS VARCHAR)"
+    full_i = f"({payload}) || CAST(({check} + 1) % 10 AS VARCHAR)"
+
+    def grouped(full: str) -> str:
+        return (
+            f"substring({full}, 1, 4) || '-' || substring({full}, 5, 4)"
+            f" || '-' || substring({full}, 9, 4)"
+            f" || '-' || substring({full}, 13, 4)"
+        )
+
+    return f"""
+        SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 6 = 0
+                       THEN ' pay ' || {grouped(full_v)} ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ref ' || {grouped(full_i)} ELSE '' END
+                 AS text_cards
+        FROM documents
+    """
+
+
+_CARD_PATTERN_SQL = (
+    r"'\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b'"
+)
+
+_RELATIONAL_ORACLES["text_pii_cards"] = f"""
+        WITH seeded AS ({_card_seed_sql()}),
+        scanned AS (
+            SELECT doc_id,
+                   regexp_extract_all(text_cards, {_CARD_PATTERN_SQL})
+                     AS cands
+            FROM seeded
+        )
+        SELECT doc_id,
+               CAST(len(cands) AS BIGINT) AS n_candidates,
+               CAST(len(list_filter(cands, c -> {_luhn_sql('c')}))
+                    AS BIGINT) AS n_valid
+        FROM scanned
+        WHERE len(cands) > 0
+    """
 
 
 _ZORDER_LINEITEM_MEMO: set[str] = set()
@@ -3970,6 +4118,8 @@ _GRAPH_ORACLES["graph_bfs"] = f"""
     SELECT n AS "nodeId", CAST(min(hop) AS BIGINT) AS hop
     FROM bfs GROUP BY 1
 """
+
+_GRAPH_ORACLES["graph_kcore"] = _kcore_oracle_sql()
 
 _GRAPH_ORACLES["graph_clustering"] = f"""
     WITH {_CO_ORDER_SQL},
@@ -5871,6 +6021,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "set_ops_nations",
         # r8-green (CORRECTNESS_r08.json), displaced past the window by
         # the round-9 second batch; implementation unchanged since r8
+        "dedup_incremental",
+        "graph_pagerank",
         "scalar_functions",
         "date_functions",
         "q11_important_stock",
@@ -5960,11 +6112,13 @@ def _specs() -> dict[str, QuerySpec]:
         # -- new in round 9, second batch: BFS, clustering coefficient,
         # -- GNN neighbor sampling, corpus merge, temperature sampling --
         "graph_bfs": q_graph_bfs,
+        "graph_kcore": q_graph_kcore,
         "graph_clustering": q_graph_clustering,
         "graph_sample_neighbors": q_graph_sample_neighbors,
         "curation_apply_delta": q_curation_apply_delta,
         "sample_temperature": q_sample_temperature,
         "layout_zorder_revenue": q_layout_zorder_revenue,
+        "text_pii_cards": q_text_pii_cards,
         # -- graph_label_propagation shares the co-order fixture helper
         # -- with the new rows (refactor, same semantics) — kept inside
         # -- the window below

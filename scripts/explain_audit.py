@@ -717,6 +717,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and len(m.group(1).split(",")) == 5,
     ),
     (
+        "text_pii_cards",
+        "card scan: seed + Luhn checksum + candidate filter fuse into "
+        "one narrow zero-shuffle JVM pass — no Exchange, no Python "
+        "eval, scan pruned to (doc_id, text)",
+        lambda p: "Exchange" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and all(
+            "doc_id:bigint,text:string" in m
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
+        ),
+    ),
+    (
         "sample_temperature",
         "temperature sampling: the only hash exchanges key on the tiny "
         "group column (per-group counts); the rate table broadcasts "

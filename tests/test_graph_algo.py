@@ -639,3 +639,73 @@ def test_local_clustering_vs_python_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_cascading_peel(spark):
+    """Triangle 1-2-3 with a pendant chain 3-4-5: the 2-core peels 5,
+    THEN 4 (a cascade, not one filter) and keeps the triangle with
+    in-core degrees 2."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import kcore
+
+    edges = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {
+        r["nodeId"]: r["core_degree"] for r in kcore(edges, k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_and_full(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import kcore
+
+    # a 4-clique is its own 3-core; its 4-core is empty
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = _edges(spark, clique)
+    assert {
+        r["nodeId"]: r["core_degree"] for r in kcore(edges, k=3).collect()
+    } == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert kcore(edges, k=4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(edges, k=0)
+
+
+def test_kcore_vs_python_bruteforce(spark):
+    """Seeded random graph vs a pure-Python peel (duplicates and both
+    directions in the input must not matter)."""
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import kcore
+
+    rng = random.Random(7)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(70))
+        if a != b
+    }
+    noisy = list(pairs) + [(b, a) for a, b in pairs][:15]
+    live = set(pairs)
+    while True:
+        deg = {}
+        for a, b in live:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nxt = {(a, b) for a, b in live if a in keep and b in keep}
+        if nxt == live:
+            break
+        live = nxt
+    expect = {}
+    for a, b in live:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    got = {
+        r["nodeId"]: r["core_degree"]
+        for r in kcore(_edges(spark, noisy), k=3).collect()
+    }
+    assert got == expect

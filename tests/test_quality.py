@@ -368,3 +368,108 @@ def test_linear_quality_score_null_text_both_paths(spark):
     assert lit_rows == big_rows
     assert lit_rows[1] == (-0.05, False)  # null text → σ(bias), not NULL
     assert lit_rows[2] == (-0.05, False)
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated card-number PII (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_validation_known_numbers(spark):
+    """Textbook vectors: the classic 4111-1111-1111-1111 test number
+    passes, off-by-one fails, 16 arbitrary digits fail, and both
+    grouped separators are accepted."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+        luhn_valid_col,
+    )
+
+    rows = [
+        ("4111111111111111", True),
+        ("4111111111111112", False),
+        ("4111-1111-1111-1111", True),
+        ("4111 1111 1111 1111", True),
+        ("1234567812345678", False),
+        ("4111", False),  # too short → invalid, never an error
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "c string")
+    got = {
+        r["c"]: r["ok"]
+        for r in df.select("c", luhn_valid_col(F.col("c")).alias("ok")).collect()
+    }
+    assert got == dict(rows)
+
+
+def test_scan_and_redact_cards_false_positive_discipline(spark):
+    """A Luhn-valid card is counted and redacted; a checksum-broken
+    16-digit decoy is counted as a candidate but neither validated nor
+    redacted (the discipline a naive digit regex lacks)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+        redact_card_numbers,
+        scan_card_numbers,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111-1111-1111-1111 ok"),
+            (2, "order id 4111-1111-1111-1112 is not a card"),
+            (3, "no digits here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["n_valid"])
+        for r in scan_card_numbers(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (0, 0)}
+    red = {
+        r["doc_id"]: r["text"]
+        for r in redact_card_numbers(df, "text").collect()
+    }
+    assert red[1] == "pay [CARD] ok"
+    assert "4111-1111-1111-1112" in red[2]  # decoy untouched
+
+
+def test_seeded_cards_validate_and_decoys_fail(spark):
+    """The in-query seeder's computed check digit really satisfies Luhn
+    (python recomputation) and every decoy really fails; redact → rescan
+    leaves zero valid cards but keeps the decoys."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.pii import (
+        redact_card_numbers,
+        scan_card_numbers,
+        seed_synthetic_cards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    seeded = seed_synthetic_cards(df, "doc_id", "text")
+
+    def luhn(s):
+        ds = [int(c) for c in re.sub(r"\D", "", s)]
+        tot = 0
+        for idx, dg in enumerate(ds):
+            v = dg * 2 if (idx + 1) % 2 == 1 else dg
+            tot += v - 9 if v > 9 else v
+        return len(ds) == 16 and tot % 10 == 0
+
+    for r in seeded.filter(F.col("doc_id") % 6 == 0).collect():
+        m = re.search(r"pay ([\d-]+)", r["text_cards"])
+        assert luhn(m.group(1)), m.group(1)
+    for r in seeded.filter(F.col("doc_id") % 7 == 0).collect():
+        m = re.search(r"ref ([\d-]+)", r["text_cards"])
+        assert not luhn(m.group(1)), m.group(1)
+
+    red = redact_card_numbers(seeded, "text_cards")
+    rescan = scan_card_numbers(red, "doc_id", "text_cards").agg(
+        F.sum("n_valid").alias("v"), F.sum("n_candidates").alias("c")
+    ).collect()[0]
+    assert rescan["v"] == 0
+    assert rescan["c"] == sum(1 for i in range(100) if i % 7 == 0)

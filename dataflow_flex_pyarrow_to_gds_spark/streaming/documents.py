@@ -109,6 +109,8 @@ def admit_documents_stream(
     *,
     threshold: float = 0.8,
     checkpoint: str | None = None,
+    update_index: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming ingest with standing-corpus admission: a file stream of
     arriving documents runs :func:`admit_documents_batch` per
@@ -119,13 +121,48 @@ def admit_documents_stream(
     stateless (no watermark, no state store) and drained output equals
     the batch twin row-for-row. Returns the started StreamingQuery;
     callers ``awaitTermination`` (the availableNow trigger stops the
-    query once the source is drained)."""
-    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(src_path)
+    query once the source is drained).
+
+    ``update_index=True`` closes the incremental loop: each epoch's
+    ADMITTED documents are folded into the index
+    (:func:`~..operators.dedup.append_to_minhash_index`) after the
+    epoch output lands, so a duplicate arriving in a LATER epoch is
+    rejected against today's admissions, not just the base corpus —
+    self-maintaining admission. The append runs with
+    ``on_existing='skip'``, which makes an epoch REPLAY a no-op (the
+    replayed docs' fingerprints are already present) — the same
+    idempotency contract as the epoch-keyed output. Within one epoch
+    docs are only checked against the index, not each other (the
+    batch-internal dedup stays a batch-pass concern).
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    honors it, splitting the backlog into multiple epochs — how the
+    tests drive a genuinely multi-epoch drain)."""
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(src_path)
 
     def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        admit_documents_batch(
+        out = admit_documents_batch(
             spark, batch_df, index_path, threshold=threshold
-        ).write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        if update_index:
+            from ..operators.dedup import append_to_minhash_index
+
+            admitted_ids = (
+                spark.read.parquet(f"{out_path}/epoch={epoch_id}")
+                .filter(F.col("admit"))
+                .select("doc_id")
+            )
+            append_to_minhash_index(
+                spark,
+                index_path,
+                batch_df.join(admitted_ids, "doc_id", "left_semi"),
+                "doc_id",
+                "text",
+                on_existing="skip",
+            )
 
     writer = docs.writeStream.foreachBatch(_epoch).trigger(availableNow=True)
     if checkpoint:

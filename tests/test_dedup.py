@@ -812,3 +812,86 @@ def test_crossover_respects_broadcast_verify_false(spark):
     with redirect_stdout(buf):
         guarded.explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_append_to_minhash_index_equals_rebuild(spark, tmp_path):
+    """The incremental loop closure: build(corpus) + append(admitted
+    day-1 survivors) must admit/reject a day-2 batch EXACTLY like an
+    index rebuilt from scratch over corpus ∪ admitted."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_dup_filter_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    day1 = spark.createDataFrame(
+        [
+            (10, "completely different words entirely here"),
+            (11, "one two three four five seven"),
+        ],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            (20, "completely different words entirely here"),  # dup of 10
+            (21, "one two three four five seven"),  # dup of 11
+            (22, "alpha beta gamma delta epsilon"),  # dup of corpus 1
+            (23, "fresh novel content nothing matches"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = str(tmp_path / "inc")
+    build_minhash_index(corpus, "doc_id", "text", inc)
+    adm = incremental_near_dup_filter_indexed(
+        spark, inc, day1, "doc_id", "text", threshold=0.8
+    )
+    assert {r["doc_id"] for r in adm.filter("keep").collect()} == {10, 11}
+    append_to_minhash_index(spark, inc, day1, "doc_id", "text")
+
+    full = str(tmp_path / "full")
+    build_minhash_index(
+        corpus.unionByName(day1), "doc_id", "text", full
+    )
+    a = {
+        r["doc_id"]: (r["keep"], r["n_corpus_dups"])
+        for r in incremental_near_dup_filter_indexed(
+            spark, inc, day2, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["keep"], r["n_corpus_dups"])
+        for r in incremental_near_dup_filter_indexed(
+            spark, full, day2, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert a == b
+    assert a[20] == (False, 1) and a[21] == (False, 1)
+    assert a[22] == (False, 1)
+    assert a[23] == (True, 0)
+
+
+def test_append_to_minhash_index_rejects_existing_fingerprint(spark, tmp_path):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", path)
+    dup = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="already in the index"):
+        append_to_minhash_index(spark, path, dup, "doc_id", "text")

@@ -389,3 +389,74 @@ def test_streaming_admission_matches_batch_twin(spark, sf_dir, tmp_path):
     assert got == want and len(got) == batch.count()
     # the admission is non-vacuous: some doc is rejected for duplication
     assert any(r[3] > 0 for r in got)
+
+
+def test_streaming_admission_self_maintaining_index(spark, tmp_path):
+    """update_index=True folds each epoch's admissions back into the
+    persisted index, so a near-duplicate arriving in a LATER epoch is
+    rejected against an EARLIER epoch's admission — not just the base
+    corpus. Control: without index updates both copies are admitted.
+    The two copies land in separate files (maxFilesPerTrigger=1 →
+    separate epochs); whichever epoch runs first admits, the other
+    must reject, so the assertion is order-independent."""
+    import shutil
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.documents import (
+        admit_documents_stream,
+    )
+
+    # texts must PASS the Gopher gate (>= 30 words, stopword hits, sane
+    # mean word length) so the admit decision is purely the dedup's
+    # ...while sharing only stopwords ACROSS seeds (jaccard ≈ 0.4, well
+    # under the 0.8 dup threshold — only identical texts collide)
+    def wordy(seed: str) -> str:
+        ws = " ".join(f"{seed}{i}" for i in range(12))
+        return (
+            f"the {seed} report says that {ws} while some of the new "
+            f"{seed} items were kept in the big {seed} box for later use"
+        )
+
+    corpus = spark.createDataFrame(
+        [(1, wordy("base"), "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    novel = wordy("novel")
+    f1 = spark.createDataFrame(
+        [(10, novel, "en", "s", 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    f2 = spark.createDataFrame(
+        [(20, novel, "en", "s", 60),
+         (21, wordy("second"), "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    def run(update_index):
+        index = str(tmp_path / f"idx_{update_index}")
+        build_minhash_index(corpus, "doc_id", "text", index)
+        src = str(tmp_path / f"src_{update_index}")
+        f1.coalesce(1).write.mode("overwrite").parquet(f"{src}")
+        f2.coalesce(1).write.mode("append").parquet(f"{src}")
+        out = str(tmp_path / f"out_{update_index}")
+        q = admit_documents_stream(
+            spark, src, index, out,
+            checkpoint=str(tmp_path / f"ckpt_{update_index}"),
+            update_index=update_index,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        return {
+            r["doc_id"]: (r["admit"], r["n_corpus_dups"])
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+
+    with_update = run(True)
+    # exactly ONE of the two identical docs admitted, the other rejected
+    admits = [with_update[10][0], with_update[20][0]]
+    assert sorted(admits) == [False, True], with_update
+    assert with_update[21][0]  # the unrelated arrival always admitted
+    without = run(False)
+    assert without[10][0] and without[20][0]  # control: both slip through

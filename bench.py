@@ -146,8 +146,11 @@ HEADLINE = [
     "layout_zorder_revenue",
     "graph_kcore",
     # round 9 (fourth batch): Luhn-validated card-number PII (seed +
-    # checksum + scan in one narrow HOF pass)
+    # checksum + scan in one narrow HOF pass), relative per-group
+    # quality gate, Arrow-optimized UDTF surface
     "text_pii_cards",
+    "sample_top_fraction",
+    "text_chunking_udtf_arrow",
 ]
 
 

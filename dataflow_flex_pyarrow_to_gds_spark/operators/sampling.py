@@ -412,6 +412,50 @@ def banded_sample(
     return df.filter(expr)
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    *,
+    fraction: float,
+) -> DataFrame:
+    """Keep the top ``ceil(fraction · |group|)`` rows of each group by
+    ``(score DESC, id ASC)`` — the relative quality gate curation
+    pipelines actually want ("keep the best 30 % per domain"): an
+    absolute score cutoff over- or under-prunes every domain whose
+    score distribution shifts, while a per-group fraction adapts by
+    construction. The id tie-break makes the cut total and
+    engine-independent (equal scores at the boundary would otherwise
+    be partitioning luck). Output: ``(id, group, score, quality_rank)``
+    for survivors.
+
+    Shape: one group-key shuffle + a rank window + a broadcast of the
+    tiny per-group counts. At extreme group skew the hot group's
+    window is a straggler; the remedy is the analytic-threshold
+    two-phase shape of :func:`cap_per_group_two_phase` with the
+    threshold drawn from the group's score quantile sketch instead of
+    the uniform-hash arithmetic (scores, unlike hashes, need the
+    sketch).
+    """
+    if not 0 <= fraction <= 1:
+        raise ValueError("top_fraction_per_group: fraction must be in [0,1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, group_col, score_col)
+        .withColumn("quality_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(counts), group_col)
+        .filter(
+            F.col("quality_rank")
+            <= F.ceil(F.lit(float(fraction)) * F.col("_n"))
+        )
+        .select(id_col, group_col, score_col, "quality_rank")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     group_col: str,

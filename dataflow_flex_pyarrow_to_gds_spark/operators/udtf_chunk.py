@@ -21,14 +21,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 
-def make_chunk_udtf(chunk_tokens: int, overlap: int):
+def make_chunk_udtf(chunk_tokens: int, overlap: int, *, use_arrow: bool = False):
     """Build the UDTF class for a (chunk_tokens, overlap) config —
     parameters are baked into the class because UDTF constructors take
     no user arguments at call sites. Semantics mirror
     ``chunk_documents`` exactly: lowercase whitespace words, windows of
     ``chunk_tokens`` every ``chunk_tokens - overlap`` words, every
     chunk after the first contributes ≥1 new token, empty/null docs
-    emit nothing."""
+    emit nothing.
+
+    ``use_arrow=True`` builds the Spark 4 ARROW-OPTIMIZED variant
+    (``@udtf(useArrow=True)``): same eval contract, but rows cross the
+    Python boundary in Arrow batches instead of pickled one-at-a-time
+    — the sanctioned fast(er) path when a UDTF is unavoidable. Output
+    is bit-identical (parity-tested and held to the same oracle)."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
@@ -39,7 +45,8 @@ def make_chunk_udtf(chunk_tokens: int, overlap: int):
         returnType=(
             "doc_id bigint, chunk_id bigint, n_tokens bigint, "
             "text_chunk string"
-        )
+        ),
+        useArrow=use_arrow,
     )
     class ChunkDocs:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
@@ -72,6 +79,7 @@ def chunk_documents_udtf(
     *,
     chunk_tokens: int,
     overlap: int = 0,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Apply the chunking UDTF laterally to ``df``'s (doc_id, text).
 
@@ -86,10 +94,10 @@ def chunk_documents_udtf(
     the measured-slow path and exists to prove the boundary, not to
     run production chunking.
     """
-    cls = make_chunk_udtf(chunk_tokens, overlap)
-    fn = f"chunk_docs_{chunk_tokens}_{overlap}"
+    cls = make_chunk_udtf(chunk_tokens, overlap, use_arrow=use_arrow)
+    fn = f"chunk_docs_{chunk_tokens}_{overlap}_{int(use_arrow)}"
     spark.udtf.register(fn, cls)
-    view = f"_udtf_chunk_src_{chunk_tokens}_{overlap}"
+    view = f"_udtf_chunk_src_{chunk_tokens}_{overlap}_{int(use_arrow)}"
     df.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT c.doc_id, c.chunk_id, c.n_tokens, c.text_chunk "

@@ -4034,6 +4034,43 @@ _RELATIONAL_ORACLES["text_pii_cards"] = f"""
     """
 
 
+def q_sample_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: per source, keep the longest 30 % of
+    documents by character count — ceil(0.3·|group|) survivors ranked
+    by (n_chars DESC, doc_id ASC), the id tie-break making the cut
+    total and engine-independent. One group-key shuffle + rank window
+    + broadcast per-group counts; the skew remedy (analytic score-
+    quantile threshold) is documented on the operator."""
+    from .operators.sampling import top_fraction_per_group
+
+    return top_fraction_per_group(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        "doc_id",
+        fraction=0.3,
+    )
+
+
+def q_text_chunking_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 ARROW-OPTIMIZED Python UDTF surface
+    (``@udtf(useArrow=True)`` + SQL LATERAL): identical chunking
+    semantics to text_chunking_udtf but rows cross the Python boundary
+    in Arrow batches instead of pickled one-at-a-time — the sanctioned
+    faster path when a UDTF is unavoidable. Held to the SAME oracle as
+    the JVM operator and the row-path UDTF; parity-tested against
+    both."""
+    from .operators.udtf_chunk import chunk_documents_udtf
+
+    return chunk_documents_udtf(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=32,
+        overlap=8,
+        use_arrow=True,
+    )
+
+
 _ZORDER_LINEITEM_MEMO: set[str] = set()
 
 
@@ -4195,6 +4232,21 @@ _RELATIONAL_ORACLES["curation_apply_delta"] = """
     )
     SELECT doc_id, substr(md5(coalesce(text, '')), 1, 16) AS fp, source
     FROM result
+"""
+
+_RELATIONAL_ORACLES["sample_top_fraction"] = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS quality_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(quality_rank AS BIGINT) AS quality_rank
+    FROM r JOIN c USING (source)
+    WHERE quality_rank <= ceil(0.3 * n)
 """
 
 _RELATIONAL_ORACLES["layout_zorder_revenue"] = """
@@ -5260,6 +5312,7 @@ def _extension_oracles() -> dict[str, str]:
         # identical semantics through the Python-UDTF boundary —
         # the SAME constant, so the parity claim cannot drift
         "text_chunking_udtf": _chunking_oracle,
+        "text_chunking_udtf_arrow": _chunking_oracle,
         "text_bpe_merges": r"""
             WITH w AS (
                 SELECT unnest(list_filter(
@@ -6021,6 +6074,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "set_ops_nations",
         # r8-green (CORRECTNESS_r08.json), displaced past the window by
         # the round-9 second batch; implementation unchanged since r8
+        "dedup_minhash_pairs",
+        "dedup_near_groups",
         "dedup_incremental",
         "graph_pagerank",
         "scalar_functions",
@@ -6119,6 +6174,8 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_temperature": q_sample_temperature,
         "layout_zorder_revenue": q_layout_zorder_revenue,
         "text_pii_cards": q_text_pii_cards,
+        "sample_top_fraction": q_sample_top_fraction,
+        "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
         # -- graph_label_propagation shares the co-order fixture helper
         # -- with the new rows (refactor, same semantics) — kept inside
         # -- the window below

@@ -730,6 +730,26 @@ CHECKS: list[tuple[str, str, object]] = [
         ),
     ),
     (
+        "text_chunking_udtf_arrow",
+        "arrow UDTF surface: the plan crosses Python through "
+        "ArrowEvalPythonUDTF (batched transport), not the pickled "
+        "row-at-a-time BatchEvalPythonUDTF",
+        lambda p: "ArrowEvalPythonUDTF" in p
+        and "BatchEvalPythonUDTF" not in p,
+    ),
+    (
+        "sample_top_fraction",
+        "relative quality gate: one group-key window exchange + the "
+        "tiny per-group counts broadcast — no global sort, no "
+        "single-partition funnel",
+        lambda p: "BroadcastHashJoin" in p
+        and "SinglePartition" not in p
+        and all(
+            k.startswith("source")
+            for k in re.findall(r"hashpartitioning\((\w+)", p)
+        ),
+    ),
+    (
         "sample_temperature",
         "temperature sampling: the only hash exchanges key on the tiny "
         "group column (per-group counts); the rate table broadcasts "

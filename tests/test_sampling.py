@@ -391,3 +391,40 @@ def test_temperature_sample_caps_and_guards(spark):
     )
     with _pytest.raises(ValueError, match="budget"):
         temperature_sample(df, "grp", "doc_id", budget_docs=-1)
+
+
+def test_top_fraction_per_group_exact_cut_and_ties(spark):
+    """ceil(fraction·n) per group, ranked (score DESC, id ASC): a
+    3-row group at 0.3 keeps ceil(0.9)=1; score ties cut by id."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10), (2, "a", 30), (3, "a", 20),
+            (10, "b", 5), (11, "b", 5), (12, "b", 5), (13, "b", 5),
+        ],
+        "doc_id long, grp string, score long",
+    )
+    got = {
+        r["doc_id"]: r["quality_rank"]
+        for r in top_fraction_per_group(
+            df, "grp", "score", "doc_id", fraction=0.3
+        ).collect()
+    }
+    # group a: ceil(0.9)=1 → best score (30); group b: ceil(1.2)=2 →
+    # all scores tie, lowest two ids survive
+    assert got == {2: 1, 10: 1, 11: 2}
+
+    # fraction bounds
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        top_fraction_per_group as tf,
+    )
+
+    assert tf(df, "grp", "score", "doc_id", fraction=1.0).count() == 7
+    assert tf(df, "grp", "score", "doc_id", fraction=0.0).count() == 0
+    with _pytest.raises(ValueError, match="fraction"):
+        tf(df, "grp", "score", "doc_id", fraction=1.5)

@@ -216,3 +216,33 @@ def test_bpe_arrow_scales_with_word_length_not_vocab(spark):
     }
     assert got[1] == 3  # 'the' fully merges under ranks 0..1
     assert got[2] >= 1
+
+
+def test_chunking_udtf_arrow_matches_row_path(spark):
+    """The Arrow-optimized UDTF (@udtf(useArrow=True)) is bit-identical
+    to the pickled row-path UDTF and the JVM operator — including the
+    ASCII-whitespace rule and empty/null doc behavior."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.text import (
+        chunk_documents,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.udtf_chunk import (
+        chunk_documents_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(80))),
+            (2, "short doc"),
+            (3, ""),
+            (4, None),
+            (5, "foo bar baz qux"),
+        ],
+        "doc_id long, text string",
+    )
+    arrow = sorted(map(tuple, chunk_documents_udtf(
+        spark, docs, chunk_tokens=32, overlap=8, use_arrow=True).collect()))
+    rowp = sorted(map(tuple, chunk_documents_udtf(
+        spark, docs, chunk_tokens=32, overlap=8, use_arrow=False).collect()))
+    jvm = sorted(map(tuple, chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8).collect()))
+    assert arrow == rowp == jvm and arrow

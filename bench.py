@@ -145,6 +145,7 @@ HEADLINE = [
     # k-core peeling (iterative fixpoint over semi joins)
     "layout_zorder_revenue",
     "graph_kcore",
+    "graph_ppr",
     # round 9 (fourth batch): Luhn-validated card-number PII (seed +
     # checksum + scan in one narrow HOF pass), relative per-group
     # quality gate, Arrow-optimized UDTF surface

@@ -352,6 +352,97 @@ def pagerank_fixedpoint(
     return ranks
 
 
+def personalized_pagerank_fixedpoint(
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 4,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to ``seeds``) in
+    the same exact-integer fixed-point contract as
+    :func:`pagerank_fixedpoint` → ``(nodeId, rank_fp)``: the teleport
+    mass returns to the SEED set instead of everywhere, so ranks
+    measure proximity to the seeds — the standard graph feature for
+    recommendation, trust propagation, and seed-expansion curation
+    ("grow the whitelist toward everything the trusted nodes point
+    at", the weighted cousin of :func:`bfs_hop_distance`)::
+
+        r(v) ← is_seed(v) · base
+               + (num · Σ_{u→v} (r(u) div outdeg(u))) div den
+        base  = ((den − num) · scale div den) div |seeds|
+
+    Every step is int64 floor arithmetic — hash-exact on any engine,
+    any partitioning (the oracle unrolls the same iterations).
+    Dangling mass leaks as in the simplified global variant. Node
+    universe = edge endpoints ∪ seeds; non-seed nodes start (and may
+    stay) at 0.
+
+    Scale shape: identical to :func:`pagerank_fixedpoint` — per
+    iteration one edge-keyed join of the skinny rank table + one
+    partial-aggregated groupBy; the seed flag is one extra 9-byte
+    column on the rank table, and the hubs-only checkpoint rule
+    (:func:`hits_fixedpoint`) does not apply — there is one table, so
+    it checkpoints each round.
+    """
+    if iters < 1:
+        raise ValueError("personalized_pagerank_fixedpoint: iters >= 1")
+    s = seeds.select(F.col(NODE_ID)).distinct()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank_fixedpoint: empty seeds")
+    base = ((damping_den - damping_num) * scale // damping_den) // n_seeds
+    e = edges.select(SOURCE_ID, TARGET_ID)
+    nodes = (
+        e.select(F.col(SOURCE_ID).alias(NODE_ID))
+        .unionByName(e.select(F.col(TARGET_ID).alias(NODE_ID)))
+        .unionByName(s)
+        .distinct()
+        .join(s.withColumn("_seed", F.lit(1)), NODE_ID, "left_outer")
+        .select(
+            NODE_ID, F.coalesce("_seed", F.lit(0)).alias("_seed")
+        )
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    outdeg = e.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    r0 = scale // n_seeds
+    ranks = nodes.select(
+        NODE_ID,
+        (F.col("_seed") * F.lit(r0)).cast("long").alias("rank_fp"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .join(outdeg.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .select(
+                F.col(TARGET_ID).alias(NODE_ID),
+                F.expr("rank_fp div _od").alias("_c"),
+            )
+        )
+        sums = contrib.groupBy(NODE_ID).agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, NODE_ID, "left_outer")
+            .select(
+                NODE_ID,
+                (
+                    F.col("_seed") * F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def triangle_count(edges: DataFrame, src: str = SOURCE_ID, dst: str = TARGET_ID) -> DataFrame:
     """Global triangle count of the UNDIRECTED graph given by ``edges``
     (direction and duplicates ignored; self-loops dropped) — the

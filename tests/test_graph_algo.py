@@ -709,3 +709,72 @@ def test_kcore_vs_python_bruteforce(spark):
         for r in kcore(_edges(spark, noisy), k=3).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_matches_integer_recurrence(spark):
+    """Seeded random-walk-with-restart vs a pure-Python replica of the
+    exact integer recurrence on a small directed graph."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        personalized_pagerank_fixedpoint,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2)]
+    seeds = [1]
+    scale, num, den, iters = 10**12, 85, 100, 4
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges} | set(seeds))
+    od = {}
+    for a, _ in edges:
+        od[a] = od.get(a, 0) + 1
+    base = ((den - num) * scale // den) // len(seeds)
+    r = {v: (scale // len(seeds) if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += r[a] // od[a]
+        r = {
+            v: (base if v in seeds else 0) + num * inc[v] // den
+            for v in nodes
+        }
+    df = _edges(spark, edges)
+    sd = spark.createDataFrame([(s,) for s in seeds], "nodeId long")
+    got = {
+        row["nodeId"]: row["rank_fp"]
+        for row in personalized_pagerank_fixedpoint(
+            sd, df, iters=iters
+        ).collect()
+    }
+    assert got == r
+    # proximity ordering: the seed's direct successor outranks the
+    # farthest node
+    assert got[2] > got[4]
+
+
+def test_ppr_isolated_seed_and_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        personalized_pagerank_fixedpoint,
+    )
+
+    edges = _edges(spark, [(1, 2)])
+    lone = spark.createDataFrame([(99,)], "nodeId long")
+    got = {
+        r["nodeId"]: r["rank_fp"]
+        for r in personalized_pagerank_fixedpoint(
+            lone, edges, iters=2
+        ).collect()
+    }
+    # the isolated seed keeps only its teleport mass; non-seeds get 0
+    scale, num, den = 10**12, 85, 100
+    assert got[99] == ((den - num) * scale // den)
+    assert got[1] == 0 and got[2] == 0
+    empty = spark.createDataFrame([], "nodeId long")
+    with _pytest.raises(ValueError, match="empty seeds"):
+        personalized_pagerank_fixedpoint(empty, edges)
+    with _pytest.raises(ValueError, match="iters"):
+        personalized_pagerank_fixedpoint(lone, edges, iters=0)

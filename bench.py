@@ -152,6 +152,9 @@ HEADLINE = [
     "text_pii_cards",
     "sample_top_fraction",
     "text_chunking_udtf_arrow",
+    # round 9 (fifth batch): exact containment join (one-sided prefix
+    # filter over 3-gram sets — the quote/excerpt case jaccard misses)
+    "dedup_containment",
 ]
 
 

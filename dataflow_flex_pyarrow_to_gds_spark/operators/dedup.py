@@ -1704,6 +1704,102 @@ def incremental_near_dup_filter_indexed(
     )
 
 
+def containment_join_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 1,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """EXACT containment self-join: all ORDERED pairs (a, b), a ≠ b,
+    with ``|S(a) ∩ S(b)| / |S(a)| ≥ threshold`` over the distinct word
+    ``shingle_k``-gram sets — doc a is (mostly) CONTAINED in doc b.
+    ``shingle_k=1`` is bag-of-words containment; small-vocabulary
+    corpora want k ≥ 3 (distinct unigram sets of word-soup documents
+    overlap heavily, and "contains the same words" is a much weaker
+    claim than "contains the same passages"). The asymmetric complement of
+    :func:`set_similarity_join_pairs`: jaccard misses the
+    quote/excerpt/boilerplate-wrapper case entirely (a 50-word snippet
+    inside a 5 000-word page has jaccard ≈ 0.01 but containment 1.0),
+    and containment is what "is this doc subsumed by another" actually
+    asks. No false negatives.
+
+    Candidate generation is the one-sided prefix filter: order tokens
+    by ascending global document frequency (ties on the hash), and if
+    ``|a∩b| ≥ t·|a|`` then a's prefix of its ``|a| − ⌈t·|a|⌉ + 1``
+    rarest tokens must contain a common token (pigeonhole on a's side
+    ONLY — the containing side b is indexed in FULL, because the
+    shared token may sit anywhere in b). The asymmetry is kinder than
+    it looks at scale: the probe stream carries only prefix (i.e.
+    mostly RARE) tokens, and rare tokens have short postings lists by
+    definition — the frequent tokens whose full postings would explode
+    the join never appear on the probe side. Verification is the exact
+    overlap on the cached token arrays, broadcast under the usual
+    corpus-count gate. Pair rows are 16 B until the verify join; the
+    output carries ``containment`` rounded to 6 dp.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            shingles_col(tokens_col(F.col(text_col)), shingle_k),
+            lambda x: F.xxhash64(x),
+        ).alias("_tk"),
+    ).filter(F.size("_tk") > 0)
+    if broadcast_verify is None:
+        broadcast_verify = df.count() <= broadcast_max_docs
+    base = base.cache()
+
+    toks = base.select("_id", F.explode("_tk").alias("_t"))
+    w_df = W.partitionBy("_t")
+    w_doc = W.partitionBy("_id").orderBy(F.col("_df"), F.col("_t"))
+    ranked = toks.withColumn(
+        "_df", F.count(F.lit(1)).over(w_df)
+    ).select(
+        "_id",
+        "_t",
+        F.row_number().over(w_doc).alias("_pos"),
+        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("_n"),
+    )
+    probe = ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1
+    ).select(F.col("_id").alias("_ia"), "_t")
+    index = ranked.select(F.col("_id").alias("_ib"), "_t")
+    cand = (
+        probe.join(index, "_t")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    av = base.select(F.col("_id").alias("_ia"), F.col("_tk").alias("_ta"))
+    bv = base.select(F.col("_id").alias("_ib"), F.col("_tk").alias("_tb"))
+    if broadcast_verify:
+        av, bv = F.broadcast(av), F.broadcast(bv)
+    overlap = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    return (
+        cand.join(av, "_ia")
+        .join(bv, "_ib")
+        .withColumn(
+            "containment",
+            F.round(
+                overlap.cast("double") / F.size("_ta").cast("double"), 6
+            ),
+        )
+        .filter(
+            overlap.cast("double")
+            >= F.lit(float(threshold)) * F.size("_ta").cast("double")
+        )
+        .select(
+            F.col("_ia").alias("id_contained"),
+            F.col("_ib").alias("id_container"),
+            "containment",
+        )
+    )
+
+
 def set_similarity_join_pairs(
     df: DataFrame,
     id_col: str,

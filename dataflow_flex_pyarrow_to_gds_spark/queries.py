@@ -4150,6 +4150,76 @@ def q_text_chunking_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (quote/excerpt detection — the asymmetric
+    case jaccard can't see): documents plus in-query seeded SNIPPETS
+    (first half of every ≡0 mod 5 doc's words, id+10⁶), all ordered
+    pairs with |A∩B|/|A| ≥ 0.9 over word 3-GRAM sets (unigram sets of
+    a word-soup corpus overlap heavily — "same words" is a far weaker
+    claim than "same passages"; measured: 98 k unigram pairs vs the
+    seeded-snippet 3-gram set). One-sided prefix filter: only the
+    contained side's rare-shingle prefix probes the full postings
+    index (rare postings are short by definition); exact overlap
+    verify on cached shingle arrays. Oracle: exhaustive ordered-pair
+    join."""
+    from .operators.dedup import containment_join_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = (
+        docs.filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
+        .withColumn(
+            "_w",
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            ),
+        )
+        .filter(F.size("_w") >= 8)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.expr(
+                "array_join(slice(_w, 1, greatest(size(_w) div 2, 1)), ' ')"
+            ).alias("text"),
+        )
+    )
+    return containment_join_pairs(
+        docs.unionByName(snip), "doc_id", "text", threshold=0.9, shingle_k=3
+    )
+
+
+_RELATIONAL_ORACLES["dedup_containment"] = f"""
+    WITH w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)),
+                               ' ') AS text
+        FROM w0 WHERE doc_id % 5 = 0 AND len(w) >= 8
+    ),
+    cw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS w
+        FROM corpus
+    ),
+    tt AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+        FROM cw WHERE len(w) >= 3
+    ),
+    t AS (SELECT doc_id, toks FROM tt WHERE len(toks) > 0)
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(a.toks), 6) AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          >= 0.9 * len(a.toks)
+"""
+
+
 _ZORDER_LINEITEM_MEMO: set[str] = set()
 
 
@@ -6153,6 +6223,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "set_ops_nations",
         # r8-green (CORRECTNESS_r08.json), displaced past the window by
         # the round-9 second batch; implementation unchanged since r8
+        "dedup_set_similarity",
         "text_bm25_topk",
         "dedup_minhash_pairs",
         "dedup_near_groups",
@@ -6257,6 +6328,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_cards": q_text_pii_cards,
         "sample_top_fraction": q_sample_top_fraction,
         "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
+        "dedup_containment": q_dedup_containment,
         # -- graph_label_propagation shares the co-order fixture helper
         # -- with the new rows (refactor, same semantics) — kept inside
         # -- the window below

@@ -895,3 +895,70 @@ def test_append_to_minhash_index_rejects_existing_fingerprint(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="already in the index"):
         append_to_minhash_index(spark, path, dup, "doc_id", "text")
+
+
+def test_containment_join_asymmetric_semantics(spark):
+    """Containment is directional: a 3-token doc fully inside a 10-token
+    doc qualifies as contained (1.0) but the reverse direction does not;
+    jaccard between them (3/10) would have missed the pair entirely."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        containment_join_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "unrelated stuff entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in containment_join_pairs(
+            df, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_join_matches_python_bruteforce(spark):
+    """Seeded random docs over a small vocab vs exhaustive python
+    recount — the prefix filter must lose nothing (no false
+    negatives), at both unigram and 3-gram granularity."""
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        containment_join_pairs,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for k in (1, 3):
+        def sets(text):
+            ws = text.split()
+            if k == 1:
+                return set(ws)
+            return {
+                " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+            } if len(ws) >= k else set()
+
+        t = 0.8
+        expect = set()
+        S = {i: sets(txt) for i, txt in docs}
+        for a in S:
+            for b in S:
+                if a != b and S[a] and S[b] and len(S[a] & S[b]) >= t * len(S[a]):
+                    expect.add((a, b))
+        got = {
+            (r["id_contained"], r["id_container"])
+            for r in containment_join_pairs(
+                df, "doc_id", "text", threshold=t, shingle_k=k
+            ).collect()
+        }
+        assert got == expect, (k, got ^ expect)

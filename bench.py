@@ -153,8 +153,10 @@ HEADLINE = [
     "sample_top_fraction",
     "text_chunking_udtf_arrow",
     # round 9 (fifth batch): exact containment join (one-sided prefix
-    # filter over 3-gram sets — the quote/excerpt case jaccard misses)
+    # filter over 3-gram sets — the quote/excerpt case jaccard misses),
+    # semantic incremental admission (batch↔corpus LSH candidates only)
     "dedup_containment",
+    "dedup_semantic_incremental",
 ]
 
 

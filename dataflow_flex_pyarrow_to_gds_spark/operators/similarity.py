@@ -827,6 +827,109 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def incremental_semantic_filter(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    *,
+    threshold: float = 0.4,
+    nbits: int = 4,
+    n_tables: int = 32,
+    seed: int = 42,
+    verify_broadcast: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """Semantic (embedding) admission for a daily increment — the
+    SemDeDup-shaped twin of :func:`~.dedup.incremental_near_dup_filter`:
+    admit each batch vector only if NO existing corpus vector is within
+    cosine ``threshold``. Returns ``(id, n_corpus_dups, keep)`` for
+    every batch row.
+
+    Candidates come ONLY from batch↔corpus hyperplane-LSH bucket
+    collisions (the :func:`embedding_near_dup_pairs_lsh` multi-table
+    OR-construction, same first-agreeing-table arithmetic filter) —
+    batch×batch and corpus×corpus pairs are never generated, so
+    per-increment candidate cost scales with the batch, and the corpus
+    contributes one bucket pass (persist it with
+    :func:`build_lsh_index`-style materialization when the increment
+    cadence warrants, the minhash-index pattern). Verification is
+    exact cosine on the candidate pairs, vector tables broadcast under
+    the usual corpus-count gate.
+    """
+    from ..functions.scalar import dot, l2_norm
+
+    from .dedup import _earlier_collision_case, spread_to_cluster
+
+    tables = [
+        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t)
+        for t in range(n_tables)
+    ]
+    if verify_broadcast is None:
+        verify_broadcast = corpus.count() <= broadcast_max_docs
+
+    def buckets(df: DataFrame) -> DataFrame:
+        slim = df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(F.col(vec_col)).alias("_v"),
+        )
+        pre = spread_to_cluster(slim).select(
+            "_id",
+            F.array(
+                *[t.bucket_col(F.col("_v")) for t in tables]
+            ).alias("_bks"),
+        )
+        return pre.select(
+            "_id",
+            "_bks",
+            F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("_t"),
+        ).withColumn("_bk", F.element_at(F.col("_bks"), F.col("_t") + 1))
+
+    b, c = buckets(batch).alias("a"), buckets(corpus).alias("b")
+    earlier = _earlier_collision_case(
+        F.col("a._t"), F.col("a._bks"), F.col("b._bks"), n_tables
+    )
+    candidates = (
+        b.join(
+            c,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._bk") == F.col("b._bk")),
+        )
+        .filter(~earlier)
+        .select(F.col("a._id").alias("_ba"), F.col("b._id").alias("_cb"))
+    )
+
+    def vecs(df: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(idc), _as_double(F.col(vec_col)).alias(vc)
+        )
+        return v.withColumn(nc, l2_norm(F.col(vc)))
+
+    va = vecs(batch, "_ba", "_va", "_na")
+    vb = vecs(corpus, "_cb", "_vb", "_nb")
+    if verify_broadcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom)
+    dups = (
+        candidates.join(va, "_ba")
+        .join(vb, "_cb")
+        .filter(F.round(sim, 4) >= threshold)
+        .groupBy("_ba")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(dups.withColumnRenamed("_ba", id_col), id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce("_nd", F.lit(0)).cast("long").alias("n_corpus_dups"),
+            (F.coalesce("_nd", F.lit(0)) == 0).alias("keep"),
+        )
+    )
+
+
 def embedding_near_dup_pairs_blocked(
     df: DataFrame,
     id_col: str,

@@ -4220,6 +4220,45 @@ _RELATIONAL_ORACLES["dedup_containment"] = f"""
 """
 
 
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic admission for a daily increment (SemDeDup shape): batch
+    = every ≡0 mod 9 embedding, corpus = the rest; admit batch vectors
+    with NO corpus vector at cosine ≥ 0.4. Candidates only from
+    batch↔corpus hyperplane-LSH bucket collisions (32 tables × 4 bits
+    — the embedding_near_dup_lsh recall-1.0 config, so the EXHAUSTIVE
+    batch×corpus oracle checks precision AND recall of the whole
+    path); batch×batch / corpus×corpus never generated — per-increment
+    cost ∝ batch."""
+    from .operators.similarity import incremental_semantic_filter
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") % 9 != 0)
+    batch = emb.filter(F.col("vec_id") % 9 == 0)
+    return incremental_semantic_filter(
+        corpus, batch, "vec_id", "embedding", dim,
+        threshold=0.4, nbits=4, n_tables=32,
+    )
+
+
+_RELATIONAL_ORACLES["dedup_semantic_incremental"] = f"""
+    WITH b AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 9 = 0),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0),
+    d AS (
+        SELECT a.vec_id AS vec_id, count(*) AS nd
+        FROM b a JOIN c
+          ON round({_COS_SQL.format(a="a.embedding::DOUBLE[]",
+                                    b="c.embedding::DOUBLE[]")}, 4) >= 0.4
+        GROUP BY 1
+    )
+    SELECT b.vec_id,
+           CAST(coalesce(d.nd, 0) AS BIGINT) AS n_corpus_dups,
+           coalesce(d.nd, 0) = 0 AS keep
+    FROM b LEFT JOIN d USING (vec_id)
+"""
+
+
 _ZORDER_LINEITEM_MEMO: set[str] = set()
 
 
@@ -6223,6 +6262,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "set_ops_nations",
         # r8-green (CORRECTNESS_r08.json), displaced past the window by
         # the round-9 second batch; implementation unchanged since r8
+        "dedup_passage_removal",
         "dedup_set_similarity",
         "text_bm25_topk",
         "dedup_minhash_pairs",
@@ -6329,6 +6369,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_top_fraction": q_sample_top_fraction,
         "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
         "dedup_containment": q_dedup_containment,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
         # -- graph_label_propagation shares the co-order fixture helper
         # -- with the new rows (refactor, same semantics) — kept inside
         # -- the window below

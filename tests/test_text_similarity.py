@@ -418,3 +418,50 @@ def test_hard_negatives_label_rules_and_ranking(spark):
         ).count()
         == 0
     )
+
+
+def test_incremental_semantic_filter_matches_bruteforce(spark):
+    """Batch-vs-corpus semantic admission equals the exhaustive cosine
+    recount (numpy twin) — batch/corpus pairs only, keep iff no corpus
+    vector reaches the threshold."""
+    import numpy as np
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        incremental_semantic_filter,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    base = rng.normal(size=(6, dim))
+    corpus_rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    batch_vecs = {
+        10: base[0] + rng.normal(scale=0.01, size=dim),  # near-dup of 0
+        11: rng.normal(size=dim),                        # novel
+        12: base[3] * 2.0,                               # scaled dup of 3
+    }
+    batch_rows = [(i, [float(x) for x in v]) for i, v in batch_vecs.items()]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    t = 0.9
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    expect = {}
+    for i, v in batch_vecs.items():
+        nd = sum(1 for j in range(6) if round(cos(v, base[j]), 4) >= t)
+        expect[i] = (nd, nd == 0)
+    got = {
+        r["vec_id"]: (r["n_corpus_dups"], r["keep"])
+        for r in incremental_semantic_filter(
+            corpus, batch, "vec_id", "embedding", dim,
+            threshold=t, nbits=2, n_tables=24, verify_broadcast=True,
+        ).collect()
+    }
+    assert got == expect
+    assert not got[10][1] and not got[12][1] and got[11][1]

@@ -962,3 +962,51 @@ def test_containment_join_matches_python_bruteforce(spark):
             ).collect()
         }
         assert got == expect, (k, got ^ expect)
+
+
+def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
+    """compact_table over the index's groups/buckets dirs (the append-
+    mode part-file dust remedy) must not change a single admission
+    decision — compaction is layout, not data."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_dup_filter_indexed,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.layout import (
+        compact_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"base doc number {i} alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", path)
+    for day in range(3):  # three appends → part-file dust
+        batch = spark.createDataFrame(
+            [(100 + day * 10 + j, f"novel{day}x{j} words entirely new")
+             for j in range(3)],
+            "doc_id long, text string",
+        )
+        append_to_minhash_index(spark, path, batch, "doc_id", "text")
+    probe = spark.createDataFrame(
+        [(500, "base doc number 7 alpha beta gamma"),
+         (501, "novel1x2 words entirely new"),
+         (502, "something else altogether here")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(tuple, incremental_near_dup_filter_indexed(
+            spark, path, probe, "doc_id", "text", threshold=0.8
+        ).collect())
+    )
+    compact_table(spark, f"{path}/groups")
+    compact_table(spark, f"{path}/buckets")
+    after = sorted(
+        map(tuple, incremental_near_dup_filter_indexed(
+            spark, path, probe, "doc_id", "text", threshold=0.8
+        ).collect())
+    )
+    assert before == after
+    assert any(not r[2] for r in before)  # non-vacuous: some rejection

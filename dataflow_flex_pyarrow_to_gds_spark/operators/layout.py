@@ -182,9 +182,26 @@ def compact_table(
     contents are untouched (compaction is layout, not data — asserted
     by tests); the coalesce is a NARROW repartitioning (no shuffle)
     since it only concatenates partitions.
+
+    Scope guard: ``path`` must be a FLAT parquet directory. A
+    hive-partitioned layout (``col=value`` subdirectories, e.g.
+    :func:`write_partitioned_table` output) would be silently
+    flattened by a whole-tree rewrite — compact each partition
+    directory individually instead; refused loudly here.
     """
     import math
 
+    part_dirs = [
+        d
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d)) and "=" in d
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"compact_table: {path} is hive-partitioned "
+            f"({part_dirs[:3]}…) — compact each partition directory "
+            f"individually, a whole-tree rewrite would flatten the layout"
+        )
     sizes = [
         os.path.getsize(os.path.join(root, f))
         for root, _, fs in os.walk(path)

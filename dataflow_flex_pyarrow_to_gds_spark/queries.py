@@ -4221,35 +4221,58 @@ _RELATIONAL_ORACLES["dedup_containment"] = f"""
 
 
 def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic admission for a daily increment (SemDeDup shape): batch
-    = every ≡0 mod 9 embedding, corpus = the rest; admit batch vectors
-    with NO corpus vector at cosine ≥ 0.4. Candidates only from
-    batch↔corpus hyperplane-LSH bucket collisions (32 tables × 4 bits
-    — the embedding_near_dup_lsh recall-1.0 config, so the EXHAUSTIVE
+    """Semantic admission for a daily increment (SemDeDup shape) at the
+    realistic high-threshold regime (cos ≥ 0.9): the batch is derived
+    IN-QUERY from the corpus — 1.25×-scaled copies of every ≡1 mod 7
+    vector (true semantic dups: scaling preserves direction, so cosine
+    is exactly 1 AND every hyperplane sign is identical — LSH recall
+    is 1.0 by construction, not by luck) and REVERSED copies of every
+    ≡2 mod 13 vector (novel arrivals: measured max corpus sim ≤ 0.6 at
+    every fixture SF, a 0.3 margin under the threshold). Candidates
+    only from batch↔corpus bucket collisions at 4 tables × 12 bits —
+    ≲0.2 % of the cross product, the regime blocking is FOR; the
+    0.4-threshold variant on this corpus would need the
+    near-exhaustive 32×4 config (measured 13 s vs 4 s at sf0.1)
+    because the fixture's natural sims sit exactly at the cut, and
+    most of THAT cost is the sign-matrix literal plan, not the
+    verify. The EXHAUSTIVE
     batch×corpus oracle checks precision AND recall of the whole
-    path); batch×batch / corpus×corpus never generated — per-increment
+    path; batch×batch / corpus×corpus never generated — per-increment
     cost ∝ batch."""
     from .operators.similarity import incremental_semantic_filter
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    corpus = emb.filter(F.col("vec_id") % 9 != 0)
-    batch = emb.filter(F.col("vec_id") % 9 == 0)
+    v = F.col("embedding").cast("array<double>")
+    dups = emb.filter(F.col("vec_id") % 7 == 1).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(v, lambda x: x * 1.25).alias("embedding"),
+    )
+    novel = emb.filter(F.col("vec_id") % 13 == 2).select(
+        (F.col("vec_id") + 200_000).alias("vec_id"),
+        F.reverse(v).alias("embedding"),
+    )
     return incremental_semantic_filter(
-        corpus, batch, "vec_id", "embedding", dim,
-        threshold=0.4, nbits=4, n_tables=32,
+        emb, dups.unionByName(novel), "vec_id", "embedding", dim,
+        threshold=0.9, nbits=12, n_tables=4,
     )
 
 
 _RELATIONAL_ORACLES["dedup_semantic_incremental"] = f"""
-    WITH b AS (SELECT vec_id, embedding FROM embeddings
-               WHERE vec_id % 9 = 0),
-    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0),
+    WITH b AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(embedding::DOUBLE[], x -> x * 1.25) AS v
+        FROM embeddings WHERE vec_id % 7 = 1
+        UNION ALL
+        SELECT vec_id + 200000 AS vec_id,
+               list_reverse(embedding::DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 13 = 2
+    ),
     d AS (
         SELECT a.vec_id AS vec_id, count(*) AS nd
-        FROM b a JOIN c
-          ON round({_COS_SQL.format(a="a.embedding::DOUBLE[]",
-                                    b="c.embedding::DOUBLE[]")}, 4) >= 0.4
+        FROM b a JOIN embeddings c
+          ON round({_COS_SQL.format(a="a.v",
+                                    b="c.embedding::DOUBLE[]")}, 4) >= 0.9
         GROUP BY 1
     )
     SELECT b.vec_id,

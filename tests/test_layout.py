@@ -267,3 +267,21 @@ def test_compact_table_empty_dir_raises(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError, match="no parquet files"):
         compact_table(spark, str(empty))
+
+
+def test_compact_table_refuses_partitioned_layout(spark, tmp_path):
+    """A hive-partitioned directory must be refused loudly — a
+    whole-tree rewrite would silently flatten the layout."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.layout import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "parts")
+    spark.range(100).withColumn("pc", F.col("id") % 2).write.partitionBy(
+        "pc"
+    ).parquet(path)
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        compact_table(spark, path)

@@ -395,7 +395,11 @@ def personalized_pagerank_fixedpoint(
     if n_seeds == 0:
         raise ValueError("personalized_pagerank_fixedpoint: empty seeds")
     base = ((damping_den - damping_num) * scale // damping_den) // n_seeds
-    e = edges.select(SOURCE_ID, TARGET_ID)
+    # Fix the edge list once: unlike pagerank_fixedpoint's catalog graph
+    # (a cheap column projection), PPR inputs are often DERIVED edge
+    # sets (the catalog row's co-order self-join) that would otherwise
+    # recompute inside every iteration's join.
+    e = edges.select(SOURCE_ID, TARGET_ID).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col(SOURCE_ID).alias(NODE_ID))
         .unionByName(e.select(F.col(TARGET_ID).alias(NODE_ID)))
@@ -888,6 +892,7 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()
     for _ in range(max_iter):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -902,8 +907,10 @@ def kcore(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        removed = e.count() - e2.count()
-        e = e2
+        # one count job per round: the previous round's size is carried
+        n2 = e2.count()
+        removed = n_edges - n2
+        e, n_edges = e2, n2
         if removed == 0:
             return (
                 e.select(F.col("u").alias(NODE_ID))

@@ -157,6 +157,8 @@ HEADLINE = [
     # semantic incremental admission (batch↔corpus LSH candidates only)
     "dedup_containment",
     "dedup_semantic_incremental",
+    # round 9 (sixth batch): exact-integer recency-weighted aggregation
+    "events_decayed_value",
 ]
 
 

@@ -58,6 +58,65 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
 
 
+def time_decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    halflife_days: int,
+    ref_date: str,
+    out_col: str = "decayed_sum_fp",
+) -> DataFrame:
+    """Recency-weighted value sums per group — the feature-engineering
+    aggregate behind "recent activity counts more" signals (user
+    recency features, freshness-weighted source stats): each row
+    contributes ``value · 2^(−age/halflife)``, summed per group.
+
+    Exactness trick: the decay base is a POWER OF TWO and the exponent
+    an integer (whole halflives elapsed), so the weight is an exact
+    binary scale — each row's contribution is computed as
+    ``floor(value·10⁶) div 2^k`` in int64 micro-units (k capped at 62;
+    older rows contribute 0), and the per-group sum of integers is
+    order- and engine-independent, hash-checkable like every other
+    fixed-point aggregate here (a float ``pow(0.5, age/h)`` would pick
+    up libm last-ulp noise AND summation-order dust). The resolution
+    cost vs the textbook exponential is the staircase (weights halve
+    per whole halflife, not continuously) — the documented contract,
+    mirrored by the oracle.
+
+    Scale shape: one narrow projection (datediff + shift arithmetic)
+    into ONE map-side-combined groupBy — partial sums before the only
+    exchange; the reference timestamp is a plan literal, not a
+    subquery, so the scan stays single-pass.
+    """
+    if halflife_days < 1:
+        raise ValueError("time_decayed_sum: halflife_days must be >= 1")
+    age_days = F.datediff(
+        F.lit(ref_date).cast("date"), F.col(ts_col).cast("date")
+    )
+    k = F.floor(age_days / F.lit(halflife_days)).cast("long")
+    micro = F.floor(F.col(value_col).cast("double") * F.lit(1e6)).cast(
+        "long"
+    )
+    contrib = (
+        F.when(F.col("_k") < 0, F.lit(None))  # future rows poison loudly
+        .when(F.col("_k") > 62, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftright(_micro, cast(_k as int))"))
+    )
+    return (
+        df.select(
+            *group_cols, micro.alias("_micro"), k.alias("_k")
+        )
+        .select(*group_cols, contrib.alias("_c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_c").cast("long").alias(out_col),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
 def contract_violations(
     df: DataFrame, rules: list[tuple[str, Column]]
 ) -> DataFrame:

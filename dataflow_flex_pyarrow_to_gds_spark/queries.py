@@ -4282,6 +4282,37 @@ _RELATIONAL_ORACLES["dedup_semantic_incremental"] = f"""
 """
 
 
+def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted value per event type: each event contributes
+    value · 2^(−whole-halflives-since), halflife 7 days from a fixed
+    reference date — exact int64 micro-units end to end (the decay
+    base is a power of two, so the weight is one arithmetic shift;
+    float pow + double sums could not hash-match across engines). One
+    narrow projection into one map-side-combined groupBy."""
+    from .operators.profile import time_decayed_sum
+
+    return time_decayed_sum(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "value",
+        ["event_type"],
+        halflife_days=7,
+        ref_date="2024-02-01",
+    )
+
+
+_RELATIONAL_ORACLES["events_decayed_value"] = """
+    SELECT event_type,
+           CAST(sum(
+               CAST(floor(value * 1000000) AS BIGINT)
+               >> CAST(floor(date_diff('day', CAST(ts AS DATE),
+                                       DATE '2024-02-01') / 7) AS INT)
+           ) AS BIGINT) AS decayed_sum_fp,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+"""
+
+
 _ZORDER_LINEITEM_MEMO: set[str] = set()
 
 
@@ -6285,6 +6316,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "set_ops_nations",
         # r8-green (CORRECTNESS_r08.json), displaced past the window by
         # the round-9 second batch; implementation unchanged since r8
+        "dedup_repeated_passages",
         "dedup_passage_removal",
         "dedup_set_similarity",
         "text_bm25_topk",
@@ -6393,6 +6425,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
         "dedup_containment": q_dedup_containment,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "events_decayed_value": q_events_decayed_value,
         # -- graph_label_propagation shares the co-order fixture helper
         # -- with the new rows (refactor, same semantics) — kept inside
         # -- the window below

@@ -184,3 +184,47 @@ def test_apply_corpus_delta_roundtrips_corpus_diff(spark):
         for r in corpus_diff(base, merged, "doc_id", "text").collect()
     }
     assert statuses == {3: "changed", 7: "removed", 42: "added"}
+
+
+def test_time_decayed_sum_exact_staircase(spark):
+    """Hand-computed: whole-halflife staircase weights (shift per
+    halflife), floor micro-units, future rows poison with NULL, and the
+    >62-halflife tail contributes exactly 0."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        time_decayed_sum,
+    )
+
+    rows = [
+        ("a", "2024-01-31 12:00:00", 10.0),   # age 1d  → k=0 → 10_000_000
+        ("a", "2024-01-20 00:00:00", 10.0),   # age 12d → k=1 → 5_000_000
+        ("a", "2020-01-01 00:00:00", 10.0),   # age ~1493d → k=213 > 62 → 0
+        ("b", "2024-01-25 09:00:00", 0.015),  # floor(15000)>>1 = 7_500
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["g"]: (r["decayed_sum_fp"], r["n_rows"])
+        for r in time_decayed_sum(
+            df, "ts", "value", ["g"], halflife_days=7,
+            ref_date="2024-02-01",
+        ).collect()
+    }
+    assert got["a"] == (15_000_000, 3)
+    assert got["b"] == (7_500, 1)
+
+    # a future event makes the group's sum NULL — never silently wrong
+    fut = spark.createDataFrame(
+        [("a", "2024-03-01 00:00:00", 1.0)], "g string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = time_decayed_sum(
+        fut, "ts", "value", ["g"], halflife_days=7, ref_date="2024-02-01"
+    ).collect()[0]
+    assert out["decayed_sum_fp"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="halflife"):
+        time_decayed_sum(
+            df, "ts", "value", ["g"], halflife_days=0, ref_date="2024-02-01"
+        )

@@ -159,13 +159,57 @@ HEADLINE = [
     "dedup_semantic_incremental",
     # round 9 (sixth batch): exact-integer recency-weighted aggregation
     "events_decayed_value",
+    # round 10: containment pairs → transitive-closure groups (the
+    # composed curation shape), decay guardrail branches live
+    "dedup_containment_groups",
+    "events_decayed_guardrails",
 ]
+
+
+def _ambient_load() -> dict:
+    """Machine-contention snapshot recorded into the artifact (VERDICT
+    r9 #3: a contended driver run inflated every untouched query ~1.4×
+    and only a manual idle A/B caught it — make it machine-detectable).
+    ``running_procs`` counts processes in R state EXCLUDING this one, so
+    a clean box reads ~0 even while bench itself is hot."""
+    load1, load5, load15 = os.getloadavg()
+    me = os.getpid()
+    running = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                if f.read().rsplit(")", 1)[1].split()[0] == "R":
+                    running += 1
+        except OSError:
+            continue
+    return {
+        "load1": round(load1, 2),
+        "load5": round(load5, 2),
+        "load15": round(load15, 2),
+        "running_procs": running,
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Ambient-load check BEFORE Spark spins up: at this point any load
+    # is someone else's. Warn loudly — a contended run inflates every
+    # number uniformly and should not be compared against idle runs.
+    load_start = _ambient_load()
+    if load_start["load1"] > 4.0 or load_start["running_procs"] > 2:
+        print(
+            f"WARNING: ambient load1={load_start['load1']} "
+            f"running_procs={load_start['running_procs']} — this bench "
+            "run is CONTENDED; numbers will be uniformly inflated and "
+            "must not be read as regressions (see BENCH_FULL.json "
+            "load fields)",
+            file=sys.stderr,
+        )
 
     spark = get_spark(app_name="bench")
     qs = dict(catalog.queries())
@@ -307,6 +351,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "trials": {k: [round(t, 3) for t in v] for k, v in trials.items()},
+        "load_start": load_start,
+        "load_end": _ambient_load(),
     }
     if isolated:
         full["queries_isolated"] = isolated
@@ -323,6 +369,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
+        "ambient_load1": load_start["load1"],
     }
     if isolated:
         out["isolated_total"] = full["isolated_total"]

@@ -1572,6 +1572,23 @@ def append_to_minhash_index(
 
     Banding parameters come from the index's ``meta.json`` — an
     append can no more band differently than a probe can.
+
+    Crash safety (the two appends cannot be atomic on a plain
+    filesystem): BUCKETS are written FIRST, groups second, and both
+    the raise-mode clash check and the skip-mode filter key on GROUPS
+    — so the index invariant is "a groups row implies its bucket rows
+    exist". A crash between the writes leaves orphan bucket rows,
+    which probes ignore (candidates inner-join groups for the verify
+    operand) and which a retry heals: the fingerprints are still
+    absent from groups, so the retry re-appends both tables, and the
+    duplicate bucket rows are collapsed by the probe's candidate
+    ``distinct()`` (duplicate GROUP rows, which would double-count
+    ``_gc``, can never occur). Groups-first — the pre-r10 order —
+    was the opposite: the orphaned groups rows made skip-mode retries
+    drop the batch without ever writing its buckets, a PERMANENT
+    silent recall hole. Recovery path after a raise-mode crash
+    (partial groups visible): re-run the same append with
+    ``on_existing='skip'``.
     """
     import json
 
@@ -1600,7 +1617,9 @@ def append_to_minhash_index(
     else:
         new_groups = new_groups.join(existing, "_fp", "left_anti")
     new_groups = new_groups.localCheckpoint(eager=True)  # write twice
-    new_groups.write.mode("append").parquet(f"{path}/groups")
+    # buckets FIRST (see docstring: groups-presence implies
+    # buckets-presence, so a crash between the appends is heal-by-retry
+    # instead of a permanent recall hole)
     (
         new_groups.select(
             "_fp",
@@ -1612,6 +1631,7 @@ def append_to_minhash_index(
         .write.mode("append")
         .parquet(f"{path}/buckets")
     )
+    new_groups.write.mode("append").parquet(f"{path}/groups")
 
 
 def incremental_near_dup_filter_indexed(
@@ -1740,6 +1760,30 @@ def containment_join_pairs(
     overlap on the cached token arrays, broadcast under the usual
     corpus-count gate. Pair rows are 16 B until the verify join; the
     output carries ``containment`` rounded to 6 dp.
+
+    Document frequency is a ``groupBy("_t").count()`` joined back onto
+    the exploded stream — NOT a window partitioned by token. A window
+    gets no map-side partial aggregation: the full (doc, token) stream
+    would shuffle on the token key and the "the"-class hot shingles
+    become straggler partitions at web scale. The groupBy shuffles only
+    partially-aggregated (token, count) rows — shuffle volume is the
+    DISTINCT vocabulary, independent of how hot any token is — and the
+    join-back is left UNHINTED on purpose: the df map is two int64s per
+    distinct token, whose size the driver cannot know without an extra
+    count, but AQE sees the MEASURED post-aggregation size at runtime
+    and converts the join to broadcast when it fits (the corpus-docs
+    gate used for the verify arrays would be the wrong proxy — vocab
+    can be 100× doc count). When it doesn't fit, it is an ordinary
+    shuffle join, which AQE can skew-split, unlike a window, which MUST
+    co-locate every row of a hot token. The only window left is
+    per-document (bounded by doc length): asserted by the plan audit
+    and exercised by the hot-token flood stress test.
+
+    The slim (id, token-array) projection is cached — it feeds the
+    probe/index pass and both verify sides. The cache is session-scoped
+    by design (the returned plan is lazy, so this function cannot
+    unpersist behind it); callers sweeping many corpora should
+    ``spark.catalog.clearCache()`` between rounds.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -1748,20 +1792,24 @@ def containment_join_pairs(
             lambda x: F.xxhash64(x),
         ).alias("_tk"),
     ).filter(F.size("_tk") > 0)
-    if broadcast_verify is None:
-        broadcast_verify = df.count() <= broadcast_max_docs
     base = base.cache()
+    if broadcast_verify is None:
+        # count the cached slim projection (one scan warms the cache
+        # AND answers the gate), not the full-width input df.
+        broadcast_verify = base.count() <= broadcast_max_docs
 
-    toks = base.select("_id", F.explode("_tk").alias("_t"))
-    w_df = W.partitionBy("_t")
+    toks = base.select(
+        "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("_t")
+    )
+    dfreq = toks.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
     w_doc = W.partitionBy("_id").orderBy(F.col("_df"), F.col("_t"))
-    ranked = toks.withColumn(
-        "_df", F.count(F.lit(1)).over(w_df)
-    ).select(
+    ranked = toks.join(dfreq, "_t").select(
         "_id",
         "_t",
         F.row_number().over(w_doc).alias("_pos"),
-        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("_n"),
+        F.col("_n"),
     )
     probe = ranked.filter(
         F.col("_pos")
@@ -1797,6 +1845,48 @@ def containment_join_pairs(
             F.col("_ib").alias("id_container"),
             "containment",
         )
+    )
+
+
+def containment_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 1,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+) -> DataFrame:
+    """Symmetric closure of :func:`containment_join_pairs`: UNORDERED
+    pairs ``(id_a < id_b)`` where a is contained in b OR b in a at
+    ``threshold`` — the shape :func:`near_dup_groups` /
+    :func:`canonical_keeper` consume, so the quote/excerpt relation can
+    feed the same pairs→groups→keeper machinery jaccard pairs do (a
+    5 000-word page and its 50-word excerpt collapse to one group even
+    though their jaccard ≈ 0.01).
+
+    One containment join (it already emits BOTH orderings when both
+    directions pass; either direction alone suffices for group
+    membership), then a least/greatest canonicalization + distinct —
+    the distinct is over pair ids only (16 B rows) and dedups the
+    mutual-containment case where (a,b) and (b,a) both verified.
+    """
+    ordered = containment_join_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        broadcast_verify=broadcast_verify,
+        broadcast_max_docs=broadcast_max_docs,
+    )
+    return (
+        ordered.select(
+            F.least("id_contained", "id_container").alias("id_a"),
+            F.greatest("id_contained", "id_container").alias("id_b"),
+        )
+        .distinct()
     )
 
 

@@ -779,10 +779,11 @@ def local_clustering_coefficient(
 
     Triangle discovery reuses :func:`triangle_count`'s degree
     orientation — each triangle survives the wedge join exactly once as
-    ``(a, b, c)`` — but the closing edge check must be an INNER join
-    here (a semi join would be fine too; inner keeps one plan shape),
-    after which each triangle credits all three corners via one
-    3-element explode. Per-corner counts partial-aggregate before their
+    ``(a, b, c)`` — with the closing-edge check as a LEFT SEMI join
+    (valid because the oriented edge set is distinct, so a semi join
+    can neither drop nor multiply a wedge; the plan audit asserts the
+    LeftSemi), after which each triangle credits all three corners via
+    one 3-element explode. Per-corner counts partial-aggregate before their
     shuffle; the ppm arithmetic runs in DECIMAL(25,0) headroom (a
     10⁶-degree hub's deg·(deg−1) alone is 10¹², and ×2·10⁶ would wrap
     int64 — the :func:`~.profile.contract_violations` lesson).

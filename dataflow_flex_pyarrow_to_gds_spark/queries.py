@@ -21,6 +21,7 @@ re-deriving the SQL by hand.
 
 from __future__ import annotations
 
+import datetime
 import re
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -4150,20 +4151,10 @@ def q_text_chunking_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact containment join (quote/excerpt detection — the asymmetric
-    case jaccard can't see): documents plus in-query seeded SNIPPETS
-    (first half of every ≡0 mod 5 doc's words, id+10⁶), all ordered
-    pairs with |A∩B|/|A| ≥ 0.9 over word 3-GRAM sets (unigram sets of
-    a word-soup corpus overlap heavily — "same words" is a far weaker
-    claim than "same passages"; measured: 98 k unigram pairs vs the
-    seeded-snippet 3-gram set). One-sided prefix filter: only the
-    contained side's rare-shingle prefix probes the full postings
-    index (rare postings are short by definition); exact overlap
-    verify on cached shingle arrays. Oracle: exhaustive ordered-pair
-    join."""
-    from .operators.dedup import containment_join_pairs
-
+def _containment_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ seeded snippets (first half of every ≡0 mod 5 doc's
+    words, id+10⁶) — the corpus both containment catalog rows share, so
+    the pairs row and the composed groups row test the same relation."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     snip = (
         docs.filter((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
@@ -4182,8 +4173,31 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
+    return docs.unionByName(snip)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (quote/excerpt detection — the asymmetric
+    case jaccard can't see): documents plus in-query seeded SNIPPETS
+    (first half of every ≡0 mod 5 doc's words, id+10⁶), all ordered
+    pairs with |A∩B|/|A| ≥ 0.9 over word 3-GRAM sets (unigram sets of
+    a word-soup corpus overlap heavily — "same words" is a far weaker
+    claim than "same passages"; measured: 98 k unigram pairs vs the
+    seeded-snippet 3-gram set). One-sided prefix filter: only the
+    contained side's rare-shingle prefix probes the full postings
+    index (rare postings are short by definition); document frequency
+    is a partial-aggregated groupBy joined back (never a token-keyed
+    window — no map-side combine, hot-shingle stragglers at scale);
+    exact overlap verify on cached shingle arrays. Oracle: exhaustive
+    ordered-pair join."""
+    from .operators.dedup import containment_join_pairs
+
     return containment_join_pairs(
-        docs.unionByName(snip), "doc_id", "text", threshold=0.9, shingle_k=3
+        _containment_fixture(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.9,
+        shingle_k=3,
     )
 
 
@@ -4217,6 +4231,75 @@ _RELATIONAL_ORACLES["dedup_containment"] = f"""
     FROM t a JOIN t b ON a.doc_id <> b.doc_id
     WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
           >= 0.9 * len(a.toks)
+"""
+
+
+def q_dedup_containment_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment pairs fed through the SAME pairs→groups machinery
+    jaccard pairs use: the quote/excerpt relation (doc ⊇ snippet at
+    containment ≥ 0.9 over 3-gram sets, same seeded corpus as
+    ``dedup_containment``) is symmetrized to unordered (id_a < id_b)
+    pairs and collapsed with large-star/small-star transitive closure →
+    (doc_id, keep_id). This is what containment detection is FOR in a
+    curation pipeline — a page and its excerpts become ONE group with
+    one keeper, which jaccard grouping can never produce (the pair's
+    jaccard is ≈ |snippet|/|page|). Oracle: exhaustive containment
+    pair join + recursive-CTE reachability closure, so the composed
+    path (candidate filter → verify → symmetrize → CC) is hash-checked
+    end to end."""
+    from .operators.dedup import containment_near_dup_pairs, near_dup_groups
+
+    pairs = containment_near_dup_pairs(
+        _containment_fixture(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.9,
+        shingle_k=3,
+    )
+    return near_dup_groups(pairs)
+
+
+_RELATIONAL_ORACLES["dedup_containment_groups"] = f"""
+    WITH RECURSIVE
+    w0 AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)),
+                               ' ') AS text
+        FROM w0 WHERE doc_id % 5 = 0 AND len(w) >= 8
+    ),
+    cw AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS w
+        FROM corpus
+    ),
+    tt AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS toks
+        FROM cw WHERE len(w) >= 3
+    ),
+    t AS (SELECT doc_id, toks FROM tt WHERE len(toks) > 0),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              >= 0.9 * len(a.toks)
+    ),
+    sym(s, t2) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+    vertices(n) AS (SELECT s FROM sym UNION SELECT t2 FROM sym),
+    paths(a, b) AS (
+        SELECT n, n FROM vertices
+        UNION
+        SELECT pp.a, sy.t2 FROM paths pp JOIN sym sy ON pp.b = sy.s
+    )
+    SELECT a AS doc_id, min(b) AS keep_id FROM paths GROUP BY a
 """
 
 
@@ -4288,7 +4371,10 @@ def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference date — exact int64 micro-units end to end (the decay
     base is a power of two, so the weight is one arithmetic shift;
     float pow + double sums could not hash-match across engines). One
-    narrow projection into one map-side-combined groupBy."""
+    narrow projection into one map-side-combined groupBy. Future rows
+    NULL their whole group (flag-aggregated — see
+    :func:`time_decayed_sum`); the fixture has none, so the branch is
+    exercised by ``events_decayed_guardrails`` instead."""
     from .operators.profile import time_decayed_sum
 
     return time_decayed_sum(
@@ -4301,16 +4387,92 @@ def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RELATIONAL_ORACLES["events_decayed_value"] = """
-    SELECT event_type,
-           CAST(sum(
-               CAST(floor(value * 1000000) AS BIGINT)
-               >> CAST(floor(date_diff('day', CAST(ts AS DATE),
-                                       DATE '2024-02-01') / 7) AS INT)
-           ) AS BIGINT) AS decayed_sum_fp,
+# Mirrors ALL THREE branches of time_decayed_sum: the >62-halflife cap
+# (contribute 0 — DuckDB's >> is well-defined at large shifts but Java's
+# wraps mod 64, so the Spark side MUST cap and the oracle must agree),
+# the normal shift, and the group-level future-row poison (bool_or gate
+# → NULL sum, because SUM alone would skip a per-row NULL).
+_DECAYED_SUM_ORACLE = """
+    SELECT {group_col},
+           CASE WHEN bool_or(CAST(ts AS DATE) > DATE '{ref}') THEN NULL
+                ELSE CAST(sum(
+                    CASE WHEN floor(date_diff('day', CAST(ts AS DATE),
+                                    DATE '{ref}') / {hl}) > 62 THEN 0
+                         ELSE CAST(floor(value * 1000000) AS BIGINT)
+                              >> CAST(floor(date_diff('day',
+                                            CAST(ts AS DATE),
+                                            DATE '{ref}') / {hl}) AS INT)
+                    END) AS BIGINT)
+           END AS decayed_sum_fp,
            CAST(count(*) AS BIGINT) AS n_rows
-    FROM events GROUP BY 1
+    FROM {src} GROUP BY 1
 """
+
+_RELATIONAL_ORACLES["events_decayed_value"] = _DECAYED_SUM_ORACLE.format(
+    group_col="event_type", ref="2024-02-01", hl=7, src="events"
+)
+
+#: The synthetic rows unioned onto events by events_decayed_guardrails —
+#: shared with the oracle so both engines see byte-identical extras.
+#: Row 1: a future-dated row inside the REAL 'click' group (mixed group
+#: → whole-group NULL; under the pre-r10 bug the row was silently
+#: dropped and click looked normal). Row 2: an ancient row, age 245
+#: halflives, value huge enough (micro = 8e18 ≈ 2^62.8) that Java's
+#: mod-64 shift would contribute ~888 if the >62 cap were missing.
+_DECAYED_GUARDRAIL_ROWS = [
+    ("click", "2024-03-01 00:00:00", 100.0),
+    ("zz_ancient", "2023-06-01 00:00:00", 8.0e12),
+]
+
+
+def q_events_decayed_guardrails(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The non-vacuous twin of ``events_decayed_value``: the same
+    exact-integer decayed sum (halflife 1 day, ref 2024-02-01) over
+    events UNION ALL two synthetic literal rows that force BOTH
+    guardrail branches against the real fixture — a future-dated row
+    mixed into the populated 'click' group (its sum must come back
+    NULL, not a normal-looking number missing one row: SQL SUM skips
+    per-row NULLs, hence the flag aggregate) and a 245-halflife-old row
+    whose micro-value ≈ 2⁶²·⁸ would wrap Java's mod-64 shift into a
+    nonzero contribution if the >62 cap were absent. The oracle unions
+    the same literals, so every branch is hash-checked, not just
+    unit-tested. Plan shape is unchanged: union of a scan and a 2-row
+    local relation into the one map-side-combined groupBy."""
+    from .operators.profile import time_decayed_sum
+
+    extra = spark.createDataFrame(
+        [
+            (et, datetime.datetime.fromisoformat(ts), v)
+            for et, ts, v in _DECAYED_GUARDRAIL_ROWS
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return time_decayed_sum(
+        ev.unionByName(extra),
+        "ts",
+        "value",
+        ["event_type"],
+        halflife_days=1,
+        ref_date="2024-02-01",
+    )
+
+
+_RELATIONAL_ORACLES["events_decayed_guardrails"] = _DECAYED_SUM_ORACLE.format(
+    group_col="event_type",
+    ref="2024-02-01",
+    hl=1,
+    src="""(
+        SELECT event_type, ts, value FROM events
+        UNION ALL
+        SELECT * FROM (VALUES
+            ('click', TIMESTAMP '2024-03-01 00:00:00', 100.0),
+            ('zz_ancient', TIMESTAMP '2023-06-01 00:00:00', 8e12)
+        ) AS extra(event_type, ts, value)
+    ) unioned""",
+)
 
 
 _ZORDER_LINEITEM_MEMO: set[str] = set()
@@ -6281,6 +6443,10 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # r9-green (CORRECTNESS_r09.json), displaced from the window by
+        # the round-10 entries; implementation unchanged in r10
+        "dedup_canonical_keeper",
+        "sample_split_leakage",
         # r8-green (CORRECTNESS_r08.json), displaced from the window by
         # the round-9 queries; implementation unchanged in r9
         "q19_bracket_revenue",
@@ -6410,6 +6576,15 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in round 10: decay guardrail branches (poison + cap,
+        # -- non-vacuous vs the oracle), containment→groups composition --
+        "events_decayed_guardrails": q_events_decayed_guardrails,
+        "dedup_containment_groups": q_dedup_containment_groups,
+        # -- changed in round 10: group-level poison flag (was per-row
+        # -- NULL, silently skipped by SUM); df via partial-agg groupBy
+        # -- (was a token-keyed window) — both need fresh driver rows --
+        # (events_decayed_value and dedup_containment stay in the window
+        # below)
         # -- new in round 9, second batch: BFS, clustering coefficient,
         # -- GNN neighbor sampling, corpus merge, temperature sampling --
         "graph_bfs": q_graph_bfs,

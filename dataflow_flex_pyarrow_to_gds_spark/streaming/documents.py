@@ -128,41 +128,77 @@ def admit_documents_stream(
     (:func:`~..operators.dedup.append_to_minhash_index`) after the
     epoch output lands, so a duplicate arriving in a LATER epoch is
     rejected against today's admissions, not just the base corpus —
-    self-maintaining admission. The append runs with
-    ``on_existing='skip'``, which makes an epoch REPLAY a no-op (the
-    replayed docs' fingerprints are already present) — the same
-    idempotency contract as the epoch-keyed output. Within one epoch
-    docs are only checked against the index, not each other (the
-    batch-internal dedup stays a batch-pass concern).
-    ``max_files_per_trigger`` bounds each micro-batch (availableNow
-    honors it, splitting the backlog into multiple epochs — how the
-    tests drive a genuinely multi-epoch drain)."""
+    self-maintaining admission. Within one epoch docs are only checked
+    against the index, not each other (the batch-internal dedup stays
+    a batch-pass concern). ``max_files_per_trigger`` bounds each
+    micro-batch (availableNow honors it, splitting the backlog into
+    multiple epochs — how the tests drive a genuinely multi-epoch
+    drain).
+
+    Replay safety: the EPOCH DECISIONS themselves are replay-stable,
+    not just the index append. If a micro-batch re-runs after its
+    output landed (crash between the epoch body and the streaming
+    checkpoint commit), recomputing admission would reject the
+    replayed docs against their OWN just-appended fingerprints and
+    overwrite ``epoch=N`` with every admit flipped false — silently
+    losing admitted documents in exactly the recovery scenario the
+    idempotent append exists for. So the epoch body first checks for
+    ``epoch=N/_SUCCESS``: when present it SKIPS recomputation and
+    only re-derives the index append from the EXISTING output (the
+    append itself is idempotent via ``on_existing='skip'``, so this
+    also covers a crash that landed the output but not the append).
+    Corollary: ``out_path`` must be owned by this checkpoint lineage —
+    a stale ``epoch=N`` from an unrelated earlier run would be trusted
+    as this epoch's decisions."""
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(src_path)
 
-    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        out = admit_documents_batch(
-            spark, batch_df, index_path, threshold=threshold
+    def _epoch_output_exists(epoch_id: int) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{out_path}/epoch={epoch_id}/_SUCCESS"
         )
-        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        if update_index:
-            from ..operators.dedup import append_to_minhash_index
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
-            admitted_ids = (
-                spark.read.parquet(f"{out_path}/epoch={epoch_id}")
-                .filter(F.col("admit"))
-                .select("doc_id")
+    def _fold_admitted_into_index(
+        batch_df: DataFrame, epoch_id: int
+    ) -> None:
+        from ..operators.dedup import append_to_minhash_index
+
+        admitted_ids = (
+            spark.read.parquet(f"{out_path}/epoch={epoch_id}")
+            .filter(F.col("admit"))
+            .select("doc_id")
+        )
+        # the index fingerprints the ORIGINAL text, taken from the
+        # micro-batch itself (a replayed batch_df is byte-identical —
+        # file-source epochs are deterministic from checkpoint offsets)
+        append_to_minhash_index(
+            spark,
+            index_path,
+            batch_df.join(admitted_ids, "doc_id", "left_semi"),
+            "doc_id",
+            "text",
+            on_existing="skip",
+        )
+
+    def _epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not _epoch_output_exists(epoch_id):
+            out = admit_documents_batch(
+                spark, batch_df, index_path, threshold=threshold
             )
-            append_to_minhash_index(
-                spark,
-                index_path,
-                batch_df.join(admitted_ids, "doc_id", "left_semi"),
-                "doc_id",
-                "text",
-                on_existing="skip",
+            out.write.mode("overwrite").parquet(
+                f"{out_path}/epoch={epoch_id}"
             )
+        # else: replayed epoch — the decisions already landed; do NOT
+        # recompute them against an index that may already contain this
+        # batch's own fingerprints. Either way, ensure the (idempotent)
+        # append ran.
+        if update_index:
+            _fold_admitted_into_index(batch_df, epoch_id)
 
     writer = docs.writeStream.foreachBatch(_epoch).trigger(availableNow=True)
     if checkpoint:

@@ -15,6 +15,9 @@ if [[ -n "$(git worktree list --porcelain | grep -c '^worktree' || true)" ]] \
 fi
 echo "no scratch worktrees"
 
+echo "=== driver-window tripwire ==="
+python scripts/check_window.py
+
 echo "=== pytest ==="
 python -m pytest tests/ -q
 

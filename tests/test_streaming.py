@@ -460,3 +460,87 @@ def test_streaming_admission_self_maintaining_index(spark, tmp_path):
     assert with_update[21][0]  # the unrelated arrival always admitted
     without = run(False)
     assert without[10][0] and without[20][0]  # control: both slip through
+
+
+def test_streaming_admission_epoch_replay_stable(spark, tmp_path):
+    """r10 (ADVICE): a micro-batch re-run after its side effects landed
+    but BEFORE the streaming checkpoint commit (the crash-recovery
+    scenario) must not change any admission decision. Simulated for
+    real: run the stream to completion with update_index=True, delete
+    the LAST checkpoint commit file (offsets stay), restart — Structured
+    Streaming replays that epoch with identical batch content. Under
+    the pre-r10 code the replayed epoch recomputed admission against an
+    index already containing its own admitted fingerprints, flipping
+    them to admit=false (jaccard 1.0 against themselves); now the epoch
+    body sees its landed output and skips recomputation."""
+    import os
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.documents import (
+        admit_documents_stream,
+    )
+
+    def wordy(seed: str) -> str:
+        ws = " ".join(f"{seed}{i}" for i in range(12))
+        return (
+            f"the {seed} report says that {ws} while some of the new "
+            f"{seed} items were kept in the big {seed} box for later use"
+        )
+
+    corpus = spark.createDataFrame(
+        [(1, wordy("base"), "en", "s", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    f1 = spark.createDataFrame(
+        [(10, wordy("novel"), "en", "s", 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    f2 = spark.createDataFrame(
+        [(20, wordy("novel"), "en", "s", 60),   # dup of 10 → rejected
+         (21, wordy("second"), "en", "s", 40)],  # admitted + appended
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    index = str(tmp_path / "idx")
+    build_minhash_index(corpus, "doc_id", "text", index)
+    src = str(tmp_path / "src")
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        import time
+
+        q = admit_documents_stream(
+            spark, src, index, out,
+            checkpoint=ckpt, update_index=True, max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        q.stop()  # fully release the checkpoint before the next run
+        for _ in range(100):
+            if not q.isActive:
+                break
+            time.sleep(0.1)
+        return {
+            r["doc_id"]: (r["admit"], r["n_corpus_dups"])
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+
+    first = drain()
+    assert first[10] == (True, 0) and first[21][0] and not first[20][0], first
+
+    # simulate crash-before-commit on the LAST epoch: side effects
+    # (epoch output + index append) landed, commit did not
+    commits = sorted(
+        (s for s in os.listdir(f"{ckpt}/commits") if s.isdigit()),
+        key=int,
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # LocalFS checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = drain()
+    assert replayed == first, (first, replayed)

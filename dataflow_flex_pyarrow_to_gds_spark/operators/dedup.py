@@ -1942,9 +1942,11 @@ def set_similarity_join_pairs(
     ~21 % of its docs share a set; identical-dominated corpora gain
     proportionally more).
 
-    Scale shape: per-token document frequency comes off a window over
-    the exploded token stream (one shuffle, no vocab join); the prefix
-    index is emitted directly from a second window over the doc id —
+    Scale shape: per-token document frequency is a partial-aggregated
+    ``groupBy`` joined back onto the exploded stream (r10 — never a
+    token-keyed window, which has no map-side combine and straggles on
+    hot tokens; AQE broadcasts the measured df map when it fits); the
+    prefix index is emitted directly from a window over the doc id —
     (token, id, n, pos) rows, O(Σ prefix) ≈ (1−t)·corpus tokens, NOT
     all tokens, and never round-tripped through per-doc arrays;
     candidate generation is an equi-join whose output streams into
@@ -2002,25 +2004,34 @@ def set_similarity_join_pairs(
     # spark.catalog.clearCache() between corpora.
     base = base.cache()
 
-    toks = base.select("_id", F.explode("_tk").alias("_t"))
-    # Prefix index directly on the exploded stream, no array round-trip:
-    # (1) per-token global document frequency via a window over the
-    # token (one shuffle — the agg+join form pays an extra exchange);
-    # (2) canonical rank within each doc via row_number over
-    # (df asc, token hash asc) plus the doc's set size from the same
-    # window partitioning (one _id shuffle). The r5 version rebuilt
-    # per-doc SORTED ARRAYS (collect_list → array_sort → posexplode,
-    # two ObjectHashAggregate stages) only to slice prefixes back out —
-    # the double-window form emits prefix rows straight off the stream.
-    with_df = toks.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("_t"))
+    toks = base.select(
+        "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("_t")
     )
+    # Prefix index directly on the exploded stream, no array round-trip:
+    # (1) per-token global document frequency via a partial-aggregated
+    # groupBy joined back — NOT a window partitioned by token (r10,
+    # same reshape as containment_join_pairs: a token window gets no
+    # map-side combine, so the full (doc, token) stream shuffles on the
+    # token key and "the"-class hot tokens become straggler partitions
+    # at web scale; the groupBy's shuffle carries only the DISTINCT
+    # vocabulary, and the join-back is left unhinted so AQE broadcasts
+    # the measured df map when it fits and skew-splits when it
+    # doesn't — a window can do neither);
+    # (2) canonical rank within each doc via row_number over
+    # (df asc, token hash asc); the doc's set size rides from the
+    # pre-explode array (F.size), not a second window. The r5 version
+    # rebuilt per-doc SORTED ARRAYS (collect_list → array_sort →
+    # posexplode, two ObjectHashAggregate stages) only to slice
+    # prefixes back out — emitting prefix rows straight off the stream
+    # replaced that; r10 then replaced its df window with the groupBy.
+    dfreq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    with_df = toks.join(dfreq, "_t")
     by_doc = W.partitionBy("_id")
     ranked = with_df.select(
         "_id",
         "_t",
         F.row_number().over(by_doc.orderBy("_df", "_t")).alias("_pos"),
-        F.count(F.lit(1)).over(by_doc).alias("_n"),
+        F.col("_n"),
     )
     # prefix length p = n − ⌈t·n⌉ + 1. The ceilings subtract a 1e-9
     # epsilon first: when t·n is exactly integral, float rounding can

@@ -2528,6 +2528,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the graded surface (r10 — the multimodal
+    codec de-stub): each document becomes a doc_id-determined PNG —
+    dims (1+id%7)×(1+id%5), pixel (r,c,ch) = (id·31+r·7+c·3+ch) mod
+    256, row filters cycling through ALL FIVE PNG filter types — built
+    by the pure-stdlib encoder, then decoded back (zlib inflate +
+    scanline unfilter) by the :func:`smart_decode` dispatch inside
+    ``image_channel_sums``, which emits EXACT int64 per-channel pixel
+    sums. The oracle recomputes the sums in closed form from the pixel
+    formula, so a single wrong byte anywhere in the encode→decode round
+    trip (filter arithmetic, stride, palette, chunk framing) breaks the
+    hash. Two chained Arrow-batched mapInPandas stages — payload bytes
+    never leave the executor plane, exactly the production codec
+    shape."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import image_channel_sums
+    from .operators.png import png_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _make(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 7, 1 + did % 5
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                img = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(
+                    np.uint8
+                )
+                fts = [(did + rr) % 5 for rr in range(h)]
+                out.append((did, png_encode(img, filter_type=fts)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(_make, "media_id long, payload binary")
+    return image_channel_sums(media, partitions=8)
+
+
+_RELATIONAL_ORACLES["multimodal_png_stats"] = """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 7 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           3 AS channels,
+           CAST(sum((doc_id*31 + r*7 + c*3 + 0) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((doc_id*31 + r*7 + c*3 + 1) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((doc_id*31 + r*7 + c*3 + 2) % 256) AS BIGINT) AS sum_c2
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS r) rr
+    CROSS JOIN (SELECT unnest(range(0, 7)) AS c) cc
+    WHERE r <= doc_id % 5 AND c <= doc_id % 7
+    GROUP BY 1
+"""
+
+
 def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: JSON column functions — extract + typed parse of the events
     props payload (get_json_object for ad-hoc paths, from_json for a
@@ -6443,6 +6501,55 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # r5-green, rotated back out of the r10 window to make room for
+        # the dedup_set_similarity reshape (rotates into the r11 refresh)
+        "similarity_knn_join",
+        # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
+        # window refresh; implementation unchanged in r10
+        "curation_admission",
+        "curation_apply_delta",
+        "curation_corpus_diff",
+        "curation_full_funnel",
+        "curation_release",
+        "dedup_incremental_indexed",
+        "dedup_minhash_banded",
+        "dedup_ngram3_pairs",
+        "dedup_semantic_incremental",
+        "embedding_random_projection",
+        "graph_bfs",
+        "graph_clustering",
+        "graph_hits",
+        "graph_kcore",
+        "graph_label_propagation",
+        "graph_link_prediction",
+        "graph_pagerank_bucketed",
+        "graph_ppr",
+        "graph_sample_neighbors",
+        "layout_dpp_revenue",
+        "layout_zorder_revenue",
+        "q2_min_cost_supplier",
+        "salted_join_parts",
+        "sample_cluster_balance",
+        "sample_quality_curriculum",
+        "sample_shard_assignment",
+        "sample_temperature",
+        "sample_top_fraction",
+        "sample_training_order",
+        "similarity_ann_index",
+        "similarity_hard_negatives",
+        "similarity_ivf_topk",
+        "similarity_lsh_topk",
+        "similarity_sq8_topk",
+        "stats_contract_violations",
+        "stats_table_profile",
+        "text_bm25_join",
+        "text_bpe_encode",
+        "text_bpe_encode_arrow",
+        "text_chunking_udtf",
+        "text_chunking_udtf_arrow",
+        "text_pii_cards",
+        "text_quality_classifier",
+        "text_strip_html",
         # r9-green (CORRECTNESS_r09.json), displaced from the window by
         # the round-10 entries; implementation unchanged in r10
         "dedup_canonical_keeper",
@@ -6498,54 +6605,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q18_large_volume_customers",
         # r4-green (CORRECTNESS_r04.json), implementation unchanged
         # since, locally re-verified green via scripts/check_oracle.py
-        "agg_distinct_parts",
-        "array_agg_orders",
-        "asof_purchase_click",
-        "cube_lineitem",
-        "dedup_simhash_pairs",
-        "events_attribution",
-        "events_dedup",
-        "events_funnel",
-        "events_hourly",
-        "events_retention",
-        "events_sessionize",
-        "events_type_pivot",
-        "grouping_sets_lineitem",
-        "json_extract_events",
-        "regression_stats",
-        "rollup_lineitem",
-        "salted_agg_events",
-        "text_stats",
-        "window_analytics",
-        "window_range_frame",
-        "q22_idle_customers",
-        "q17_small_quantity_revenue",
-        "q16_supplier_exclusion",
         # r5-green (CORRECTNESS_r05.json), implementation unchanged in
         # round 6, locally re-verified green
-        "approx_stats",
-        "curation_arrival",
-        "dedup_boilerplate_lines",
-        "dedup_edit_distance",
-        "dedup_exact_groups",
-        "dedup_semantic_groups",
-        "embedding_near_dup",
-        "embedding_near_dup_lsh",
-        "graph_triangles",
-        "multimodal_features",
-        "q1_pricing_summary",
-        "q20_excess_shippers",
-        "q21_waiting_suppliers",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "range_join_shipments",
-        "sample_mixture_weights",
-        "sample_token_budget",
         "sequence_packing",
-        "similarity_knn_join",
         "similarity_matryoshka_topk",
         "similarity_topk",
         "sort_limit",
@@ -6577,16 +6639,71 @@ def _specs() -> dict[str, QuerySpec]:
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # -- new in round 10: decay guardrail branches (poison + cap,
-        # -- non-vacuous vs the oracle), containment→groups composition --
+        # -- non-vacuous vs the oracle), containment→groups composition,
+        # -- real PNG decode in the graded surface ----------------------
         "events_decayed_guardrails": q_events_decayed_guardrails,
         "dedup_containment_groups": q_dedup_containment_groups,
+        "multimodal_png_stats": q_multimodal_png_stats,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
-        # -- (was a token-keyed window) — both need fresh driver rows --
-        # (events_decayed_value and dedup_containment stay in the window
-        # below)
-        # -- new in round 9, second batch: BFS, clustering coefficient,
-        # -- GNN neighbor sampling, corpus merge, temperature sampling --
+        # -- (was a token-keyed window) — fresh driver rows required ----
+        "events_decayed_value": q_events_decayed_value,
+        "dedup_containment": q_dedup_containment,
+        "dedup_set_similarity": q_dedup_set_similarity,
+        # -- rotated in (round 10): the 23 queries whose last driver-
+        # -- green row is r4 (CORRECTNESS_r04.json) — oldest evidence in
+        # -- the catalog, refreshed first ---------------------------------
+        "agg_distinct_parts": q_agg_distinct_parts,
+        "array_agg_orders": q_array_agg_orders,
+        "asof_purchase_click": q_asof_purchase_click,
+        "cube_lineitem": q_cube_lineitem,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "events_attribution": q_events_attribution,
+        "events_dedup": q_events_dedup,
+        "events_funnel": q_events_funnel,
+        "events_hourly": q_events_hourly,
+        "events_retention": q_events_retention,
+        "events_sessionize": q_events_sessionize,
+        "events_type_pivot": q_events_type_pivot,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
+        "json_extract_events": q_json_extract_events,
+        "regression_stats": q_regression_stats,
+        "rollup_lineitem": q_rollup_lineitem,
+        "salted_agg_events": q_salted_agg_events,
+        "text_stats": q_text_stats,
+        "window_analytics": q_window_analytics,
+        "window_range_frame": q_window_range_frame,
+        "q22_idle_customers": q22_idle_customers,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q16_supplier_exclusion": q16_supplier_exclusion,
+        # -- rotated in (round 10): 22 of the r5-green block (the rest
+        # -- rotate in r11) ----------------------------------------------
+        "approx_stats": q_approx_stats,
+        "curation_arrival": q_curation_arrival,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "graph_triangles": q_graph_triangles,
+        "multimodal_features": q_multimodal_features,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "range_join_shipments": q_range_join_shipments,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "sample_token_budget": q_sample_token_budget,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round, implementation unchanged since, and ------
+        # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "similarity_knn_join": q_similarity_knn_join,
         "graph_bfs": q_graph_bfs,
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
@@ -6598,14 +6715,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_cards": q_text_pii_cards,
         "sample_top_fraction": q_sample_top_fraction,
         "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
-        "dedup_containment": q_dedup_containment,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
-        "events_decayed_value": q_events_decayed_value,
-        # -- graph_label_propagation shares the co-order fixture helper
-        # -- with the new rows (refactor, same semantics) — kept inside
-        # -- the window below
-        # -- new in round 9: the six round-8 operators, wired (VERDICT
-        # -- r8 #1) — fresh queries, no prior driver row ----------------
         "graph_hits": q_graph_hits,
         "stats_contract_violations": q_stats_contract_violations,
         "sample_training_order": q_sample_training_order,
@@ -6613,12 +6723,8 @@ def _specs() -> dict[str, QuerySpec]:
         "text_strip_html": q_text_strip_html,
         "layout_dpp_revenue": q_layout_dpp_revenue,
         "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
-        # -- implementations touched in round 9: the shared range-bucket
-        # -- scaffold (packing.range_bucketed/bucket_offsets) now backs
-        # -- the prefix-sum family --------------------------------------
         "sample_shard_assignment": q_sample_shard_assignment,
         "sequence_packing": q_sequence_packing,
-        # -- new in round 7: fresh queries, no prior driver row ----------
         "text_quality_classifier": q_text_quality_classifier,
         "sample_cluster_balance": q_sample_cluster_balance,
         "graph_link_prediction": q_graph_link_prediction,
@@ -6632,9 +6738,6 @@ def _specs() -> dict[str, QuerySpec]:
         "text_chunking_udtf": q_text_chunking_udtf,
         "curation_release": q_curation_release,
         "salted_join_parts": q_salted_join_parts,
-        # -- implementations touched in round 7 beyond the blocks below:
-        # -- ngram3 shares minhash_lsh_pairs (exact-crossover rewrite),
-        # -- sq8 shares the balanced-sum generator (refactor) ----------
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
         "similarity_sq8_topk": q_similarity_sq8_topk,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6642,7 +6745,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_ann_index": q_similarity_ann_index,
         "curation_full_funnel": q_curation_full_funnel,
-        # -- new in round 6: fresh queries, no prior driver row ----------
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
         "text_bm25_join": q_text_bm25_join,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
@@ -6650,19 +6752,13 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_stratified_split": q_sample_stratified_split,
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "sample_split_leakage": q_sample_split_leakage,
-        # -- implementations touched in round 6 (linear passage plans, --
-        # -- minhash 24x4 revert, set-similarity rewrite, bm25 fixes, ---
-        # -- pagerank loop edit) stay inside the window -----------------
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_passage_removal": q_dedup_passage_removal,
-        "dedup_set_similarity": q_dedup_set_similarity,
         "text_bm25_topk": q_text_bm25_topk,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_near_groups": q_dedup_near_groups,
         "dedup_incremental": q_dedup_incremental,
         "graph_pagerank": q_graph_pagerank,
-        # -- rotated in (round 6): the 15 queries whose last driver-green
-        # -- row was r2/r3 (VERDICT r5 next-round #3) -------------------
         "scalar_functions": q_scalar_functions,
         "date_functions": q_date_functions,
         "q11_important_stock": q11_important_stock,
@@ -6678,8 +6774,6 @@ def _specs() -> dict[str, QuerySpec]:
         "running_revenue": q_running_revenue,
         "text_token_frequencies": q_text_token_frequencies,
         "set_ops_nations": q_set_ops_nations,
-        # -- rotated in (round 6): r4-green block, giving them a fresh --
-        # -- driver row (their last green predates r5's window) ---------
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "text_repetition": q_text_repetition,
@@ -6699,69 +6793,20 @@ def _specs() -> dict[str, QuerySpec]:
         "q12_shipmode_priority": q12_shipmode_priority,
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
-        "q16_supplier_exclusion": q16_supplier_exclusion,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round, implementation unchanged since, and ------
-        # ---- re-verified green locally via scripts/check_oracle.py) -----
         "sort_limit": q_sort_limit,
-        "approx_stats": q_approx_stats,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_features": q_multimodal_features,
-        "range_join_shipments": q_range_join_shipments,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "dedup_exact_groups": q_dedup_exact_groups,
         "similarity_topk": q_similarity_topk,
-        "similarity_knn_join": q_similarity_knn_join,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_hash": q_text_rolling_hash,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
         "text_pii_scan": q_text_pii_scan,
         "text_pii_redact": q_text_pii_redact,
         "text_contamination": q_text_contamination,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "sample_token_budget": q_sample_token_budget,
-        "sample_mixture_weights": q_sample_mixture_weights,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         "text_bpe_merges": q_text_bpe_merges,
         "text_chunking": q_text_chunking,
-        "curation_arrival": q_curation_arrival,
         "text_decontaminate": q_text_decontaminate,
         "text_bigram_logprob": q_text_bigram_logprob,
-        "graph_triangles": q_graph_triangles,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "dedup_semantic_groups": q_dedup_semantic_groups,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_unigram_logprob": q_text_unigram_logprob,
-        "window_analytics": q_window_analytics,
-        "window_range_frame": q_window_range_frame,
-        "agg_distinct_parts": q_agg_distinct_parts,
-        "rollup_lineitem": q_rollup_lineitem,
-        "regression_stats": q_regression_stats,
-        "array_agg_orders": q_array_agg_orders,
-        "cube_lineitem": q_cube_lineitem,
-        "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        "events_hourly": q_events_hourly,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_sessionize": q_events_sessionize,
-        "events_type_pivot": q_events_type_pivot,
-        "events_attribution": q_events_attribution,
-        "events_dedup": q_events_dedup,
-        "json_extract_events": q_json_extract_events,
-        "asof_purchase_click": q_asof_purchase_click,
-        "salted_agg_events": q_salted_agg_events,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "text_stats": q_text_stats,
     }
     oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}

@@ -327,8 +327,16 @@ CHECKS: list[tuple[str, str, object]] = [
         "dedup_set_similarity",
         "prefix-filter set-similarity: verify sides broadcast under the "
         "corpus-count gate (two BroadcastHashJoins), scan pruned to "
-        "(doc_id, text)",
+        "(doc_id, text), and document frequency is a partial-aggregated "
+        "groupBy (r10) — the executed plan's only Window is the per-doc "
+        "row_number, never a token-keyed window",
         lambda p: p.count("BroadcastHashJoin") >= 2
+        and len(
+            re.findall(
+                r"\bWindow \(\d+\)", p.split("== Initial Plan ==")[0]
+            )
+        )
+        == 1
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 2,
     ),

@@ -1063,6 +1063,35 @@ def test_containment_hot_token_flood(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_set_similarity_hot_token_flood(spark):
+    """Same r10 reshape as containment: a token present in EVERY doc
+    must leave the prefix-filter join correct and the executed plan
+    with exactly ONE Window (per-doc row_number) — df comes from a
+    partial-aggregated groupBy, never a token-keyed window."""
+    import io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        set_similarity_join_pairs,
+    )
+
+    docs = [(i, f"the aa{i} bb{i} cc{i}") for i in range(300)]
+    docs += [(1000 + i, f"the aa{i} bb{i} cc{i} dd{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = set_similarity_join_pairs(df, "doc_id", "text", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(i, 1000 + i) for i in range(10)}, got
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().split("== Initial Plan ==")[0]
+    windows = _re.findall(r"\bWindow \(\d+\)", plan)
+    assert len(windows) == 1, f"expected 1 per-doc Window, got {plan}"
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_containment_symmetric_pairs_feed_groups(spark):
     """containment_near_dup_pairs symmetrizes the directional relation
     into (id_a < id_b) rows, so near_dup_groups collapses a page and its

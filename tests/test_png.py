@@ -1,0 +1,205 @@
+"""Pure-stdlib PNG codec (operators/png.py) — the r10 multimodal
+de-stub. Decoder correctness is checked three ways: encode→decode round
+trips across every color type and every filter type (the forward
+filters are written independently of the unfilters), hand-built byte
+streams that bypass the encoder entirely, and the honest
+NotImplementedError boundaries."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dataflow_flex_pyarrow_to_gds_spark.operators.png import (
+    PNG_SIGNATURE,
+    png_decode,
+    png_encode,
+)
+
+
+def _img(h, w, c, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_round_trip_all_color_types(channels):
+    img = _img(5, 9, channels)
+    out = png_decode(png_encode(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_round_trip_every_filter_type(ft):
+    """Each unfilter branch against its independently-written forward
+    filter, on data adversarial to off-by-ones (a ramp wraps the byte
+    range; first row exercises the prev=0 boundary)."""
+    img = (np.arange(6 * 11 * 3, dtype=np.int64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(6, 11, 3)
+    assert np.array_equal(png_decode(png_encode(img, filter_type=ft)), img)
+
+
+def test_round_trip_mixed_filters_per_row():
+    img = _img(10, 7, 3, seed=11)
+    fts = [r % 5 for r in range(10)]
+    assert np.array_equal(
+        png_decode(png_encode(img, filter_type=fts)), img
+    )
+
+
+def test_decode_handbuilt_stream_bypasses_encoder():
+    """A 2×2 RGB image assembled byte-by-byte from the PNG spec (no
+    encoder involved): row 0 filter None, row 1 filter Sub — so a bug
+    symmetric in the encode/decode pair cannot hide here."""
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # row0 raw: (10,20,30) (40,50,60) — filter 0
+    row0 = bytes([0, 10, 20, 30, 40, 50, 60])
+    # row1 pixels: (5,5,5) (9,8,7) — filter 1 (Sub): first pixel as-is,
+    # second stores delta to left neighbor: (4, 3, 2)
+    row1 = bytes([1, 5, 5, 5, 4, 3, 2])
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    out = png_decode(payload)
+    expect = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[5, 5, 5], [9, 8, 7]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_decode_palette_expands_to_rgb():
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red green blue
+    scan = bytes([0, 2, 0, 1])  # indices: blue red green
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = png_decode(payload)
+    expect = np.array(
+        [[[0, 0, 255], [255, 0, 0], [0, 255, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_multi_idat_chunks_concatenate():
+    """IDAT may be split arbitrarily; the zlib stream spans chunks."""
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    img = _img(3, 4, 3, seed=3)
+    full = png_encode(img)
+    # re-split its single IDAT into 1-byte IDATs
+    (ihdr_len,) = struct.unpack(">I", full[8:12])
+    idat_start = 8 + 12 + ihdr_len
+    (idat_len,) = struct.unpack(">I", full[idat_start : idat_start + 4])
+    zdata = full[idat_start + 8 : idat_start + 8 + idat_len]
+    rebuilt = (
+        full[:idat_start]
+        + b"".join(chunk(b"IDAT", bytes([b])) for b in zdata)
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(rebuilt), img)
+
+
+def test_unsupported_variants_raise_loudly():
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = zlib.compress(bytes([0, 1, 2]))
+    for depth, interlace, err in [
+        (16, 0, "bit depth"),
+        (8, 1, "interlace"),
+    ]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0, interlace)
+        payload = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", scan)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match=err):
+            png_decode(payload)
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JFIF not a png")
+
+
+def test_smart_decode_dispatch():
+    """PNG magic → real decoder; anything else → the deterministic
+    fake (8×8×3), preserving the stub contract for absent codecs."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.multimodal import (
+        fake_decode,
+        smart_decode,
+    )
+
+    img = _img(4, 6, 3, seed=5)
+    assert np.array_equal(smart_decode(png_encode(img)), img)
+    other = b"\xff\xd8\xff\xe0 fake jpeg bytes"
+    assert np.array_equal(smart_decode(other), fake_decode(other))
+    assert smart_decode(b"").shape == (8, 8, 3)
+
+
+def test_image_channel_sums_spark_round_trip(spark):
+    """The Spark surface: encode PNGs in one mapInPandas, decode + sum
+    in the next — exact int64 sums equal the numpy ground truth."""
+    import pandas as pd
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.multimodal import (
+        image_channel_sums,
+    )
+
+    imgs = {i: _img(3 + i % 3, 4 + i % 2, 3, seed=i) for i in range(6)}
+    pdf = pd.DataFrame(
+        {"media_id": list(imgs), "payload": [png_encode(v) for v in imgs.values()]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["channels"],
+            r["sum_c0"], r["sum_c1"], r["sum_c2"],
+        )
+        for r in image_channel_sums(df).collect()
+    }
+    for i, img in imgs.items():
+        s = img.astype(np.int64).sum(axis=(0, 1))
+        assert got[i] == (
+            img.shape[1], img.shape[0], 3, int(s[0]), int(s[1]), int(s[2])
+        )

@@ -160,9 +160,14 @@ HEADLINE = [
     # round 9 (sixth batch): exact-integer recency-weighted aggregation
     "events_decayed_value",
     # round 10: containment pairs → transitive-closure groups (the
-    # composed curation shape), decay guardrail branches live
+    # composed curation shape), decay guardrail branches live, real PNG
+    # encode→decode through the multimodal plumbing, GDS nodeSimilarity
+    # parity via the shared PPJoin core, hybrid BM25∪cosine RRF fusion
     "dedup_containment_groups",
     "events_decayed_guardrails",
+    "multimodal_png_stats",
+    "graph_node_similarity",
+    "retrieval_hybrid_rrf",
 ]
 
 

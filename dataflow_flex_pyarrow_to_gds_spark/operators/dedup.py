@@ -2004,6 +2004,67 @@ def set_similarity_join_pairs(
     # spark.catalog.clearCache() between corpora.
     base = base.cache()
 
+    verified = _ppjoin_pairs_core(
+        base, threshold=threshold, broadcast_verify=broadcast_verify
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    if not collapse_identical:
+        return verified
+
+    # Re-expand representative pairs to member pairs — fingerprint groups
+    # are disjoint, so the two expansions cannot overlap and no final
+    # dedup shuffle is needed (minhash_lsh_pairs, verbatim logic).
+    ma = members.alias("ma")
+    mb = members.alias("mb")
+    within = (
+        ma.join(
+            mb,
+            (F.col("ma._fp") == F.col("mb._fp"))
+            & (F.col("ma._id") < F.col("mb._id")),
+        )
+        .select(
+            F.col("ma._id").alias("id_a"),
+            F.col("mb._id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rep_fp = base.select(F.col("_id"), F.col("_fp"))
+    cross = (
+        verified.join(
+            rep_fp.select(
+                F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            rep_fp.select(
+                F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+        .join(ma, F.col("ma._fp") == F.col("fp_a"))
+        .join(mb, F.col("mb._fp") == F.col("fp_b"))
+        .select(
+            F.least(F.col("ma._id"), F.col("mb._id")).alias("id_a"),
+            F.greatest(F.col("ma._id"), F.col("mb._id")).alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def _ppjoin_pairs_core(
+    base: DataFrame, *, threshold: float, broadcast_verify: bool
+) -> DataFrame:
+    """The prefix-filter (PPJoin) self-join core shared by
+    :func:`set_similarity_join_pairs` (token sets) and
+    :func:`~.graph_algo.node_similarity` (neighbor sets): ``base`` is
+    ``(_id, _tk)`` with ``_tk`` a DISTINCT array of orderable set
+    elements; returns every pair ``id_a < id_b`` with jaccard ≥
+    ``threshold`` as ``(id_a, id_b, n_a, n_b, _inter, jaccard)`` — the
+    exact intersection/size integers ride along so callers needing
+    engine-exact outputs (integer ppm) never touch the float. All the
+    exactness/scale commentary in :func:`set_similarity_join_pairs`'s
+    docstring describes THIS body."""
     toks = base.select(
         "_id", F.size("_tk").alias("_n"), F.explode("_tk").alias("_t")
     )
@@ -2050,7 +2111,7 @@ def set_similarity_join_pairs(
     # repartition is exempt from AQE coalescing and spreads the hot
     # tokens' probe rows evenly; the re-shuffled stream is tiny, the
     # reclaimed parallelism is not.
-    n_part = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    n_part = base.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     prefix = ranked.filter(F.col("_pos") <= prefix_len).repartition(
         int(n_part)
     )
@@ -2125,51 +2186,8 @@ def set_similarity_join_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    if not collapse_identical:
-        return verified
-
-    # Re-expand representative pairs to member pairs — fingerprint groups
-    # are disjoint, so the two expansions cannot overlap and no final
-    # dedup shuffle is needed (minhash_lsh_pairs, verbatim logic).
-    ma = members.alias("ma")
-    mb = members.alias("mb")
-    within = (
-        ma.join(
-            mb,
-            (F.col("ma._fp") == F.col("mb._fp"))
-            & (F.col("ma._id") < F.col("mb._id")),
-        )
-        .select(
-            F.col("ma._id").alias("id_a"),
-            F.col("mb._id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    rep_fp = base.select(F.col("_id"), F.col("_fp"))
-    cross = (
-        verified.join(
-            rep_fp.select(
-                F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a")
-            ),
-            "id_a",
-        )
-        .join(
-            rep_fp.select(
-                F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b")
-            ),
-            "id_b",
-        )
-        .join(ma, F.col("ma._fp") == F.col("fp_a"))
-        .join(mb, F.col("mb._fp") == F.col("fp_b"))
-        .select(
-            F.least(F.col("ma._id"), F.col("mb._id")).alias("id_a"),
-            F.greatest(F.col("ma._id"), F.col("mb._id")).alias("id_b"),
-            "jaccard",
-        )
-    )
-    return within.unionByName(cross)
+    return verified
 
 
 def decontaminate(

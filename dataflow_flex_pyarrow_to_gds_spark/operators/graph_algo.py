@@ -1025,3 +1025,65 @@ def hits_fixedpoint(
             F.col("_score").alias("score_fp"),
         )
     )
+
+
+def node_similarity(
+    edges: DataFrame,
+    *,
+    threshold: float = 0.5,
+    broadcast_verify: bool | None = None,
+    broadcast_max_nodes: int = 200_000,
+) -> DataFrame:
+    """GDS ``nodeSimilarity`` parity (the algorithm the reference's
+    downstream server runs over exactly these exported tables —
+    Neo4j GDS node similarity is pairwise jaccard of out-neighbor
+    sets): every unordered pair of SOURCE nodes whose out-neighbor
+    sets overlap at jaccard ≥ ``threshold``, emitted as
+    ``(node_a, node_b, n_common, n_total, jaccard_ppm)`` — the counts
+    are exact integers and ``jaccard_ppm = (10⁶·|∩|) div |∪|``, so the
+    output hash-matches any ANSI engine (GDS returns a float score;
+    the ppm is the same number at fixed precision).
+
+    Implementation: node similarity IS set similarity over neighbor
+    sets, so this delegates to the shared prefix-filter core
+    (:func:`~.dedup._ppjoin_pairs_core` — AllPairs/PPJoin, no false
+    negatives): neighbors are ordered rarest-first by in-degree
+    (document frequency ≡ in-degree here), only each node's
+    ``(1−t)·deg + 1`` rarest neighbors probe the index, and the exact
+    verify joins the cached neighbor arrays back, broadcast under the
+    node-count gate. The hub problem maps exactly: a celebrity node
+    followed by everyone is a "the"-class token, and the rare-first
+    prefix keeps its postings out of the candidate join — the reason
+    this beats the textbook wedge join (adjacency self-join on the
+    shared neighbor), which shuffles every (a, b) wedge THROUGH the
+    hub's partition.
+    """
+    from .dedup import _ppjoin_pairs_core
+
+    adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    base = (
+        adj.groupBy(F.col(SOURCE_ID).alias("_id"))
+        .agg(F.collect_set(F.col(TARGET_ID)).alias("_tk"))
+        .filter(F.size("_tk") > 0)
+    )
+    base = base.cache()
+    if broadcast_verify is None:
+        broadcast_verify = base.count() <= broadcast_max_nodes
+    pairs = _ppjoin_pairs_core(
+        base, threshold=threshold, broadcast_verify=broadcast_verify
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("_inter")
+    return pairs.select(
+        F.col("id_a").alias("node_a"),
+        F.col("id_b").alias("node_b"),
+        F.col("_inter").cast("long").alias("n_common"),
+        union.cast("long").alias("n_total"),
+        # integer `div`, not floor(float /): double division of two
+        # exact longs is correctly rounded but floor() of a quotient
+        # that rounds UP to an integer would disagree with the oracle's
+        # true integer division
+        F.expr(
+            "(1000000 * cast(_inter as bigint))"
+            " div cast(n_a + n_b - _inter as bigint)"
+        ).alias("jaccard_ppm"),
+    )

@@ -12,12 +12,18 @@ ranker (Robertson & Zaragoza 2009; the Lucene/Elasticsearch default).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .quality import words_col
 
-__all__ = ["bm25_join", "bm25_topk", "corpus_df_stats"]
+__all__ = [
+    "RRF_SCALE",
+    "bm25_join",
+    "bm25_topk",
+    "corpus_df_stats",
+    "hybrid_rrf_topk",
+]
 
 
 def corpus_df_stats(df: DataFrame, text_col: str) -> DataFrame:
@@ -190,8 +196,10 @@ def bm25_join(
        some query mentions survive (df-pruned postings) — the one
        corpus-sized shuffle is the (doc, term) tf aggregate over that
        pruned stream, and the corpus itself is NEVER broadcast;
-    2. per-term document frequency comes off a window over the pruned
-       tf table (the linear-plan trick — no vocab join);
+    2. per-term document frequency is a partial-aggregated groupBy over
+       the pruned tf table joined back (r10 — never a term-keyed
+       window, which would funnel a stopword-like query term's whole
+       posting list through one partition with no map-side combine);
     3. query ids re-attach by a second broadcast of the (query, term)
        pairs; corpus stats (N, avgdl) are a 1-row broadcast;
     4. per-query top-k is a row_number window partitioned by query —
@@ -201,8 +209,6 @@ def bm25_join(
     contribution would be 0, matching bm25_topk's matched-docs-only
     contract).
     """
-    from pyspark.sql import Window as W
-
     w = corpus.select(
         F.col(id_col), words_col(F.col(text_col)).alias("_w")
     )
@@ -232,11 +238,15 @@ def bm25_join(
             F.any_value("_dl").alias("_dl"),
         )
     )
-    # one row per (doc, term) → the per-term partition row count IS the
-    # document frequency
-    with_df = tf.withColumn(
-        "_df", F.count(F.lit(1)).over(W.partitionBy("_t"))
-    )
+    # one row per (doc, term) → the per-term row count IS the document
+    # frequency, computed as a partial-aggregated groupBy joined back
+    # (r10 — not a term-keyed window: the tf table is corpus-scale for
+    # matched postings, a window over it gets no map-side combine, and
+    # a stopword-like query term would funnel its whole df through one
+    # partition; the groupBy's shuffle carries one row per distinct
+    # pruned term, and AQE broadcasts the measured df map)
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    with_df = tf.join(dfreq, "_t")
     idf = F.log(
         F.lit(1.0)
         + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
@@ -271,3 +281,70 @@ def bm25_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+#: Fixed-point scale for reciprocal-rank-fusion contributions: rank r
+#: contributes RRF_SCALE div (rrf_k + r) — exact int64 arithmetic, so
+#: fused scores are reduction-order-independent and hash-match any ANSI
+#: engine (the textbook 1/(k+r) float sum is neither).
+RRF_SCALE = 1_000_000_000
+
+
+def hybrid_rrf_topk(
+    runs: list[tuple[DataFrame, str]],
+    id_col: str,
+    *,
+    by: str | None = None,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    N ranked retrieval runs → the hybrid-search shape every modern
+    corpus-audit stack runs (BM25 ∪ embedding top-k fused by rank, no
+    score calibration needed): each run's rank r contributes
+    ``RRF_SCALE div (rrf_k + r)``; ties in a run resolve by ascending
+    id, fused ties likewise — fully deterministic, exact int64.
+    Output: ``(id [, by], rrf_fp, n_runs)`` top-``k`` by fused score.
+
+    ``runs`` are (DataFrame, score_col) pairs over a shared id space —
+    normally the TOP-K SHORTLISTS other operators already produce
+    (:func:`bm25_topk` / :func:`bm25_join`, brute-force or ANN cosine
+    top-k). That bounds every input to k' rows (per query with ``by``),
+    which is the scale contract: the global row_number that ranks an
+    un-``by``'d run is a single-partition sort over ≤k' rows — fusion
+    cost is O(Σ shortlist), independent of corpus size, because the
+    corpus-scale work already happened inside the runs. With ``by`` the
+    ranking windows partition per query and the final top-k compiles to
+    WindowGroupLimit.
+    """
+    if not runs:
+        raise ValueError("hybrid_rrf_topk: runs must be non-empty")
+    keys = ([by] if by else []) + [id_col]
+    fused = None
+    for df, score_col in runs:
+        part = W.partitionBy(by) if by else W.partitionBy()
+        w = part.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contrib = df.select(
+            *keys, F.row_number().over(w).alias("_r")
+        ).select(
+            *keys,
+            F.expr(
+                f"cast({RRF_SCALE} as bigint)"
+                f" div (cast({int(rrf_k)} as bigint) + _r)"
+            ).alias("_c"),
+        )
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    agg = fused.groupBy(*keys).agg(
+        F.sum("_c").cast("long").alias("rrf_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+    if by:
+        w2 = W.partitionBy(by).orderBy(
+            F.col("rrf_fp").desc(), F.col(id_col).asc()
+        )
+        return (
+            agg.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return agg.orderBy(F.col("rrf_fp").desc(), F.col(id_col).asc()).limit(k)

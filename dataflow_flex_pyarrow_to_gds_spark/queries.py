@@ -3759,6 +3759,90 @@ def q_text_bm25_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r10): BM25 top-50 for {hash, vector, window}
+    fused with exact-cosine top-50 against the vec_id=0 embedding by
+    reciprocal-rank fusion (Cormack et al. SIGIR'09), final top-20 by
+    fused score — the modern audit-search shape (lexical ∪ semantic,
+    rank-fused so no score calibration). Contributions are exact int64
+    (10⁹ div (60 + rank)), so the fused score hash-matches the oracle's
+    integer recomputation; fusion cost is O(shortlists), the
+    corpus-scale work lives inside the two component runs (each already
+    individually oracled as text_bm25_topk / similarity_topk)."""
+    from .operators.retrieval import bm25_topk, hybrid_rrf_topk
+    from .operators.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["hash", "vector", "window"],
+        k=50,
+    )
+    sem = brute_force_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=50,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return hybrid_rrf_topk([(lex, "bm25"), (sem, "sim")], "doc_id", k=20)
+
+
+_RELATIONAL_ORACLES["retrieval_hybrid_rrf"] = f"""
+    WITH t AS (SELECT doc_id, {{words}} AS w FROM documents),
+    b AS (SELECT doc_id, len(w) AS dl,
+                 len(list_filter(w, x -> x = 'hash')) AS tf0,
+                 len(list_filter(w, x -> x = 'vector')) AS tf1,
+                 len(list_filter(w, x -> x = 'window')) AS tf2
+          FROM t),
+    s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM b),
+    lex AS (
+        SELECT doc_id,
+               CAST(
+                 CAST(round(ln(1.0 + (n_docs - df0 + 0.5)::DOUBLE / (df0 + 0.5)::DOUBLE)
+                      * (tf0::DOUBLE * 2.2)
+                      / (tf0::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+               + CAST(round(ln(1.0 + (n_docs - df1 + 0.5)::DOUBLE / (df1 + 0.5)::DOUBLE)
+                      * (tf1::DOUBLE * 2.2)
+                      / (tf1::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+               + CAST(round(ln(1.0 + (n_docs - df2 + 0.5)::DOUBLE / (df2 + 0.5)::DOUBLE)
+                      * (tf2::DOUBLE * 2.2)
+                      / (tf2::DOUBLE + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))
+               AS DOUBLE) AS sc
+        FROM b, s WHERE greatest(tf0, tf1, tf2) > 0
+        ORDER BY sc DESC, doc_id ASC LIMIT 50
+    ),
+    lexr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS r
+             FROM lex),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+        SELECT e.vec_id AS doc_id, round({{cos}}, 4) AS sc
+        FROM embeddings e, q
+        ORDER BY sc DESC, e.vec_id ASC LIMIT 50
+    ),
+    semr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS r
+             FROM sem),
+    u AS (
+        SELECT doc_id, 1000000000 // (60 + r) AS c FROM lexr
+        UNION ALL
+        SELECT doc_id, 1000000000 // (60 + r) AS c FROM semr
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM u GROUP BY 1
+    ORDER BY rrf_fp DESC, doc_id ASC LIMIT 20
+""".replace("{words}", _WORDS_SQL).replace(
+    "{cos}", _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
+)
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count of the part co-order graph (parts linked
     when some order contains both) — the classic degree-orientation
@@ -4026,6 +4110,52 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph_algo import local_clustering_coefficient
 
     return local_clustering_coefficient(_co_order_edges(spark, sf_dir))
+
+
+def q_graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS nodeSimilarity parity (r10): pairwise jaccard of out-
+    neighbor sets over the heavy-lineitem part→order adjacency
+    (quantity ≥ 45 — sparse enough that overlaps mean co-purchase
+    structure, not noise), threshold 0.3 — parts bought together in
+    ≥30 % of their heavy orders. Delegates to the shared PPJoin core
+    (rarest-neighbor-first prefix probing, exact verify on cached
+    neighbor arrays), so a hub order shared by everything stays out of
+    the candidate join the same way "the" does in document dedup.
+    Exact-integer output (counts + ppm); the oracle is the exhaustive
+    pair join."""
+    from .operators.graph_algo import node_similarity
+
+    adj = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_partkey").alias("sourceNodeId"),
+            F.col("l_orderkey").alias("targetNodeId"),
+        )
+    )
+    return node_similarity(adj, threshold=0.3)
+
+
+_RELATIONAL_ORACLES["graph_node_similarity"] = """
+    WITH adj AS (
+        SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    s AS (SELECT p, list(o ORDER BY o) AS os, count(*) AS n
+          FROM adj GROUP BY p),
+    j AS (
+        SELECT a.p AS node_a, b.p AS node_b,
+               len(list_intersect(a.os, b.os)) AS i,
+               a.n + b.n - len(list_intersect(a.os, b.os)) AS u
+        FROM s a JOIN s b ON a.p < b.p
+    )
+    SELECT node_a, node_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(u AS BIGINT) AS n_total,
+           (1000000 * CAST(i AS BIGINT)) // CAST(u AS BIGINT)
+               AS jaccard_ppm
+    FROM j WHERE CAST(i AS DOUBLE) / u >= 0.3
+"""
 
 
 def q_graph_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6502,8 +6632,12 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
         # r5-green, rotated back out of the r10 window to make room for
-        # the dedup_set_similarity reshape (rotates into the r11 refresh)
+        # the dedup_set_similarity reshape and graph_node_similarity
+        # (rotate into the r11 refresh)
         "similarity_knn_join",
+        "sample_token_budget",
+        "range_join_shipments",
+        "sample_mixture_weights",
         # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
         # window refresh; implementation unchanged in r10
         "curation_admission",
@@ -6644,12 +6778,15 @@ def _specs() -> dict[str, QuerySpec]:
         "events_decayed_guardrails": q_events_decayed_guardrails,
         "dedup_containment_groups": q_dedup_containment_groups,
         "multimodal_png_stats": q_multimodal_png_stats,
+        "graph_node_similarity": q_graph_node_similarity,
+        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
         "events_decayed_value": q_events_decayed_value,
         "dedup_containment": q_dedup_containment,
         "dedup_set_similarity": q_dedup_set_similarity,
+        "text_bm25_join": q_text_bm25_join,
         # -- rotated in (round 10): the 23 queries whose last driver-
         # -- green row is r4 (CORRECTNESS_r04.json) — oldest evidence in
         # -- the catalog, refreshed first ---------------------------------
@@ -6696,14 +6833,14 @@ def _specs() -> dict[str, QuerySpec]:
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
-        "range_join_shipments": q_range_join_shipments,
-        "sample_mixture_weights": q_sample_mixture_weights,
-        "sample_token_budget": q_sample_token_budget,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
         "similarity_knn_join": q_similarity_knn_join,
+        "sample_token_budget": q_sample_token_budget,
+        "range_join_shipments": q_range_join_shipments,
+        "sample_mixture_weights": q_sample_mixture_weights,
         "graph_bfs": q_graph_bfs,
         "graph_ppr": q_graph_ppr,
         "graph_kcore": q_graph_kcore,
@@ -6746,7 +6883,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_ann_index": q_similarity_ann_index,
         "curation_full_funnel": q_curation_full_funnel,
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
-        "text_bm25_join": q_text_bm25_join,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "curation_admission": q_curation_admission,
         "sample_stratified_split": q_sample_stratified_split,

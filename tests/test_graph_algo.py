@@ -778,3 +778,67 @@ def test_ppr_isolated_seed_and_guards(spark):
         personalized_pagerank_fixedpoint(empty, edges)
     with _pytest.raises(ValueError, match="iters"):
         personalized_pagerank_fixedpoint(lone, edges, iters=0)
+
+
+def test_node_similarity_vs_bruteforce(spark):
+    """Seeded random bipartite adjacency vs exhaustive python jaccard —
+    the shared PPJoin core must lose no pair (no false negatives), and
+    the exact-integer output columns must match recomputation."""
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node_similarity,
+    )
+
+    rng = random.Random(13)
+    adj = set()
+    for node in range(40):
+        for _ in range(rng.randint(1, 12)):
+            adj.add((node, rng.randint(0, 25)))
+    df = spark.createDataFrame(
+        list(adj), "sourceNodeId long, targetNodeId long"
+    )
+    t = 0.4
+    nbrs = {}
+    for s, d in adj:
+        nbrs.setdefault(s, set()).add(d)
+    expect = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b:
+                i = len(nbrs[a] & nbrs[b])
+                u = len(nbrs[a] | nbrs[b])
+                if u and i / u >= t:
+                    expect[(a, b)] = (i, u, (1_000_000 * i) // u)
+    got = {
+        (r["node_a"], r["node_b"]): (
+            r["n_common"], r["n_total"], r["jaccard_ppm"]
+        )
+        for r in node_similarity(df, threshold=t).collect()
+    }
+    assert got == expect, set(got) ^ set(expect)
+
+
+def test_node_similarity_hub_neighbor_flood(spark):
+    """A hub neighbor shared by EVERY node (the celebrity case) must
+    neither flood the candidate join into wrong results nor create
+    spurious pairs: nodes whose only overlap is the hub stay below the
+    threshold; true near-duplicate neighborhoods are found."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node_similarity,
+    )
+
+    rows = []
+    for n in range(200):
+        rows.append((n, 9999))              # the hub: in everyone's set
+        rows.append((n, 10_000 + n))        # plus a unique neighbor
+    # nodes 500/501: identical 3-neighbor sets
+    for d in (9999, 7, 8):
+        rows.append((500, d))
+        rows.append((501, d))
+    df = spark.createDataFrame(rows, "sourceNodeId long, targetNodeId long")
+    got = {
+        (r["node_a"], r["node_b"]): r["jaccard_ppm"]
+        for r in node_similarity(df, threshold=0.9).collect()
+    }
+    assert got == {(500, 501): 1_000_000}, got

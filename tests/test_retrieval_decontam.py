@@ -331,3 +331,68 @@ def test_bm25_join_shuffle_parity(spark):
         corpus, queries, "doc_id", "text", k=3, broadcast_queries=False
     )
     assert sorted(map(tuple, shuf.collect())) == bcast
+
+
+def test_hybrid_rrf_fuses_ranks_exactly(spark):
+    """RRF against a hand-recount: integer contributions 1e9 div (60+r),
+    ties by ascending id, ids present in only one run still fuse."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.retrieval import (
+        RRF_SCALE,
+        hybrid_rrf_topk,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, s1 double"
+    )
+    sem = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, s2 double"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_fp"], r["n_runs"])
+        for r in hybrid_rrf_topk(
+            [(lex, "s1"), (sem, "s2")], "doc_id", k=10
+        ).collect()
+    }
+    c = lambda r: RRF_SCALE // (60 + r)  # noqa: E731
+    expect = {
+        1: (c(1) + c(3), 2),   # lex rank 1, sem rank 3
+        2: (c(2), 1),          # 5.0 tie with doc 3 → id asc: rank 2
+        3: (c(3) + c(1), 2),   # lex rank 3 (tie-loser), sem rank 1
+        4: (c(4), 1),
+        5: (c(2), 1),
+    }
+    assert got == expect, (got, expect)
+
+
+def test_hybrid_rrf_grouped_by_query(spark):
+    """Grouped fusion: ranks and the final top-k are computed per query
+    partition (the bm25_join-shaped input)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.retrieval import (
+        RRF_SCALE,
+        hybrid_rrf_topk,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0), (2, 20, 9.0)],
+        "query_id long, doc_id long, s double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 0.9), (2, 21, 0.5), (2, 20, 0.4)],
+        "query_id long, doc_id long, s double",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["rrf_fp"]
+        for r in hybrid_rrf_topk(
+            [(a, "s"), (b, "s")], "doc_id", by="query_id", k=2
+        ).collect()
+    }
+    c = lambda r: RRF_SCALE // (60 + r)  # noqa: E731
+    # query 1: doc 11 fused (rank2 + rank1), doc 10 lex-only rank1
+    # query 2: doc 20 fused (rank1 + rank2), doc 21 sem-only rank1
+    expect = {
+        (1, 11): c(2) + c(1),
+        (1, 10): c(1),
+        (2, 20): c(1) + c(2),
+        (2, 21): c(1),
+    }
+    assert got == expect, (got, expect)

@@ -168,6 +168,8 @@ HEADLINE = [
     "multimodal_png_stats",
     "graph_node_similarity",
     "retrieval_hybrid_rrf",
+    "graph_random_walks",
+    "web_url_normalize",
 ]
 
 

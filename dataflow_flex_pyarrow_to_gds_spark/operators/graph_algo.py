@@ -1087,3 +1087,114 @@ def node_similarity(
             " div cast(n_a + n_b - _inter as bigint)"
         ).alias("jaccard_ppm"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 3,
+    seed: int = 7,
+    hash_fn=None,
+) -> DataFrame:
+    """GDS ``randomWalk`` / DeepWalk parity (Perozzi et al. KDD'14 —
+    the walk-corpus generator feeding skip-gram node embeddings, and
+    the other famous GDS primitive next to nodeSimilarity): for every
+    distinct source node, ``walks_per_node`` walkers each take
+    ``walk_length`` uniform steps over the out-edges. Output is one row
+    per visited position — ``(start_node, walk_no, step, node_id)``
+    with step 0 the start itself; a walker at a sink node simply ends
+    (directed semantics — symmetrize the edges first for the undirected
+    DeepWalk shape).
+
+    DETERMINISTIC by construction, not by RNG discipline: the step-i
+    choice for walker (start, walk_no) is neighbor index
+    ``pmod(H(start#walk_no#step#seed), deg(u))`` over the neighbors in
+    ascending-id order, with ``H`` the md5-derived portable 64-bit hash
+    — so the exact same walks come out of any engine, any partitioning,
+    any retry (the sample_neighbors contract, extended to sequences),
+    and the DuckDB oracle replays every step bit-for-bit. Pass
+    ``hash_fn=F.xxhash64``-style callables for ~3× cheaper production
+    walks when nothing external must reproduce them.
+
+    Scale shape: neighbor ranks are a per-source row_number window
+    (bounded by max out-degree — the sample_neighbors shape; cap
+    celebrity hubs with :func:`sample_neighbors` FIRST if the graph has
+    them) and degrees a partial-aggregated groupBy; both checkpoint
+    once and every step is then ONE two-key equi-join
+    ``(node = src, chosen_rank = rank)`` of the skinny walker state —
+    no row multiplication anywhere, walk state is 4×8-byte rows, cost
+    ∝ walkers × steps with the usual iterative scheduler floor.
+    """
+    from .dedup import portable_hash64_col
+
+    if walk_length < 1:
+        raise ValueError("random_walks: walk_length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("random_walks: walks_per_node must be >= 1")
+    hash_fn = hash_fn or portable_hash64_col
+
+    adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    ranked = adj.select(
+        F.col(SOURCE_ID).alias("_s"),
+        F.col(TARGET_ID).alias("_t"),
+        (
+            F.row_number().over(
+                Window.partitionBy(SOURCE_ID).orderBy(TARGET_ID)
+            )
+            - 1
+        ).alias("_r"),
+    ).localCheckpoint(eager=True)  # probed every step — fix it once
+    deg = (
+        adj.groupBy(F.col(SOURCE_ID).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+
+    state = adj.select(F.col(SOURCE_ID).alias("_start")).distinct().select(
+        "_start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("_wn"),
+        F.col("_start").alias("_node"),
+    )
+    out = state.select(
+        F.col("_start").alias("start_node"),
+        F.col("_wn").cast("int").alias("walk_no"),
+        F.lit(0).cast("int").alias("step"),
+        F.col("_node").alias("node_id"),
+    )
+    for step in range(1, walk_length + 1):
+        h = hash_fn(
+            F.concat_ws(
+                "#",
+                F.col("_start"),
+                F.col("_wn"),
+                F.lit(step),
+                F.lit(seed),
+            )
+        )
+        state = (
+            state.join(deg, state["_node"] == deg["_s"])
+            .select(
+                "_start",
+                "_wn",
+                F.col("_node").alias("_cur"),
+                F.pmod(h, F.col("_d")).alias("_pick"),
+            )
+            .join(
+                ranked,
+                (F.col("_cur") == ranked["_s"])
+                & (F.col("_pick") == ranked["_r"]),
+            )
+            .select("_start", "_wn", F.col("_t").alias("_node"))
+        )
+        out = out.unionByName(
+            state.select(
+                F.col("_start").alias("start_node"),
+                F.col("_wn").cast("int").alias("walk_no"),
+                F.lit(step).cast("int").alias("step"),
+                F.col("_node").alias("node_id"),
+            )
+        )
+    return out

@@ -3990,6 +3990,74 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 10, min_qty: int = 43) -> str:
     )
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/GDS-randomWalk corpus generation (r10): 2 walkers per
+    node, 3 steps each, over the symmetrized thinned co-order graph —
+    the walk corpus node-embedding training consumes. Steps are
+    DETERMINISTIC (portable-hash pick over ascending-id neighbor
+    ranks), so the oracle replays every hop bit-for-bit; per step ONE
+    two-key equi-join of the skinny walker state against the
+    checkpointed ranked adjacency."""
+    from .operators.graph_algo import random_walks
+
+    canon = _co_order_edges(spark, sf_dir)
+    edges = canon.unionByName(
+        canon.select(
+            F.col("targetNodeId").alias("sourceNodeId"),
+            F.col("sourceNodeId").alias("targetNodeId"),
+        )
+    )
+    return random_walks(edges, walks_per_node=2, walk_length=3, seed=7)
+
+
+def _random_walk_oracle_sql(
+    walks_per_node: int = 2, walk_length: int = 3, seed: int = 7
+) -> str:
+    """DuckDB twin of q_graph_random_walks: the same hash-driven walk
+    unrolled one MATERIALIZED CTE per step (the ppr/kcore oracle
+    pattern), replaying pmod(md5-hash(start#walk_no#step#seed), deg)
+    neighbor picks exactly."""
+    wn_values = ", ".join(f"({i})" for i in range(walks_per_node))
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM e0
+            UNION ALL SELECT v AS s, u AS t FROM e0
+        ),
+        ranked AS MATERIALIZED (
+            SELECT s, t,
+                   row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS r
+            FROM e
+        ),
+        deg AS MATERIALIZED (SELECT s, count(*) AS d FROM e GROUP BY s),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT e.s AS start_node, wnv.wn AS walk_no,
+                   e.s AS node_id
+            FROM e CROSS JOIN (VALUES {wn_values}) AS wnv(wn)
+        )"""
+    for i in range(1, walk_length + 1):
+        h = _hash_sql_of(
+            f"concat_ws('#', w.start_node, w.walk_no, '{i}', '{seed}')"
+        )
+        txt += f""",
+        w{i} AS MATERIALIZED (
+            SELECT w.start_node, w.walk_no, ranked.t AS node_id
+            FROM w{i - 1} w
+            JOIN deg ON w.node_id = deg.s
+            JOIN ranked ON w.node_id = ranked.s
+             AND ranked.r = ((({h}) % deg.d) + deg.d) % deg.d
+        )"""
+    selects = [
+        f"SELECT start_node, CAST(walk_no AS INT) AS walk_no, "
+        f"CAST({i} AS INT) AS step, node_id FROM w{i}"
+        for i in range(walk_length + 1)
+    ]
+    return txt + "\n" + "\nUNION ALL ".join(selects)
+
+
+_GRAPH_ORACLES["graph_random_walks"] = _random_walk_oracle_sql()
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance over the thinned part co-order
     graph, seeded at every size-50 part, 3 hops, undirected. Per round
@@ -6541,6 +6609,116 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r10): deterministic messy URLs seeded per
+    doc_id (the PII/markup precedent — case-mixed scheme/host/www,
+    default and explicit ports, tracking params first/middle, kept
+    params with preserved case, fragments, trailing slashes), then the
+    RFC-3986-§6 normalize chain + host + registrable-domain heuristic,
+    all JVM regex (zero shuffle, RE2-safe subset mirrored verbatim in
+    the oracle). The identity operator everything URL-keyed (crawl
+    dedup, per-domain caps, blocklist joins) runs first."""
+    from .operators.web import (
+        normalize_url_col,
+        seed_synthetic_urls_col,
+        url_domain_col,
+        url_host_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    u = seed_synthetic_urls_col(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        u.alias("url_raw"),
+        normalize_url_col(u).alias("url_norm"),
+        url_host_col(u).alias("host"),
+        url_domain_col(u).alias("domain"),
+    )
+
+
+_RELATIONAL_ORACLES["web_url_normalize"] = r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END
+               || '://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.ExAmPle.COM'
+               || CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 0 THEN ':443'
+                       WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+                       WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+               || '/Page/' || CAST(doc_id % 13 AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&id=KeepMe&utm_medium=x'
+                       WHEN doc_id % 3 = 1
+                       THEN '?id=KeepMe&fbclid=abc123'
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN '#SectionTwo' ELSE '' END
+               AS url_raw
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url_raw,
+               regexp_replace(url_raw, '#.*$', '', 'g') AS nf
+        FROM seeded
+    ),
+    split AS (
+        SELECT doc_id, url_raw,
+               lower(regexp_extract(nf,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 1))
+                   AS scheme,
+               lower(regexp_extract(nf,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2))
+                   AS auth0,
+               regexp_extract(nf,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 3)
+                   AS rest0
+        FROM parts
+    ),
+    auth1 AS (
+        SELECT doc_id, url_raw, scheme, rest0,
+               regexp_replace(
+                   CASE WHEN scheme = 'http'
+                        THEN regexp_replace(auth0, ':80$', '', 'g')
+                        WHEN scheme = 'https'
+                        THEN regexp_replace(auth0, ':443$', '', 'g')
+                        ELSE auth0 END,
+                   '^www\.', '', 'g') AS auth,
+               auth0
+        FROM split
+    ),
+    rest1 AS (
+        SELECT doc_id, url_raw, scheme, auth, auth0,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(rest0,
+                         '[?&](?:utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*',
+                         '', 'g'),
+                       '^([^?&]*)&', '\1?', 'g'),
+                     '[?&]$', '', 'g'),
+                   '/+$', '', 'g'),
+                 '/+\?', '?', 'g') AS rest
+        FROM auth1
+    )
+    SELECT doc_id, url_raw,
+           CASE WHEN scheme = '' THEN url_raw
+                ELSE scheme || '://' || auth || rest END AS url_norm,
+           regexp_replace(
+               lower(regexp_extract(url_raw,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2)),
+               ':[0-9]*$', '', 'g') AS host,
+           regexp_extract(
+               regexp_replace(
+                   lower(regexp_extract(url_raw,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$', 2)),
+                   ':[0-9]*$', '', 'g'),
+               '([^.]+\.[^.]+)$', 1) AS domain
+    FROM rest1
+"""
+
+
 def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML stripping on a deterministically seeded markup corpus (the
     seed_synthetic_pii precedent — testdata is read-only and
@@ -6638,6 +6816,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "sample_token_budget",
         "range_join_shipments",
         "sample_mixture_weights",
+        "q9_product_profit",
+        "q8_market_share",
         # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
         # window refresh; implementation unchanged in r10
         "curation_admission",
@@ -6780,6 +6960,8 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_png_stats": q_multimodal_png_stats,
         "graph_node_similarity": q_graph_node_similarity,
         "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
+        "graph_random_walks": q_graph_random_walks,
+        "web_url_normalize": q_web_url_normalize,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -6831,12 +7013,12 @@ def _specs() -> dict[str, QuerySpec]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
         "similarity_knn_join": q_similarity_knn_join,
         "sample_token_budget": q_sample_token_budget,
         "range_join_shipments": q_range_join_shipments,

@@ -842,3 +842,65 @@ def test_node_similarity_hub_neighbor_flood(spark):
         for r in node_similarity(df, threshold=0.9).collect()
     }
     assert got == {(500, 501): 1_000_000}, got
+
+
+def test_random_walks_python_replay(spark):
+    """Walks replayed step-for-step in python from the same portable
+    hash: identical picks, identical sequences — the determinism
+    contract the DuckDB oracle depends on. Also: a walker reaching a
+    sink node ends (directed semantics), and positions count down
+    accordingly."""
+    import hashlib
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        random_walks,
+    )
+
+    def h(t: str) -> int:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5)]  # 5 = sink
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    wl, seed, wpn = 4, 7, 2
+    got = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in random_walks(
+            df, walks_per_node=wpn, walk_length=wl, seed=seed
+        ).collect()
+    }
+
+    nbrs = {}
+    for s, t in edges:
+        nbrs.setdefault(s, []).append(t)
+    for s in nbrs:
+        nbrs[s] = sorted(set(nbrs[s]))
+    expect = {}
+    for start in sorted(nbrs):          # walkers start at source nodes
+        for wn in range(wpn):
+            node = start
+            expect[(start, wn, 0)] = node
+            for step in range(1, wl + 1):
+                if node not in nbrs:
+                    break               # sink: walk ends
+                pick = h(f"{start}#{wn}#{step}#{seed}") % len(nbrs[node])
+                node = nbrs[node][pick]
+                expect[(start, wn, step)] = node
+    assert got == expect, (got, expect)
+
+
+def test_random_walks_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        random_walks,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "sourceNodeId long, targetNodeId long")
+    with _pytest.raises(ValueError, match="walk_length"):
+        random_walks(df, walk_length=0)
+    with _pytest.raises(ValueError, match="walks_per_node"):
+        random_walks(df, walks_per_node=0)

@@ -170,6 +170,7 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     "graph_random_walks",
     "web_url_normalize",
+    "stats_hll_rollup",
 ]
 
 

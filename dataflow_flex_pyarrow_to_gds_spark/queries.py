@@ -6609,6 +6609,73 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-count maintenance (r10): per-day
+    Apache DataSketches HLL sketches of active users
+    (``hll_sketch_agg``), rolled up to a month total by UNIONING THE
+    SKETCHES (``hll_union_agg``) — never rescanning the days. This is
+    how a 100-TB metrics pipeline maintains rolling distincts: store
+    one small sketch per partition, merge on read; exact distinct
+    counts don't decompose (yesterday's count + today's ≠ union), and
+    re-scanning history per report is the thing sketches exist to kill.
+    approx_stats-style structural oracle: exact per-day and merged
+    distincts hash-match DuckDB, each estimate is asserted within 10 %
+    of its exact twin (HLL lgK=12 default ≈ 1.6 % rsd — measured ≪ the
+    bound), so a broken sketch or a broken MERGE flips a boolean and
+    fails the driver hash. The merged row rides day='ALL' (day is a
+    string column — a NULL-date sentinel dtype-mismatches pandas)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk") - F.col("exact_users")
+            )
+            / F.col("exact_users")
+            <= 0.10
+        ).alias("apx_ok"),
+    )
+    exact_total = ev.agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    merged = (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_apx")
+        )
+        .crossJoin(exact_total)
+        .select(
+            F.lit("ALL").alias("day"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("_apx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.10
+            ).alias("apx_ok"),
+        )
+    )
+    return per_day.unionByName(merged)
+
+
+_RELATIONAL_ORACLES["stats_hll_rollup"] = """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS apx_ok
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS apx_ok
+    FROM events
+"""
+
+
 def q_web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (r10): deterministic messy URLs seeded per
     doc_id (the PII/markup precedent — case-mixed scheme/host/www,
@@ -6818,6 +6885,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "sample_mixture_weights",
         "q9_product_profit",
         "q8_market_share",
+        "q7_nation_volume",
         # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
         # window refresh; implementation unchanged in r10
         "curation_admission",
@@ -6962,6 +7030,7 @@ def _specs() -> dict[str, QuerySpec]:
         "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         "graph_random_walks": q_graph_random_walks,
         "web_url_normalize": q_web_url_normalize,
+        "stats_hll_rollup": q_stats_hll_rollup,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -7012,11 +7081,11 @@ def _specs() -> dict[str, QuerySpec]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
-        "q7_nation_volume": q7_nation_volume,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "similarity_knn_join": q_similarity_knn_join,

@@ -467,16 +467,20 @@ def minhash_lsh_pairs(
         # the full ``_sh`` beside the pruned ``_shp`` — the size filter
         # and verification stay on full sets. collect_list order is
         # irrelevant: lsh_bucket_cols takes per-band minima.
-        # Single consumption of the exploded stream: df rides a count
-        # window over the shingle key (one exchange) instead of a
-        # groupBy + join back (two consumers of the explode; the linear
-        # rewrite measured 0.57 vs 0.70 s for the stage at sf0.1).
+        # df via partial-aggregated groupBy + join-back (r10). The r7
+        # shingle-keyed count window measured 0.13 s cheaper at sf0.1
+        # (one fewer exchange), but a window has NO map-side combine:
+        # every (doc, shingle) row of a hot shingle lands in one
+        # partition — and the df≥2 prune TARGETS shared shingles, so
+        # the rows this stage exists to find are exactly the ones that
+        # straggle. The groupBy's shuffle carries one row per distinct
+        # shingle; AQE broadcasts the measured df map when it fits and
+        # can skew-split the join when it doesn't — a window can do
+        # neither. Local cost of the at-scale shape: +0.13 s, accepted.
         ex = base.select("_id", F.explode("_sh").alias("_s"))
+        sh_df = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         pruned = (
-            ex.withColumn(
-                "_df",
-                F.count(F.lit(1)).over(W.partitionBy("_s")),
-            )
+            ex.join(sh_df, "_s")
             .filter(F.col("_df") >= 2)
             .groupBy("_id")
             .agg(F.collect_list("_s").alias("_shp"))
@@ -879,20 +883,16 @@ def repeated_passage_profile(
     xxhash64 of the n-gram — the gram STRING never shuffles (shuffling
     raw n-grams is n× the corpus; the suffix-array approach this
     replaces exists precisely because that is prohibitive). The
-    (doc, gram-hash) stream aggregates to (gram, doc) position counts,
-    reads the per-gram doc count off a window over the gram hash, and
-    re-aggregates per doc. Hash collisions merge distinct grams with
-    probability ~|grams|²/2⁶⁴ — negligible against any real corpus.
-
-    LINEAR PLAN: the r5 version fed the gram stream to TWO consumers
-    (per-gram counts + a join back) and localCheckpoint-ed it to avoid
-    recompute — the materialization cost the bench +41 % (r5 verdict).
-    Aggregating to one row per (gram, doc) first and counting docs with
-    a ``Window.partitionBy(gram)`` makes every step single-consumer:
-    grams are computed exactly once, nothing is materialized, and no
-    join exists. The window reuses the (gh, id) shuffle's partitioning
-    (gh is a prefix of the keys), so Catalyst inserts no extra exchange
-    beyond the re-aggregation's.
+    (doc, gram-hash) stream aggregates to (gram, doc) position counts;
+    the per-gram doc count is a PARTIAL-AGGREGATED groupBy joined back
+    (r10 — the r6 version read it off ``Window.partitionBy(gh)``, whose
+    claimed exchange reuse was wrong: hashpartitioning(gh, id) does not
+    satisfy a gh-keyed window, so the plan carried a gh-only exchange
+    with NO map-side combine — a boilerplate gram present in every doc
+    funnels |docs| rows through one partition at web scale; the groupBy
+    shuffles one row per distinct gram and AQE broadcasts the measured
+    df map). Hash collisions merge distinct grams with probability
+    ~|grams|²/2⁶⁴ — negligible against any real corpus.
     """
     from .quality import ngrams_col, words_col
 
@@ -901,11 +901,10 @@ def repeated_passage_profile(
         F.explode(ngrams_col(words_col(F.col(text_col)), n)).alias("_gram"),
     ).select("_id", F.xxhash64("_gram").alias("_gh"))
     # One row per (gram, doc) with its position count; the per-gram
-    # distinct-doc count is then just a partition row count.
+    # distinct-doc count aggregates from it and joins back.
     per = grams.groupBy("_gh", "_id").agg(F.count(F.lit(1)).alias("_pos"))
-    scored = per.withColumn(
-        "_nd", F.count(F.lit(1)).over(W.partitionBy("_gh"))
-    )
+    nd = per.groupBy("_gh").agg(F.count(F.lit(1)).alias("_nd"))
+    scored = per.join(nd, "_gh")
     return (
         scored.groupBy("_id")
         .agg(
@@ -1021,13 +1020,14 @@ def remove_repeated_passages(
     covered-span expansion and the kept-word filter are then per-row
     narrow array ops, never a corpus-wide (doc, pos, word) shuffle.
 
-    LINEAR PLAN: like :func:`repeated_passage_profile`, the gram
-    stream aggregates to one row per (gram, doc) carrying that doc's
-    position set, the per-gram doc count comes from a window over the
-    gram hash, and the duplicated-position sets re-aggregate per doc —
-    every step single-consumer, grams computed once, no checkpoint and
-    no gram-keyed join (the r5 localCheckpoint variant cost the bench
-    ~40 % on this machinery).
+    Like :func:`repeated_passage_profile`, the gram stream aggregates
+    to one row per (gram, doc) carrying that doc's position set, the
+    per-gram doc count is a partial-aggregated groupBy joined back
+    (r10 — see the profile's docstring for why the previous gh-keyed
+    window was the hot-gram straggler shape), and the duplicated-
+    position sets re-aggregate per doc — grams computed once, no
+    checkpoint (the r5 localCheckpoint variant cost the bench ~40 % on
+    this machinery).
     """
     from .quality import ngrams_col, words_col
 
@@ -1040,9 +1040,8 @@ def remove_repeated_passages(
         F.posexplode(ngrams_col(F.col("_w"), n)).alias("_pos", "_gram"),
     ).select("_id", "_pos", F.xxhash64("_gram").alias("_gh"))
     per = grams.groupBy("_gh", "_id").agg(F.collect_set("_pos").alias("_ps"))
-    scored = per.withColumn(
-        "_nd", F.count(F.lit(1)).over(W.partitionBy("_gh"))
-    )
+    nd = per.groupBy("_gh").agg(F.count(F.lit(1)).alias("_nd"))
+    scored = per.join(nd, "_gh")
     dup_pos = (
         scored.filter(F.col("_nd") >= min_docs)
         .groupBy("_id")
@@ -1177,9 +1176,12 @@ def remove_boilerplate_lines(
     per = lines.groupBy("_lh", "_id").agg(
         F.collect_set("_pos").alias("_ps")
     )
-    scored = per.withColumn(
-        "_nd", F.count(F.lit(1)).over(W.partitionBy("_lh"))
-    )
+    # per-line doc count via partial-aggregated groupBy + join (r10):
+    # a BOILERPLATE line is in many docs BY DEFINITION — the previous
+    # line-hash-keyed window funneled exactly the lines this operator
+    # targets through single partitions with no map-side combine
+    nd = per.groupBy("_lh").agg(F.count(F.lit(1)).alias("_nd"))
+    scored = per.join(nd, "_lh")
     dup_pos = (
         scored.filter(F.col("_nd") >= min_docs)
         .groupBy("_id")

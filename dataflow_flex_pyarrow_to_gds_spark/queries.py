@@ -6886,6 +6886,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q9_product_profit",
         "q8_market_share",
         "q7_nation_volume",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q20_excess_shippers",
         # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
         # window refresh; implementation unchanged in r10
         "curation_admission",
@@ -7038,6 +7041,9 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_containment": q_dedup_containment,
         "dedup_set_similarity": q_dedup_set_similarity,
         "text_bm25_join": q_text_bm25_join,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
+        "dedup_passage_removal": q_dedup_passage_removal,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
         # -- rotated in (round 10): the 23 queries whose last driver-
         # -- green row is r4 (CORRECTNESS_r04.json) — oldest evidence in
         # -- the catalog, refreshed first ---------------------------------
@@ -7077,15 +7083,15 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_triangles": q_graph_triangles,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q1_pricing_summary,
-        "q20_excess_shippers": q20_excess_shippers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
         "q7_nation_volume": q7_nation_volume,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q20_excess_shippers": q20_excess_shippers,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "similarity_knn_join": q_similarity_knn_join,
@@ -7117,7 +7123,6 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_cluster_balance": q_sample_cluster_balance,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_label_propagation": q_graph_label_propagation,
-        "dedup_minhash_banded": q_dedup_minhash_banded,
         "curation_corpus_diff": q_curation_corpus_diff,
         "embedding_random_projection": q_embedding_random_projection,
         "stats_table_profile": q_stats_table_profile,
@@ -7139,8 +7144,6 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_stratified_split": q_sample_stratified_split,
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "sample_split_leakage": q_sample_split_leakage,
-        "dedup_repeated_passages": q_dedup_repeated_passages,
-        "dedup_passage_removal": q_dedup_passage_removal,
         "text_bm25_topk": q_text_bm25_topk,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_near_groups": q_dedup_near_groups,

@@ -328,15 +328,13 @@ CHECKS: list[tuple[str, str, object]] = [
         "prefix-filter set-similarity: verify sides broadcast under the "
         "corpus-count gate (two BroadcastHashJoins), scan pruned to "
         "(doc_id, text), and document frequency is a partial-aggregated "
-        "groupBy (r10) — the executed plan's only Window is the per-doc "
-        "row_number, never a token-keyed window",
+        "groupBy (r10) — every Window partitions by the doc id, never "
+        "by the token key (the unexecuted tree duplicates the prefix "
+        "pipeline across the self-join, so the assert is on the window "
+        "SPEC, not the node count)",
         lambda p: p.count("BroadcastHashJoin") >= 2
-        and len(
-            re.findall(
-                r"\bWindow \(\d+\)", p.split("== Initial Plan ==")[0]
-            )
-        )
-        == 1
+        and "windowspecdefinition(_t#" not in p
+        and "windowspecdefinition(_id#" in p
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 2,
     ),
@@ -344,16 +342,11 @@ CHECKS: list[tuple[str, str, object]] = [
         "dedup_containment",
         "containment join: document frequency is a partial-aggregated "
         "groupBy joined back (HashAggregate pairs), NOT a token-keyed "
-        "window — the executed plan's only Window is the per-document "
-        "row_number (r9 judge: a token window shuffles the full "
-        "(doc, token) stream with no map-side combine; hot shingles "
-        "straggle at 100 TB)",
-        lambda p: len(
-            re.findall(
-                r"\bWindow \(\d+\)", p.split("== Initial Plan ==")[0]
-            )
-        )
-        == 1
+        "window — every Window partitions by the doc id (r9 judge: a "
+        "token window shuffles the full (doc, token) stream with no "
+        "map-side combine; hot shingles straggle at 100 TB)",
+        lambda p: "windowspecdefinition(_t#" not in p
+        and "windowspecdefinition(_id#" in p
         and "HashAggregate" in p,
     ),
     (

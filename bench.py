@@ -171,6 +171,7 @@ HEADLINE = [
     "graph_random_walks",
     "web_url_normalize",
     "stats_hll_rollup",
+    "graph_walk_skipgrams",
 ]
 
 

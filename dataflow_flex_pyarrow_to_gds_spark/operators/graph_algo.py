@@ -1198,3 +1198,40 @@ def random_walks(
             )
         )
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, *, window: int = 2
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the second half of
+    DeepWalk: walks → (center, context) co-occurrence counts that
+    word2vec-style embedding training consumes): for every walk, every
+    ordered pair of positions at distance 1..``window``, aggregated to
+    ``(center_id, context_id, n_pairs)``.
+
+    Input is :func:`random_walks` output (start_node, walk_no, step,
+    node_id). The self-join keys on the WALK identity (start_node,
+    walk_no) — each join group is one walk of ≤ walk_length+1 rows, so
+    the join fans out by at most 2·window per row and partitions are
+    walker-bounded (no hub effect: a hot NODE appears in many walks but
+    each walk is its own tiny join group); the count then partial-
+    aggregates on the (center, context) key before its one exchange.
+    """
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    a, b = walks.alias("a"), walks.alias("b")
+    step_d = F.col("b.step") - F.col("a.step")
+    return (
+        a.join(
+            b,
+            (F.col("a.start_node") == F.col("b.start_node"))
+            & (F.col("a.walk_no") == F.col("b.walk_no"))
+            & (step_d != 0)
+            & (F.abs(step_d) <= window),
+        )
+        .groupBy(
+            F.col("a.node_id").alias("center_id"),
+            F.col("b.node_id").alias("context_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

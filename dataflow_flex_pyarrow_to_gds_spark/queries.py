@@ -4010,6 +4010,27 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, walks_per_node=2, walk_length=3, seed=7)
 
 
+def q_graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of DeepWalk (r10): the deterministic walk corpus
+    reduced to skip-gram (center, context) co-occurrence counts, window
+    2 — the table node-embedding training actually consumes. Self-join
+    keyed on the walk identity (each join group is one ≤4-position
+    walk, walker-bounded — no hub effect), then one partial-aggregated
+    count. Oracle: the unrolled walk replay composed with the same
+    windowed self-join."""
+    from .operators.graph_algo import random_walks, skipgram_pairs
+
+    canon = _co_order_edges(spark, sf_dir)
+    edges = canon.unionByName(
+        canon.select(
+            F.col("targetNodeId").alias("sourceNodeId"),
+            F.col("sourceNodeId").alias("targetNodeId"),
+        )
+    )
+    walks = random_walks(edges, walks_per_node=2, walk_length=3, seed=7)
+    return skipgram_pairs(walks, window=2)
+
+
 def _random_walk_oracle_sql(
     walks_per_node: int = 2, walk_length: int = 3, seed: int = 7
 ) -> str:
@@ -4056,6 +4077,16 @@ def _random_walk_oracle_sql(
 
 
 _GRAPH_ORACLES["graph_random_walks"] = _random_walk_oracle_sql()
+
+_GRAPH_ORACLES["graph_walk_skipgrams"] = f"""
+    WITH walks AS ({_random_walk_oracle_sql()})
+    SELECT a.node_id AS center_id, b.node_id AS context_id,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.start_node = b.start_node AND a.walk_no = b.walk_no
+     AND b.step <> a.step AND abs(b.step - a.step) <= 2
+    GROUP BY 1, 2
+"""
 
 
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6887,6 +6918,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q8_market_share",
         "q7_nation_volume",
         "q3_shipping_priority",
+        "q21_waiting_suppliers",
         "q5_region_revenue",
         "q20_excess_shippers",
         # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
@@ -7034,6 +7066,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_random_walks": q_graph_random_walks,
         "web_url_normalize": q_web_url_normalize,
         "stats_hll_rollup": q_stats_hll_rollup,
+        "graph_walk_skipgrams": q_graph_walk_skipgrams,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -7083,13 +7116,13 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_triangles": q_graph_triangles,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q1_pricing_summary,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
         "q7_nation_volume": q7_nation_volume,
         "q3_shipping_priority": q3_shipping_priority,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q5_region_revenue": q5_region_revenue,
         "q20_excess_shippers": q20_excess_shippers,
         "q8_market_share": q8_market_share,

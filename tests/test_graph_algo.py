@@ -904,3 +904,39 @@ def test_random_walks_guards(spark):
         random_walks(df, walk_length=0)
     with _pytest.raises(ValueError, match="walks_per_node"):
         random_walks(df, walks_per_node=0)
+
+
+def test_skipgram_pairs_hand_recount(spark):
+    """Window-2 pairs from two tiny walks, recounted by hand —
+    including cross-walk isolation (positions never pair across
+    different walkers) and the aggregated multiplicity."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        skipgram_pairs,
+    )
+
+    rows = [
+        # walk A (start 1, wn 0): 1 -> 2 -> 1
+        (1, 0, 0, 1), (1, 0, 1, 2), (1, 0, 2, 1),
+        # walk B (start 9, wn 0): 9 -> 2
+        (9, 0, 0, 9), (9, 0, 1, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "start_node long, walk_no int, step int, node_id long"
+    )
+    got = {
+        (r["center_id"], r["context_id"]): r["n_pairs"]
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    expect = {
+        (1, 2): 2,  # A: (0,1) and (2,1)
+        (2, 1): 2,
+        (1, 1): 2,  # A: (0,2) and (2,0)
+        (9, 2): 1,  # B
+        (2, 9): 1,
+    }
+    assert got == expect, (got, expect)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        skipgram_pairs(df, window=0)

@@ -165,7 +165,7 @@ HEADLINE = [
     # parity via the shared PPJoin core, hybrid BM25∪cosine RRF fusion
     "dedup_containment_groups",
     "events_decayed_guardrails",
-    "multimodal_png_stats",
+    "multimodal_image_stats",
     "graph_node_similarity",
     "retrieval_hybrid_rrf",
     "graph_random_walks",

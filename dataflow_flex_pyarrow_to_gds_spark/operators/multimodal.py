@@ -90,15 +90,19 @@ def fake_decode(payload: bytes) -> np.ndarray:
 
 
 def smart_decode(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG payloads get the REAL pure-stdlib
-    decoder (:mod:`.png` — zlib inflate + scanline unfilter, r10
-    de-stub); everything else keeps the deterministic fake, preserving
-    the honest-stub contract for formats this environment has no codec
-    for (JPEG et al. swap in here when a real library is available)."""
+    """Magic-byte dispatch: PNG and BMP payloads get REAL pure-stdlib
+    decoders (:mod:`.png` — zlib inflate + scanline unfilter;
+    :mod:`.bmp` — header parse + row reshuffle, both r10 de-stubs);
+    everything else keeps the deterministic fake, preserving the
+    honest-stub contract for formats this environment has no codec for
+    (JPEG et al. swap in here when a real library is available)."""
+    from .bmp import BMP_SIGNATURE, bmp_decode
     from .png import PNG_SIGNATURE, png_decode
 
     if payload and payload[:8] == PNG_SIGNATURE:
         return png_decode(payload)
+    if payload and payload[:2] == BMP_SIGNATURE:
+        return bmp_decode(payload)
     return fake_decode(payload)
 
 

@@ -2528,24 +2528,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode in the graded surface (r10 — the multimodal
-    codec de-stub): each document becomes a doc_id-determined PNG —
+    codec de-stub): each document becomes a doc_id-determined image —
     dims (1+id%7)×(1+id%5), pixel (r,c,ch) = (id·31+r·7+c·3+ch) mod
-    256, row filters cycling through ALL FIVE PNG filter types — built
-    by the pure-stdlib encoder, then decoded back (zlib inflate +
-    scanline unfilter) by the :func:`smart_decode` dispatch inside
-    ``image_channel_sums``, which emits EXACT int64 per-channel pixel
-    sums. The oracle recomputes the sums in closed form from the pixel
-    formula, so a single wrong byte anywhere in the encode→decode round
-    trip (filter arithmetic, stride, palette, chunk framing) breaks the
-    hash. Two chained Arrow-batched mapInPandas stages — payload bytes
-    never leave the executor plane, exactly the production codec
-    shape."""
+    256 — encoded as a PNG for even ids (row filters cycling through
+    ALL FIVE PNG filter types) and an uncompressed 24-bpp BMP for odd
+    ids, then decoded back by the :func:`smart_decode` magic-byte
+    dispatch inside ``image_channel_sums``, which emits EXACT int64
+    per-channel pixel sums. The oracle recomputes the sums in closed
+    form from the pixel formula (format-independent), so a single wrong
+    byte anywhere in either codec's round trip (PNG filter arithmetic,
+    stride, chunk framing; BMP row padding, bottom-up order, BGR swap)
+    or a misrouted dispatch breaks the hash. Two chained Arrow-batched
+    mapInPandas stages — payload bytes never leave the executor plane,
+    exactly the production codec shape."""
     import numpy as np
     import pandas as pd
 
     from .operators.multimodal import image_channel_sums
+    from .operators.bmp import bmp_encode
     from .operators.png import png_encode
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -2562,15 +2564,19 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = ((did * 31 + r * 7 + c * 3 + ch) % 256).astype(
                     np.uint8
                 )
-                fts = [(did + rr) % 5 for rr in range(h)]
-                out.append((did, png_encode(img, filter_type=fts)))
+                if did % 2 == 0:
+                    fts = [(did + rr) % 5 for rr in range(h)]
+                    payload = png_encode(img, filter_type=fts)
+                else:
+                    payload = bmp_encode(img)
+                out.append((did, payload))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(_make, "media_id long, payload binary")
     return image_channel_sums(media, partitions=8)
 
 
-_RELATIONAL_ORACLES["multimodal_png_stats"] = """
+_RELATIONAL_ORACLES["multimodal_image_stats"] = """
     SELECT doc_id AS media_id,
            CAST(1 + doc_id % 7 AS INT) AS width,
            CAST(1 + doc_id % 5 AS INT) AS height,
@@ -7060,7 +7066,7 @@ def _specs() -> dict[str, QuerySpec]:
         # -- real PNG decode in the graded surface ----------------------
         "events_decayed_guardrails": q_events_decayed_guardrails,
         "dedup_containment_groups": q_dedup_containment_groups,
-        "multimodal_png_stats": q_multimodal_png_stats,
+        "multimodal_image_stats": q_multimodal_image_stats,
         "graph_node_similarity": q_graph_node_similarity,
         "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         "graph_random_walks": q_graph_random_walks,

@@ -203,3 +203,74 @@ def test_image_channel_sums_spark_round_trip(spark):
         assert got[i] == (
             img.shape[1], img.shape[0], 3, int(s[0]), int(s[1]), int(s[2])
         )
+
+
+def test_bmp_round_trip_and_padding():
+    """24-bpp BMP: encode→decode identity at widths that exercise the
+    4-byte row-padding rule (w=1,2,3,5), bottom-up storage."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.bmp import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    for w in (1, 2, 3, 5):
+        img = _img(4, w, 3, seed=w)
+        assert np.array_equal(bmp_decode(bmp_encode(img)), img), w
+
+
+def test_bmp_handbuilt_palette_and_topdown():
+    """Hand-built byte streams bypassing the encoder: an 8-bit palette
+    image and a TOP-DOWN (negative height) 24-bpp image."""
+    import struct as _s
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.bmp import bmp_decode
+
+    # --- palette: 2x2, indices [[0,1],[2,0]], colors R,G,B ---
+    pal = bytes([0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0])  # BGRx
+    rows = bytes([2, 0, 0, 0]) + bytes([0, 1, 0, 0])  # bottom-up, padded
+    dib = _s.pack("<IiihHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 3, 0)
+    hdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + 12 + len(rows), 0, 0,
+                  14 + 40 + 12)
+    img = bmp_decode(hdr + dib + pal + rows)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(img, expect)
+
+    # --- top-down 24bpp: height = -2, first stored row IS row 0 ---
+    px = bytes([255, 0, 0,  0, 255, 0]) + b"\x00\x00"  # row0: B,G pixels
+    px += bytes([0, 0, 255,  255, 255, 255]) + b"\x00\x00"  # row1: R, white
+    dib = _s.pack("<IiihHIIiiII", 40, 2, -2, 1, 24, 0, len(px), 0, 0, 0, 0)
+    hdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    img = bmp_decode(hdr + dib + px)
+    expect = np.array(
+        [[[0, 0, 255], [0, 255, 0]], [[255, 0, 0], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(img, expect)
+
+
+def test_bmp_unsupported_raise():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.bmp import bmp_decode
+
+    dib = _s.pack("<IiihHIIiiII", 40, 1, 1, 1, 24, 1, 4, 0, 0, 0, 0)  # RLE
+    hdr = _s.pack("<2sIHHI", b"BM", 58, 0, 0, 54)
+    with _pytest.raises(NotImplementedError, match="compression"):
+        bmp_decode(hdr + dib + b"\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="signature"):
+        bmp_decode(b"PNGnope")
+
+
+def test_smart_decode_bmp_dispatch():
+    from dataflow_flex_pyarrow_to_gds_spark.operators.bmp import bmp_encode
+    from dataflow_flex_pyarrow_to_gds_spark.operators.multimodal import (
+        smart_decode,
+    )
+
+    img = _img(3, 4, 3, seed=2)
+    assert np.array_equal(smart_decode(bmp_encode(img)), img)

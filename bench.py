@@ -172,6 +172,7 @@ HEADLINE = [
     "web_url_normalize",
     "stats_hll_rollup",
     "graph_walk_skipgrams",
+    "graph_node2vec_walks",
 ]
 
 

@@ -1235,3 +1235,175 @@ def skipgram_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    *,
+    walks_per_node: int = 1,
+    walk_length: int = 3,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+    seed: int = 7,
+    hash_fn=None,
+) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec KDD'16;
+    GDS ``node2vec``'s walk stage): like :func:`random_walks` but the
+    step-i choice at node v (having arrived from u) weights each
+    neighbor t by its RELATION TO u — ``w_return`` if t = u (the 1/p
+    "return" bias), ``w_near`` if t is adjacent to u (the BFS-ish
+    in-neighborhood bias), ``w_far`` otherwise (the 1/q DFS-ish
+    out-bias). Integer weights instead of the paper's 1/p, 1/q floats
+    — same expressiveness (weights are only ever compared as ratios)
+    and the pick becomes EXACT integer arithmetic: neighbor chosen
+    where ``pmod(H(start#walk#step#seed), Σw)`` lands in its cumulative
+    weight interval over the ascending-id neighbor order, so the walks
+    replay bit-for-bit in any engine (the :func:`random_walks`
+    determinism contract carried to the biased case; uniform =
+    ``w_return == w_near == w_far``, asserted equal to random_walks in
+    tests). Step 1 has no previous node and is uniform.
+
+    Output: ``(start_node, walk_no, step, node_id)``, step 0 = start.
+
+    Scale shape: per step, ONE equi-join of walker state against the
+    checkpointed ranked adjacency (fan-out = degree, walker-bounded
+    groups), ONE left semi-style join against the edge set to classify
+    t~u adjacency (equi on (prev, t) — skinny 16-byte probes), and ONE
+    per-walker window pair (cumsum + total) whose partitions are
+    degree-bounded. Everything else matches random_walks: state rows
+    are 4×8 B, adjacency checkpoints once, sinks end walks.
+    """
+    from .dedup import portable_hash64_col
+
+    if walk_length < 1:
+        raise ValueError("node2vec_walks: walk_length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("node2vec_walks: walks_per_node must be >= 1")
+    if min(w_return, w_near, w_far) < 0 or max(w_return, w_near, w_far) == 0:
+        raise ValueError("node2vec_walks: weights must be >= 0, not all 0")
+    hash_fn = hash_fn or portable_hash64_col
+
+    adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    ranked = adj.select(
+        F.col(SOURCE_ID).alias("_s"),
+        F.col(TARGET_ID).alias("_t"),
+        (
+            F.row_number().over(
+                Window.partitionBy(SOURCE_ID).orderBy(TARGET_ID)
+            )
+            - 1
+        ).alias("_r"),
+    ).localCheckpoint(eager=True)
+    epair = ranked.select(
+        F.col("_s").alias("_eu"), F.col("_t").alias("_ev"), F.lit(1).alias("_adj")
+    )
+    deg = (
+        ranked.groupBy(F.col("_s"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+
+    starts = adj.select(F.col(SOURCE_ID).alias("_start")).distinct()
+    state = starts.select(
+        "_start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("_wn"),
+        F.lit(None).cast(adj.schema[SOURCE_ID].dataType).alias("_prev"),
+        F.col("_start").alias("_node"),
+    )
+    out = state.select(
+        F.col("_start").alias("start_node"),
+        F.col("_wn").cast("int").alias("walk_no"),
+        F.lit(0).cast("int").alias("step"),
+        F.col("_node").alias("node_id"),
+    )
+    for step in range(1, walk_length + 1):
+        h = hash_fn(
+            F.concat_ws(
+                "#",
+                F.col("_start"),
+                F.col("_wn"),
+                F.lit(step),
+                F.lit(seed),
+            )
+        )
+        if step == 1:
+            # uniform first hop — identical to random_walks step 1
+            state = (
+                state.join(deg, state["_node"] == deg["_s"])
+                .select(
+                    "_start",
+                    "_wn",
+                    F.col("_node").alias("_cur"),
+                    F.pmod(h, F.col("_d")).alias("_pick"),
+                )
+                .join(
+                    ranked,
+                    (F.col("_cur") == ranked["_s"])
+                    & (F.col("_pick") == ranked["_r"]),
+                )
+                .select(
+                    "_start",
+                    "_wn",
+                    F.col("_cur").alias("_prev"),
+                    F.col("_t").alias("_node"),
+                )
+            )
+        else:
+            cand = (
+                state.join(ranked, state["_node"] == ranked["_s"])
+                .join(
+                    epair,
+                    (F.col("_prev") == F.col("_eu"))
+                    & (F.col("_t") == F.col("_ev")),
+                    "left_outer",
+                )
+                .select(
+                    "_start",
+                    "_wn",
+                    F.col("_node").alias("_cur"),
+                    "_prev",
+                    "_t",
+                    "_r",
+                    F.when(F.col("_t") == F.col("_prev"), F.lit(w_return))
+                    .when(F.col("_adj").isNotNull(), F.lit(w_near))
+                    .otherwise(F.lit(w_far))
+                    .cast("long")
+                    .alias("_w"),
+                )
+            )
+            wk = Window.partitionBy("_start", "_wn")
+            cum = F.sum("_w").over(wk.orderBy("_r"))
+            tot = F.sum("_w").over(wk)
+            state = (
+                cand.select(
+                    "_start",
+                    "_wn",
+                    "_cur",
+                    "_t",
+                    "_w",
+                    cum.alias("_cum"),
+                    F.pmod(h, tot).alias("_pick"),
+                )
+                .filter(
+                    (F.col("_pick") >= F.col("_cum") - F.col("_w"))
+                    & (F.col("_pick") < F.col("_cum"))
+                )
+                .select(
+                    "_start",
+                    "_wn",
+                    F.col("_cur").alias("_prev"),
+                    F.col("_t").alias("_node"),
+                )
+            )
+        out = out.unionByName(
+            state.select(
+                F.col("_start").alias("start_node"),
+                F.col("_wn").cast("int").alias("walk_no"),
+                F.lit(step).cast("int").alias("step"),
+                F.col("_node").alias("node_id"),
+            )
+        )
+    return out

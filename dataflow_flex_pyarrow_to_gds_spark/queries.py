@@ -4037,6 +4037,110 @@ def q_graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=2)
 
 
+def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec biased walks (r10): 2 walkers per node, 3 steps, over
+    the symmetrized co-order graph with integer bias weights
+    (return 1, near 4, far 2 — the BFS-leaning regime): each step
+    weights neighbors by their relation to the PREVIOUS node and picks
+    by exact cumulative-weight interval on the portable hash, so the
+    oracle replays every biased choice bit-for-bit. Per step one
+    adjacency equi-join + one (prev, t) classification join + one
+    degree-bounded per-walker window pair."""
+    from .operators.graph_algo import node2vec_walks
+
+    canon = _co_order_edges(spark, sf_dir)
+    edges = canon.unionByName(
+        canon.select(
+            F.col("targetNodeId").alias("sourceNodeId"),
+            F.col("sourceNodeId").alias("targetNodeId"),
+        )
+    )
+    return node2vec_walks(
+        edges, walks_per_node=2, walk_length=3,
+        w_return=1, w_near=4, w_far=2, seed=7,
+    )
+
+
+def _node2vec_oracle_sql(
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 2,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of q_graph_node2vec_walks: the biased walk unrolled
+    one CTE per step — candidate classification against the previous
+    node, cumulative-weight interval pick on the portable hash."""
+    wn_values = ", ".join(f"({i})" for i in range(walks_per_node))
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM e0
+            UNION ALL SELECT v AS s, u AS t FROM e0
+        ),
+        ranked AS MATERIALIZED (
+            SELECT s, t,
+                   row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS r
+            FROM e
+        ),
+        deg AS MATERIALIZED (SELECT s, count(*) AS d FROM e GROUP BY s),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT e.s AS start_node, wnv.wn AS walk_no,
+                   CAST(NULL AS BIGINT) AS prev, e.s AS node_id
+            FROM e CROSS JOIN (VALUES {wn_values}) AS wnv(wn)
+        )"""
+    h1 = _hash_sql_of(
+        f"concat_ws('#', w.start_node, w.walk_no, '1', '{seed}')"
+    )
+    txt += f""",
+        w1 AS MATERIALIZED (
+            SELECT w.start_node, w.walk_no, w.node_id AS prev,
+                   ranked.t AS node_id
+            FROM w0 w
+            JOIN deg ON w.node_id = deg.s
+            JOIN ranked ON w.node_id = ranked.s
+             AND ranked.r = ((({h1}) % deg.d) + deg.d) % deg.d
+        )"""
+    for i in range(2, walk_length + 1):
+        h = _hash_sql_of(
+            f"concat_ws('#', start_node, walk_no, '{i}', '{seed}')"
+        )
+        txt += f""",
+        c{i} AS MATERIALIZED (
+            SELECT w.start_node, w.walk_no, w.node_id AS cur,
+                   ranked.t, ranked.r,
+                   CASE WHEN ranked.t = w.prev THEN {w_return}
+                        WHEN e2.s IS NOT NULL THEN {w_near}
+                        ELSE {w_far} END AS wt
+            FROM w{i - 1} w
+            JOIN ranked ON w.node_id = ranked.s
+            LEFT JOIN e e2 ON e2.s = w.prev AND e2.t = ranked.t
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT start_node, walk_no, cur AS prev, t AS node_id
+            FROM (
+                SELECT *,
+                       sum(wt) OVER (PARTITION BY start_node, walk_no
+                                     ORDER BY r) AS cum,
+                       sum(wt) OVER (PARTITION BY start_node, walk_no)
+                           AS tot
+                FROM c{i}
+            )
+            WHERE ((({h}) % tot) + tot) % tot >= cum - wt
+              AND ((({h}) % tot) + tot) % tot < cum
+        )"""
+    selects = [
+        f"SELECT start_node, CAST(walk_no AS INT) AS walk_no, "
+        f"CAST({i} AS INT) AS step, node_id FROM w{i}"
+        for i in range(walk_length + 1)
+    ]
+    return txt + "\n" + "\nUNION ALL ".join(selects)
+
+
+_GRAPH_ORACLES["graph_node2vec_walks"] = _node2vec_oracle_sql()
+
+
 def _random_walk_oracle_sql(
     walks_per_node: int = 2, walk_length: int = 3, seed: int = 7
 ) -> str:
@@ -6924,6 +7028,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q8_market_share",
         "q7_nation_volume",
         "q3_shipping_priority",
+        "graph_triangles",
         "q21_waiting_suppliers",
         "q5_region_revenue",
         "q20_excess_shippers",
@@ -7073,6 +7178,7 @@ def _specs() -> dict[str, QuerySpec]:
         "web_url_normalize": q_web_url_normalize,
         "stats_hll_rollup": q_stats_hll_rollup,
         "graph_walk_skipgrams": q_graph_walk_skipgrams,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -7119,7 +7225,6 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_semantic_groups": q_dedup_semantic_groups,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "graph_triangles": q_graph_triangles,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q1_pricing_summary,
         # ---- entries beyond this line sit past the driver window and ----
@@ -7128,6 +7233,7 @@ def _specs() -> dict[str, QuerySpec]:
         # ---- re-verified green locally via scripts/check_oracle.py) -----
         "q7_nation_volume": q7_nation_volume,
         "q3_shipping_priority": q3_shipping_priority,
+        "graph_triangles": q_graph_triangles,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q5_region_revenue": q5_region_revenue,
         "q20_excess_shippers": q20_excess_shippers,

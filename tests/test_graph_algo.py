@@ -940,3 +940,98 @@ def test_skipgram_pairs_hand_recount(spark):
 
     with _pytest.raises(ValueError, match="window"):
         skipgram_pairs(df, window=0)
+
+
+def test_node2vec_walks_python_replay(spark):
+    """Biased walks replayed step-for-step in python: candidate
+    classification (return / near / far vs the previous node),
+    cumulative-weight interval pick, ascending-id order."""
+    import hashlib
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node2vec_walks,
+    )
+
+    def h(t: str) -> int:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    # triangle + tail, symmetrized
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    wl, seed, wpn = 4, 7, 2
+    wr, wn_, wf = 1, 4, 2
+    got = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in node2vec_walks(
+            df, walks_per_node=wpn, walk_length=wl,
+            w_return=wr, w_near=wn_, w_far=wf, seed=seed,
+        ).collect()
+    }
+
+    nbrs = {}
+    eset = set(edges)
+    for s, t in edges:
+        nbrs.setdefault(s, []).append(t)
+    for s in nbrs:
+        nbrs[s] = sorted(set(nbrs[s]))
+    expect = {}
+    for start in sorted(nbrs):
+        for wn in range(wpn):
+            prev, node = None, start
+            expect[(start, wn, 0)] = node
+            for step in range(1, wl + 1):
+                cands = nbrs.get(node)
+                if not cands:
+                    break
+                hv = h(f"{start}#{wn}#{step}#{seed}")
+                if prev is None:
+                    node, prev = cands[hv % len(cands)], node
+                else:
+                    ws = [
+                        wr if t == prev
+                        else (wn_ if (prev, t) in eset else wf)
+                        for t in cands
+                    ]
+                    pick = hv % sum(ws)
+                    cum = 0
+                    for t, w in zip(cands, ws):
+                        cum += w
+                        if pick < cum:
+                            node, prev = t, node
+                            break
+                expect[(start, wn, step)] = node
+    assert got == expect, {k: (got.get(k), expect.get(k))
+                           for k in set(got) ^ set(expect) or got}
+
+
+def test_node2vec_uniform_weights_equal_random_walks(spark):
+    """With w_return == w_near == w_far the bias vanishes and node2vec
+    must emit EXACTLY random_walks' sequences (weight-1 intervals ≡
+    index pick)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node2vec_walks,
+        random_walks,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    a = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in node2vec_walks(
+            df, walks_per_node=2, walk_length=3,
+            w_return=1, w_near=1, w_far=1, seed=7,
+        ).collect()
+    }
+    b = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in random_walks(
+            df, walks_per_node=2, walk_length=3, seed=7
+        ).collect()
+    }
+    assert a == b

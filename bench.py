@@ -173,6 +173,7 @@ HEADLINE = [
     "stats_hll_rollup",
     "graph_walk_skipgrams",
     "graph_node2vec_walks",
+    "graph_shortest_paths",
 ]
 
 

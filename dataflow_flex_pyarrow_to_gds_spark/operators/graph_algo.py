@@ -1407,3 +1407,75 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def shortest_paths(
+    seeds: DataFrame,
+    edges: DataFrame,
+    weight_col: str,
+    *,
+    max_iter: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted multi-source shortest paths — GDS Dijkstra/Δ-stepping
+    parity in the DataFrame execution model: ``(nodeId, dist)`` =
+    cheapest path cost from ANY seed, for every reached node. Weights
+    must be non-negative integers (int64 distances stay exact and
+    hash-checkable; float costs would accumulate ulp dust per hop).
+
+    Shape: Bellman-Ford relaxation to a fixpoint — Dijkstra's priority
+    queue is inherently sequential, but relaxation is a join: per round
+    ONE equi-join of the current distance table (8+8-byte rows) against
+    the edge list, a partial-aggregated ``min`` merge, and a
+    changed-row count for early exit; lineage checkpoints per round.
+    Rounds = longest shortest-path HOP count (≤ diameter), the same
+    iterative floor as BFS/CC; raises loudly at ``max_iter`` instead of
+    returning partially-relaxed distances. Relaxation is idempotent
+    past the fixpoint — the property the unrolled SQL oracle leans on.
+    """
+    sym = edges.select(
+        F.col(SOURCE_ID).alias("_u"),
+        F.col(TARGET_ID).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    if not directed:
+        sym = sym.unionByName(
+            sym.select(
+                F.col("_v").alias("_u"),
+                F.col("_u").alias("_v"),
+                "_w",
+            )
+        )
+    sym = sym.localCheckpoint(eager=True)
+
+    dist = seeds.select(
+        F.col(NODE_ID), F.lit(0).cast("long").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            dist.join(sym, dist[NODE_ID] == sym["_u"])
+            .select(
+                F.col("_v").alias(NODE_ID),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy(NODE_ID)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), NODE_ID, "left_outer")
+            .filter(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            return dist
+    raise RuntimeError(f"shortest_paths: no fixpoint in {max_iter} rounds")

@@ -4037,6 +4037,67 @@ def q_graph_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(walks, window=2)
 
 
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (r10 — GDS Dijkstra parity
+    as DataFrame Bellman-Ford): cheapest cost from any size-50-part
+    seed over the undirected co-order graph with deterministic integer
+    edge weights 1 + (u+v) mod 7 (exact int64 end to end — float costs
+    would pick up per-hop ulp dust). Per round one skinny join + one
+    partial-aggregated min merge, checkpointed, early exit at the
+    fixpoint; the oracle unrolls 25 relaxation rounds (idempotent past
+    the fixpoint, so unroll margin is free — the kcore precedent)."""
+    from .operators.graph_algo import shortest_paths
+
+    edges = _co_order_edges(spark, sf_dir).select(
+        "sourceNodeId",
+        "targetNodeId",
+        (
+            F.lit(1)
+            + (F.col("sourceNodeId") + F.col("targetNodeId")) % 7
+        ).alias("w"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("nodeId"))
+    )
+    return shortest_paths(seeds, edges, "w", max_iter=25, directed=False)
+
+
+def _shortest_paths_oracle_sql(rounds: int = 25) -> str:
+    """DuckDB twin: unrolled Bellman-Ford relaxation (min-merge per
+    round) over the same weighted symmetrized co-order graph."""
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        ew AS MATERIALIZED (
+            SELECT u, v, 1 + (u + v) % 7 AS w FROM e0
+        ),
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t, w FROM ew
+            UNION ALL SELECT v AS s, u AS t, w FROM ew
+        ),
+        d0 AS MATERIALIZED (
+            SELECT DISTINCT p_partkey AS id, CAST(0 AS BIGINT) AS dist
+            FROM part WHERE p_size = 50
+        )"""
+    for i in range(1, rounds + 1):
+        txt += f""",
+        d{i} AS MATERIALIZED (
+            SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.t AS id, d.dist + e.w AS dist
+                FROM d{i - 1} d JOIN e ON d.id = e.s
+            ) GROUP BY id
+        )"""
+    txt += f"""
+        SELECT id AS "nodeId", CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_shortest_paths"] = _shortest_paths_oracle_sql()
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased walks (r10): 2 walkers per node, 3 steps, over
     the symmetrized co-order graph with integer bias weights
@@ -7029,6 +7090,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q7_nation_volume",
         "q3_shipping_priority",
         "graph_triangles",
+        "multimodal_features",
         "q21_waiting_suppliers",
         "q5_region_revenue",
         "q20_excess_shippers",
@@ -7179,6 +7241,7 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_hll_rollup": q_stats_hll_rollup,
         "graph_walk_skipgrams": q_graph_walk_skipgrams,
         "graph_node2vec_walks": q_graph_node2vec_walks,
+        "graph_shortest_paths": q_graph_shortest_paths,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -7225,7 +7288,6 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_semantic_groups": q_dedup_semantic_groups,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q1_pricing_summary,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
@@ -7234,6 +7296,7 @@ def _specs() -> dict[str, QuerySpec]:
         "q7_nation_volume": q7_nation_volume,
         "q3_shipping_priority": q3_shipping_priority,
         "graph_triangles": q_graph_triangles,
+        "multimodal_features": q_multimodal_features,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q5_region_revenue": q5_region_revenue,
         "q20_excess_shippers": q20_excess_shippers,

@@ -1035,3 +1035,57 @@ def test_node2vec_uniform_weights_equal_random_walks(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_shortest_paths_weighted_vs_hops(spark):
+    """Hand graph where the cheapest WEIGHTED path is not the fewest-hop
+    path; unreachable nodes are absent; directed vs undirected differ."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),           # direct hop, heavy
+            (1, 3, 1), (3, 4, 1), (4, 2, 1),   # 3 hops, cheap (=3)
+            (2, 5, 2),
+            (9, 1, 1),            # into the seed — only matters undirected
+            (7, 8, 1),            # disconnected
+        ],
+        "sourceNodeId long, targetNodeId long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "nodeId long")
+    got = {
+        r["nodeId"]: r["dist"]
+        for r in shortest_paths(seeds, edges, "w", directed=True).collect()
+    }
+    assert got == {1: 0, 3: 1, 4: 2, 2: 3, 5: 5}, got
+
+    und = {
+        r["nodeId"]: r["dist"]
+        for r in shortest_paths(seeds, edges, "w", directed=False).collect()
+    }
+    assert und[9] == 1 and und[2] == 3, und
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        shortest_paths(seeds, edges, "w", max_iter=2, directed=True)
+
+
+def test_shortest_paths_multi_source_min(spark):
+    """Multi-source: each node gets the cheapest cost from ANY seed."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (10, 2, 1)],
+        "sourceNodeId long, targetNodeId long, w long",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "nodeId long")
+    got = {
+        r["nodeId"]: r["dist"]
+        for r in shortest_paths(seeds, edges, "w", directed=True).collect()
+    }
+    assert got == {1: 0, 10: 0, 2: 1}, got

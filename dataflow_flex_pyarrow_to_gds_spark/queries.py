@@ -7278,8 +7278,9 @@ def _specs() -> dict[str, QuerySpec]:
         "q22_idle_customers": q22_idle_customers,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q16_supplier_exclusion": q16_supplier_exclusion,
-        # -- rotated in (round 10): 22 of the r5-green block (the rest
-        # -- rotate in r11) ----------------------------------------------
+        # -- rotated in (round 10): part of the r5-green block (several
+        # -- were bumped back out as r10's changed-query set grew — they
+        # -- and the rest rotate in r11) ---------------------------------
         "approx_stats": q_approx_stats,
         "curation_arrival": q_curation_arrival,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,

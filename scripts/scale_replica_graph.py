@@ -102,10 +102,12 @@ def main() -> int:
         bfs_hop_distance,
         kcore,
         local_clustering_coefficient,
+        node2vec_walks,
         node_similarity,
         personalized_pagerank_fixedpoint,
         random_walks,
         sample_neighbors,
+        shortest_paths,
         skipgram_pairs,
     )
 
@@ -154,6 +156,21 @@ def main() -> int:
         ),
         "graph_node_similarity": lambda s: node_similarity(
             rd("heavy", s), threshold=0.3
+        ),
+        "graph_node2vec_walks": lambda s: node2vec_walks(
+            sym(s), walks_per_node=2, walk_length=3,
+            w_return=1, w_near=4, w_far=2, seed=7,
+        ),
+        "graph_shortest_paths": lambda s: shortest_paths(
+            rd("seeds", s),
+            rd("co30", s).select(
+                "sourceNodeId", "targetNodeId",
+                (F.lit(1) + (F.col("sourceNodeId")
+                             + F.col("targetNodeId")) % 7).alias("w"),
+            ),
+            "w",
+            max_iter=25,
+            directed=False,
         ),
     }
 

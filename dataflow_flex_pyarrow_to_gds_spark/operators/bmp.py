@@ -1,5 +1,6 @@
 """Pure-stdlib BMP decoder — the second real image format behind the
-multimodal ``smart_decode`` dispatch (PNG was the first; BMP needs only
+multimodal ``smart_decode`` dispatch (extension mandate; the reference
+pipeline has no media surface) (PNG was the first; BMP needs only
 ``struct``: no compression in the supported profiles, so this is pure
 header parsing + row reshuffling).
 

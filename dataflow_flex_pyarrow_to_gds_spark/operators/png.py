@@ -1,5 +1,7 @@
 """Pure-stdlib PNG codec (zlib + struct) — de-stubs one real image
-format behind the multimodal ``decode_fn`` contract without adding any
+format behind the multimodal ``decode_fn`` contract (the reference
+pipeline has no media surface at all — multimodal columns are part of
+the LLM-training-data extension mandate) without adding any
 dependency (this environment has no PIL/ffmpeg; zlib IS the stdlib).
 
 Scope, honestly bounded: 8-bit-depth, non-interlaced PNGs in the five

@@ -1,5 +1,10 @@
 """URL canonicalization — the web-corpus identity operator.
 
+The reference pipeline (neo4j-field/dataflow-flex-pyarrow-to-gds) has
+no URL surface (SURVEY.md §2.8 — its only string function is
+strtobool, reference neo4j_beam/util.py:61-74); this module is part of
+the LLM-training-data extension mandate.
+
 Web-scale training corpora key almost everything on the URL (exact
 dedup across crawls, per-domain caps, robots/blocklist joins), and raw
 crawl URLs are noisy: mixed-case hosts, default ports, tracking

@@ -274,3 +274,44 @@ def test_smart_decode_bmp_dispatch():
 
     img = _img(3, 4, 3, seed=2)
     assert np.array_equal(smart_decode(bmp_encode(img)), img)
+
+
+def test_codec_round_trips_hypothesis():
+    """Property: encode→decode is the identity for arbitrary shapes,
+    channel counts, and per-row PNG filter choices."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.bmp import (
+        bmp_decode,
+        bmp_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31),
+        data=st.data(),
+    )
+    def png_prop(h, w, c, seed, data):
+        img = _img(h, w, c, seed=seed)
+        fts = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        assert np.array_equal(
+            png_decode(png_encode(img, filter_type=fts)), img
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+    )
+    def bmp_prop(h, w, seed):
+        img = _img(h, w, 3, seed=seed)
+        assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+    png_prop()
+    bmp_prop()

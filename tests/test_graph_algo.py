@@ -1089,3 +1089,41 @@ def test_shortest_paths_multi_source_min(spark):
         for r in shortest_paths(seeds, edges, "w", directed=True).collect()
     }
     assert got == {1: 0, 10: 0, 2: 1}, got
+
+
+def test_ktruss_hand_graph(spark):
+    """Two 4-cliques sharing one vertex plus a pendant chain: the
+    4-truss keeps exactly the clique edges (support 2 each), drops the
+    chain and the lone bridging triangle; k=5 empties everything; the
+    cascade property — removing an edge lowers its neighbors' support
+    below threshold in a LATER round — is exercised by a triangle fan."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        ktruss,
+    )
+
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+    chain = [(7, 8), (8, 9)]
+    tri = [(1, 5), (1, 9), (5, 9)]  # lone triangle off the cliques
+    df = spark.createDataFrame(
+        k4a + k4b + chain + tri, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        (r["sourceNodeId"], r["targetNodeId"]): r["support"]
+        for r in ktruss(df, k=4).collect()
+    }
+    assert set(got) == set(k4a) | set(k4b), got
+    assert all(v == 2 for v in got.values()), got
+
+    assert ktruss(df, k=5).count() == 0
+
+    # cascade: a fan of triangles sharing edge (1,2) — at k=4 the outer
+    # edges have support 1 and peel first, which then drops (1,2) too
+    fan = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (1, 5), (2, 5)]
+    fdf = spark.createDataFrame(fan, "sourceNodeId long, targetNodeId long")
+    assert ktruss(fdf, k=4).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        ktruss(df, k=2)

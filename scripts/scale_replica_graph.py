@@ -102,6 +102,7 @@ def main() -> int:
         bfs_hop_distance,
         kcore,
         local_clustering_coefficient,
+        ktruss,
         node2vec_walks,
         node_similarity,
         personalized_pagerank_fixedpoint,
@@ -161,6 +162,7 @@ def main() -> int:
             sym(s), walks_per_node=2, walk_length=3,
             w_return=1, w_near=4, w_far=2, seed=7,
         ),
+        "graph_ktruss": lambda s: ktruss(rd("co30", s), k=4),
         "graph_shortest_paths": lambda s: shortest_paths(
             rd("seeds", s),
             rd("co30", s).select(

@@ -1735,6 +1735,7 @@ def containment_join_pairs(
     shingle_k: int = 1,
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """EXACT containment self-join: all ORDERED pairs (a, b), a ≠ b,
     with ``|S(a) ∩ S(b)| / |S(a)| ≥ threshold`` over the distinct word
@@ -1783,9 +1784,13 @@ def containment_join_pairs(
 
     The slim (id, token-array) projection is cached — it feeds the
     probe/index pass and both verify sides. The cache is session-scoped
-    by design (the returned plan is lazy, so this function cannot
-    unpersist behind it); callers sweeping many corpora should
-    ``spark.catalog.clearCache()`` between rounds.
+    by DEFAULT (the returned plan is lazy, so this function cannot
+    unpersist behind it); callers sweeping many corpora either
+    ``spark.catalog.clearCache()`` between rounds or pass
+    ``unpersist_after=True`` (VERDICT r10 #6), which MATERIALIZES the
+    verify join (``localCheckpoint`` — the result is computed once and
+    its lineage cut) and releases the slim-projection cache before
+    returning, trading result laziness for bounded storage.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -1829,7 +1834,7 @@ def containment_join_pairs(
     if broadcast_verify:
         av, bv = F.broadcast(av), F.broadcast(bv)
     overlap = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-    return (
+    result = (
         cand.join(av, "_ia")
         .join(bv, "_ib")
         .withColumn(
@@ -1848,6 +1853,10 @@ def containment_join_pairs(
             "containment",
         )
     )
+    if unpersist_after:
+        result = result.localCheckpoint(eager=True)
+        base.unpersist(blocking=True)
+    return result
 
 
 def containment_near_dup_pairs(
@@ -1859,6 +1868,7 @@ def containment_near_dup_pairs(
     shingle_k: int = 1,
     broadcast_verify: bool | None = None,
     broadcast_max_docs: int = 200_000,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Symmetric closure of :func:`containment_join_pairs`: UNORDERED
     pairs ``(id_a < id_b)`` where a is contained in b OR b in a at
@@ -1882,6 +1892,7 @@ def containment_near_dup_pairs(
         shingle_k=shingle_k,
         broadcast_verify=broadcast_verify,
         broadcast_max_docs=broadcast_max_docs,
+        unpersist_after=unpersist_after,
     )
     return (
         ordered.select(

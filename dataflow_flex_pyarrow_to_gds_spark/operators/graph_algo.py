@@ -17,6 +17,8 @@ the node/edge DataFrames:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1089,6 +1091,63 @@ def node_similarity(
     )
 
 
+def _ranked_adjacency(adj: DataFrame, *, n_buckets: int = 32) -> DataFrame:
+    """``(_s, _t, _r)`` — 0-based rank of each target among its source's
+    out-neighbors in ascending ``_t`` order, computed HUB-SAFELY.
+
+    The naive form is ``row_number().over(partitionBy(source))`` — the
+    exact window shape this repo's scale rule bans (VERDICT r10 #1): a
+    celebrity hub's whole adjacency funnels through ONE window
+    partition, no map-side combine, and AQE cannot split a window. The
+    fix decomposes the per-source rank the same way
+    :func:`~.packing.global_prefix_sum` decomposes a global scan:
+
+    1. range-bucket targets into ``n_buckets`` contiguous id ranges
+       (:func:`~.packing.range_bucketed` — one ``percentile_approx``
+       sketch; boundary quality affects BALANCE only, never ranks,
+       because ranges stay contiguous in ``_t``);
+    2. rank within ``(source, bucket)`` — a hub's adjacency now splits
+       across ``n_buckets`` window partitions;
+    3. per-(source, bucket) counts via partial-aggregated groupBy,
+       cumulated into exclusive offsets with a window whose partitions
+       are ≤ ``n_buckets`` rows BY CONSTRUCTION (one row per bucket a
+       source touches);
+    4. global rank = local rank + bucket offset (exact: buckets are
+       contiguous ``_t`` ranges, so all lower-bucket neighbors precede
+       all same-bucket ones in ascending-id order).
+
+    Bit-exact with the naive window — the walk oracles replay the same
+    sequences (asserted in tests against the naive shape on a hub
+    fixture). Node ids must be numeric (the GDS int64 contract;
+    ``percentile_approx`` needs a numeric order key).
+    """
+    from .packing import range_bucketed
+
+    slim = adj.select(
+        F.col(SOURCE_ID).alias("_s"), F.col(TARGET_ID).alias("_t")
+    )
+    b = range_bucketed(slim, F.col("_t"), n_buckets=n_buckets, bucket_col="_b")
+    local = (
+        F.row_number().over(Window.partitionBy("_s", "_b").orderBy("_t")) - 1
+    )
+    cnts = b.groupBy("_s", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy("_s")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "_s",
+        "_b",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        b.withColumn("_lr", local)
+        .join(offs, ["_s", "_b"])
+        .select("_s", "_t", (F.col("_lr") + F.col("_off")).alias("_r"))
+    )
+
+
 def random_walks(
     edges: DataFrame,
     *,
@@ -1096,6 +1155,7 @@ def random_walks(
     walk_length: int = 3,
     seed: int = 7,
     hash_fn=None,
+    rank_buckets: int = 32,
 ) -> DataFrame:
     """GDS ``randomWalk`` / DeepWalk parity (Perozzi et al. KDD'14 —
     the walk-corpus generator feeding skip-gram node embeddings, and
@@ -1117,14 +1177,14 @@ def random_walks(
     ``hash_fn=F.xxhash64``-style callables for ~3× cheaper production
     walks when nothing external must reproduce them.
 
-    Scale shape: neighbor ranks are a per-source row_number window
-    (bounded by max out-degree — the sample_neighbors shape; cap
-    celebrity hubs with :func:`sample_neighbors` FIRST if the graph has
-    them) and degrees a partial-aggregated groupBy; both checkpoint
-    once and every step is then ONE two-key equi-join
-    ``(node = src, chosen_rank = rank)`` of the skinny walker state —
-    no row multiplication anywhere, walk state is 4×8-byte rows, cost
-    ∝ walkers × steps with the usual iterative scheduler floor.
+    Scale shape: neighbor ranks come from :func:`_ranked_adjacency`
+    (bucketed rank + broadcast offsets — hub-safe, no unbounded window;
+    ``rank_buckets`` tunes the split) and degrees from a
+    partial-aggregated groupBy; both checkpoint once and every step is
+    then ONE two-key equi-join ``(node = src, chosen_rank = rank)`` of
+    the skinny walker state — no row multiplication anywhere, walk
+    state is 4×8-byte rows, cost ∝ walkers × steps with the usual
+    iterative scheduler floor.
     """
     from .dedup import portable_hash64_col
 
@@ -1135,16 +1195,9 @@ def random_walks(
     hash_fn = hash_fn or portable_hash64_col
 
     adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
-    ranked = adj.select(
-        F.col(SOURCE_ID).alias("_s"),
-        F.col(TARGET_ID).alias("_t"),
-        (
-            F.row_number().over(
-                Window.partitionBy(SOURCE_ID).orderBy(TARGET_ID)
-            )
-            - 1
-        ).alias("_r"),
-    ).localCheckpoint(eager=True)  # probed every step — fix it once
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
+        eager=True
+    )  # probed every step — fix it once
     deg = (
         adj.groupBy(F.col(SOURCE_ID).alias("_s"))
         .agg(F.count(F.lit(1)).alias("_d"))
@@ -1247,6 +1300,7 @@ def node2vec_walks(
     w_far: int = 2,
     seed: int = 7,
     hash_fn=None,
+    rank_buckets: int = 32,
 ) -> DataFrame:
     """node2vec second-order biased walks (Grover & Leskovec KDD'16;
     GDS ``node2vec``'s walk stage): like :func:`random_walks` but the
@@ -1260,9 +1314,13 @@ def node2vec_walks(
     where ``pmod(H(start#walk#step#seed), Σw)`` lands in its cumulative
     weight interval over the ascending-id neighbor order, so the walks
     replay bit-for-bit in any engine (the :func:`random_walks`
-    determinism contract carried to the biased case; uniform =
-    ``w_return == w_near == w_far``, asserted equal to random_walks in
-    tests). Step 1 has no previous node and is uniform.
+    determinism contract carried to the biased case). Weights are
+    normalized by their gcd before intervals are built — ratios are all
+    that matter, and the normalization makes ANY equal triple collapse
+    to the unit case, so ``w_return == w_near == w_far`` reproduces
+    :func:`random_walks` exactly (``pmod(h, Σ1·d) div 1 ≡ pmod(h, d)``;
+    asserted in tests for both (1,1,1) and (2,2,2), ADVICE r10). Step 1
+    has no previous node and is uniform.
 
     Output: ``(start_node, walk_no, step, node_id)``, step 0 = start.
 
@@ -1282,19 +1340,14 @@ def node2vec_walks(
         raise ValueError("node2vec_walks: walks_per_node must be >= 1")
     if min(w_return, w_near, w_far) < 0 or max(w_return, w_near, w_far) == 0:
         raise ValueError("node2vec_walks: weights must be >= 0, not all 0")
+    g = math.gcd(math.gcd(w_return, w_near), w_far)
+    w_return, w_near, w_far = w_return // g, w_near // g, w_far // g
     hash_fn = hash_fn or portable_hash64_col
 
     adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
-    ranked = adj.select(
-        F.col(SOURCE_ID).alias("_s"),
-        F.col(TARGET_ID).alias("_t"),
-        (
-            F.row_number().over(
-                Window.partitionBy(SOURCE_ID).orderBy(TARGET_ID)
-            )
-            - 1
-        ).alias("_r"),
-    ).localCheckpoint(eager=True)
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
+        eager=True
+    )
     epair = ranked.select(
         F.col("_s").alias("_eu"), F.col("_t").alias("_ev"), F.lit(1).alias("_adj")
     )
@@ -1421,7 +1474,11 @@ def shortest_paths(
     parity in the DataFrame execution model: ``(nodeId, dist)`` =
     cheapest path cost from ANY seed, for every reached node. Weights
     must be non-negative integers (int64 distances stay exact and
-    hash-checkable; float costs would accumulate ulp dust per hop).
+    hash-checkable; float costs would accumulate ulp dust per hop) —
+    ENFORCED, not just documented (ADVICE r10): a non-integer weight
+    type raises ``TypeError`` at plan time, a negative weight raises
+    ``ValueError`` after one cheap ``min`` agg on the checkpointed
+    edge set.
 
     Shape: Bellman-Ford relaxation to a fixpoint — Dijkstra's priority
     queue is inherently sequential, but relaxation is a join: per round
@@ -1433,6 +1490,17 @@ def shortest_paths(
     returning partially-relaxed distances. Relaxation is idempotent
     past the fixpoint — the property the unrolled SQL oracle leans on.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wtype = edges.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        # a fractional double would be silently truncated by the long
+        # cast and relax toward wrong distances — refuse, don't round
+        raise TypeError(
+            f"shortest_paths: weight column {weight_col!r} must be an "
+            f"integer type, got {wtype.simpleString()} (ADVICE r10: "
+            "int64 distances stay exact and hash-checkable)"
+        )
     sym = edges.select(
         F.col(SOURCE_ID).alias("_u"),
         F.col(TARGET_ID).alias("_v"),
@@ -1447,6 +1515,16 @@ def shortest_paths(
             )
         )
     sym = sym.localCheckpoint(eager=True)
+    min_w = sym.agg(F.min("_w").alias("m")).first()["m"]
+    if min_w is not None and min_w < 0:
+        # Bellman-Ford would "work" until a negative cycle turns the
+        # fixpoint loop into a late max_iter RuntimeError — fail fast
+        # with the actual contract violation instead (ADVICE r10)
+        raise ValueError(
+            f"shortest_paths: negative weight {min_w} — weights must be "
+            "non-negative (relaxation toward a negative cycle never "
+            "reaches a fixpoint)"
+        )
 
     dist = seeds.select(
         F.col(NODE_ID), F.lit(0).cast("long").alias("dist")
@@ -1481,6 +1559,72 @@ def shortest_paths(
     raise RuntimeError(f"shortest_paths: no fixpoint in {max_iter} rounds")
 
 
+def _oriented_edges(e: DataFrame) -> DataFrame:
+    """``(_src, _dst, _dd)`` — each canonical undirected edge of ``e``
+    (columns ``_u < _v``) oriented FROM its lower-``(degree, id)``
+    endpoint, with ``_dd`` the (degree, id)-order rank proxy of the
+    head: the head's degree (ties broken by id downstream). The
+    degree-ordered orientation makes the edge set a DAG in which every
+    triangle has exactly ONE node with two out-edges, and out-degree is
+    bounded by O(√m) (Chiba–Nishizeki) — the
+    :func:`local_clustering_coefficient` orientation, promoted into the
+    truss peel (VERDICT r10 #2). Degrees are a partial-aggregated
+    groupBy over the CURRENT edge set, recomputed per peel round (they
+    shrink as edges peel — using stale degrees would only unbalance the
+    orientation, but fresh ones are one cheap agg)."""
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    j = (
+        e.join(deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_a")), "_u")
+        .join(deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_b")), "_v")
+    )
+    fwd = (F.col("_a") < F.col("_b")) | (
+        (F.col("_a") == F.col("_b")) & (F.col("_u") < F.col("_v"))
+    )
+    return j.select(
+        F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("_src"),
+        F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("_dst"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("_dd"),
+    )
+
+
+def _oriented_wedges(o: DataFrame) -> DataFrame:
+    """Ordered out-neighbor pairs ``(_p, _q, _r)`` of the oriented edge
+    set: for every node ``_p``, each unordered pair of out-neighbors
+    exactly once, ordered by ``(degree, id)`` so the closing edge — if
+    it exists — is oriented ``_q → _r``. Wedge count per node is
+    C(out-degree, 2) with out-degree O(√m)-bounded by the orientation:
+    a pure star hub (degree d, leaves degree 1) contributes ZERO wedges
+    (every leaf has out-degree 1, the hub has out-degree 0), where the
+    shared-vertex enumeration contributed C(d, 2)."""
+    a, b = o.alias("a"), o.alias("b")
+    lt = (F.col("a._dd") < F.col("b._dd")) | (
+        (F.col("a._dd") == F.col("b._dd"))
+        & (F.col("a._dst") < F.col("b._dst"))
+    )
+    return a.join(
+        b, (F.col("a._src") == F.col("b._src")) & lt
+    ).select(
+        F.col("a._src").alias("_p"),
+        F.col("a._dst").alias("_q"),
+        F.col("b._dst").alias("_r"),
+    )
+
+
+def _triangles_deg_oriented(e: DataFrame) -> DataFrame:
+    """All triangles of the canonical edge set ``e`` (``_u < _v``
+    columns), each exactly once, as ``(_p, _q, _r)`` node triples —
+    wedges from the degree-oriented DAG closed by one two-key
+    equi-join."""
+    o = _oriented_edges(e)
+    closing = o.select(F.col("_src").alias("_q"), F.col("_dst").alias("_r"))
+    return _oriented_wedges(o).join(closing, ["_q", "_r"])
+
+
 def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
     """k-truss decomposition (Cohen 2008; the GDS triangle-family
     cousin of :func:`kcore`): the maximal subgraph in which EVERY edge
@@ -1490,19 +1634,22 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
     surviving canonical edges ``(sourceNodeId, targetNodeId, support)``
     with their fixpoint support, undirected semantics.
 
-    Shape: iterative peel — per round ONE id-ordered wedge join
-    (x<y<z triangles found exactly once: (x,y)⋈(y,z) closed by (x,z)),
-    a 3-edge explode into a partial-aggregated support count, and a
-    semi filter; edge set checkpoints per round, early exit at the
-    fixpoint, loud failure at ``max_iter`` (sf0.01 co-order fixture:
-    20 653 → 10 317 edges over 7 rounds at k=4 — a real cascade). The
-    wedge join keys on the shared vertex, so a hub's wedges land in one
-    JOIN group — but joins (unlike windows) AQE-skew-split, and the
-    peel itself removes hub fluff first; the degree-oriented
-    enumeration (:func:`local_clustering_coefficient`'s O(√m) bound)
-    is the documented upgrade if a corpus's hubs survive peeling.
-    Peeling is monotone and idempotent past the fixpoint — the property
-    the unrolled SQL oracle leans on.
+    Shape: iterative peel — per round ONE DEGREE-ORIENTED wedge join
+    (:func:`_triangles_deg_oriented`: edges oriented from the
+    lower-(degree, id) endpoint, wedges enumerated as out-neighbor
+    pairs, closed by a two-key equi-join — each triangle exactly once,
+    wedge count per node C(out-degree, 2) with out-degree O(√m) by
+    Chiba–Nishizeki, so a surviving web-scale hub contributes O(m)
+    wedges, not O(deg²); VERDICT r10 #2, upgraded from the
+    shared-vertex enumeration), a 3-edge explode into a
+    partial-aggregated support count, and a semi filter; edge set
+    checkpoints per round, early exit at the fixpoint, loud failure at
+    ``max_iter`` (sf0.01 co-order fixture: 20 653 → 10 317 edges over
+    7 rounds at k=4 — a real cascade, identical under both
+    enumerations). Peeling is monotone and idempotent past the fixpoint
+    — the property the unrolled SQL oracle leans on; the catalog query
+    pins ``max_iter`` to the oracle's unroll depth so a deeper cascade
+    fails LOUDLY instead of hash-mismatching (ADVICE r10).
     """
     if k < 3:
         raise ValueError("ktruss: k must be >= 3 (k=2 keeps every edge)")
@@ -1517,21 +1664,26 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
     )
     n = e.count()
     for _ in range(max_iter):
-        p = e.select(F.col("_u").alias("_x"), F.col("_v").alias("_y"))
-        q = e.select(F.col("_u").alias("_y"), F.col("_v").alias("_z"))
-        r = e.select(F.col("_u").alias("_x"), F.col("_v").alias("_z"))
-        tri = (
-            p.join(q, "_y")
-            .join(r, ["_x", "_z"])
-            .select("_x", "_y", "_z")
-        )
+        tri = _triangles_deg_oriented(e)
+        # the triple is in (degree, id) orientation order, NOT id order
+        # — canonicalize each of the 3 edges back to (_u < _v) for the
+        # support count
         t3 = (
-            tri.select(F.col("_x").alias("_u"), F.col("_y").alias("_v"))
-            .unionByName(
-                tri.select(F.col("_y").alias("_u"), F.col("_z").alias("_v"))
+            tri.select(
+                F.least("_p", "_q").alias("_u"),
+                F.greatest("_p", "_q").alias("_v"),
             )
             .unionByName(
-                tri.select(F.col("_x").alias("_u"), F.col("_z").alias("_v"))
+                tri.select(
+                    F.least("_q", "_r").alias("_u"),
+                    F.greatest("_q", "_r").alias("_v"),
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("_p", "_r").alias("_u"),
+                    F.greatest("_p", "_r").alias("_v"),
+                )
             )
         )
         sup = t3.groupBy("_u", "_v").agg(

@@ -3921,7 +3921,33 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: apiece at sf0.1). Same amortization policy as the Z-order/ANN-tuning
 #: memos: a build-time cost paid once per session, never a per-query
 #: recompute — and identical rows either way.
+#:
+#: Lifecycle caveats (ADVICE r10): entries are eagerly
+#: ``localCheckpoint``-ed, so (a) a long-lived session sweeping MANY
+#: sf_dirs accumulates checkpointed RDD blocks — call
+#: :func:`clear_co_order_memo` between corpora; and (b) a LOST EXECUTOR
+#: invalidates local checkpoints (they live in executor block storage,
+#: not a reliable store) — on a cluster where executor churn is
+#: expected, clear the memo on failure or swap ``localCheckpoint`` for
+#: a reliable ``checkpoint`` directory.
 _CO_ORDER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def clear_co_order_memo(*, sf_dir: str | None = None) -> int:
+    """Evict co-order memo entries (all, or one corpus's) and unpersist
+    their checkpointed blocks; returns the number of entries dropped.
+    The hook long-lived multi-corpus sessions need (ADVICE r10) — a
+    bounded test run never does."""
+    keys = [
+        k for k in _CO_ORDER_MEMO if sf_dir is None or k[1] == sf_dir
+    ]
+    for k in keys:
+        df = _CO_ORDER_MEMO.pop(k)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(keys)
 
 
 def _co_order_edges(spark: SparkSession, sf_dir: str, min_qty: int = 30):
@@ -4116,22 +4142,29 @@ def _shortest_paths_oracle_sql(rounds: int = 25) -> str:
 _GRAPH_ORACLES["graph_shortest_paths"] = _shortest_paths_oracle_sql()
 
 
+_KTRUSS_ORACLE_ROUNDS = 16
+
+
 def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss of the co-order graph (r10): every surviving edge sits
-    in ≥ 2 triangles — the triangle-support cousin of k-core (degree
-    can be faked by a hub, co-triangle membership cannot). A real
-    cascade at every fixture SF (sf0.01: 20 653 → 10 317 edges over 7
-    peeling rounds); per round one id-ordered wedge join + 3-edge
+    """4-truss of the co-order graph (r10; r11: degree-oriented wedge
+    enumeration — O(√m)-bounded out-degrees, hub-safe): every surviving
+    edge sits in ≥ 2 triangles — the triangle-support cousin of k-core
+    (degree can be faked by a hub, co-triangle membership cannot). A
+    real cascade at every fixture SF (sf0.01: 20 653 → 10 317 edges
+    over 7 peeling rounds); per round one oriented wedge join + 3-edge
     explode + partial-aggregated support count, checkpointed, early
-    exit. Oracle: 12 unrolled peel rounds (idempotent past the
-    fixpoint — the kcore precedent), emitting the surviving edges with
-    their fixpoint support."""
+    exit. Oracle: ``_KTRUSS_ORACLE_ROUNDS`` unrolled peel rounds
+    (idempotent past the fixpoint — the kcore precedent); ``max_iter``
+    is PINNED to the same depth so a cascade deeper than the oracle's
+    unroll raises loudly instead of hash-mismatching (ADVICE r10)."""
     from .operators.graph_algo import ktruss
 
-    return ktruss(_co_order_edges(spark, sf_dir), k=4)
+    return ktruss(
+        _co_order_edges(spark, sf_dir), k=4, max_iter=_KTRUSS_ORACLE_ROUNDS
+    )
 
 
-def _ktruss_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+def _ktruss_oracle_sql(k: int = 4, rounds: int = _KTRUSS_ORACLE_ROUNDS) -> str:
     """DuckDB twin: unrolled triangle-support peels over the canonical
     co-order edge set."""
     txt = f"""

@@ -56,3 +56,21 @@ def test_entry_module_contract():
     assert len(qs) >= 50
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_clear_co_order_memo(spark):
+    """ADVICE r10: the co-order memo exposes an eviction hook for
+    long-lived multi-corpus sessions — entries drop (per-corpus or all)
+    and re-derive on next use."""
+    from dataflow_flex_pyarrow_to_gds_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    Q._co_order_edges(spark, sf)            # populate
+    assert any(k[1] == sf for k in Q._CO_ORDER_MEMO)
+    n = Q.clear_co_order_memo(sf_dir=sf)
+    assert n >= 1
+    assert not any(k[1] == sf for k in Q._CO_ORDER_MEMO)
+    e = Q._co_order_edges(spark, sf)        # re-derives cleanly
+    assert e.count() > 0
+    assert Q.clear_co_order_memo() >= 1     # full clear
+    assert not Q._CO_ORDER_MEMO

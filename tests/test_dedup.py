@@ -1168,3 +1168,46 @@ def test_minhash_index_compaction_preserves_probes(spark, tmp_path):
     )
     assert before == after
     assert any(not r[2] for r in before)  # non-vacuous: some rejection
+
+
+def test_containment_unpersist_after_frees_storage(spark):
+    """VERDICT r10 #6 done-criterion: ``unpersist_after=True``
+    materializes the verify join, releases the slim-projection cache,
+    and leaks NOTHING — after unpersisting the returned (checkpointed)
+    result, persistent-RDD count returns to its baseline. Rows are
+    identical to the lazy default."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        containment_join_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "completely different words entirely here now"),
+            (4, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+
+    lazy = containment_join_pairs(docs, "doc_id", "text", threshold=0.8)
+    expect = sorted(map(tuple, lazy.collect()))
+    assert expect, "fixture must produce containment pairs"
+    spark.catalog.clearCache()
+
+    # id SETS, not counts: the async ContextCleaner may reclaim other
+    # tests' checkpoint blocks mid-test, which shrinks a count but
+    # never adds to the new-ids delta
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = containment_join_pairs(
+        docs, "doc_id", "text", threshold=0.8, unpersist_after=True
+    )
+    new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    # only the materialized result block is new — the slim-projection
+    # cache was released synchronously (blocking unpersist); the
+    # checkpoint block itself is the caller's result and is reclaimed
+    # by the ContextCleaner when the DataFrame is garbage-collected
+    assert len(new) == 1, new
+    assert sorted(map(tuple, out.collect())) == expect

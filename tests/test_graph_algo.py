@@ -1127,3 +1127,214 @@ def test_ktruss_hand_graph(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         ktruss(df, k=2)
+
+
+def test_ranked_adjacency_matches_naive_window_on_hub(spark):
+    """VERDICT r10 #1 done-criterion: the bucketed hub-safe ranking is
+    BIT-EXACT with the naive per-source row_number window on a
+    celebrity-hub graph (one node with 500 out-neighbors, ids
+    deliberately non-contiguous so bucket boundaries land mid-
+    adjacency), so the walk oracles replay unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        _ranked_adjacency,
+    )
+
+    hub = [(1, 7 * t + 13) for t in range(500)]          # celebrity
+    rest = [(2, 5), (2, 9), (3, 9), (4, 2), (4, 3), (4, 5)]
+    df = spark.createDataFrame(
+        hub + rest, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        (r["_s"], r["_t"]): r["_r"]
+        for r in _ranked_adjacency(df, n_buckets=8).collect()
+    }
+    naive = {
+        (r["_s"], r["_t"]): r["_r"]
+        for r in df.select(
+            F.col("sourceNodeId").alias("_s"),
+            F.col("targetNodeId").alias("_t"),
+            (
+                F.row_number().over(
+                    Window.partitionBy("sourceNodeId").orderBy("targetNodeId")
+                )
+                - 1
+            ).alias("_r"),
+        ).collect()
+    }
+    assert got == naive
+    # degenerate bucket counts still exact
+    for nb in (1, 2, 1000):
+        got_nb = {
+            (r["_s"], r["_t"]): r["_r"]
+            for r in _ranked_adjacency(df, n_buckets=nb).collect()
+        }
+        assert got_nb == naive, nb
+
+
+def test_walks_hub_flood_replay(spark):
+    """Celebrity-hub stress for the walk family: 400-leaf hub star plus
+    a triangle, walks replayed in python — the bucketed ranking must
+    not change a single pick (the r11 hub-safety change is a pure plan
+    reshape)."""
+    import hashlib
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        random_walks,
+    )
+
+    def h(t: str) -> int:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    edges = [(1, 100 + i) for i in range(400)]   # hub 1
+    edges += [(100, 1), (100, 101), (101, 1)]    # some return paths
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    wl, seed = 3, 11
+    got = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in random_walks(
+            df, walk_length=wl, seed=seed, rank_buckets=16
+        ).collect()
+    }
+    nbrs = {}
+    for s, t in edges:
+        nbrs.setdefault(s, []).append(t)
+    for s in nbrs:
+        nbrs[s] = sorted(set(nbrs[s]))
+    expect = {}
+    for start in sorted(nbrs):
+        node = start
+        expect[(start, 0, 0)] = node
+        for step in range(1, wl + 1):
+            if node not in nbrs:
+                break
+            pick = h(f"{start}#0#{step}#{seed}") % len(nbrs[node])
+            node = nbrs[node][pick]
+            expect[(start, 0, step)] = node
+    assert got == expect
+
+
+def test_node2vec_gcd_collapse_equal_weights(spark):
+    """ADVICE r10: equal weights of ANY magnitude must reproduce
+    random_walks exactly — the gcd normalization collapses (2,2,2) and
+    (6,6,6) to the unit case."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node2vec_walks,
+        random_walks,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    base = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in random_walks(
+            df, walks_per_node=2, walk_length=3, seed=7
+        ).collect()
+    }
+    for w in (2, 6):
+        got = {
+            (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+            for r in node2vec_walks(
+                df, walks_per_node=2, walk_length=3,
+                w_return=w, w_near=w, w_far=w, seed=7,
+            ).collect()
+        }
+        assert got == base, w
+    # non-equal weights also normalize: (2,8,4) must equal (1,4,2)
+    a = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in node2vec_walks(
+            df, walks_per_node=1, walk_length=3,
+            w_return=2, w_near=8, w_far=4, seed=7,
+        ).collect()
+    }
+    b = {
+        (r["start_node"], r["walk_no"], r["step"]): r["node_id"]
+        for r in node2vec_walks(
+            df, walks_per_node=1, walk_length=3,
+            w_return=1, w_near=4, w_far=2, seed=7,
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shortest_paths_fail_fast_validation(spark):
+    """ADVICE r10: negative weights raise immediately (not a late
+    max_iter RuntimeError), and non-integer weight types raise instead
+    of silently truncating."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        shortest_paths,
+    )
+
+    seeds = spark.createDataFrame([(1,)], "nodeId long")
+    neg = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, -3)], "sourceNodeId long, targetNodeId long, w long"
+    )
+    with _pytest.raises(ValueError, match="negative weight"):
+        shortest_paths(seeds, neg, "w")
+
+    dbl = spark.createDataFrame(
+        [(1, 2, 1.5)], "sourceNodeId long, targetNodeId long, w double"
+    )
+    with _pytest.raises(TypeError, match="integer type"):
+        shortest_paths(seeds, dbl, "w")
+
+
+def test_ktruss_star_hub_wedge_bound(spark):
+    """VERDICT r10 #2 done-criterion: degree-oriented wedges on a pure
+    star are ZERO (leaves have out-degree 1, the hub 0) where the old
+    shared-vertex enumeration produced C(400, 2) = 79 800; and the
+    oriented triangle enumerator finds each triangle of a hand graph
+    exactly once."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        _oriented_edges,
+        _oriented_wedges,
+        _triangles_deg_oriented,
+        ktruss,
+    )
+
+    star = [(1000, 1000 + i) for i in range(1, 401)]  # node-disjoint hub
+    e = spark.createDataFrame(star, "_u long, _v long")
+    assert _oriented_wedges(_oriented_edges(e)).count() == 0
+
+    # hub star PLUS two (disjoint) 4-cliques — peel must still find
+    # the truss and drop every star edge
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    edges = spark.createDataFrame(
+        star + k4a + k4b,
+        "sourceNodeId long, targetNodeId long",
+    )
+    got = {
+        (r["sourceNodeId"], r["targetNodeId"]): r["support"]
+        for r in ktruss(edges, k=4).collect()
+    }
+    assert set(got) == set(k4a) | set(k4b), got
+    assert all(v == 2 for v in got.values())
+
+    # triangle multiset: each exactly once on overlapping cliques
+    ecan = (
+        edges.select(
+            F.least("sourceNodeId", "targetNodeId").alias("_u"),
+            F.greatest("sourceNodeId", "targetNodeId").alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    tris = {
+        tuple(sorted((r["_p"], r["_q"], r["_r"])))
+        for r in _triangles_deg_oriented(ecan).collect()
+    }
+    assert _triangles_deg_oriented(ecan).count() == len(tris)  # no dups
+    assert len(tris) == 8  # C(4,3) per clique

@@ -175,6 +175,9 @@ HEADLINE = [
     "graph_node2vec_walks",
     "graph_shortest_paths",
     "graph_ktruss",
+    # round 11: real baseline-JPEG encode→decode through the multimodal
+    # plumbing (flat-exact construction; grayscale + 4:4:4 + 4:2:0)
+    "multimodal_image_stats_jpeg",
 ]
 
 

@@ -90,19 +90,24 @@ def fake_decode(payload: bytes) -> np.ndarray:
 
 
 def smart_decode(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch: PNG and BMP payloads get REAL pure-stdlib
-    decoders (:mod:`.png` — zlib inflate + scanline unfilter;
-    :mod:`.bmp` — header parse + row reshuffle, both r10 de-stubs);
+    """Magic-byte dispatch: PNG, BMP, and baseline JPEG payloads get
+    REAL pure-stdlib decoders (:mod:`.png` — zlib inflate + scanline
+    unfilter; :mod:`.bmp` — header parse + row reshuffle, both r10
+    de-stubs; :mod:`.jpeg` — Huffman + dequant + IDCT + chroma
+    upsample, the r11 de-stub of the dominant real-corpus format);
     everything else keeps the deterministic fake, preserving the
     honest-stub contract for formats this environment has no codec for
-    (JPEG et al. swap in here when a real library is available)."""
+    (progressive JPEG, audio, video)."""
     from .bmp import BMP_SIGNATURE, bmp_decode
+    from .jpeg import JPEG_SIGNATURE, jpeg_decode
     from .png import PNG_SIGNATURE, png_decode
 
     if payload and payload[:8] == PNG_SIGNATURE:
         return png_decode(payload)
     if payload and payload[:2] == BMP_SIGNATURE:
         return bmp_decode(payload)
+    if payload and payload[:3] == JPEG_SIGNATURE:
+        return jpeg_decode(payload)
     return fake_decode(payload)
 
 

@@ -163,8 +163,12 @@ def test_unsupported_variants_raise_loudly():
 
 
 def test_smart_decode_dispatch():
-    """PNG magic → real decoder; anything else → the deterministic
-    fake (8×8×3), preserving the stub contract for absent codecs."""
+    """PNG/JPEG magic → real decoders (malformed real-format bytes
+    fail LOUDLY, they don't fall back to the fake); anything
+    unrecognized → the deterministic fake (8×8×3), preserving the stub
+    contract for absent codecs."""
+    import pytest as _pytest
+
     from dataflow_flex_pyarrow_to_gds_spark.operators.multimodal import (
         fake_decode,
         smart_decode,
@@ -172,7 +176,9 @@ def test_smart_decode_dispatch():
 
     img = _img(4, 6, 3, seed=5)
     assert np.array_equal(smart_decode(png_encode(img)), img)
-    other = b"\xff\xd8\xff\xe0 fake jpeg bytes"
+    with _pytest.raises(ValueError):  # r11: JPEG magic is real now
+        smart_decode(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    other = b"RIFF....WEBP no codec here"
     assert np.array_equal(smart_decode(other), fake_decode(other))
     assert smart_decode(b"").shape == (8, 8, 3)
 

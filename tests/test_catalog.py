@@ -74,3 +74,51 @@ def test_clear_co_order_memo(spark):
     assert e.count() > 0
     assert Q.clear_co_order_memo() >= 1     # full clear
     assert not Q._CO_ORDER_MEMO
+
+
+def test_tripwire_v2_flags_operator_edits():
+    """VERDICT r10 #4 done-criterion: a synthetic edit to an operator
+    module flips the v2 hash of EVERY consuming catalog query (so a
+    changed operator can no longer ride a stale driver-green claim from
+    beyond the window), and of NO non-consuming query."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_window",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "check_window.py"),
+    )
+    cw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cw)
+
+    import dataflow_flex_pyarrow_to_gds_spark.queries as C
+
+    closure, real_hashes = cw.module_closures()
+    base = cw.current_hashes(real_hashes)
+
+    poked = dict(real_hashes)
+    poked["operators.dedup"] = "synthetic-edit"
+    after = cw.current_hashes(poked)
+
+    specs = C._specs()
+    flagged = {q for q in base if base[q] != after[q]}
+    consumers = {
+        q for q, s in specs.items()
+        if "operators.dedup" in cw.query_deps(s.fn, closure)[0]
+    }
+    assert flagged == consumers, flagged ^ consumers
+    # the edit reaches PV queries beyond the window — the exact gap the
+    # v1 fn-source hash had
+    beyond = set(list(C.queries())[C.DRIVER_WINDOW:])
+    assert flagged & beyond & C.PREVIOUSLY_DRIVER_VERIFIED
+    # known consumers, sanity-pinned
+    assert {"dedup_minhash_pairs", "dedup_near_groups",
+            "curation_admission"} <= flagged
+    # and a pure-SQL query is untouched
+    assert "q1_pricing_summary" not in flagged
+
+    # helper-closure coverage: co-order graph queries hash the shared
+    # _co_order_edges helper source, not just their own body
+    _deps, helpers = cw.query_deps(specs["graph_bfs"].fn, closure)
+    assert "_co_order_edges" in helpers

@@ -1332,9 +1332,10 @@ def test_ktruss_star_hub_wedge_bound(spark):
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
     )
+    ocan = _oriented_edges(ecan)
     tris = {
         tuple(sorted((r["_p"], r["_q"], r["_r"])))
-        for r in _triangles_deg_oriented(ecan).collect()
+        for r in _triangles_deg_oriented(ocan).collect()
     }
-    assert _triangles_deg_oriented(ecan).count() == len(tris)  # no dups
+    assert _triangles_deg_oriented(ocan).count() == len(tris)  # no dups
     assert len(tris) == 8  # C(4,3) per clique

@@ -2616,7 +2616,10 @@ def q_multimodal_image_stats_jpeg(
     from .operators.jpeg import jpeg_encode
     from .operators.multimodal import image_channel_sums
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # repartition BEFORE the encode stage: the documents scan is 1-2
+    # files at fixture SFs, and the pure-Python encoder is the CPU-heavy
+    # narrow pass the spread_to_cluster rule exists for
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(16)
 
     def _make(batches):
         for pdf in batches:

@@ -176,8 +176,10 @@ HEADLINE = [
     "graph_shortest_paths",
     "graph_ktruss",
     # round 11: real baseline-JPEG encode→decode through the multimodal
-    # plumbing (flat-exact construction; grayscale + 4:4:4 + 4:2:0)
+    # plumbing (flat-exact construction; grayscale + 4:4:4 + 4:2:0),
+    # and real WAV/PCM audio decode (lossless — exact integer stats)
     "multimodal_image_stats_jpeg",
+    "multimodal_audio_stats",
 ]
 
 

@@ -191,6 +191,63 @@ def image_channel_sums(
     return src.mapInPandas(_run, CHANNEL_SUMS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms long, sum_abs long, peak int"
+)
+
+
+def audio_stats(
+    df: DataFrame,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """REAL audio decode (r11 — the WAV/PCM de-stub, :mod:`.wav`):
+    per payload, the exact integer statistics a curation pipeline
+    filters on — sample rate, channel count, frame count, integer
+    duration (``n·1000 div rate`` — div, not float), Σ|sample| and peak
+    |sample| over all channels. PCM is lossless, so every number is
+    exact int64 and a closed-form oracle can restate it; same
+    Arrow-batched ``mapInPandas`` slot as the image family, bytes never
+    leave the executor plane."""
+    from .wav import wav_decode
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = wav_decode(
+                    bytes(payload) if payload is not None else b""
+                )
+                n, ch = s.shape
+                a = np.abs(s.astype(np.int64))
+                out.append(
+                    (
+                        mid,
+                        rate,
+                        ch,
+                        n,
+                        n * 1000 // rate,
+                        int(a.sum()),
+                        int(a.max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                ],
+            )
+
+    src = df.select(F.col(id_col), F.col(payload_col))
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(_run, AUDIO_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     *,

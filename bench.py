@@ -180,6 +180,7 @@ HEADLINE = [
     # and real WAV/PCM audio decode (lossless — exact integer stats)
     "multimodal_image_stats_jpeg",
     "multimodal_audio_stats",
+    "multimodal_video_frames",
 ]
 
 

@@ -2717,6 +2717,71 @@ _RELATIONAL_ORACLES["multimodal_audio_stats"] = """
 """
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the graded surface (r11 — the AVI de-stub,
+    completing all three modalities): each document becomes a
+    doc_id-determined uncompressed-RGB AVI — ``2 + id%4`` frames of
+    ``(1+id%4)×(1+id%3)`` at ``2 + id%3`` fps, pixel (f, r, c, ch) =
+    ``(id·13 + f·17 + r·7 + c·3 + ch) mod 256`` — then
+    :func:`video_frame_stats` decodes, samples a frame every 500 ms
+    (frame on screen at t = ``t·rate div 1000``, pure integer cadence),
+    and emits EXACT per-channel pixel sums per sampled frame (the 1→N
+    flatMap shape). DIB frames are raw bottom-up BGR rows — lossless —
+    so the oracle restates the pixel formula and the sampling
+    arithmetic verbatim; one wrong byte in RIFF framing, row padding,
+    the bottom-up flip, BGR order, or the cadence breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.avi import avi_encode
+    from .operators.multimodal import video_frame_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(16)
+
+    def _make(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, w, h = 2 + did % 4, 1 + did % 4, 1 + did % 3
+                f = np.arange(n)[:, None, None, None]
+                r = np.arange(h)[None, :, None, None]
+                c = np.arange(w)[None, None, :, None]
+                ch = np.arange(3)[None, None, None, :]
+                vid = (
+                    (did * 13 + f * 17 + r * 7 + c * 3 + ch) % 256
+                ).astype(np.uint8)
+                out.append((did, avi_encode(vid, rate=2 + did % 3, scale=1)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(_make, "media_id long, payload binary")
+    return video_frame_stats(
+        media, every_ms=500, max_frames=4, partitions=8
+    )
+
+
+_RELATIONAL_ORACLES["multimodal_video_frames"] = """
+    SELECT doc_id AS media_id,
+           CAST((k * 500 * (2 + doc_id % 3)) // 1000 AS INT) AS frame_idx,
+           CAST(k * 500 AS BIGINT) AS frame_ms,
+           CAST(1 + doc_id % 4 AS INT) AS width,
+           CAST(1 + doc_id % 3 AS INT) AS height,
+           CAST(sum((doc_id*13 + ((k*500*(2 + doc_id%3))//1000)*17
+                     + r*7 + c*3 + 0) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((doc_id*13 + ((k*500*(2 + doc_id%3))//1000)*17
+                     + r*7 + c*3 + 1) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((doc_id*13 + ((k*500*(2 + doc_id%3))//1000)*17
+                     + r*7 + c*3 + 2) % 256) AS BIGINT) AS sum_c2
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS k) kk
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS r) rr
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc
+    WHERE (k * 500 * (2 + doc_id % 3)) // 1000 < 2 + doc_id % 4
+      AND r < 1 + doc_id % 3 AND c < 1 + doc_id % 4
+    GROUP BY doc_id, k
+"""
+
+
 def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: JSON column functions — extract + typed parse of the events
     props payload (get_json_object for ad-hoc paths, from_json for a
@@ -7502,6 +7567,7 @@ def _specs() -> dict[str, QuerySpec]:
         # -- surface (VERDICT r10 #5) --------------------------------------
         "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_video_frames": q_multimodal_video_frames,
         # -- changed in round 11: hub-safe bucketed adjacency ranking in
         # -- the walk family (VERDICT r10 #1), degree-oriented k-truss
         # -- wedges + oracle-pinned max_iter (#2 + ADVICE), fail-fast
@@ -7560,11 +7626,11 @@ def _specs() -> dict[str, QuerySpec]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_revenue": q10_returned_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
-        "graph_cc_star": q_graph_cc_star,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "graph_cc_star": q_graph_cc_star,
         "graph_load_stats": q_graph_load_stats,
         "events_decayed_guardrails": q_events_decayed_guardrails,
         "graph_node_similarity": q_graph_node_similarity,

@@ -26,6 +26,21 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 CHECKS: list[tuple[str, str, object]] = [
+    (
+        "@walk_ranked_adjacency",
+        "hub-safe walk ranking (r11): every target-ordered window is "
+        "bucket-partitioned — no partitionBy(source)-only adjacency "
+        "window anywhere in the ranking plan",
+        lambda p: _no_unbucketed_target_window(p),
+    ),
+    (
+        "@walk_ranked_adjacency",
+        "bucket assignment is a chained literal CASE (codegen), not an "
+        "interpreted HOF, and offsets join back without a Python eval",
+        lambda p: "CASE WHEN" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
     # (query, description, predicate on the formatted plan)
     (
         "q1_pricing_summary",
@@ -926,10 +941,35 @@ def _hits_iter(spark, sf: str):
     return hits_fixedpoint(edges, iters=1, checkpoint=False)
 
 
+def _walk_ranked_adjacency(spark, sf: str):
+    """The walk family's adjacency ranking BEFORE its localCheckpoint
+    (the checkpoint erases the lineage, so the catalog query's own plan
+    can't show the window shape — build it bare)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        _ranked_adjacency,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _co_order_edges
+
+    return _ranked_adjacency(_co_order_edges(spark, sf))
+
+
+def _no_unbucketed_target_window(p: str) -> bool:
+    """VERDICT r10 #1 done-criterion: every window that ranks targets
+    (sorts on ``_t``) must be partitioned by the range bucket ``_b`` —
+    a ``partitionBy(source)``-only adjacency ranking is the banned
+    unbounded-window shape. The per-source OFFSETS window (sorts on
+    ``_b``, ≤ n_buckets rows per partition BY CONSTRUCTION) is exempt
+    by the sort-column test."""
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    target_ranked = [s for s in specs if re.search(r"_t#\d+L? ASC", s)]
+    return bool(target_ranked) and all("_b#" in s for s in target_ranked)
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
     "@hits_iter": _hits_iter,
+    "@walk_ranked_adjacency": _walk_ranked_adjacency,
 }
 
 

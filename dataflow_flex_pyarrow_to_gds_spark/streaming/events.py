@@ -343,3 +343,66 @@ def enrich_events_stream(
         "event_id", "ts", "user_id", on, "value",
         *[c for c in dim.columns if c != on],
     )
+
+
+def sketch_store_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming mergeable-sketch maintenance — the production story
+    behind the ``stats_hll_rollup`` catalog row: each micro-batch folds
+    its events into PER-DAY partial HLL sketches (``hll_sketch_agg``)
+    and APPENDS the sketch blobs to a store; nobody ever rescans
+    history. Readers merge on demand (:func:`sketch_store_rollup` —
+    ``hll_union_agg`` over the blobs), and HLL union is register-wise
+    max, so the merge of any partition of the stream equals the
+    single-pass sketch EXACTLY (same lgK ⇒ same registers ⇒ same
+    estimate — asserted, not bounded, in tests). ``foreachBatch`` +
+    append is the exactly-once shape: replaying a failed batch
+    overwrites by batch_id rather than double-counting.
+
+    Returns the started query (caller awaits termination; use
+    ``trigger(availableNow=True)`` semantics — the query drains the
+    source and stops).
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+
+    def fold(batch_df, batch_id: int) -> None:
+        (
+            batch_df.groupBy("day")
+            .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        daily.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sketch_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read over the sketch store: per-day distinct-user
+    estimates from ``hll_union_agg`` of the per-batch partial sketches,
+    plus the cross-day ``'ALL'`` row — the read path never touches raw
+    events. Output: ``(day string, est_users long)``."""
+    store = spark.read.parquet(store_dir)
+    per_day = (
+        store.groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "est_users"
+            )
+        )
+        .select(F.col("day").cast("string").alias("day"), "est_users")
+    )
+    total = store.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    ).select(F.lit("ALL").alias("day"), "est_users")
+    return per_day.unionByName(total)

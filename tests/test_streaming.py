@@ -544,3 +544,57 @@ def test_streaming_admission_epoch_replay_stable(spark, tmp_path):
 
     replayed = drain()
     assert replayed == first, (first, replayed)
+
+
+def test_streaming_sketch_store_merges_exactly(spark, sf_dir, tmp_path):
+    """Mergeable-sketch maintenance (r11): per-day HLL partials appended
+    per micro-batch, merged on read. HLL union is register-wise max, so
+    the merged estimate must equal the single-pass batch sketch EXACTLY
+    (same lgK), and both stay within the 10% gate of exact distincts —
+    across a source deliberately split into multiple files so the
+    stream sees several micro-batches."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        read_events,
+        sketch_store_rollup,
+        sketch_store_stream,
+    )
+
+    ev = read_events(spark, sf_dir).select("ts", "user_id")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(4).write.parquet(src)  # several files → several batches
+
+    store = str(tmp_path / "store")
+    q = sketch_store_stream(
+        spark, src, store, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    merged = {
+        r["day"]: r["est_users"]
+        for r in sketch_store_rollup(spark, store).collect()
+    }
+
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id")
+    single = {
+        str(r["day"]): r["est"]
+        for r in daily.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        str(r["day"]): r["n"]
+        for r in daily.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = daily.select("user_id").distinct().count()
+    single["ALL"] = daily.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+
+    assert set(merged) == set(single) == set(exact)
+    for day in merged:
+        assert merged[day] == single[day], day  # register-exact merge
+        assert abs(merged[day] - exact[day]) / exact[day] <= 0.10, day

@@ -181,6 +181,7 @@ HEADLINE = [
     "multimodal_image_stats_jpeg",
     "multimodal_audio_stats",
     "multimodal_video_frames",
+    "graph_harmonic_closeness",
 ]
 
 

@@ -1091,6 +1091,89 @@ def node_similarity(
     )
 
 
+def landmark_harmonic_closeness(
+    edges: DataFrame,
+    *,
+    k_landmarks: int = 8,
+    max_hops: int = 20,
+    directed: bool = False,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.closeness.harmonic`` parity, landmark-sampled: for
+    every node reached by at least one landmark,
+    ``harmonic_ppm = Σ_{s ∈ landmarks, d(s,v) ≥ 1} 1 000 000 div
+    d(s, v)`` — the centrality that, unlike classic closeness, stays
+    meaningful on disconnected graphs (unreachable pairs contribute 0,
+    not ∞). Landmarks are the ``k_landmarks`` SMALLEST node ids — a
+    deterministic, engine-independent sample (the standard landmark
+    estimator: exact when ``k_landmarks`` ≥ node count, an unbiased-
+    per-landmark sketch otherwise; id-order beats hash-order for the
+    oracle, and centrality sampling theory cares about count, not
+    which). Exact integer ``div`` keeps the score hash-checkable.
+
+    Scale shape: :func:`bfs_hop_distance`'s frontier loop carried PER
+    LANDMARK — state rows are (seed, node, hop) triples, per round ONE
+    equi-join of the frontier against the once-checkpointed adjacency
+    plus one anti-join against the visited set; rounds = eccentricity
+    of the farthest landmark (≤ diameter), early exit when the frontier
+    drains, LOUD failure at ``max_hops`` (a truncated BFS would bias
+    scores silently). Cost ∝ landmarks × reachable set; landmark count
+    is the precision/cost knob at 100 TB, never an all-pairs pass.
+    """
+    if k_landmarks < 1:
+        raise ValueError("landmark_harmonic_closeness: k_landmarks >= 1")
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = (
+        adj.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        adj.select(F.col("a").alias(NODE_ID))
+        .unionByName(adj.select(F.col("b").alias(NODE_ID)))
+        .distinct()
+    )
+    landmarks = nodes.orderBy(NODE_ID).limit(k_landmarks)  # TakeOrdered
+    visited = landmarks.select(
+        F.col(NODE_ID).alias("_seed"),
+        F.col(NODE_ID).alias("_node"),
+        F.lit(0).cast("long").alias("_hop"),
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("_seed", "_node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier["_node"] == adj["a"])
+            .select("_seed", F.col("b").alias("_node"))
+            .distinct()
+        )
+        new = (
+            reached.join(visited, ["_seed", "_node"], "left_anti")
+            .withColumn("_hop", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            return (
+                visited.filter(F.col("_hop") > 0)
+                .groupBy(F.col("_node").alias(NODE_ID))
+                .agg(
+                    F.sum(
+                        F.expr("1000000 div _hop")
+                    ).cast("long").alias("harmonic_ppm")
+                )
+            )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("_seed", "_node")
+    raise RuntimeError(
+        f"landmark_harmonic_closeness: frontier alive after {max_hops} "
+        "hops — raise max_hops (a truncated BFS would bias scores)"
+    )
+
+
 def _ranked_adjacency(adj: DataFrame, *, n_buckets: int = 32) -> DataFrame:
     """``(_s, _t, _r)`` — 0-based rank of each target among its source's
     out-neighbors in ascending ``_t`` order, computed HUB-SAFELY.

@@ -4332,6 +4332,63 @@ def _shortest_paths_oracle_sql(rounds: int = 25) -> str:
 _GRAPH_ORACLES["graph_shortest_paths"] = _shortest_paths_oracle_sql()
 
 
+_HARMONIC_ORACLE_HOPS = 10
+
+
+def q_graph_harmonic_closeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Landmark harmonic-closeness centrality over the co-order graph
+    (r11 — GDS ``gds.closeness.harmonic`` parity): BFS from the 8
+    smallest node ids carried per landmark, score = Σ 1 000 000 div
+    d(s, v) over landmarks reaching v — exact integers, disconnected-
+    safe (unreached pairs contribute 0). ``max_hops`` is PINNED to the
+    oracle's unroll depth so a deeper-than-oracle eccentricity raises
+    loudly instead of hash-mismatching (the k-truss/ADVICE precedent);
+    min-relaxation is idempotent past the fixpoint, so the oracle's
+    fixed unroll covers any earlier-converging BFS."""
+    from .operators.graph_algo import landmark_harmonic_closeness
+
+    return landmark_harmonic_closeness(
+        _co_order_edges(spark, sf_dir),
+        k_landmarks=8,
+        max_hops=_HARMONIC_ORACLE_HOPS,
+    )
+
+
+def _harmonic_oracle_sql(
+    k: int = 8, hops: int = _HARMONIC_ORACLE_HOPS
+) -> str:
+    """DuckDB twin: per-landmark unrolled min-relaxation BFS over the
+    symmetrized co-order edges, then the harmonic integer sum."""
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION SELECT v AS a, u AS b FROM e0
+        ),
+        lm AS (SELECT DISTINCT a AS s FROM sym ORDER BY s LIMIT {k}),
+        d0 AS MATERIALIZED (SELECT s, s AS n, 0 AS h FROM lm)"""
+    for i in range(1, hops + 1):
+        txt += f""",
+        d{i} AS MATERIALIZED (
+            SELECT s, n, min(h) AS h FROM (
+                SELECT s, n, h FROM d{i - 1}
+                UNION ALL
+                SELECT d.s, e.b AS n, d.h + 1 AS h
+                FROM d{i - 1} d JOIN sym e ON d.n = e.a
+            ) GROUP BY s, n
+        )"""
+    txt += f"""
+        SELECT n AS "nodeId",
+               CAST(sum(1000000 // h) AS BIGINT) AS harmonic_ppm
+        FROM d{hops} WHERE h > 0 GROUP BY n"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_harmonic_closeness"] = _harmonic_oracle_sql()
+
+
 _KTRUSS_ORACLE_ROUNDS = 16
 
 
@@ -7568,6 +7625,7 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "graph_harmonic_closeness": q_graph_harmonic_closeness,
         # -- changed in round 11: hub-safe bucketed adjacency ranking in
         # -- the walk family (VERDICT r10 #1), degree-oriented k-truss
         # -- wedges + oracle-pinned max_iter (#2 + ADVICE), fail-fast
@@ -7625,11 +7683,11 @@ def _specs() -> dict[str, QuerySpec]:
         "q13_customer_distribution": q13_customer_distribution,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_revenue": q10_returned_revenue,
-        "q12_shipmode_priority": q12_shipmode_priority,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "q12_shipmode_priority": q12_shipmode_priority,
         "graph_cc_star": q_graph_cc_star,
         "graph_load_stats": q_graph_load_stats,
         "events_decayed_guardrails": q_events_decayed_guardrails,

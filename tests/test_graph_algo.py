@@ -1339,3 +1339,57 @@ def test_ktruss_star_hub_wedge_bound(spark):
     }
     assert _triangles_deg_oriented(ocan).count() == len(tris)  # no dups
     assert len(tris) == 8  # C(4,3) per clique
+
+
+def test_landmark_harmonic_closeness_python_replay(spark):
+    """Hand graph replayed with a python BFS from the k smallest ids:
+    harmonic_ppm sums 1e6 div d per landmark; unreachable pairs
+    contribute nothing; directed vs undirected differ; loud failure
+    when max_hops truncates."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        landmark_harmonic_closeness,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (8, 9)]  # path+spur+island
+    df = spark.createDataFrame(und, "sourceNodeId long, targetNodeId long")
+
+    def python_bfs(edges, seeds, directed):
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            if not directed:
+                nbrs.setdefault(b, set()).add(a)
+        out = {}
+        for s in seeds:
+            dist = {s: 0}
+            frontier = [s]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in nbrs.get(u, ()):
+                        if v not in dist:
+                            dist[v] = dist[u] + 1
+                            nxt.append(v)
+                frontier = nxt
+            for v, d in dist.items():
+                if d > 0:
+                    out[v] = out.get(v, 0) + 1_000_000 // d
+        return out
+
+    nodes = sorted({x for e in und for x in e})
+    for k, directed in ((3, False), (3, True), (len(nodes), False)):
+        seeds = nodes[:k]
+        got = {
+            r["nodeId"]: r["harmonic_ppm"]
+            for r in landmark_harmonic_closeness(
+                df, k_landmarks=k, max_hops=10, directed=directed
+            ).collect()
+        }
+        assert got == python_bfs(und, seeds, directed), (k, directed)
+
+    with _pytest.raises(RuntimeError, match="max_hops"):
+        landmark_harmonic_closeness(df, k_landmarks=2, max_hops=1)
+    with _pytest.raises(ValueError, match="k_landmarks"):
+        landmark_harmonic_closeness(df, k_landmarks=0)

@@ -182,6 +182,8 @@ HEADLINE = [
     "multimodal_audio_stats",
     "multimodal_video_frames",
     "graph_harmonic_closeness",
+    "graph_node_similarity_overlap",
+    "graph_node_similarity_cosine",
 ]
 
 

@@ -1799,6 +1799,38 @@ def containment_join_pairs(
             lambda x: F.xxhash64(x),
         ).alias("_tk"),
     ).filter(F.size("_tk") > 0)
+    core = _containment_pairs_core(
+        base,
+        threshold=threshold,
+        broadcast_verify=broadcast_verify,
+        broadcast_max_docs=broadcast_max_docs,
+        unpersist_after=unpersist_after,
+    )
+    return core.select(
+        F.col("_ia").alias("id_contained"),
+        F.col("_ib").alias("id_container"),
+        F.round(
+            F.col("_inter").cast("double") / F.col("_na").cast("double"), 6
+        ).alias("containment"),
+    )
+
+
+def _containment_pairs_core(
+    base: DataFrame,
+    *,
+    threshold: float,
+    broadcast_verify: bool | None = None,
+    broadcast_max_docs: int = 200_000,
+    unpersist_after: bool = False,
+) -> DataFrame:
+    """The containment join over a pre-tokenized slim projection
+    ``(_id, _tk array)`` — factored out of
+    :func:`containment_join_pairs` (the ``_ppjoin_pairs_core``
+    precedent) so NON-TEXT set domains can reuse the one-sided prefix
+    filter: node-similarity overlap/cosine run it over neighbor sets
+    (r11). Emits every ORDERED verified pair with its exact counts:
+    ``(_ia, _ib, _inter, _na, _nb)`` where ``_inter ≥ threshold·_na``.
+    Caching/lifecycle semantics as documented on the text wrapper."""
     base = base.cache()
     if broadcast_verify is None:
         # count the cached slim projection (one scan warms the cache
@@ -1837,20 +1869,16 @@ def containment_join_pairs(
     result = (
         cand.join(av, "_ia")
         .join(bv, "_ib")
-        .withColumn(
-            "containment",
-            F.round(
-                overlap.cast("double") / F.size("_ta").cast("double"), 6
-            ),
+        .select(
+            "_ia",
+            "_ib",
+            overlap.cast("long").alias("_inter"),
+            F.size("_ta").cast("long").alias("_na"),
+            F.size("_tb").cast("long").alias("_nb"),
         )
         .filter(
-            overlap.cast("double")
-            >= F.lit(float(threshold)) * F.size("_ta").cast("double")
-        )
-        .select(
-            F.col("_ia").alias("id_contained"),
-            F.col("_ib").alias("id_container"),
-            "containment",
+            F.col("_inter").cast("double")
+            >= F.lit(float(threshold)) * F.col("_na").cast("double")
         )
     )
     if unpersist_after:

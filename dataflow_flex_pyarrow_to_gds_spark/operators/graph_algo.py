@@ -1091,6 +1091,117 @@ def node_similarity(
     )
 
 
+def _neighbor_sets(edges: DataFrame) -> DataFrame:
+    """``(_id, _tk)`` — each source node's distinct out-neighbor set,
+    the slim projection the containment/PPJoin cores consume."""
+    return (
+        edges.select(SOURCE_ID, TARGET_ID)
+        .distinct()
+        .groupBy(F.col(SOURCE_ID).alias("_id"))
+        .agg(F.collect_set(F.col(TARGET_ID)).alias("_tk"))
+        .filter(F.size("_tk") > 0)
+    )
+
+
+def node_similarity_overlap(
+    edges: DataFrame,
+    *,
+    threshold: float = 0.5,
+    broadcast_verify: bool | None = None,
+    broadcast_max_nodes: int = 200_000,
+) -> DataFrame:
+    """GDS ``nodeSimilarity(similarityMetric: OVERLAP)`` parity:
+    unordered source-node pairs with overlap coefficient
+    ``|∩| / min(|A|, |B|) ≥ threshold`` over out-neighbor sets —
+    the metric for "is the smaller node's neighborhood (mostly) inside
+    the bigger one's", which jaccard structurally caps at
+    min/max size ratio. Output ``(node_a, node_b, n_common, n_min,
+    overlap_ppm)`` with ``overlap_ppm = (10⁶·|∩|) div min`` — exact
+    integers, hash-checkable.
+
+    Implementation: overlap ≡ CONTAINMENT FROM THE SMALLER SIDE
+    (``|∩|/|A| ≥ |∩|/|B|`` when ``|A| ≤ |B|``), so this is the shared
+    one-sided prefix-filter core
+    (:func:`~.dedup._containment_pairs_core`, r11 factoring) over
+    neighbor sets with the smaller-side orderings kept — no false
+    negatives, candidates ∝ rare-neighbor postings, never the
+    hub-funnelled wedge join."""
+    from .dedup import _containment_pairs_core
+
+    core = _containment_pairs_core(
+        _neighbor_sets(edges),
+        threshold=threshold,
+        broadcast_verify=broadcast_verify,
+        broadcast_max_docs=broadcast_max_nodes,
+    )
+    return (
+        core.filter(F.col("_na") <= F.col("_nb"))
+        .select(
+            F.least("_ia", "_ib").alias("node_a"),
+            F.greatest("_ia", "_ib").alias("node_b"),
+            F.col("_inter").alias("n_common"),
+            F.col("_na").alias("n_min"),
+            F.expr("(1000000 * _inter) div _na").alias("overlap_ppm"),
+        )
+        .distinct()  # equal-size mutual pairs verify in both orders
+    )
+
+
+def node_similarity_cosine(
+    edges: DataFrame,
+    *,
+    threshold: float = 0.5,
+    broadcast_verify: bool | None = None,
+    broadcast_max_nodes: int = 200_000,
+) -> DataFrame:
+    """GDS ``nodeSimilarity(similarityMetric: COSINE)`` parity over
+    UNWEIGHTED neighbor sets: unordered source-node pairs with
+    ``|∩| / √(|A|·|B|) ≥ threshold`` — the size-ratio-damped middle
+    ground between jaccard and overlap. ``threshold`` is quantized to
+    3 decimals (ppt) so the comparison is EXACT integer arithmetic:
+    ``(1000·|∩|)² ≥ t_ppt²·|A|·|B|`` — no float sqrt anywhere near the
+    gate. Output ``(node_a, node_b, n_common, n_ab, cosine_sq_ppm)``
+    with ``cosine_sq_ppm = (10⁶·|∩|²) div (|A|·|B|)`` (monotone in
+    cosine; cos = √(ppm/10⁶)) — exact integers, hash-checkable.
+
+    Candidates are sound from the containment core at the SAME
+    threshold: cos = |∩|/√(|A||B|) ≤ |∩|/min(|A|,|B|), so every
+    cosine-t pair's smaller-side containment is ≥ t and survives the
+    core's prefix filter + verify; the cosine gate then tightens
+    exactly. (The core's verify compares doubles — the oracle mirrors
+    both predicates verbatim, so boundary pairs agree bit-for-bit.)"""
+    from .dedup import _containment_pairs_core
+
+    t_ppt = round(float(threshold) * 1000)
+    if not 0 < t_ppt <= 1000:
+        raise ValueError(
+            "node_similarity_cosine: threshold must be in (0, 1]"
+        )
+    core = _containment_pairs_core(
+        _neighbor_sets(edges),
+        threshold=threshold,
+        broadcast_verify=broadcast_verify,
+        broadcast_max_docs=broadcast_max_nodes,
+    )
+    gate = (1000 * F.col("_inter")) * (1000 * F.col("_inter")) >= F.lit(
+        t_ppt * t_ppt
+    ) * F.col("_na") * F.col("_nb")
+    return (
+        core.filter(F.col("_na") <= F.col("_nb"))
+        .filter(gate)
+        .select(
+            F.least("_ia", "_ib").alias("node_a"),
+            F.greatest("_ia", "_ib").alias("node_b"),
+            F.col("_inter").alias("n_common"),
+            (F.col("_na") * F.col("_nb")).alias("n_ab"),
+            F.expr(
+                "(1000000 * _inter * _inter) div (_na * _nb)"
+            ).alias("cosine_sq_ppm"),
+        )
+        .distinct()
+    )
+
+
 def landmark_harmonic_closeness(
     edges: DataFrame,
     *,

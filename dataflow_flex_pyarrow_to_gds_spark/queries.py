@@ -4778,6 +4778,104 @@ _RELATIONAL_ORACLES["graph_node_similarity"] = """
 """
 
 
+def _heavy_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-lineitem part→order adjacency all three nodeSimilarity
+    metric rows share (quantity ≥ 45 — sparse enough that overlaps mean
+    co-purchase structure, not noise)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(
+            F.col("l_partkey").alias("sourceNodeId"),
+            F.col("l_orderkey").alias("targetNodeId"),
+        )
+    )
+
+
+def q_graph_node_similarity_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDS nodeSimilarity OVERLAP-metric parity (r11): unordered part
+    pairs whose heavy-order neighbor sets satisfy |∩|/min ≥ 0.5 — the
+    "is the niche part's order set inside the popular one's" relation
+    jaccard structurally caps at the size ratio. Overlap ≡ containment
+    from the smaller side, so this runs the shared containment
+    prefix-filter core over neighbor sets (r11 factoring); exact
+    integer output, exhaustive-pair oracle mirroring the verify
+    predicate verbatim."""
+    from .operators.graph_algo import node_similarity_overlap
+
+    return node_similarity_overlap(
+        _heavy_adjacency(spark, sf_dir), threshold=0.5
+    )
+
+
+_RELATIONAL_ORACLES["graph_node_similarity_overlap"] = """
+    WITH adj AS (
+        SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    s AS (SELECT p, list(o ORDER BY o) AS os, count(*) AS n
+          FROM adj GROUP BY p),
+    j AS (
+        SELECT a.p AS pa, b.p AS pb,
+               len(list_intersect(a.os, b.os)) AS i,
+               a.n AS na, b.n AS nb
+        FROM s a JOIN s b ON a.p <> b.p
+    )
+    SELECT DISTINCT least(pa, pb) AS node_a, greatest(pa, pb) AS node_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(na AS BIGINT) AS n_min,
+           (1000000 * CAST(i AS BIGINT)) // na AS overlap_ppm
+    FROM j
+    WHERE CAST(i AS DOUBLE) >= 0.5 * CAST(na AS DOUBLE) AND na <= nb
+"""
+
+
+def q_graph_node_similarity_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDS nodeSimilarity COSINE-metric parity (r11): unordered part
+    pairs with |∩|/√(|A||B|) ≥ 0.4 over the same heavy adjacency —
+    the size-ratio-damped middle ground between jaccard and overlap
+    (jaccard ⊆ cosine ⊆ overlap at equal t, asserted in tests). The
+    gate is exact integer arithmetic ((1000·|∩|)² vs ppt²·|A||B| — no
+    float sqrt); candidates come soundly from the containment core at
+    the same threshold, and the oracle mirrors BOTH predicates (core
+    double verify + integer gate) verbatim."""
+    from .operators.graph_algo import node_similarity_cosine
+
+    return node_similarity_cosine(
+        _heavy_adjacency(spark, sf_dir), threshold=0.4
+    )
+
+
+_RELATIONAL_ORACLES["graph_node_similarity_cosine"] = """
+    WITH adj AS (
+        SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    s AS (SELECT p, list(o ORDER BY o) AS os, count(*) AS n
+          FROM adj GROUP BY p),
+    j AS (
+        SELECT a.p AS pa, b.p AS pb,
+               len(list_intersect(a.os, b.os)) AS i,
+               a.n AS na, b.n AS nb
+        FROM s a JOIN s b ON a.p <> b.p
+    )
+    SELECT DISTINCT least(pa, pb) AS node_a, greatest(pa, pb) AS node_b,
+           CAST(i AS BIGINT) AS n_common,
+           CAST(na AS BIGINT) * nb AS n_ab,
+           (1000000 * CAST(i AS BIGINT) * i) // (CAST(na AS BIGINT) * nb)
+               AS cosine_sq_ppm
+    FROM j
+    WHERE CAST(i AS DOUBLE) >= 0.4 * CAST(na AS DOUBLE)
+      AND na <= nb
+      AND (1000 * CAST(i AS BIGINT)) * (1000 * i)
+          >= 160000 * CAST(na AS BIGINT) * nb
+"""
+
+
 def q_graph_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style deterministic fan-out cap on the customer→order
     graph: per customer keep ≤ 5 orders in (portable_hash(src#dst#7),
@@ -7626,6 +7724,8 @@ def _specs() -> dict[str, QuerySpec]:
         "multimodal_audio_stats": q_multimodal_audio_stats,
         "multimodal_video_frames": q_multimodal_video_frames,
         "graph_harmonic_closeness": q_graph_harmonic_closeness,
+        "graph_node_similarity_overlap": q_graph_node_similarity_overlap,
+        "graph_node_similarity_cosine": q_graph_node_similarity_cosine,
         # -- changed in round 11: hub-safe bucketed adjacency ranking in
         # -- the walk family (VERDICT r10 #1), degree-oriented k-truss
         # -- wedges + oracle-pinned max_iter (#2 + ADVICE), fail-fast
@@ -7681,12 +7781,12 @@ def _specs() -> dict[str, QuerySpec]:
         # -- rotated in (round 11): the oldest r6-green rows ----------------
         "q4_order_priority": q4_order_priority,
         "q13_customer_distribution": q13_customer_distribution,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
         "q12_shipmode_priority": q12_shipmode_priority,
         "graph_cc_star": q_graph_cc_star,
         "graph_load_stats": q_graph_load_stats,

@@ -1393,3 +1393,76 @@ def test_landmark_harmonic_closeness_python_replay(spark):
         landmark_harmonic_closeness(df, k_landmarks=2, max_hops=1)
     with _pytest.raises(ValueError, match="k_landmarks"):
         landmark_harmonic_closeness(df, k_landmarks=0)
+
+
+def test_node_similarity_overlap_and_cosine_vs_python(spark):
+    """Exhaustive python ground truth on a random adjacency: the
+    prefix-filter-core variants must emit exactly the overlap-/cosine-
+    qualified unordered pairs with exact integer scores."""
+    import itertools
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node_similarity_cosine,
+        node_similarity_overlap,
+    )
+
+    rng = random.Random(13)
+    edges = sorted(
+        {
+            (rng.randrange(1, 25), rng.randrange(100, 130))
+            for _ in range(220)
+        }
+    )
+    df = spark.createDataFrame(edges, "sourceNodeId long, targetNodeId long")
+    nbrs: dict[int, set[int]] = {}
+    for s, t in edges:
+        nbrs.setdefault(s, set()).add(t)
+
+    t_ov, t_cos = 0.5, 0.4
+    exp_ov, exp_cos = {}, {}
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        i = len(nbrs[a] & nbrs[b])
+        na, nb = len(nbrs[a]), len(nbrs[b])
+        mn = min(na, nb)
+        if i >= t_ov * mn and i > 0:
+            exp_ov[(a, b)] = (i, mn, 1_000_000 * i // mn)
+        if (1000 * i) ** 2 >= (400 ** 2) * na * nb and i > 0:
+            exp_cos[(a, b)] = (i, na * nb, 1_000_000 * i * i // (na * nb))
+
+    got_ov = {
+        (r["node_a"], r["node_b"]): (
+            r["n_common"], r["n_min"], r["overlap_ppm"]
+        )
+        for r in node_similarity_overlap(df, threshold=t_ov).collect()
+    }
+    assert got_ov == exp_ov
+
+    got_cos = {
+        (r["node_a"], r["node_b"]): (
+            r["n_common"], r["n_ab"], r["cosine_sq_ppm"]
+        )
+        for r in node_similarity_cosine(df, threshold=t_cos).collect()
+    }
+    assert got_cos == exp_cos
+
+    # metric ordering sanity: jaccard ⊆ cosine ⊆ overlap at one t
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node_similarity,
+    )
+
+    jac = {
+        (r["node_a"], r["node_b"])
+        for r in node_similarity(df, threshold=0.5).collect()
+    }
+    cos = {
+        (r["node_a"], r["node_b"])
+        for r in node_similarity_cosine(df, threshold=0.5).collect()
+    }
+    ov = set(got_ov)
+    assert jac <= cos <= ov
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        node_similarity_cosine(df, threshold=0.0)

@@ -5,6 +5,9 @@ from .graph_algo import (
     connected_components,
     pagerank_fixedpoint,
     triangle_count,
+    eigenvector_centrality,
+    landmark_betweenness,
+    fastrp_embeddings,
 )
 from .asof import asof_join, range_join
 from .skew import salted_aggregate
@@ -24,7 +27,13 @@ from .similarity import (
 from .text import bpe_top_merges, chunk_documents, profile_documents
 from .quality import gopher_quality, top_ngram_coverage, with_gopher_keep
 from .pii import redact_pii, scan_pii
-from .sampling import cap_per_group, cap_per_group_two_phase, deterministic_sample
+from .sampling import (
+    cap_per_group,
+    cap_per_group_two_phase,
+    deterministic_sample,
+    importance_weights,
+)
+from .profile import cms_estimate, cms_sketch
 from .similarity import embedding_near_dup_pairs_blocked_np
 from .dedup import (
     near_dup_groups,
@@ -62,6 +71,9 @@ __all__ = [
     "resolve_edges",
     "dangling_edges",
     "node_degrees",
+    "eigenvector_centrality",
+    "landmark_betweenness",
+    "fastrp_embeddings",
     "connected_components",
     "pagerank_fixedpoint",
     "asof_join",
@@ -86,6 +98,9 @@ __all__ = [
     "scan_pii",
     "cap_per_group",
     "cap_per_group_two_phase",
+    "importance_weights",
+    "cms_sketch",
+    "cms_estimate",
     "deterministic_sample",
     "embedding_near_dup_pairs_blocked_np",
     "near_dup_groups",

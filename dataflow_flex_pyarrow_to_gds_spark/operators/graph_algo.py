@@ -1029,6 +1029,73 @@ def hits_fixedpoint(
     )
 
 
+def eigenvector_centrality(
+    edges: DataFrame,
+    *,
+    iters: int = 4,
+    scale: int = 10**12,
+    directed: bool = True,
+    checkpoint: bool = True,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.eigenvector`` parity in integer micro-units →
+    ``(nodeId, score_fp)`` with ``score_fp`` ≈ centrality · ``scale``:
+    the un-damped cousin of PageRank (influence = sum of in-neighbors'
+    influence, no teleport), the classic "important because important
+    nodes point at you" measure. Power iteration::
+
+        raw(v)   = Σ_{u→v} score(u)        (decimal(25,0) sums)
+        score(v) = (raw · scale) div Σ raw (integer L1 normalization)
+
+    L1 replaces GDS's L2 normalization — no integer sqrt, identical
+    ranking (normalization only fixes the eigenvector's length, never
+    its direction), and every step stays exact integer arithmetic so
+    the scores hash-match an ANSI oracle bit-for-bit (the
+    :func:`pagerank_fixedpoint` contract). Fixed ``iters`` truncation
+    is part of the operator contract (the oracle unrolls the same
+    count). Nodes with no in-edges (no in-edges at any round) converge
+    to exact 0 — on a directed graph mass drains from pure sources,
+    which is eigenvector centrality's documented behavior, not a bug
+    (run ``directed=False`` for the symmetric variant).
+
+    Scale shape: per iteration ONE edge-keyed join of the skinny
+    8-byte score table + one partially-aggregated groupBy + a 1-row
+    broadcast total (:func:`_l1_normalize_fp`) — the edge table never
+    moves beyond its join shuffle (bucket it by source id to delete
+    even that, the :func:`write_bucketed_edges` pattern); lineage
+    checkpointed per round, CC-style.
+    """
+    if iters < 1:
+        raise ValueError("eigenvector_centrality: iters must be >= 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_t"))
+        )
+    e = e.filter(F.col("_s") != F.col("_t")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias(NODE_ID))
+        .unionByName(e.select(F.col("_t").alias(NODE_ID)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = nodes.select(NODE_ID, F.lit(scale).cast("long").alias("_score"))
+    for _ in range(iters):
+        raw = (
+            e.join(scores.withColumnRenamed(NODE_ID, "_s"), "_s")
+            .groupBy(F.col("_t").alias(NODE_ID))
+            .agg(F.sum(F.col("_score").cast("decimal(25,0)")).alias("_raw"))
+        )
+        scores = _l1_normalize_fp(raw, scale)
+        if checkpoint:
+            scores = scores.localCheckpoint(eager=True)
+    return nodes.join(scores, NODE_ID, "left_outer").select(
+        NODE_ID,
+        F.coalesce(F.col("_score"), F.lit(0)).cast("long").alias("score_fp"),
+    )
+
+
 def node_similarity(
     edges: DataFrame,
     *,
@@ -1282,6 +1349,167 @@ def landmark_harmonic_closeness(
     raise RuntimeError(
         f"landmark_harmonic_closeness: frontier alive after {max_hops} "
         "hops — raise max_hops (a truncated BFS would bias scores)"
+    )
+
+
+def landmark_betweenness(
+    edges: DataFrame,
+    *,
+    k_landmarks: int = 4,
+    max_hops: int = 20,
+    scale: int = 10**6,
+    directed: bool = False,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.betweenness`` parity, landmark-sampled (the GDS
+    ``samplingSize`` mode), in EXACT integer micro-units →
+    ``(nodeId, betweenness_fp)`` where ``betweenness_fp`` ≈ scale ·
+    Σ_{s ∈ landmarks} δ_s(v) — Brandes' dependency accumulation
+    (Brandes 2001), the standard sampled estimator (Riondato-Kornaropoulos
+    pick sources randomly; id-order landmarks keep the sample
+    engine-independent and oracle-checkable, and sampling theory cares
+    about count, not which).
+
+    Two passes, both exact integers so the result hash-matches an ANSI
+    oracle bit-for-bit where float Brandes never could (Σ of divided
+    dependencies picks up order-dependent rounding dust):
+
+    - **Forward** (per landmark s, carried as (seed, node) state in ONE
+      multi-source loop — the :func:`landmark_harmonic_closeness`
+      shape): hop-h frontier reached by one adjacency equi-join; path
+      counts ``σ_s(v) = Σ_{u ∈ preds} σ_s(u)`` fall out of the SAME
+      join via a partial-aggregated sum (decimal(25,0) — path counts
+      grow fast on dense graphs); one anti-join against visited.
+    - **Backward** (hop H−1 down to 1): Brandes' recursion with a
+      per-edge FLOOR division making each term exact::
+
+          δ(v) = Σ_{v→w, d(w)=d(v)+1} (σ(v) · (scale + δ(w))) div σ(w)
+
+      Terms are integers, so the Σ is order/partitioning-independent;
+      truncation loses < outdeg(v) micro-units per node per level —
+      quantified, deterministic, and identical in the oracle (which
+      unrolls the same levels). Endpoints excluded per Brandes (hop-0
+      rows never accumulate into the output).
+
+    LOUD failure if any frontier is alive after ``max_hops`` (a
+    truncated BFS would silently bias δ toward 0); oracles pin their
+    unroll depth to ``max_hops`` so a deeper-than-unroll eccentricity
+    raises rather than mismatching.
+
+    Scale shape: state rows are (seed, node) pairs — cost ∝ landmarks ×
+    reachable set, never all-pairs; per round one equi-join of the
+    skinny frontier against the once-checkpointed adjacency + one
+    partial-aggregated groupBy + one anti-join; backward adds one
+    hop-filtered self-join per level over the same checkpointed visited
+    table. Landmark count is the precision/cost knob at 100 TB; rounds
+    = 2 × eccentricity, each lineage-truncated.
+    """
+    if k_landmarks < 1:
+        raise ValueError("landmark_betweenness: k_landmarks >= 1")
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    adj = (
+        adj.filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        adj.select(F.col("a").alias(NODE_ID))
+        .unionByName(adj.select(F.col("b").alias(NODE_ID)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    landmarks = nodes.orderBy(NODE_ID).limit(k_landmarks)  # TakeOrdered
+    visited = landmarks.select(
+        F.col(NODE_ID).alias("_seed"),
+        F.col(NODE_ID).alias("_node"),
+        F.lit(0).cast("long").alias("_hop"),
+        F.lit(1).cast("decimal(25,0)").alias("_sig"),
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("_seed", "_node", "_sig")
+    h_max = None
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(adj, frontier["_node"] == adj["a"])
+            .groupBy("_seed", F.col("b").alias("_node"))
+            .agg(F.sum("_sig").alias("_sig"))
+        )
+        new = (
+            reached.join(
+                visited.select("_seed", "_node"),
+                ["_seed", "_node"],
+                "left_anti",
+            )
+            .withColumn("_hop", F.lit(h).cast("long"))
+            .select("_seed", "_node", "_hop", "_sig")
+            .localCheckpoint(eager=True)
+        )
+        if new.limit(1).count() == 0:
+            h_max = h - 1
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("_seed", "_node", "_sig")
+    if h_max is None:
+        raise RuntimeError(
+            f"landmark_betweenness: frontier alive after {max_hops} hops "
+            "— raise max_hops (a truncated BFS would bias δ toward 0)"
+        )
+    # Backward accumulation, hop H-1 .. 1 (hop 0 = the seed itself:
+    # Brandes excludes endpoints, so seeds take no δ and contribute none
+    # to the output row of their own seed).
+    delta = None  # (_seed, _node, _delta) for hops > current level
+    out = None  # accumulated δ rows across levels (hop >= 1)
+    for h in range(h_max - 1, 0, -1):
+        level = visited.filter(F.col("_hop") == h).select(
+            "_seed", F.col("_node").alias("_v"), F.col("_sig").alias("_sv")
+        )
+        nxt = visited.filter(F.col("_hop") == h + 1).select(
+            "_seed", F.col("_node").alias("_w"), F.col("_sig").alias("_sw")
+        )
+        if delta is not None:
+            nxt = nxt.join(
+                delta.withColumnRenamed("_node", "_w"),
+                ["_seed", "_w"],
+                "left_outer",
+            )
+        else:
+            nxt = nxt.withColumn("_delta", F.lit(None).cast("long"))
+        succ = (
+            level.join(adj, level["_v"] == adj["a"])
+            .select("_seed", "_v", "_sv", F.col("b").alias("_w"))
+            .join(nxt, ["_seed", "_w"])
+        )
+        lvl_delta = (
+            succ.select(
+                "_seed",
+                F.col("_v").alias("_node"),
+                F.expr(
+                    f"(_sv * ({scale} + coalesce(_delta, 0L))) div _sw"
+                ).cast("long").alias("_d"),
+            )
+            .groupBy("_seed", "_node")
+            .agg(F.sum("_d").cast("long").alias("_delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = lvl_delta
+        out = lvl_delta if out is None else out.unionByName(lvl_delta)
+    result = nodes
+    if out is not None:
+        totals = out.groupBy(F.col("_node").alias(NODE_ID)).agg(
+            F.sum("_delta").cast("long").alias("_b")
+        )
+        result = nodes.join(totals, NODE_ID, "left_outer")
+    else:
+        result = nodes.withColumn("_b", F.lit(None).cast("long"))
+    return result.select(
+        NODE_ID,
+        F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias(
+            "betweenness_fp"
+        ),
     )
 
 
@@ -1654,6 +1882,127 @@ def node2vec_walks(
             )
         )
     return out
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    *,
+    dims: int = 8,
+    iter_weights: tuple[int, ...] = (1, 2, 1),
+    seed: int = 7,
+    directed: bool = False,
+    sparsity: int = 3,
+    checkpoint: bool = True,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.fastRP`` parity (Chen et al. CIKM 2019 — the GDS
+    flagship node embedding) in EXACT integer arithmetic →
+    ``(nodeId, dim, emb_fp)``: very-sparse signed random projection
+    propagated through the adjacency, iterations combined by weight::
+
+        h₀(v, d) ∈ {+1, 0, −1}   (probability 1/2s, 1−1/s, 1/2s)
+        hₖ(v, d) = Σ_{u→v} hₖ₋₁(u, d)
+        emb(v,d) = Σₖ iter_weights[k] · hₖ(v, d)
+
+    Deterministic by construction — the projection sign is
+    ``pmod(portable_hash(node # dim # seed), 2s)`` (0 → +1, 1 → −1,
+    else 0), so any engine/partitioning/retry derives the SAME
+    embedding and the DuckDB oracle replays it bit-for-bit. Two
+    documented deviations from the float original, both
+    direction-preserving: the √s magnitude on nonzero entries is
+    dropped (a global constant scales every coordinate equally) and
+    per-iteration normalization is omitted (``iter_weights`` absorbs
+    the relative magnitudes; hₖ grows like Δᵏ, so int64 holds up to
+    Δ³ ≈ (10⁶)³ before a DECIMAL widening is needed — widen the sums
+    if you push past 3 propagation steps on a hub-heavy graph; the
+    float original normalizes precisely because it cannot make this
+    bound exact).
+
+    Scale shape: state is (node, dim, value) rows — dims is a row
+    multiplier that buys parallelism, not a per-row array the
+    aggregator must zip; per propagation step ONE edge-keyed equi-join
+    of the skinny state against the once-checkpointed adjacency + one
+    partially-aggregated groupBy on (target, dim) — map-side combine
+    live, AQE-splittable, no windows anywhere; lineage checkpointed
+    per step. Embedding tables at 100 TB are nodes × dims rows of 24
+    bytes — pivot to array<float> at the consumer if needed.
+    """
+    from .dedup import portable_hash64_col
+
+    if dims < 1:
+        raise ValueError("fastrp_embeddings: dims must be >= 1")
+    if len(iter_weights) < 1:
+        raise ValueError("fastrp_embeddings: iter_weights must be non-empty")
+    if sparsity < 1:
+        raise ValueError("fastrp_embeddings: sparsity must be >= 1")
+    adj = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if not directed:
+        adj = adj.unionByName(
+            edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v"))
+        )
+    adj = (
+        adj.filter(F.col("_u") != F.col("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        adj.select(F.col("_u").alias(NODE_ID))
+        .unionByName(adj.select(F.col("_v").alias(NODE_ID)))
+        .distinct()
+    )
+    hv = portable_hash64_col(
+        F.concat_ws(
+            "#",
+            F.col(NODE_ID).cast("string"),
+            F.col("dim").cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    pick = F.pmod(hv, F.lit(2 * sparsity))
+    state = (
+        nodes.select(
+            NODE_ID,
+            F.explode(
+                F.array(*[F.lit(d) for d in range(dims)])
+            ).alias("dim"),
+        )
+        .select(
+            NODE_ID,
+            "dim",
+            F.when(pick == 0, F.lit(1))
+            .when(pick == 1, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    emb = state.select(
+        NODE_ID, "dim", (F.col("_h") * F.lit(iter_weights[0])).alias("_e")
+    )
+    for w in iter_weights[1:]:
+        state = (
+            adj.join(
+                state.withColumnRenamed(NODE_ID, "_u"), ["_u"]
+            )
+            .groupBy(F.col("_v").alias(NODE_ID), "dim")
+            .agg(F.sum("_h").alias("_h"))
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+        emb = emb.join(state, [NODE_ID, "dim"], "left_outer").select(
+            NODE_ID,
+            "dim",
+            (
+                F.col("_e") + F.lit(w) * F.coalesce(F.col("_h"), F.lit(0))
+            ).alias("_e"),
+        )
+    return emb.select(
+        NODE_ID,
+        F.col("dim").cast("long").alias("dim"),
+        F.col("_e").cast("long").alias("emb_fp"),
+    )
 
 
 def shortest_paths(

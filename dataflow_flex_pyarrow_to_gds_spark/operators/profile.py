@@ -202,3 +202,133 @@ def contract_violations(
             ).alias("violation_ppm"),
         )
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a column's
+    frequency distribution → the sketch AS A SKINNY TABLE
+    ``(cms_row, cms_bucket, cnt)``: ``depth`` independent hash rows ×
+    ``width`` counters, ``cnt = Σ weight`` of the values hashing into
+    that counter.
+
+    Exact integers end to end — a CMS is deterministic given its hash
+    functions, so unlike HLL (estimate-only check) the whole sketch
+    hash-matches an ANSI oracle bit-for-bit. The row-r bucket of value
+    x is ``pmod(portable_hash(x # r # seed), width)``
+    (:func:`~.dedup.portable_hash64_col` — the cross-engine hash every
+    deterministic-sampling operator here rides).
+
+    MERGEABLE: two sketches with the same (depth, width, seed) merge by
+    summing ``cnt`` on (cms_row, cms_bucket) — the property that makes
+    per-day / per-batch frequency maintenance incremental (the
+    stats_hll_rollup pattern, but for point frequencies instead of
+    cardinality). Size is depth × width rows regardless of input —
+    broadcastable state for the estimate join.
+
+    Scale shape: one narrow explode to ``depth`` rows per input row
+    (constant multiplier), then ONE partially-aggregated groupBy on
+    (cms_row, cms_bucket) — ≤ depth · width distinct keys, so the
+    map-side combine collapses each partition to the sketch size before
+    the shuffle moves anything. No windows, no driver state.
+    """
+    from .dedup import portable_hash64_col
+
+    if depth < 1 or width < 1:
+        raise ValueError("cms_sketch: depth and width must be >= 1")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.col(value_col).cast("string").alias("_val"),
+        w.alias("_w"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias(
+            "cms_row"
+        ),
+    )
+    bucket = F.pmod(
+        portable_hash64_col(
+            F.concat_ws(
+                "#",
+                F.col("_val"),
+                F.col("cms_row").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(width),
+    )
+    return (
+        rows.select(
+            F.col("cms_row").cast("long").alias("cms_row"),
+            bucket.cast("long").alias("cms_bucket"),
+            "_w",
+        )
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-frequency estimates off a :func:`cms_sketch` table →
+    ``(value_col, cms_est)`` with the CMS guarantee
+    ``cms_est ≥ true count`` (each counter only ever over-counts via
+    collisions; the min over ``depth`` rows takes the least-collided
+    one). (depth, width, seed) must match the sketch — the bucket
+    arithmetic is recomputed here, so a mismatch silently estimates
+    garbage; pass the same literals you sketched with.
+
+    Scale shape: candidates explode to ``depth`` rows and equi-join the
+    depth×width sketch — broadcast-sized by construction — then one
+    partially-aggregated ``min`` per value. Candidate discovery is the
+    caller's problem (exact top-k at small scale, a heavy-hitter
+    pre-filter at 100 TB); the sketch itself never enumerates values,
+    which is the point of a sketch.
+    """
+    from .dedup import portable_hash64_col
+
+    if depth < 1 or width < 1:
+        raise ValueError("cms_estimate: depth and width must be >= 1")
+    rows = candidates.select(
+        F.col(value_col),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias(
+            "cms_row"
+        ),
+    )
+    bucket = F.pmod(
+        portable_hash64_col(
+            F.concat_ws(
+                "#",
+                F.col(value_col).cast("string"),
+                F.col("cms_row").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(width),
+    )
+    keyed = rows.select(
+        F.col(value_col),
+        F.col("cms_row").cast("long").alias("cms_row"),
+        bucket.cast("long").alias("cms_bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["cms_row", "cms_bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

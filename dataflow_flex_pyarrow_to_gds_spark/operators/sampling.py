@@ -578,3 +578,142 @@ def training_order(
         )
         .drop("_h", "_pb", "_off")
     )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 1024,
+    ngram: int = 2,
+    scale: int = 10**6,
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS 2023) weights over hashed n-gram features →
+    ``(id_col, n_feats, importance_fp)``: score every RAW-corpus
+    document by how much more its features look drawn from the TARGET
+    corpus than from the raw corpus itself — the standard "select
+    web-scale pretraining data to match a quality/domain target"
+    pass; resample raw by descending weight (compose with
+    :func:`top_fraction_per_group` / :func:`token_budget_sample`).
+
+    Per bucket b (features are word ``ngram``-grams hashed into
+    ``n_buckets`` — DSIR's hashed feature space), with add-one
+    smoothing so unseen buckets stay finite::
+
+        p̂(b)  = ((count(b) + 1) · scale) div (total + n_buckets)
+        w(b)   = p̂_target(b) − p̂_raw(b)
+        score(doc) = Σ_positions w(bucket(gram))
+
+    This is the LINEAR (probability-difference) member of the DSIR
+    estimator family: the paper's log-likelihood-ratio weights need
+    float ``log``, which is neither order-independent nor
+    cross-engine exact — the difference form keeps every step integer
+    micro-units (|w| ≤ scale, |score| ≤ positions · scale — int64 at
+    any document length), so the weights hash-match an ANSI oracle
+    bit-for-bit and re-runs are reproducible to the digit. Both rank
+    "target-like" features up and "raw-typical" features down;
+    documents with no n-grams (< ``ngram`` words) are omitted,
+    matching the oracle.
+
+    Scale shape: gram STRINGS never shuffle — each position hashes to
+    its bucket id inside the projection (the
+    :func:`~.dedup.repeated_passage_profile` rule); both corpus
+    passes partial-aggregate to ≤ ``n_buckets`` rows; the weight
+    table (≤ n_buckets rows) broadcast-joins back onto per-(doc,
+    bucket) counts; one final id-keyed groupBy. The 100-TB raw corpus
+    is read twice (stats pass + scoring pass) and shuffled only as
+    (doc, bucket) partial counts — persist the weight table to skip
+    the stats pass on re-scores.
+    """
+    from .dedup import portable_hash64_col, spread_to_cluster
+    from .quality import ngrams_col, words_col
+
+    if n_buckets < 1:
+        raise ValueError("importance_weights: n_buckets must be >= 1")
+    if ngram < 1:
+        raise ValueError("importance_weights: ngram must be >= 1")
+
+    def bucket_of(gram: Column) -> Column:
+        return F.pmod(
+            portable_hash64_col(F.concat_ws("#", gram, F.lit(str(seed)))),
+            F.lit(n_buckets),
+        ).cast("long")
+
+    def corpus_buckets(df: DataFrame) -> DataFrame:
+        # generators must sit top-level in a projection: explode to the
+        # gram first, hash it to its bucket in the next select (the
+        # gram string dies inside the same stage — nothing wide moves)
+        return (
+            spread_to_cluster(df)
+            .select(
+                F.explode(
+                    ngrams_col(words_col(F.col(text_col)), ngram)
+                ).alias("_g")
+            )
+            .select(bucket_of(F.col("_g")).alias("_b"))
+        )
+
+    def smoothed(counts: DataFrame, prob: str) -> DataFrame:
+        tot = counts.agg(F.sum("_c").alias("_tot"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            F.expr(
+                f"((_c + 1) * CAST({scale} AS BIGINT))"
+                f" div (_tot + {n_buckets})"
+            ).alias(prob),
+        )
+
+    raw_cnt = corpus_buckets(raw).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tgt_cnt = corpus_buckets(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # Weights are needed only on buckets raw documents can hit — raw's
+    # own bucket set; absent target buckets smooth to (1·scale) div
+    # (total_t + n_buckets) exactly as if counted at 0.
+    tgt_tot = tgt_cnt.agg(F.sum("_c").alias("_tt"))
+    weights = (
+        smoothed(raw_cnt, "_pr")
+        .join(tgt_cnt.withColumnRenamed("_c", "_tc"), "_b", "left_outer")
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "_b",
+            (
+                F.expr(
+                    f"((coalesce(_tc, 0L) + 1) * CAST({scale} AS BIGINT))"
+                    f" div (coalesce(_tt, 0L) + {n_buckets})"
+                )
+                - F.col("_pr")
+            ).alias("_w"),
+        )
+    )
+    doc_buckets = (
+        spread_to_cluster(raw)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                ngrams_col(words_col(F.col(text_col)), ngram)
+            ).alias("_g"),
+        )
+        .select("_id", bucket_of(F.col("_g")).alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        doc_buckets.join(F.broadcast(weights), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("n_feats"),
+            F.sum(F.col("_n") * F.col("_w")).alias("importance_fp"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_feats",
+            F.col("importance_fp").cast("long").alias("importance_fp"),
+        )
+    )

@@ -1466,3 +1466,236 @@ def test_node_similarity_overlap_and_cosine_vs_python(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         node_similarity_cosine(df, threshold=0.0)
+
+
+def _phash(t: str) -> int:
+    """Python twin of operators.dedup.portable_hash64_col."""
+    import hashlib
+
+    hx = hashlib.md5(t.encode()).hexdigest()
+    hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+    if hi >= 1 << 31:
+        hi -= 1 << 32
+    return hi * (1 << 32) + lo
+
+
+def test_eigenvector_matches_integer_recurrence(spark):
+    """Scores replayed with a python integer recurrence — identical raw
+    sums, identical floor-div L1 normalization — plus the structural
+    sanity that the most-pointed-at node scores highest."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        eigenvector_centrality,
+    )
+
+    pairs = [(1, 4), (2, 4), (3, 4), (4, 5), (5, 1), (2, 5), (3, 2)]
+    df = _edges(spark, pairs)
+    iters, scale = 3, 10**12
+    got = {
+        r["nodeId"]: r["score_fp"]
+        for r in eigenvector_centrality(df, iters=iters, scale=scale).collect()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    score = {v: scale for v in nodes}
+    for _ in range(iters):
+        raw = {}
+        for u, v in set(pairs):
+            if u != v:
+                raw[v] = raw.get(v, 0) + score.get(u, 0)
+        tot = sum(raw.values())
+        score = {v: (r * scale) // tot for v, r in raw.items()}
+    expect = {v: score.get(v, 0) for v in nodes}
+    assert got == expect, (got, expect)
+    # pure sources (3: no in-edges) and nodes fed only by them (2)
+    # drain to exact zero on a directed graph — documented behavior
+    assert got[3] == 0 and got[2] == 0
+    assert sum(got.values()) <= scale  # L1 floor-normalized each round
+
+
+def test_eigenvector_undirected_and_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        eigenvector_centrality,
+    )
+
+    df = _edges(spark, [(1, 2), (2, 3)])
+    got = {
+        r["nodeId"]: r["score_fp"]
+        for r in eigenvector_centrality(df, iters=3, directed=False).collect()
+    }
+    # path graph, ODD iteration count: the middle node is the center
+    # (a path is bipartite, so undamped power iteration alternates
+    # between the two partition classes; even counts land on the
+    # uniform mixture — period-2 oscillation is inherent to the
+    # algorithm, not this implementation)
+    assert got[2] > got[1] and got[2] > got[3]
+    assert got[1] == got[3]  # symmetry
+    with _pytest.raises(ValueError, match="iters"):
+        eigenvector_centrality(df, iters=0)
+
+
+def _py_landmark_betweenness(pairs, k, scale=10**6, directed=False):
+    """Python twin of the exact-integer landmark Brandes recursion."""
+    adj = {}
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        if not directed:
+            edges.add((b, a))
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    nodes = sorted({x for e in edges for x in e})
+    seeds = nodes[:k]
+    delta_total = {v: 0 for v in nodes}
+    for s in seeds:
+        dist, sig = {s: 0}, {s: 1}
+        frontier, h = [s], 0
+        levels = {0: [s]}
+        while frontier:
+            h += 1
+            reached = {}
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in dist:
+                        reached[w] = reached.get(w, 0) + sig[u]
+            for w, sg in reached.items():
+                dist[w], sig[w] = h, sg
+            frontier = sorted(reached)
+            if frontier:
+                levels[h] = frontier
+        hmax = max(levels)
+        delta = {}
+        for lev in range(hmax - 1, 0, -1):
+            for v in levels[lev]:
+                d = 0
+                for w in adj.get(v, ()):
+                    if dist.get(w) == lev + 1:
+                        d += (sig[v] * (scale + delta.get(w, 0))) // sig[w]
+                delta[v] = d
+        for v, d in delta.items():
+            if v != s:
+                delta_total[v] += d
+    return delta_total
+
+
+def test_landmark_betweenness_python_replay(spark):
+    """Exact-integer Brandes replayed in python over a graph with a real
+    bottleneck: two clusters bridged by one node — the bridge carries
+    every cross-cluster shortest path."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        landmark_betweenness,
+    )
+
+    pairs = [
+        (1, 2), (1, 3), (2, 3),          # left triangle
+        (3, 50),                          # bridge in
+        (50, 60),                         # bridge out
+        (60, 61), (60, 62), (61, 62),     # right triangle
+    ]
+    df = _edges(spark, pairs)
+    for k in (3, 8):  # sampled and exhaustive (k >= n) landmark sets
+        got = {
+            r["nodeId"]: r["betweenness_fp"]
+            for r in landmark_betweenness(
+                df, k_landmarks=k, max_hops=10
+            ).collect()
+        }
+        expect = _py_landmark_betweenness(pairs, k)
+        assert got == expect, (k, got, expect)
+    # exhaustive run: the bridge endpoints dominate everything else
+    assert got[50] == max(got.values())
+    assert min(got[50], got[60], got[3]) > max(got[1], got[2], got[61])
+
+
+def test_landmark_betweenness_guards(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        landmark_betweenness,
+    )
+
+    chain = _edges(spark, [(i, i + 1) for i in range(1, 8)])
+    with _pytest.raises(RuntimeError, match="max_hops"):
+        landmark_betweenness(chain, k_landmarks=1, max_hops=3)
+    with _pytest.raises(ValueError, match="k_landmarks"):
+        landmark_betweenness(chain, k_landmarks=0)
+    # path graph, exhaustive landmarks: interior nodes beat endpoints
+    got = {
+        r["nodeId"]: r["betweenness_fp"]
+        for r in landmark_betweenness(
+            chain, k_landmarks=8, max_hops=10
+        ).collect()
+    }
+    assert got[4] == max(got.values())
+    assert got[1] == got[8] == 0
+
+
+def test_fastrp_python_replay(spark):
+    """Embeddings replayed coordinate-for-coordinate in python from the
+    same portable hash — projection signs, propagation sums, iteration
+    weights all exact."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        fastrp_embeddings,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = _edges(spark, pairs)
+    dims, weights, seed, s = 4, (1, 2, 1), 11, 3
+    got = {
+        (r["nodeId"], r["dim"]): r["emb_fp"]
+        for r in fastrp_embeddings(
+            df, dims=dims, iter_weights=weights, seed=seed, sparsity=s
+        ).collect()
+    }
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    h = {}
+    for v in nodes:
+        for d in range(dims):
+            pick = _phash(f"{v}#{d}#{seed}") % (2 * s)
+            h[(v, d)] = 1 if pick == 0 else (-1 if pick == 1 else 0)
+    emb = {k: weights[0] * v for k, v in h.items()}
+    for w in weights[1:]:
+        nh = {}
+        for v in nodes:
+            for d in range(dims):
+                nh[(v, d)] = sum(h[(u, d)] for u in adj[v])
+        h = nh
+        for k in emb:
+            emb[k] += w * h[k]
+    assert got == emb, (got, emb)
+    assert len(got) == len(nodes) * dims
+
+
+def test_fastrp_guards_and_directed(spark):
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        fastrp_embeddings,
+    )
+
+    df = _edges(spark, [(1, 2)])
+    with _pytest.raises(ValueError, match="dims"):
+        fastrp_embeddings(df, dims=0)
+    with _pytest.raises(ValueError, match="iter_weights"):
+        fastrp_embeddings(df, iter_weights=())
+    with _pytest.raises(ValueError, match="sparsity"):
+        fastrp_embeddings(df, sparsity=0)
+    # directed: node 1 has no in-edges, so every propagated h is 0 and
+    # its embedding is exactly weights[0] * its own projection
+    got = {
+        (r["nodeId"], r["dim"]): r["emb_fp"]
+        for r in fastrp_embeddings(
+            df, dims=2, iter_weights=(5, 3), seed=1, directed=True
+        ).collect()
+    }
+    for d in range(2):
+        pick = _phash(f"1#{d}#1") % 6
+        proj = 1 if pick == 0 else (-1 if pick == 1 else 0)
+        assert got[(1, d)] == 5 * proj

@@ -261,3 +261,91 @@ def test_time_decayed_sum_exact_staircase(spark):
         time_decayed_sum(
             df, "ts", "value", ["g"], halflife_days=0, ref_date="2024-02-01"
         )
+
+
+def _phash(t: str) -> int:
+    import hashlib
+
+    hx = hashlib.md5(t.encode()).hexdigest()
+    hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+    if hi >= 1 << 31:
+        hi -= 1 << 32
+    return hi * (1 << 32) + lo
+
+
+def test_cms_sketch_python_replay_and_overestimate(spark):
+    """The sketch replayed counter-for-counter in python, plus the CMS
+    contract: every estimate >= the exact count, with equality when the
+    width is collision-free for the value set."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    depth, width, seed = 3, 8, 2
+    sk = cms_sketch(df, "v", depth=depth, width=width, seed=seed)
+    got = {(r["cms_row"], r["cms_bucket"]): r["cnt"] for r in sk.collect()}
+
+    expect = {}
+    for v in vals:
+        for r in range(depth):
+            b = _phash(f"{v}#{r}#{seed}") % width
+            expect[(r, b)] = expect.get((r, b), 0) + 1
+    assert got == expect, (got, expect)
+
+    cands = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "v string"
+    )
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(
+            sk, cands, "v", depth=depth, width=width, seed=seed
+        ).collect()
+    }
+    exact = {"a": 5, "b": 3, "c": 2, "d": 1}
+    for v, e in exact.items():
+        assert est[v] >= e, (v, est[v], e)  # the one-sided guarantee
+    # a wide sketch is collision-free for 4 values: estimates exact
+    sk2 = cms_sketch(df, "v", depth=depth, width=4096, seed=seed)
+    est2 = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(
+            sk2, cands, "v", depth=depth, width=4096, seed=seed
+        ).collect()
+    }
+    assert est2 == exact, est2
+
+
+def test_cms_sketch_mergeable_and_weighted(spark):
+    """sketch(A) + sketch(B) summed on (row, bucket) == sketch(A ∪ B) —
+    the property per-day incremental maintenance rides; weight_col
+    counts mass, not rows."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "v string")
+    b = spark.createDataFrame([("y",), ("z",)], "v string")
+    merged = (
+        cms_sketch(a, "v", depth=2, width=16, seed=1)
+        .unionByName(cms_sketch(b, "v", depth=2, width=16, seed=1))
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_sketch(a.unionByName(b), "v", depth=2, width=16, seed=1)
+    lhs = {(r["cms_row"], r["cms_bucket"]): r["cnt"] for r in merged.collect()}
+    rhs = {(r["cms_row"], r["cms_bucket"]): r["cnt"] for r in whole.collect()}
+    assert lhs == rhs
+
+    w = spark.createDataFrame([("x", 10), ("x", 5)], "v string, n long")
+    skw = cms_sketch(w, "v", depth=1, width=16, seed=1, weight_col="n")
+    assert sorted(r["cnt"] for r in skw.collect()) == [15]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth"):
+        cms_sketch(a, "v", depth=0)

@@ -428,3 +428,93 @@ def test_top_fraction_per_group_exact_cut_and_ties(spark):
     assert tf(df, "grp", "score", "doc_id", fraction=0.0).count() == 0
     with _pytest.raises(ValueError, match="fraction"):
         tf(df, "grp", "score", "doc_id", fraction=1.5)
+
+
+def test_importance_weights_python_twin(spark):
+    """DSIR-linear weights replayed in python: hashed bigram buckets,
+    add-one smoothed floor-div probabilities, per-doc weighted sums —
+    every integer identical."""
+    import hashlib
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    def phash(t: str) -> int:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    raw_docs = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market crash wipes billions"),
+        (3, "the cat chased the dog"),
+        (4, "tiny"),  # < 2 words: no bigrams, omitted
+    ]
+    tgt_docs = [
+        (10, "the cat sat on the sofa"),
+        (11, "a cat and a dog"),
+    ]
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    nb, scale, seed = 64, 10**6, 3
+    got = {
+        r["doc_id"]: (r["n_feats"], r["importance_fp"])
+        for r in importance_weights(
+            raw, tgt, "doc_id", "text", n_buckets=nb, scale=scale, seed=seed
+        ).collect()
+    }
+
+    def bigrams(t):
+        ws = t.lower().split()
+        return [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    def bucket(g):
+        return phash(f"{g}#{seed}") % nb
+
+    raw_cnt, tgt_cnt = {}, {}
+    for _, t in raw_docs:
+        for g in bigrams(t):
+            raw_cnt[bucket(g)] = raw_cnt.get(bucket(g), 0) + 1
+    for _, t in tgt_docs:
+        for g in bigrams(t):
+            tgt_cnt[bucket(g)] = tgt_cnt.get(bucket(g), 0) + 1
+    rt, tt = sum(raw_cnt.values()), sum(tgt_cnt.values())
+    expect = {}
+    for i, t in raw_docs:
+        bs = [bucket(g) for g in bigrams(t)]
+        if not bs:
+            continue
+        score = sum(
+            ((tgt_cnt.get(b, 0) + 1) * scale) // (tt + nb)
+            - ((raw_cnt[b] + 1) * scale) // (rt + nb)
+            for b in bs
+        )
+        expect[i] = (len(bs), score)
+    assert got == expect, (got, expect)
+    # the cat docs look more target-like than the finance doc
+    assert got[1][1] > got[2][1] and got[3][1] > got[2][1]
+
+
+def test_importance_weights_identical_corpora_and_guards(spark):
+    """target == raw → p̂_t == p̂_r bucket-for-bucket → every document
+    scores exactly 0; parameter guards raise."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = importance_weights(docs, docs, "doc_id", "text").collect()
+    assert len(got) == 2
+    assert all(r["importance_fp"] == 0 for r in got)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        importance_weights(docs, docs, "doc_id", "text", n_buckets=0)
+    with _pytest.raises(ValueError, match="ngram"):
+        importance_weights(docs, docs, "doc_id", "text", ngram=0)

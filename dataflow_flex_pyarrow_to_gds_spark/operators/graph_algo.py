@@ -1395,7 +1395,10 @@ def landmark_betweenness(
     LOUD failure if any frontier is alive after ``max_hops`` (a
     truncated BFS would silently bias δ toward 0); oracles pin their
     unroll depth to ``max_hops`` so a deeper-than-unroll eccentricity
-    raises rather than mismatching.
+    raises rather than mismatching. ``max_hops`` equal to the landmark
+    eccentricity is sufficient (ADVICE r11): one extra probe round
+    observes the empty frontier without extending the visited set, so
+    callers need ``max_hops >= ecc``, not ``ecc + 1``.
 
     Scale shape: state rows are (seed, node) pairs — cost ∝ landmarks ×
     reachable set, never all-pairs; per round one equi-join of the
@@ -1432,7 +1435,14 @@ def landmark_betweenness(
     ).localCheckpoint(eager=True)
     frontier = visited.select("_seed", "_node", "_sig")
     h_max = None
-    for h in range(1, max_hops + 1):
+    # range stops at max_hops + 1: the EXTRA probe round (ADVICE r11)
+    # exists only to observe the empty frontier when a landmark's
+    # eccentricity equals max_hops exactly — without it the loop would
+    # discover the deepest nodes at hop max_hops, exit without seeing
+    # emptiness, and raise despite a complete BFS. The probe round never
+    # extends `visited`: a non-empty frontier there means genuinely
+    # unexplored nodes beyond max_hops, which is the truncation error.
+    for h in range(1, max_hops + 2):
         reached = (
             frontier.join(adj, frontier["_node"] == adj["a"])
             .groupBy("_seed", F.col("b").alias("_node"))
@@ -1451,6 +1461,8 @@ def landmark_betweenness(
         if new.limit(1).count() == 0:
             h_max = h - 1
             break
+        if h == max_hops + 1:
+            break  # alive past max_hops: truncated — fall through to raise
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("_seed", "_node", "_sig")
     if h_max is None:
@@ -1913,9 +1925,10 @@ def fastrp_embeddings(
     direction-preserving: the √s magnitude on nonzero entries is
     dropped (a global constant scales every coordinate equally) and
     per-iteration normalization is omitted (``iter_weights`` absorbs
-    the relative magnitudes; hₖ grows like Δᵏ, so int64 holds up to
-    Δ³ ≈ (10⁶)³ before a DECIMAL widening is needed — widen the sums
-    if you push past 3 propagation steps on a hub-heavy graph; the
+    the relative magnitudes; hₖ grows like Δᵏ, so past 4 propagation
+    steps the running sums AUTOMATICALLY widen to DECIMAL(38,0) —
+    ADVICE r11 — and the final int64 cast raises under ANSI mode
+    instead of wrapping if the exact value still exceeds int64; the
     float original normalizes precisely because it cannot make this
     bound exact).
 
@@ -1936,6 +1949,12 @@ def fastrp_embeddings(
         raise ValueError("fastrp_embeddings: iter_weights must be non-empty")
     if sparsity < 1:
         raise ValueError("fastrp_embeddings: sparsity must be >= 1")
+    # hₖ grows like (max degree)^k, so long iter_weights would silently
+    # wrap int64 sums in non-ANSI mode (ADVICE r11): past 4 propagation
+    # steps the running state widens to DECIMAL(38,0) — exact up to
+    # Δ¹² on hub-degree-10³ graphs — and the final long cast raises
+    # (ANSI) rather than wrapping if the true value exceeds int64.
+    state_t = "decimal(38,0)" if len(iter_weights) > 4 else "long"
     adj = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
     if not directed:
         adj = adj.unionByName(
@@ -1973,7 +1992,7 @@ def fastrp_embeddings(
             F.when(pick == 0, F.lit(1))
             .when(pick == 1, F.lit(-1))
             .otherwise(F.lit(0))
-            .cast("long")
+            .cast(state_t)
             .alias("_h"),
         )
         .localCheckpoint(eager=True)
@@ -1987,7 +2006,7 @@ def fastrp_embeddings(
                 state.withColumnRenamed(NODE_ID, "_u"), ["_u"]
             )
             .groupBy(F.col("_v").alias(NODE_ID), "dim")
-            .agg(F.sum("_h").alias("_h"))
+            .agg(F.sum("_h").cast(state_t).alias("_h"))
         )
         if checkpoint:
             state = state.localCheckpoint(eager=True)

@@ -294,7 +294,15 @@ def cms_estimate(
     arithmetic is recomputed here, so a mismatch silently estimates
     garbage; pass the same literals you sketched with.
 
-    Scale shape: candidates explode to ``depth`` rows and equi-join the
+    The sketch table stores only NON-EMPTY counters, so the join is
+    ``left_outer`` with a ``coalesce(cnt, 0)`` (ADVICE r11): an empty
+    counter PROVES true count = 0 — canonical CMS returns 0 there, and
+    an inner join would instead take the min over only the occupied
+    rows (inflating the estimate) and silently drop candidates absent
+    from every depth row. With the outer join every candidate keeps
+    exactly ``depth`` rows and the min sees the zeros.
+
+    Scale shape: candidates explode to ``depth`` rows and left-join the
     depth×width sketch — broadcast-sized by construction — then one
     partially-aggregated ``min`` per value. Candidate discovery is the
     caller's problem (exact top-k at small scale, a heavy-hitter
@@ -328,7 +336,13 @@ def cms_estimate(
         bucket.cast("long").alias("cms_bucket"),
     )
     return (
-        keyed.join(F.broadcast(sketch), ["cms_row", "cms_bucket"])
+        keyed.join(
+            F.broadcast(sketch), ["cms_row", "cms_bucket"], "left_outer"
+        )
         .groupBy(value_col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
     )

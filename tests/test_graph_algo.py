@@ -1699,3 +1699,66 @@ def test_fastrp_guards_and_directed(spark):
         pick = _phash(f"1#{d}#1") % 6
         proj = 1 if pick == 0 else (-1 if pick == 1 else 0)
         assert got[(1, d)] == 5 * proj
+
+
+def test_landmark_betweenness_max_hops_at_eccentricity(spark):
+    """ADVICE r11 off-by-one: max_hops EQUAL to the landmark
+    eccentricity must complete (the extra probe round observes the
+    empty frontier) and match the python replay exactly."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        landmark_betweenness,
+    )
+
+    pairs = [(i, i + 1) for i in range(1, 8)]  # path 1..8, ecc(1) = 7
+    chain = _edges(spark, pairs)
+    got = {
+        r["nodeId"]: r["betweenness_fp"]
+        for r in landmark_betweenness(
+            chain, k_landmarks=1, max_hops=7
+        ).collect()
+    }
+    assert got == _py_landmark_betweenness(pairs, 1)
+    # one short of the eccentricity still raises: genuinely truncated
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_hops"):
+        landmark_betweenness(chain, k_landmarks=1, max_hops=6)
+
+
+def test_fastrp_long_iter_weights_widen(spark):
+    """ADVICE r11 overflow guard: > 4 propagation steps switch the
+    running sums to DECIMAL(38,0); values still match the python
+    big-int replay exactly and the output stays int64."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        fastrp_embeddings,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+    df = _edges(spark, pairs)
+    dims, weights, seed, s = 3, (1, 1, 2, 1, 3, 1), 5, 2
+    out = fastrp_embeddings(
+        df, dims=dims, iter_weights=weights, seed=seed, sparsity=s
+    )
+    assert dict(out.dtypes)["emb_fp"] == "bigint"
+    got = {(r["nodeId"], r["dim"]): r["emb_fp"] for r in out.collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    h = {}
+    for v in nodes:
+        for d in range(dims):
+            pick = _phash(f"{v}#{d}#{seed}") % (2 * s)
+            h[(v, d)] = 1 if pick == 0 else (-1 if pick == 1 else 0)
+    emb = {k: weights[0] * v for k, v in h.items()}
+    for w in weights[1:]:
+        h = {
+            (v, d): sum(h[(u, d)] for u in adj[v])
+            for v in nodes
+            for d in range(dims)
+        }
+        for k in emb:
+            emb[k] += w * h[k]
+    assert got == emb, (got, emb)

@@ -349,3 +349,29 @@ def test_cms_sketch_mergeable_and_weighted(spark):
 
     with _pytest.raises(ValueError, match="depth"):
         cms_sketch(a, "v", depth=0)
+
+
+def test_cms_estimate_zero_for_absent_and_empty_counters(spark):
+    """ADVICE r11: the sketch stores only non-empty counters, so the
+    estimate join must be left_outer with a zero fill — a candidate
+    hashing into any empty counter gets the canonical CMS answer 0
+    (an empty counter PROVES count = 0), and a candidate absent from
+    every stored counter still gets an output row."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    depth, width, seed = 3, 4096, 7  # wide: no collisions among 2 vals
+    sk = cms_sketch(df, "v", depth=depth, width=width, seed=seed)
+    cands = spark.createDataFrame(
+        [("a",), ("b",), ("never-seen",)], "v string"
+    )
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(
+            sk, cands, "v", depth=depth, width=width, seed=seed
+        ).collect()
+    }
+    assert est == {"a": 2, "b": 1, "never-seen": 0}, est

@@ -184,6 +184,17 @@ HEADLINE = [
     "graph_harmonic_closeness",
     "graph_node_similarity_overlap",
     "graph_node_similarity_cosine",
+    # round 12: the five r11 operators wired into the driver gate —
+    # eigenvector power iteration, landmark Brandes betweenness, FastRP
+    # signed projection, CMS sketch+estimate (plus the per-day
+    # merge-on-read rollup twin), DSIR weights + composed selection
+    "graph_eigenvector",
+    "graph_betweenness",
+    "graph_fastrp",
+    "profile_cms_frequencies",
+    "events_cms_rollup",
+    "sample_importance_weights",
+    "sample_dsir_selection",
 ]
 
 
@@ -391,6 +402,12 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
         "ambient_load1": load_start["load1"],
+        # self-flag (VERDICT r11 #8): a contended start means every
+        # number is uniformly inflated — the artifact says so itself
+        # instead of relying on a reader to cross-check load fields
+        "contended": bool(
+            load_start["load1"] > 4.0 or load_start["running_procs"] > 2
+        ),
     }
     if isolated:
         out["isolated_total"] = full["isolated_total"]

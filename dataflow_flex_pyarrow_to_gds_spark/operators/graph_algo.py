@@ -1359,6 +1359,7 @@ def landmark_betweenness(
     max_hops: int = 20,
     scale: int = 10**6,
     directed: bool = False,
+    checkpoint: bool = True,
     src: str = SOURCE_ID,
     dst: str = TARGET_ID,
 ) -> DataFrame:
@@ -1432,7 +1433,9 @@ def landmark_betweenness(
         F.col(NODE_ID).alias("_node"),
         F.lit(0).cast("long").alias("_hop"),
         F.lit(1).cast("decimal(25,0)").alias("_sig"),
-    ).localCheckpoint(eager=True)
+    )
+    if checkpoint:
+        visited = visited.localCheckpoint(eager=True)
     frontier = visited.select("_seed", "_node", "_sig")
     h_max = None
     # range stops at max_hops + 1: the EXTRA probe round (ADVICE r11)
@@ -1456,14 +1459,17 @@ def landmark_betweenness(
             )
             .withColumn("_hop", F.lit(h).cast("long"))
             .select("_seed", "_node", "_hop", "_sig")
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
         if new.limit(1).count() == 0:
             h_max = h - 1
             break
         if h == max_hops + 1:
             break  # alive past max_hops: truncated — fall through to raise
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new)
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=True)
         frontier = new.select("_seed", "_node", "_sig")
     if h_max is None:
         raise RuntimeError(
@@ -1505,8 +1511,9 @@ def landmark_betweenness(
             )
             .groupBy("_seed", "_node")
             .agg(F.sum("_d").cast("long").alias("_delta"))
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            lvl_delta = lvl_delta.localCheckpoint(eager=True)
         delta = lvl_delta
         out = lvl_delta if out is None else out.unionByName(lvl_delta)
     result = nodes
@@ -1995,8 +2002,9 @@ def fastrp_embeddings(
             .cast(state_t)
             .alias("_h"),
         )
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        state = state.localCheckpoint(eager=True)
     emb = state.select(
         NODE_ID, "dim", (F.col("_h") * F.lit(iter_weights[0])).alias("_e")
     )

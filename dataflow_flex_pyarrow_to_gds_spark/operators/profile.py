@@ -212,6 +212,7 @@ def cms_sketch(
     width: int = 256,
     seed: int = 0,
     weight_col: str | None = None,
+    group_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of a column's
     frequency distribution → the sketch AS A SKINNY TABLE
@@ -231,7 +232,11 @@ def cms_sketch(
     per-day / per-batch frequency maintenance incremental (the
     stats_hll_rollup pattern, but for point frequencies instead of
     cardinality). Size is depth × width rows regardless of input —
-    broadcastable state for the estimate join.
+    broadcastable state for the estimate join. ``group_cols`` prepends
+    partition keys (day, batch, source) to the sketch key, producing
+    one independent sketch per group in the same pass — the shape the
+    streaming maintenance path folds per micro-batch and merges on
+    read (:func:`~..streaming.events.cms_store_rollup`).
 
     Scale shape: one narrow explode to ``depth`` rows per input row
     (constant multiplier), then ONE partially-aggregated groupBy on
@@ -248,7 +253,9 @@ def cms_sketch(
         if weight_col is not None
         else F.lit(1).cast("long")
     )
+    gcols = list(group_cols)
     rows = df.select(
+        *gcols,
         F.col(value_col).cast("string").alias("_val"),
         w.alias("_w"),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias(
@@ -268,11 +275,12 @@ def cms_sketch(
     )
     return (
         rows.select(
+            *gcols,
             F.col("cms_row").cast("long").alias("cms_row"),
             bucket.cast("long").alias("cms_bucket"),
             "_w",
         )
-        .groupBy("cms_row", "cms_bucket")
+        .groupBy(*gcols, "cms_row", "cms_bucket")
         .agg(F.sum("_w").alias("cnt"))
     )
 

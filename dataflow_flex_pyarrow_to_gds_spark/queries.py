@@ -4389,6 +4389,493 @@ def _harmonic_oracle_sql(
 _GRAPH_ORACLES["graph_harmonic_closeness"] = _harmonic_oracle_sql()
 
 
+_EIGEN_ITERS = 4
+
+
+def q_graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the undirected co-order graph (r12
+    — GDS ``gds.eigenvector`` parity): 4 power iterations of
+    "influence = Σ neighbors' influence" with exact-integer L1
+    normalization, so every score_fp hash-matches the unrolled-CTE
+    oracle bit-for-bit (the graph_pagerank/graph_hits contract).
+    Undirected: the customer→order DAG drains all mass to sinks;
+    the co-order graph is the fixture where the measure is defined."""
+    from .operators.graph_algo import eigenvector_centrality
+
+    return eigenvector_centrality(
+        _co_order_edges(spark, sf_dir), iters=_EIGEN_ITERS, directed=False
+    )
+
+
+def _eigenvector_oracle_sql(
+    iters: int = _EIGEN_ITERS, scale: int = 10**12
+) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.eigenvector_centrality`
+    over the symmetrized co-order edges: the same fixed power-iteration
+    count unrolled as CTEs, the same integer L1 normalization (HUGEINT
+    carries the DECIMAL(38) headroom the Spark side uses)."""
+    txt = f"""
+        WITH {_CO_ORDER_SQL.strip()},
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION SELECT v AS a, u AS b FROM e0
+        ),
+        n AS (SELECT DISTINCT a AS id FROM sym),
+        s0 AS (SELECT id, CAST({scale} AS HUGEINT) AS r FROM n)"""
+    for i in range(1, iters + 1):
+        txt += f""",
+        r{i} AS (
+            SELECT sym.b AS id, CAST(sum(p.r) AS HUGEINT) AS raw
+            FROM sym JOIN s{i - 1} p ON p.id = sym.a GROUP BY sym.b),
+        s{i} AS (
+            SELECT id, (raw * {scale})
+                       // (SELECT CAST(sum(raw) AS HUGEINT) FROM r{i}) AS r
+            FROM r{i})"""
+    txt += f"""
+        SELECT n.id AS "nodeId",
+               CAST(COALESCE(s.r, 0) AS BIGINT) AS score_fp
+        FROM n LEFT JOIN s{iters} s ON s.id = n.id"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_eigenvector"] = _eigenvector_oracle_sql()
+
+
+_BETWEENNESS_ORACLE_HOPS = 10
+
+
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled betweenness over the co-order graph (r12 — GDS
+    ``gds.betweenness`` ``samplingSize`` parity): exact-integer Brandes
+    from the 4 smallest node ids. ``max_hops`` is PINNED to the
+    oracle's unroll depth (the harmonic-closeness precedent) so a
+    deeper-than-unroll eccentricity raises loudly instead of
+    hash-mismatching; the 8-landmark harmonic row on the SAME graph
+    already proved ecc ≤ 10 for this landmark set."""
+    from .operators.graph_algo import landmark_betweenness
+
+    return landmark_betweenness(
+        _co_order_edges(spark, sf_dir),
+        k_landmarks=4,
+        max_hops=_BETWEENNESS_ORACLE_HOPS,
+    )
+
+
+def _betweenness_oracle_sql(
+    k: int = 4, hops: int = _BETWEENNESS_ORACLE_HOPS, scale: int = 10**6
+) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.landmark_betweenness`
+    over the symmetrized co-order edges. Forward: per-hop frontier CTEs
+    carrying Brandes path counts σ (sum over predecessor frontier rows
+    — HUGEINT, the Spark side's DECIMAL(25,0)). Backward: per-level δ
+    CTEs with the identical per-edge floor division
+    ``(σ_v · (scale + δ_w)) // σ_w``, summed per (seed, node). Levels
+    above the true BFS depth are empty CTEs — harmless, the unroll only
+    needs to be ≥ the landmark eccentricity (the Spark side raises if
+    its OWN BFS outruns ``max_hops``, so a silent under-unroll cannot
+    pass)."""
+    txt = f"""
+        WITH {_CO_ORDER_SQL.strip()},
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION SELECT v AS a, u AS b FROM e0
+        ),
+        n AS (SELECT DISTINCT a AS id FROM sym),
+        lm AS (SELECT id AS s FROM n ORDER BY id LIMIT {k}),
+        f0 AS (SELECT s, s AS node, CAST(1 AS HUGEINT) AS sig FROM lm),
+        v0 AS MATERIALIZED (SELECT s, node, 0 AS hop, sig FROM f0)"""
+    for i in range(1, hops + 1):
+        txt += f""",
+        r{i} AS (
+            SELECT f.s, e.b AS node, CAST(sum(f.sig) AS HUGEINT) AS sig
+            FROM f{i - 1} f JOIN sym e ON f.node = e.a
+            GROUP BY f.s, e.b),
+        f{i} AS MATERIALIZED (
+            SELECT r.s, r.node, r.sig
+            FROM r{i} r LEFT JOIN v{i - 1} v
+              ON v.s = r.s AND v.node = r.node
+            WHERE v.node IS NULL),
+        v{i} AS MATERIALIZED (
+            SELECT * FROM v{i - 1}
+            UNION ALL SELECT s, node, {i} AS hop, sig FROM f{i})"""
+    # backward: empty top-level delta, then hops-1 .. 1
+    txt += f""",
+        d{hops} AS (SELECT s, node, CAST(0 AS HUGEINT) AS delta
+                    FROM v{hops} WHERE 1 = 0)"""
+    for lvl in range(hops - 1, 0, -1):
+        txt += f""",
+        d{lvl} AS MATERIALIZED (
+            SELECT v.s, v.node,
+                   CAST(sum((v.sig * ({scale} + COALESCE(d.delta, 0)))
+                            // w.sig) AS HUGEINT) AS delta
+            FROM v{hops} v
+            JOIN sym e ON v.node = e.a
+            JOIN v{hops} w
+              ON w.s = v.s AND w.node = e.b AND w.hop = {lvl + 1}
+            LEFT JOIN d{lvl + 1} d ON d.s = v.s AND d.node = e.b
+            WHERE v.hop = {lvl}
+            GROUP BY v.s, v.node)"""
+    levels = " UNION ALL ".join(
+        f"SELECT node, delta FROM d{lvl}" for lvl in range(1, hops)
+    )
+    txt += f"""
+        SELECT n.id AS "nodeId",
+               CAST(COALESCE(t.b, 0) AS BIGINT) AS betweenness_fp
+        FROM n LEFT JOIN (
+            SELECT node, sum(delta) AS b FROM ({levels}) GROUP BY node
+        ) t ON t.node = n.id"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_betweenness"] = _betweenness_oracle_sql()
+
+
+_FASTRP_DIMS = 4
+_FASTRP_WEIGHTS = (1, 2, 1)
+_FASTRP_SEED = 7
+_FASTRP_SPARSITY = 3
+
+
+def q_graph_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP node embeddings over the co-order graph (r12 — GDS
+    ``gds.fastRP`` parity): deterministic very-sparse signed projection
+    (sign = pmod(portable_hash(node#dim#seed), 2s)) propagated twice
+    through the adjacency, iterations combined 1·h₀ + 2·h₁ + 1·h₂ —
+    every coordinate exact integer, replayed bit-for-bit by the
+    oracle's hash arithmetic."""
+    from .operators.graph_algo import fastrp_embeddings
+
+    return fastrp_embeddings(
+        _co_order_edges(spark, sf_dir),
+        dims=_FASTRP_DIMS,
+        iter_weights=_FASTRP_WEIGHTS,
+        seed=_FASTRP_SEED,
+        sparsity=_FASTRP_SPARSITY,
+    )
+
+
+def _fastrp_oracle_sql(
+    dims: int = _FASTRP_DIMS,
+    weights: tuple[int, ...] = _FASTRP_WEIGHTS,
+    seed: int = _FASTRP_SEED,
+    sparsity: int = _FASTRP_SPARSITY,
+) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.fastrp_embeddings`:
+    the same md5-derived portable hash picks the projection sign, the
+    same per-step adjacency sums unroll as CTEs, the same left-join
+    zero fill for nodes a step never reached."""
+    m = 2 * sparsity
+    hash_expr = _hash_sql_of(
+        f"CAST(id AS VARCHAR) || '#' || CAST(dim AS VARCHAR) || '#{seed}'"
+    )
+    txt = f"""
+        WITH {_CO_ORDER_SQL.strip()},
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION SELECT v AS a, u AS b FROM e0
+        ),
+        n AS (SELECT DISTINCT a AS id FROM sym),
+        nd AS (SELECT id, CAST(d AS BIGINT) AS dim
+               FROM n CROSS JOIN
+                    (SELECT unnest(range(0, {dims})) AS d) dd),
+        h0 AS MATERIALIZED (
+            SELECT id, dim,
+                   CASE ((({hash_expr}) % {m}) + {m}) % {m}
+                        WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0
+                   END AS h
+            FROM nd)"""
+    for i in range(1, len(weights)):
+        txt += f""",
+        h{i} AS MATERIALIZED (
+            SELECT e.b AS id, h.dim, CAST(sum(h.h) AS BIGINT) AS h
+            FROM sym e JOIN h{i - 1} h ON h.id = e.a
+            GROUP BY e.b, h.dim)"""
+    emb = f"{weights[0]} * h0.h"
+    joins = ""
+    for i in range(1, len(weights)):
+        emb += f" + {weights[i]} * COALESCE(h{i}.h, 0)"
+        joins += (
+            f"\n        LEFT JOIN h{i}"
+            f" ON h{i}.id = h0.id AND h{i}.dim = h0.dim"
+        )
+    txt += f"""
+        SELECT h0.id AS "nodeId", h0.dim AS dim,
+               CAST({emb} AS BIGINT) AS emb_fp
+        FROM h0{joins}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_fastrp"] = _fastrp_oracle_sql()
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_SEED = 0
+
+
+def q_profile_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point frequencies (r12 — the CMS driver row,
+    VERDICT r11 #1): sketch ``orders.o_custkey`` into 4×256 counters,
+    then estimate every CUSTOMER key's order count off the sketch —
+    customers who never ordered exercise the canonical zero path
+    (ADVICE r11: an empty counter proves count 0; the left-outer
+    zero-fill must win the min). CMS is deterministic given its
+    hashes, so unlike HLL every (key, estimate) hash-matches the
+    oracle's verbatim replay of the bucket arithmetic bit-for-bit."""
+    from .operators.profile import cms_estimate, cms_sketch
+
+    sketch = cms_sketch(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        seed=_CMS_SEED,
+    )
+    cands = _t(spark, sf_dir, "customer").select("c_custkey")
+    return cms_estimate(
+        sketch,
+        cands,
+        "c_custkey",
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        seed=_CMS_SEED,
+    )
+
+
+def _cms_bucket_sql(val_expr: str, *, width: int, seed: int) -> str:
+    """DuckDB twin of cms_sketch/cms_estimate's bucket arithmetic:
+    ``pmod(portable_hash64(val # row # seed), width)`` with the row
+    index bound to a CTE column named ``r``."""
+    h = _hash_sql_of(
+        f"{val_expr} || '#' || CAST(r AS VARCHAR) || '#{seed}'"
+    )
+    return f"((({h}) % {width}) + {width}) % {width}"
+
+
+def _cms_frequencies_oracle_sql(
+    depth: int = _CMS_DEPTH, width: int = _CMS_WIDTH, seed: int = _CMS_SEED
+) -> str:
+    bucket_o = _cms_bucket_sql("CAST(o_custkey AS VARCHAR)", width=width, seed=seed)
+    bucket_c = _cms_bucket_sql("CAST(c_custkey AS VARCHAR)", width=width, seed=seed)
+    return f"""
+        WITH d AS (SELECT unnest(range(0, {depth})) AS r),
+        sk AS (
+            SELECT r AS cms_row, {bucket_o} AS cms_bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM orders CROSS JOIN d
+            GROUP BY 1, 2
+        ),
+        ck AS (
+            SELECT c_custkey, r AS cms_row, {bucket_c} AS cms_bucket
+            FROM customer CROSS JOIN d
+        )
+        SELECT ck.c_custkey,
+               CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+        FROM ck LEFT JOIN sk
+          ON sk.cms_row = ck.cms_row AND sk.cms_bucket = ck.cms_bucket
+        GROUP BY ck.c_custkey
+    """
+
+
+_RELATIONAL_ORACLES["profile_cms_frequencies"] = _cms_frequencies_oracle_sql()
+
+
+_CMS_ROLLUP_WIDTH = 64
+
+
+def q_events_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CMS maintenance path (VERDICT r11
+    #5, :func:`~.streaming.events.cms_store_stream`): fold events into
+    PER-DAY count-min partials (``group_cols=("day",)`` — one
+    independent sketch per day in one pass), then merge-on-read by
+    counter-wise SUM into the global user-activity sketch. CMS merge
+    is exact integer addition, so the merged sketch equals the
+    single-pass sketch BIT-FOR-BIT — the oracle computes the
+    single-pass side directly, making the driver row itself the
+    merge≡single-pass proof (stronger than the HLL 10% gate). The
+    streaming path folds the same partials per micro-batch and is
+    pinned to this twin in tests."""
+    from .operators.profile import cms_sketch
+    from .streaming.events import read_events
+
+    daily = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_day = cms_sketch(
+        daily,
+        "user_id",
+        depth=_CMS_DEPTH,
+        width=_CMS_ROLLUP_WIDTH,
+        seed=_CMS_SEED,
+        group_cols=("day",),
+    )
+    return per_day.groupBy("cms_row", "cms_bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def _cms_rollup_oracle_sql(
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_ROLLUP_WIDTH,
+    seed: int = _CMS_SEED,
+) -> str:
+    bucket = _cms_bucket_sql("CAST(user_id AS VARCHAR)", width=width, seed=seed)
+    return f"""
+        WITH d AS (SELECT unnest(range(0, {depth})) AS r)
+        SELECT r AS cms_row, {bucket} AS cms_bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN d
+        GROUP BY 1, 2
+    """
+
+
+_RELATIONAL_ORACLES["events_cms_rollup"] = _cms_rollup_oracle_sql()
+
+
+_DSIR_TARGET_SOURCES = ("src1", "src3", "src5", "src7")
+_DSIR_BUCKETS = 512
+_DSIR_SCALE = 10**6
+
+
+def q_sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (r12 — the fifth r11 operator wired
+    into the driver gate): score every document by how much more its
+    hashed-bigram features look drawn from the TARGET slice (four
+    fixed sources — a stand-in for "high-quality domain") than from
+    the raw corpus. Linear (probability-difference) DSIR keeps every
+    step integer micro-units, so weights hash-match the oracle's
+    mirrored bucket arithmetic bit-for-bit; docs under 2 words have no
+    bigrams and are omitted on both sides."""
+    from .operators.sampling import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    return importance_weights(
+        docs,
+        target,
+        "doc_id",
+        "text",
+        n_buckets=_DSIR_BUCKETS,
+        ngram=2,
+        scale=_DSIR_SCALE,
+        seed=0,
+    )
+
+
+def _dsir_weights_sql(
+    n_buckets: int = _DSIR_BUCKETS,
+    scale: int = _DSIR_SCALE,
+    seed: int = 0,
+) -> str:
+    """Shared WITH-body: per-(doc, bucket) bigram counts ``db`` and the
+    smoothed probability-difference weight table ``wts`` — ONE
+    definition for both DSIR oracles so a retune cannot drift between
+    the weights row and the composed selection row."""
+    src_list = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    h = _hash_sql_of(f"gram || '#{seed}'")
+    bucket = f"((({h}) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+    return f"""
+        w0 AS (SELECT doc_id, source, {_WORDS_SQL} AS w FROM documents),
+        g AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(w)),
+                          i -> concat_ws(' ', w[i], w[i + 1]))) AS gram
+            FROM w0 WHERE len(w) >= 2
+        ),
+        b AS MATERIALIZED (
+            SELECT doc_id, source, {bucket} AS bkt FROM g
+        ),
+        rawc AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+        tgtc AS (SELECT bkt, count(*) AS c FROM b
+                 WHERE source IN ({src_list}) GROUP BY bkt),
+        rt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM rawc),
+        tt AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS t FROM tgtc),
+        wts AS (
+            SELECT r.bkt,
+                   ((COALESCE(tg.c, 0) + 1) * CAST({scale} AS BIGINT))
+                     // ((SELECT t FROM tt) + {n_buckets})
+                 - ((r.c + 1) * CAST({scale} AS BIGINT))
+                     // ((SELECT t FROM rt) + {n_buckets}) AS w
+            FROM rawc r LEFT JOIN tgtc tg ON tg.bkt = r.bkt
+        ),
+        db AS (
+            SELECT doc_id, bkt, count(*) AS n FROM b GROUP BY doc_id, bkt
+        )"""
+
+
+_RELATIONAL_ORACLES["sample_importance_weights"] = f"""
+    WITH {_dsir_weights_sql().strip()}
+    SELECT db.doc_id,
+           CAST(sum(db.n) AS BIGINT) AS n_feats,
+           CAST(sum(db.n * wts.w) AS BIGINT) AS importance_fp
+    FROM db JOIN wts ON wts.bkt = db.bkt
+    GROUP BY db.doc_id
+"""
+
+
+_DSIR_SELECT_FRACTION = 0.25
+
+
+def q_sample_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end selection (VERDICT r11 #6 — the composition the
+    operator docstring promises): importance weights → per-source
+    top-25% resample via :func:`~.operators.sampling.
+    top_fraction_per_group` (score DESC, doc_id ASC tie-break — a
+    total, engine-independent cut). The oracle mirrors both stages off
+    the SAME weight CTEs as the weights row, proving the selection
+    pipeline, not just the scores."""
+    from .operators.sampling import importance_weights, top_fraction_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    wts = importance_weights(
+        docs,
+        target,
+        "doc_id",
+        "text",
+        n_buckets=_DSIR_BUCKETS,
+        ngram=2,
+        scale=_DSIR_SCALE,
+        seed=0,
+    )
+    scored = docs.select("doc_id", "source").join(wts, "doc_id")
+    return top_fraction_per_group(
+        scored,
+        "source",
+        "importance_fp",
+        "doc_id",
+        fraction=_DSIR_SELECT_FRACTION,
+    )
+
+
+_RELATIONAL_ORACLES["sample_dsir_selection"] = f"""
+    WITH {_dsir_weights_sql().strip()},
+    scores AS (
+        SELECT db.doc_id,
+               CAST(sum(db.n * wts.w) AS BIGINT) AS importance_fp
+        FROM db JOIN wts ON wts.bkt = db.bkt
+        GROUP BY db.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.source, s.importance_fp
+        FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+    ),
+    c AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+    r AS (
+        SELECT doc_id, source, importance_fp,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY importance_fp DESC, doc_id ASC
+               ) AS quality_rank
+        FROM scored
+    )
+    SELECT doc_id, source, importance_fp,
+           CAST(quality_rank AS BIGINT) AS quality_rank
+    FROM r JOIN c USING (source)
+    WHERE quality_rank <= ceil({_DSIR_SELECT_FRACTION} * n)
+"""
+
+
 _KTRUSS_ORACLE_ROUNDS = 16
 
 
@@ -7526,84 +8013,114 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        # r10-green (CORRECTNESS_r10.json, 50/50), displaced by the r11
-        # window refresh (JPEG de-stub + walk/k-truss scale fixes + the
-        # 40-query stale-evidence rotation); implementation unchanged
-        # in r11
-        "events_decayed_guardrails",
-        "events_decayed_value",
-        "graph_node_similarity",
-        "retrieval_hybrid_rrf",
-        "web_url_normalize",
-        "stats_hll_rollup",
+        # r11-green (CORRECTNESS_r11.json, 50/50), displaced by the r12
+        # window refresh (five new operators + the stale-evidence
+        # rotation); implementation unchanged in r12
+        "approx_stats",
+        "curation_arrival",
+        "dedup_containment",
+        "dedup_containment_groups",
+        "dedup_edit_distance",
+        "dedup_exact_groups",
+        "dedup_semantic_groups",
+        "embedding_near_dup",
+        "graph_harmonic_closeness",
+        "graph_ktruss",
+        "graph_node2vec_walks",
+        "graph_node_similarity_cosine",
+        "graph_node_similarity_overlap",
+        "graph_random_walks",
+        "graph_shortest_paths",
+        "graph_triangles",
+        "graph_walk_skipgrams",
+        "multimodal_audio_stats",
+        "multimodal_features",
+        "multimodal_image_stats",
+        "multimodal_image_stats_jpeg",
+        "multimodal_video_frames",
+        "q13_customer_distribution",
+        "q20_excess_shippers",
+        "q21_waiting_suppliers",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_region_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "range_join_shipments",
+        "sample_mixture_weights",
+        "sample_token_budget",
+        "sequence_packing",
+        "similarity_knn_join",
+        "similarity_matryoshka_topk",
+        "similarity_topk",
+        "sort_limit",
+        "text_bigram_logprob",
+        "text_bpe_merges",
+        "text_chunking",
+        "text_contamination",
+        "text_decontaminate",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_pii_redact",
+        "text_pii_scan",
+        "text_rolling_hash",
+        "text_unigram_logprob",
+        # r10-green (CORRECTNESS_r10.json), last displaced in r11;
+        # implementation unchanged since
         "agg_distinct_parts",
         "array_agg_orders",
         "asof_purchase_click",
         "cube_lineitem",
+        "dedup_boilerplate_lines",
+        "dedup_minhash_banded",
         "dedup_simhash_pairs",
+        "embedding_near_dup_lsh",
         "events_attribution",
+        "events_decayed_guardrails",
+        "events_decayed_value",
         "events_dedup",
         "events_funnel",
         "events_hourly",
         "events_retention",
         "events_sessionize",
         "events_type_pivot",
+        "graph_bfs",
+        "graph_clustering",
+        "graph_kcore",
+        "graph_label_propagation",
+        "graph_node_similarity",
+        "graph_ppr",
         "grouping_sets_lineitem",
         "json_extract_events",
+        "q16_supplier_exclusion",
+        "q17_small_quantity_revenue",
+        "q1_pricing_summary",
+        "q22_idle_customers",
         "regression_stats",
+        "retrieval_hybrid_rrf",
         "rollup_lineitem",
         "salted_agg_events",
+        "stats_hll_rollup",
+        "text_bm25_join",
         "text_stats",
+        "web_url_normalize",
         "window_analytics",
         "window_range_frame",
-        "q22_idle_customers",
-        "q17_small_quantity_revenue",
-        "q16_supplier_exclusion",
-        "dedup_boilerplate_lines",
-        "embedding_near_dup_lsh",
-        "q1_pricing_summary",
-        # r5-green, rotated back out of the r10 window to make room for
-        # the dedup_set_similarity reshape and graph_node_similarity
-        # (rotated into the r11 window as promised)
-        "similarity_knn_join",
-        "sample_token_budget",
-        "range_join_shipments",
-        "sample_mixture_weights",
-        "q9_product_profit",
-        "q8_market_share",
-        "q7_nation_volume",
-        "q3_shipping_priority",
-        "graph_triangles",
-        "approx_stats",
-        "curation_arrival",
-        "dedup_edit_distance",
-        "dedup_exact_groups",
-        "dedup_semantic_groups",
-        "embedding_near_dup",
-        "multimodal_features",
-        "q21_waiting_suppliers",
-        "q5_region_revenue",
-        "q20_excess_shippers",
-        # r9-green (CORRECTNESS_r09.json), rotated out by the round-10
-        # window refresh; implementation unchanged in r10
+        # r9-green (CORRECTNESS_r09.json), past the window since r10;
+        # implementation unchanged since
         "curation_admission",
         "curation_apply_delta",
         "curation_corpus_diff",
         "curation_full_funnel",
         "curation_release",
         "dedup_incremental_indexed",
-        "dedup_minhash_banded",
         "dedup_ngram3_pairs",
         "dedup_semantic_incremental",
         "embedding_random_projection",
-        "graph_bfs",
-        "graph_clustering",
         "graph_hits",
-        "graph_kcore",
-        "graph_label_propagation",
         "graph_link_prediction",
         "graph_pagerank_bucketed",
-        "graph_ppr",
         "graph_sample_neighbors",
         "layout_dpp_revenue",
         "layout_zorder_revenue",
@@ -7622,7 +8139,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "similarity_sq8_topk",
         "stats_contract_violations",
         "stats_table_profile",
-        "text_bm25_join",
         "text_bpe_encode",
         "text_bpe_encode_arrow",
         "text_chunking_udtf",
@@ -7630,78 +8146,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "text_pii_cards",
         "text_quality_classifier",
         "text_strip_html",
-        # r9-green (CORRECTNESS_r09.json), displaced from the window by
-        # the round-10 entries; implementation unchanged in r10
-        "dedup_canonical_keeper",
-        "sample_split_leakage",
-        # r8-green (CORRECTNESS_r08.json), displaced from the window by
-        # the round-9 queries; implementation unchanged in r9
-        "q19_bracket_revenue",
-        "window_top_orders",
-        "window_distribution",
-        "unpivot_orders",
-        "percentile_prices",
-        "exists_big_customers",
-        "running_revenue",
-        "text_token_frequencies",
-        # r6-green (CORRECTNESS_r06.json), displaced from the window by
-        # the round-7 queries; implementation unchanged in r7
-        "q4_order_priority",
-        "q13_customer_distribution",
-        "q6_forecast_revenue",
-        "q10_returned_revenue",
-        "q12_shipmode_priority",
-        "graph_cc_star",
-        "graph_load_stats",
-        "graph_node_degrees",
-        "graph_connected_components",
-        "graph_dangling_edges",
-        "graph_edge_resolution",
-        "graph_nodes_project",
-        "graph_edges_project",
-        "sample_per_source_cap",
-        "events_anomaly",
-        "text_repetition",
-        "source_curation_stats",
-        "curation_pipeline",
-        "text_quality_gopher",
-        "sample_stratified_split",
-        "set_ops_nations",
-        # r8-green (CORRECTNESS_r08.json), displaced past the window by
-        # the round-9 second batch; implementation unchanged since r8
-        "dedup_repeated_passages",
-        "dedup_passage_removal",
-        "dedup_set_similarity",
-        "text_bm25_topk",
-        "dedup_minhash_pairs",
-        "dedup_near_groups",
-        "dedup_incremental",
-        "graph_pagerank",
-        "scalar_functions",
-        "date_functions",
-        "q11_important_stock",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q18_large_volume_customers",
-        # r4-green (CORRECTNESS_r04.json), implementation unchanged
-        # since, locally re-verified green via scripts/check_oracle.py
-        # r5-green (CORRECTNESS_r05.json), implementation unchanged in
-        # round 6, locally re-verified green
-        "sequence_packing",
-        "similarity_matryoshka_topk",
-        "similarity_topk",
-        "sort_limit",
-        "text_bigram_logprob",
-        "text_bpe_merges",
-        "text_chunking",
-        "text_contamination",
-        "text_decontaminate",
-        "text_fingerprint",
-        "text_lang_id",
-        "text_pii_redact",
-        "text_pii_scan",
-        "text_rolling_hash",
-        "text_unigram_logprob",
     }
 )
 
@@ -7718,32 +8162,104 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in round 11: real baseline-JPEG decode in the graded
-        # -- surface (VERDICT r10 #5) --------------------------------------
-        "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
-        "multimodal_audio_stats": q_multimodal_audio_stats,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "graph_harmonic_closeness": q_graph_harmonic_closeness,
-        "graph_node_similarity_overlap": q_graph_node_similarity_overlap,
-        "graph_node_similarity_cosine": q_graph_node_similarity_cosine,
-        # -- changed in round 11: hub-safe bucketed adjacency ranking in
-        # -- the walk family (VERDICT r10 #1), degree-oriented k-truss
-        # -- wedges + oracle-pinned max_iter (#2 + ADVICE), fail-fast
-        # -- shortest-paths validation (ADVICE), containment cache
-        # -- lifecycle (#6), smart_decode JPEG dispatch — fresh driver
-        # -- rows for every consumer of a changed operator -----------------
-        "graph_random_walks": q_graph_random_walks,
-        "graph_walk_skipgrams": q_graph_walk_skipgrams,
-        "graph_node2vec_walks": q_graph_node2vec_walks,
-        "graph_ktruss": q_graph_ktruss,
-        "graph_shortest_paths": q_graph_shortest_paths,
+        # -- new in round 12 (VERDICT r11 #1/#5/#6): the five r11
+        # -- operators wired into the driver gate — eigenvector power
+        # -- iteration, landmark Brandes betweenness, FastRP signed
+        # -- projection, CMS sketch+estimate (+ the merge-on-read
+        # -- rollup twin of the streaming maintenance path), DSIR
+        # -- weights + the composed end-to-end selection -------------------
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_betweenness": q_graph_betweenness,
+        "graph_fastrp": q_graph_fastrp,
+        "profile_cms_frequencies": q_profile_cms_frequencies,
+        "events_cms_rollup": q_events_cms_rollup,
+        "sample_importance_weights": q_sample_importance_weights,
+        "sample_dsir_selection": q_sample_dsir_selection,
+        # -- rotated in (round 12, VERDICT r11 #3): the stalest PV
+        # -- evidence — rows last driver-checked in r6/r8 ------------------
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "graph_cc_star": q_graph_cc_star,
+        "graph_load_stats": q_graph_load_stats,
+        "graph_node_degrees": q_graph_node_degrees,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_dangling_edges": q_graph_dangling_edges,
+        "graph_edge_resolution": q_graph_edge_resolution,
+        "graph_nodes_project": q_graph_nodes_project,
+        "graph_edges_project": q_graph_edges_project,
+        "sample_per_source_cap": q_sample_per_source_cap,
+        "events_anomaly": q_events_anomaly,
+        "text_repetition": q_text_repetition,
+        "source_curation_stats": q_source_curation_stats,
+        "curation_pipeline": q_curation_pipeline,
+        "text_quality_gopher": q_text_quality_gopher,
+        "sample_stratified_split": q_sample_stratified_split,
+        "set_ops_nations": q_set_ops_nations,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
+        "unpivot_orders": q_unpivot_orders,
+        "percentile_prices": q_percentile_prices,
+        "exists_big_customers": q_exists_big_customers,
+        "running_revenue": q_running_revenue,
+        "text_token_frequencies": q_text_token_frequencies,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
+        "dedup_passage_removal": q_dedup_passage_removal,
+        "dedup_set_similarity": q_dedup_set_similarity,
+        "text_bm25_topk": q_text_bm25_topk,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
+        "dedup_incremental": q_dedup_incremental,
+        "graph_pagerank": q_graph_pagerank,
+        "scalar_functions": q_scalar_functions,
+        "date_functions": q_date_functions,
+        "q11_important_stock": q11_important_stock,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "dedup_canonical_keeper": q_dedup_canonical_keeper,
+        "sample_split_leakage": q_sample_split_leakage,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round, implementation unchanged since, and ------
+        # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "approx_stats": q_approx_stats,
+        "curation_arrival": q_curation_arrival,
         "dedup_containment": q_dedup_containment,
         "dedup_containment_groups": q_dedup_containment_groups,
-        "multimodal_image_stats": q_multimodal_image_stats,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        "embedding_near_dup": q_embedding_near_dup,
+        "graph_harmonic_closeness": q_graph_harmonic_closeness,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
+        "graph_node_similarity_cosine": q_graph_node_similarity_cosine,
+        "graph_node_similarity_overlap": q_graph_node_similarity_overlap,
+        "graph_random_walks": q_graph_random_walks,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_triangles": q_graph_triangles,
+        "graph_walk_skipgrams": q_graph_walk_skipgrams,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "multimodal_features": q_multimodal_features,
-        # -- rotated in (round 11, VERDICT r10 #3): the r4/r5-era tail —
-        # -- the stalest driver evidence in the catalog --------------------
+        "multimodal_image_stats": q_multimodal_image_stats,
+        "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "range_join_shipments": q_range_join_shipments,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "sample_token_budget": q_sample_token_budget,
         "sequence_packing": q_sequence_packing,
+        "similarity_knn_join": q_similarity_knn_join,
         "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
         "similarity_topk": q_similarity_topk,
         "sort_limit": q_sort_limit,
@@ -7758,152 +8274,82 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_scan": q_text_pii_scan,
         "text_rolling_hash": q_text_rolling_hash,
         "text_unigram_logprob": q_text_unigram_logprob,
-        # -- rotated in (round 11): the r5-green block the r10 window
-        # -- comment promised for the r11 refresh --------------------------
-        "similarity_knn_join": q_similarity_knn_join,
-        "sample_token_budget": q_sample_token_budget,
-        "range_join_shipments": q_range_join_shipments,
-        "sample_mixture_weights": q_sample_mixture_weights,
-        "q9_product_profit": q9_product_profit,
-        "q8_market_share": q8_market_share,
-        "q7_nation_volume": q7_nation_volume,
-        "q3_shipping_priority": q3_shipping_priority,
-        "graph_triangles": q_graph_triangles,
-        "approx_stats": q_approx_stats,
-        "curation_arrival": q_curation_arrival,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_semantic_groups": q_dedup_semantic_groups,
-        "embedding_near_dup": q_embedding_near_dup,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q5_region_revenue": q5_region_revenue,
-        "q20_excess_shippers": q20_excess_shippers,
-        # -- rotated in (round 11): the oldest r6-green rows ----------------
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round, implementation unchanged since, and ------
-        # ---- re-verified green locally via scripts/check_oracle.py) -----
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_shipmode_priority": q12_shipmode_priority,
-        "graph_cc_star": q_graph_cc_star,
-        "graph_load_stats": q_graph_load_stats,
-        "events_decayed_guardrails": q_events_decayed_guardrails,
-        "graph_node_similarity": q_graph_node_similarity,
-        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
-        "web_url_normalize": q_web_url_normalize,
-        "stats_hll_rollup": q_stats_hll_rollup,
-        "events_decayed_value": q_events_decayed_value,
-        "dedup_set_similarity": q_dedup_set_similarity,
-        "text_bm25_join": q_text_bm25_join,
-        "dedup_repeated_passages": q_dedup_repeated_passages,
-        "dedup_passage_removal": q_dedup_passage_removal,
-        "dedup_minhash_banded": q_dedup_minhash_banded,
-        "graph_bfs": q_graph_bfs,
-        "graph_ppr": q_graph_ppr,
-        "graph_kcore": q_graph_kcore,
-        "graph_clustering": q_graph_clustering,
-        "graph_label_propagation": q_graph_label_propagation,
         "agg_distinct_parts": q_agg_distinct_parts,
         "array_agg_orders": q_array_agg_orders,
         "asof_purchase_click": q_asof_purchase_click,
         "cube_lineitem": q_cube_lineitem,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "dedup_minhash_banded": q_dedup_minhash_banded,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "events_attribution": q_events_attribution,
+        "events_decayed_guardrails": q_events_decayed_guardrails,
+        "events_decayed_value": q_events_decayed_value,
         "events_dedup": q_events_dedup,
         "events_funnel": q_events_funnel,
         "events_hourly": q_events_hourly,
         "events_retention": q_events_retention,
         "events_sessionize": q_events_sessionize,
         "events_type_pivot": q_events_type_pivot,
+        "graph_bfs": q_graph_bfs,
+        "graph_clustering": q_graph_clustering,
+        "graph_kcore": q_graph_kcore,
+        "graph_label_propagation": q_graph_label_propagation,
+        "graph_node_similarity": q_graph_node_similarity,
+        "graph_ppr": q_graph_ppr,
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
         "json_extract_events": q_json_extract_events,
+        "q16_supplier_exclusion": q16_supplier_exclusion,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q22_idle_customers": q22_idle_customers,
         "regression_stats": q_regression_stats,
+        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
         "rollup_lineitem": q_rollup_lineitem,
         "salted_agg_events": q_salted_agg_events,
+        "stats_hll_rollup": q_stats_hll_rollup,
+        "text_bm25_join": q_text_bm25_join,
         "text_stats": q_text_stats,
+        "web_url_normalize": q_web_url_normalize,
         "window_analytics": q_window_analytics,
         "window_range_frame": q_window_range_frame,
-        "q22_idle_customers": q22_idle_customers,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q16_supplier_exclusion": q16_supplier_exclusion,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "q1_pricing_summary": q1_pricing_summary,
-        "graph_sample_neighbors": q_graph_sample_neighbors,
-        "curation_apply_delta": q_curation_apply_delta,
-        "sample_temperature": q_sample_temperature,
-        "layout_zorder_revenue": q_layout_zorder_revenue,
-        "text_pii_cards": q_text_pii_cards,
-        "sample_top_fraction": q_sample_top_fraction,
-        "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
-        "dedup_semantic_incremental": q_dedup_semantic_incremental,
-        "graph_hits": q_graph_hits,
-        "stats_contract_violations": q_stats_contract_violations,
-        "sample_training_order": q_sample_training_order,
-        "similarity_hard_negatives": q_similarity_hard_negatives,
-        "text_strip_html": q_text_strip_html,
-        "layout_dpp_revenue": q_layout_dpp_revenue,
-        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
-        "sample_shard_assignment": q_sample_shard_assignment,
-        "text_quality_classifier": q_text_quality_classifier,
-        "sample_cluster_balance": q_sample_cluster_balance,
-        "graph_link_prediction": q_graph_link_prediction,
-        "curation_corpus_diff": q_curation_corpus_diff,
-        "embedding_random_projection": q_embedding_random_projection,
-        "stats_table_profile": q_stats_table_profile,
-        "sample_quality_curriculum": q_sample_quality_curriculum,
-        "text_bpe_encode": q_text_bpe_encode,
-        "text_chunking_udtf": q_text_chunking_udtf,
-        "curation_release": q_curation_release,
-        "salted_join_parts": q_salted_join_parts,
-        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
-        "similarity_sq8_topk": q_similarity_sq8_topk,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_ann_index": q_similarity_ann_index,
-        "curation_full_funnel": q_curation_full_funnel,
-        "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
-        "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "curation_admission": q_curation_admission,
-        "sample_stratified_split": q_sample_stratified_split,
-        "dedup_canonical_keeper": q_dedup_canonical_keeper,
-        "sample_split_leakage": q_sample_split_leakage,
-        "text_bm25_topk": q_text_bm25_topk,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_near_groups": q_dedup_near_groups,
-        "dedup_incremental": q_dedup_incremental,
-        "graph_pagerank": q_graph_pagerank,
-        "scalar_functions": q_scalar_functions,
-        "date_functions": q_date_functions,
-        "q11_important_stock": q11_important_stock,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
-        "unpivot_orders": q_unpivot_orders,
-        "percentile_prices": q_percentile_prices,
-        "exists_big_customers": q_exists_big_customers,
-        "running_revenue": q_running_revenue,
-        "text_token_frequencies": q_text_token_frequencies,
-        "set_ops_nations": q_set_ops_nations,
-        "curation_pipeline": q_curation_pipeline,
-        "text_quality_gopher": q_text_quality_gopher,
-        "text_repetition": q_text_repetition,
-        "source_curation_stats": q_source_curation_stats,
-        "events_anomaly": q_events_anomaly,
-        "sample_per_source_cap": q_sample_per_source_cap,
-        "graph_nodes_project": q_graph_nodes_project,
-        "graph_edges_project": q_graph_edges_project,
-        "graph_edge_resolution": q_graph_edge_resolution,
-        "graph_dangling_edges": q_graph_dangling_edges,
-        "graph_node_degrees": q_graph_node_degrees,
-        "graph_connected_components": q_graph_connected_components,
+        "curation_apply_delta": q_curation_apply_delta,
+        "curation_corpus_diff": q_curation_corpus_diff,
+        "curation_full_funnel": q_curation_full_funnel,
+        "curation_release": q_curation_release,
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
+        "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "embedding_random_projection": q_embedding_random_projection,
+        "graph_hits": q_graph_hits,
+        "graph_link_prediction": q_graph_link_prediction,
+        "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
+        "graph_sample_neighbors": q_graph_sample_neighbors,
+        "layout_dpp_revenue": q_layout_dpp_revenue,
+        "layout_zorder_revenue": q_layout_zorder_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "salted_join_parts": q_salted_join_parts,
+        "sample_cluster_balance": q_sample_cluster_balance,
+        "sample_quality_curriculum": q_sample_quality_curriculum,
+        "sample_shard_assignment": q_sample_shard_assignment,
+        "sample_temperature": q_sample_temperature,
+        "sample_top_fraction": q_sample_top_fraction,
+        "sample_training_order": q_sample_training_order,
+        "similarity_ann_index": q_similarity_ann_index,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
+        "stats_contract_violations": q_stats_contract_violations,
+        "stats_table_profile": q_stats_table_profile,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
+        "text_chunking_udtf": q_text_chunking_udtf,
+        "text_chunking_udtf_arrow": q_text_chunking_udtf_arrow,
+        "text_pii_cards": q_text_pii_cards,
+        "text_quality_classifier": q_text_quality_classifier,
+        "text_strip_html": q_text_strip_html,
     }
     oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}

@@ -406,3 +406,75 @@ def sketch_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
     ).select(F.lit("ALL").alias("day"), "est_users")
     return per_day.unionByName(total)
+
+
+def cms_store_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = 0,
+):
+    """Streaming count-min-sketch maintenance (VERDICT r11 #5) — the
+    point-frequency sibling of :func:`sketch_store_stream`: each
+    micro-batch folds its events into PER-DAY CMS partials
+    (:func:`~..operators.profile.cms_sketch` with ``group_cols=
+    ("day",)``) and appends the skinny ``(day, cms_row, cms_bucket,
+    cnt)`` rows to a store; nobody ever rescans history. CMS merge is
+    counter-wise SUM (not HLL's register max), so the merge of ANY
+    partition of the stream equals the single-pass sketch BIT-EXACTLY
+    — a stronger invariant than the HLL 10% gate, asserted to the
+    digit in tests and in the ``events_cms_rollup`` driver oracle.
+    ``foreachBatch`` + overwrite-by-batch_id is the exactly-once
+    shape: replaying a failed batch overwrites rather than
+    double-counting.
+
+    Returns the started query (``trigger(availableNow=True)`` — drains
+    the source and stops; re-invoke after new files land for the next
+    epoch, the checkpoint skips everything already folded).
+    """
+    from ..operators.profile import cms_sketch
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+
+    def fold(batch_df, batch_id: int) -> None:
+        (
+            cms_sketch(
+                batch_df,
+                "user_id",
+                depth=depth,
+                width=width,
+                seed=seed,
+                group_cols=("day",),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        daily.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read over the CMS store: the GLOBAL sketch as one
+    counter-wise sum over every per-day per-batch partial — output
+    ``(cms_row, cms_bucket, cnt)``, bit-identical to a single-pass
+    :func:`~..operators.profile.cms_sketch` over the full history
+    (CMS counters are plain sums; addition is associative-commutative
+    over integers, so ANY batch/day partition merges exactly). The
+    read path never touches raw events; per-day sketches fall out of
+    the same store by keeping ``day`` in the groupBy."""
+    store = spark.read.parquet(store_dir)
+    return (
+        store.groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

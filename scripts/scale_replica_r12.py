@@ -1,0 +1,225 @@
+"""5× structure-preserving scale replicas for the round-12 rows
+(VERDICT r11 #4 — the five r11 operators had only single-SF points
+before entering the driver gate).
+
+Replica constructions, per operator:
+
+- ``eigenvector_centrality`` / ``fastrp_embeddings``: five disjoint
+  id-offset copies of the symmetrized co-order edges — per-copy degree
+  structure identical, SAME iteration count over 5× data per round,
+  output rows exactly 5× (asserted). Eigenvector's L1 total is global,
+  so x5 scores differ by the 5× denominator — values change, row count
+  and per-round join shape don't, which is what the protocol times.
+- ``landmark_betweenness``: id-offset copies put all k landmarks in
+  copy 0, which IS the operator's documented 100-TB shape — cost ∝
+  landmarks × reachable set, NOT graph size ("landmark count is the
+  precision/cost knob"). Expected wall ratio ≪ 5: the (seed, node)
+  state stays x1-sized while only the adjacency side of each
+  frontier join grows 5×. Output rows (all nodes) still 5× exactly.
+- ``cms sketch+estimate``: 5× orders rows into the SAME fixed 4×256
+  sketch (counters sum — sketch rows bounded, asserted ≤ depth·width),
+  5× candidate keys → 5× output rows (asserted).
+- ``events_cms_rollup``: 5× events with disjoint user ranges into the
+  fixed-size merged sketch — the bounded-state control row: output
+  bounded by depth·width at BOTH scales (asserted), wall should grow
+  ~data (one narrow explode + a ≤16k-key groupBy).
+- ``importance_weights`` (+ the composed top-fraction selection): five
+  doc-id-offset copies, text/source unchanged — bucket counts scale
+  uniformly (weights shift by the +1 smoothing only), per-doc rows and
+  survivors grow exactly 5× (asserted; 0.25·2500 divides evenly).
+
+Both scales read from parquet (replica build cost is untimed). Run:
+
+    python scripts/scale_replica_r12.py [--trials N]
+
+Prints one JSON line per operator: x1/x5 best-of-N seconds + ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dataflow_flex_pyarrow_to_gds_spark import get_spark
+from dataflow_flex_pyarrow_to_gds_spark.queries import (
+    _CMS_DEPTH,
+    _CMS_ROLLUP_WIDTH,
+    _CMS_SEED,
+    _CMS_WIDTH,
+    _DSIR_BUCKETS,
+    _DSIR_SCALE,
+    _DSIR_SELECT_FRACTION,
+    _DSIR_TARGET_SOURCES,
+    _co_order_edges,
+)
+
+OFFSET = 100_000_000
+
+
+def replicate(df, id_cols, copies=5):
+    """Five disjoint copies: id columns offset per copy, the rest
+    carried verbatim."""
+    out = None
+    for r in range(copies):
+        c = df.select(
+            *[
+                (F.col(x) + F.lit(r * OFFSET)).alias(x)
+                if x in id_cols
+                else F.col(x)
+                for x in df.columns
+            ]
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    trials = 3
+    if "--trials" in sys.argv:
+        trials = int(sys.argv[sys.argv.index("--trials") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale-replica-r12")
+    root = tempfile.mkdtemp(prefix="r12_replica_")
+
+    co30 = _co_order_edges(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "user_id"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    inputs = {
+        "co30": (co30, ["sourceNodeId", "targetNodeId"]),
+        "orders": (orders, ["o_custkey"]),
+        "customer": (customer, ["c_custkey"]),
+        "events": (events, ["user_id"]),
+        "docs": (docs, ["doc_id"]),
+    }
+    paths: dict[str, dict[int, str]] = {}
+    for name, (df, cols) in inputs.items():
+        paths[name] = {}
+        for scale in (1, 5):
+            p = f"{root}/{name}_x{scale}"
+            (df if scale == 1 else replicate(df, cols)).write.mode(
+                "overwrite"
+            ).parquet(p)
+            paths[name][scale] = p
+
+    def rd(name, scale):
+        return spark.read.parquet(paths[name][scale])
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        eigenvector_centrality,
+        fastrp_embeddings,
+        landmark_betweenness,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.sampling import (
+        importance_weights,
+        top_fraction_per_group,
+    )
+
+    def cms_freq(s):
+        sk = cms_sketch(
+            rd("orders", s), "o_custkey",
+            depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED,
+        )
+        return cms_estimate(
+            sk, rd("customer", s), "c_custkey",
+            depth=_CMS_DEPTH, width=_CMS_WIDTH, seed=_CMS_SEED,
+        )
+
+    def cms_rollup(s):
+        daily = rd("events", s).select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        per_day = cms_sketch(
+            daily, "user_id",
+            depth=_CMS_DEPTH, width=_CMS_ROLLUP_WIDTH, seed=_CMS_SEED,
+            group_cols=("day",),
+        )
+        return per_day.groupBy("cms_row", "cms_bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+
+    def dsir_weights(s):
+        d = rd("docs", s)
+        return importance_weights(
+            d, d.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES)),
+            "doc_id", "text",
+            n_buckets=_DSIR_BUCKETS, ngram=2, scale=_DSIR_SCALE, seed=0,
+        )
+
+    def dsir_selection(s):
+        d = rd("docs", s)
+        scored = d.select("doc_id", "source").join(dsir_weights(s), "doc_id")
+        return top_fraction_per_group(
+            scored, "source", "importance_fp", "doc_id",
+            fraction=_DSIR_SELECT_FRACTION,
+        )
+
+    ops = {
+        "graph_eigenvector": lambda s: eigenvector_centrality(
+            rd("co30", s), iters=4, directed=False
+        ),
+        "graph_betweenness": lambda s: landmark_betweenness(
+            rd("co30", s), k_landmarks=4, max_hops=12
+        ),
+        "graph_fastrp": lambda s: fastrp_embeddings(
+            rd("co30", s), dims=4, iter_weights=(1, 2, 1), seed=7,
+            sparsity=3,
+        ),
+        "profile_cms_frequencies": cms_freq,
+        "events_cms_rollup": cms_rollup,
+        "sample_importance_weights": dsir_weights,
+        "sample_dsir_selection": dsir_selection,
+    }
+    bounded = {"events_cms_rollup"}  # fixed-size sketch output
+
+    results = {}
+    for name, fn in ops.items():
+        rows = {}
+        best = {1: 1e9, 5: 1e9}
+        for scale in (1, 5):
+            rows[scale] = fn(scale).count()  # warm + structure check
+        if name in bounded:
+            assert rows[1] <= rows[5] <= _CMS_DEPTH * _CMS_ROLLUP_WIDTH, (
+                name, rows,
+            )
+        else:
+            assert rows[5] == 5 * rows[1], (name, rows)
+        for _ in range(trials):
+            for scale in (1, 5):
+                t0 = time.perf_counter()
+                fn(scale).write.format("noop").mode("overwrite").save()
+                best[scale] = min(best[scale], time.perf_counter() - t0)
+        results[name] = {
+            "x1_sec": round(best[1], 2),
+            "x5_sec": round(best[5], 2),
+            "wall_ratio": round(best[5] / best[1], 2),
+            "rows_x1": rows[1],
+            "rows_x5": rows[5],
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps({"all": results, "loadavg": os.getloadavg()[0]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -42,9 +42,17 @@ def test_driver_window_covers_unverified_queries():
     assert beyond <= C.PREVIOUSLY_DRIVER_VERIFIED, (
         beyond - C.PREVIOUSLY_DRIVER_VERIFIED
     )
-    # a frozen name that drifted back inside the window is fine; a frozen
-    # name missing entirely means a rename broke the union-coverage claim
+    # a frozen name missing entirely means a rename broke the
+    # union-coverage claim
     assert C.PREVIOUSLY_DRIVER_VERIFIED <= set(names)
+    # r12 (VERDICT r11 #3): PV means "verified ONLY in a prior round" —
+    # a name in both the window and PV is bookkeeping drift (the r11
+    # rotated-in block was never pruned), so the sets must be disjoint
+    # and their union must be the whole catalog
+    assert not (window & C.PREVIOUSLY_DRIVER_VERIFIED), (
+        window & C.PREVIOUSLY_DRIVER_VERIFIED
+    )
+    assert window | C.PREVIOUSLY_DRIVER_VERIFIED == set(names)
 
 
 def test_entry_module_contract():

@@ -195,6 +195,11 @@ HEADLINE = [
     "events_cms_rollup",
     "sample_importance_weights",
     "sample_dsir_selection",
+    # round 12 (growth): weighted PageRank (GDS relationshipWeight
+    # parity) + DAG longest-path levels (GDS dag.longestPath parity)
+    "graph_pagerank_weighted",
+    "graph_dag_levels",
+    "graph_modularity",
 ]
 
 

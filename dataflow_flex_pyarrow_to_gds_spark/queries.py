@@ -484,6 +484,63 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
 _GRAPH_ORACLES["graph_label_propagation"] = _lpa_oracle_sql(3)
 
 
+def _modularity_oracle_sql(scale: int = 10**9) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.community_modularity`
+    over the 3-round LPA communities: REUSES the LPA oracle's CTE chain
+    verbatim (one definition — a tie-break retune can't drift between
+    the label row and the modularity row), swaps its final SELECT for
+    the degree/intra-edge/Q arithmetic in HUGEINT (the Spark side's
+    DECIMAL(38,0) headroom)."""
+    base = _lpa_oracle_sql(3)
+    head = base.rsplit("SELECT n AS nodeId", 1)[0].rstrip()
+    assert head.endswith(")"), "LPA oracle shape changed"
+    return head + f""",
+    deg AS (SELECT a AS n, CAST(count(*) AS HUGEINT) AS d
+            FROM sym GROUP BY a),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+    dc AS (
+        SELECT l.lbl, count(*) AS n_nodes,
+               CAST(sum(COALESCE(d.d, 0)) AS HUGEINT) AS ds
+        FROM l3 l LEFT JOIN deg d ON d.n = l.n GROUP BY l.lbl
+    ),
+    lc AS (
+        SELECT la.lbl, CAST(count(*) AS HUGEINT) AS lc
+        FROM e JOIN l3 la ON la.n = e.u JOIN l3 lb ON lb.n = e.v
+        WHERE la.lbl = lb.lbl GROUP BY la.lbl
+    )
+    SELECT dc.lbl AS community,
+           CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(lc.lc, 0) AS BIGINT) AS intra_edges,
+           CAST(dc.ds AS BIGINT) AS degree_sum,
+           CAST((COALESCE(lc.lc, 0) * {scale}) // m.m
+                - (dc.ds * dc.ds * {scale}) // (4 * m.m * m.m)
+                AS BIGINT) AS modularity_fp
+    FROM dc LEFT JOIN lc ON lc.lbl = dc.lbl CROSS JOIN m"""
+
+
+_GRAPH_ORACLES["graph_modularity"] = _modularity_oracle_sql()
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity (r12 — GDS ``gds.modularity``
+    parity) of the 3-round LPA communities over the co-order graph:
+    Q_c = L_c/m − (d_c/2m)² in exact integer micro-units (both terms
+    non-negative floor divisions — order-independent where the float
+    textbook form never hash-matches). The oracle replays the LPA
+    rounds AND the Q arithmetic off one shared CTE chain, so this row
+    re-verifies the labeler it composes with."""
+    from .operators.graph_algo import community_modularity, label_propagation
+
+    edges = _co_order_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    labels = label_propagation(nodes, edges, iters=3, assume_canonical=True)
+    return community_modularity(edges, labels)
+
+
 # --------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-2.8 categories the reference lacks; §7.3.4)
 # --------------------------------------------------------------------------
@@ -4608,6 +4665,152 @@ def _fastrp_oracle_sql(
 _GRAPH_ORACLES["graph_fastrp"] = _fastrp_oracle_sql()
 
 
+_PRW_ITERS = 4
+
+
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (r12 — GDS ``gds.pageRank`` with
+    ``relationshipWeightProperty`` parity) over the co-order graph with
+    edge weight = co-order MULTIPLICITY (how many qty≥30 orders share
+    the part pair — the natural affinity strength the deduped edge
+    list throws away): rank mass leaves each node ∝ weight via per-edge
+    integer floor division, so the ranks hash-match the oracle's
+    unrolled HUGEINT replay bit-for-bit (float weighted PageRank never
+    could)."""
+    from .operators.graph_algo import pagerank_weighted
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pw = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pw.select(
+        F.col("u").alias("sourceNodeId"),
+        F.col("v").alias("targetNodeId"),
+        "w",
+    ).unionByName(
+        pw.select(
+            F.col("v").alias("sourceNodeId"),
+            F.col("u").alias("targetNodeId"),
+            "w",
+        )
+    )
+    nodes = edges.select(F.col("sourceNodeId").alias("nodeId")).distinct()
+    return pagerank_weighted(nodes, edges, "w", iters=_PRW_ITERS)
+
+
+def _pagerank_weighted_oracle_sql(
+    iters: int = _PRW_ITERS,
+    scale: int = 10**12,
+    num: int = 85,
+    den: int = 100,
+    min_qty: int = 30,
+) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.pagerank_weighted`
+    over the multiplicity-weighted symmetrized co-order edges: same
+    unrolled iterations, same per-edge ``(r·w) // W_u`` floor division
+    (HUGEINT carries the DECIMAL(25,0) headroom the Spark side uses)."""
+    base = f"(({den - num} * {scale}) // {den}) // cnt.nn"
+    txt = f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            WHERE l_quantity >= {min_qty}
+        ),
+        pw AS (
+            SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b, w FROM pw
+            UNION ALL SELECT v, u, w FROM pw
+        ),
+        n AS (SELECT DISTINCT a AS id FROM sym),
+        cnt AS (SELECT count(*) AS nn FROM n),
+        ws AS (SELECT a, CAST(sum(w) AS HUGEINT) AS wt FROM sym GROUP BY a),
+        it0 AS (SELECT id, {scale} // nn AS r FROM n, cnt)"""
+    prev = "it0"
+    for i in range(1, iters + 1):
+        txt += f""",
+        it{i} AS (
+            SELECT n.id, {base} + ({num} * COALESCE(sm.sm, 0)) // {den} AS r
+            FROM n CROSS JOIN cnt
+            LEFT JOIN (
+                SELECT e.b AS id,
+                       sum((CAST(p.r AS HUGEINT) * e.w) // ws.wt) AS sm
+                FROM sym e JOIN {prev} p ON p.id = e.a JOIN ws ON ws.a = e.a
+                GROUP BY e.b
+            ) sm ON sm.id = n.id)"""
+        prev = f"it{i}"
+    txt += f"""
+        SELECT id AS "nodeId", CAST(r AS BIGINT) AS rank_fp FROM {prev}"""
+    return txt
+
+
+_GRAPH_ORACLES["graph_pagerank_weighted"] = _pagerank_weighted_oracle_sql()
+
+
+def q_graph_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest-path levels (r12 — GDS ``gds.dag.longestPath``
+    parity) over each customer's order chain (consecutive orders by
+    date — the per-entity sequence DAG): level = edges on the longest
+    path ending at the order, i.e. its position in the chain.
+    Max-relaxation to a fixpoint with a loud cycle guard; exact small
+    integers, so the oracle's recursive path enumeration matches
+    bit-for-bit. Per-customer sequence windows are the sessionize
+    shape (bounded rows per key at fixture scale; the range-bucket
+    prefix-sum reshape applies when keys can be hubs)."""
+    from .operators.graph_algo import dag_longest_path
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("sourceNodeId"),
+            F.lead("o_orderkey").over(w).alias("targetNodeId"),
+        )
+        .filter(F.col("targetNodeId").isNotNull())
+    )
+    return dag_longest_path(nxt, max_iter=64)
+
+
+_GRAPH_ORACLES["graph_dag_levels"] = """
+    WITH RECURSIVE
+    o AS (
+        SELECT o_custkey AS c, o_orderkey AS k,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    e AS MATERIALIZED (
+        SELECT a.k AS s, b.k AS t
+        FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1
+    ),
+    n AS (SELECT s AS id FROM e UNION SELECT t FROM e),
+    walk(node, len) AS (
+        SELECT id, 0 FROM n
+        UNION ALL
+        SELECT e.t, w.len + 1 FROM walk w JOIN e ON e.s = w.node
+    )
+    SELECT node AS "nodeId", CAST(max(len) AS BIGINT) AS level
+    FROM walk GROUP BY node
+"""
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 _CMS_SEED = 0
@@ -8107,6 +8310,14 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "web_url_normalize",
         "window_analytics",
         "window_range_frame",
+        # r9-green, briefly slotted for the r12 window then displaced
+        # by the two r12 growth operators (weighted PageRank + DAG
+        # levels); implementation unchanged since r9
+        "dedup_canonical_keeper",
+        "sample_split_leakage",
+        # r8-green, briefly slotted for the r12 window then displaced
+        # by graph_modularity; implementation unchanged since r8
+        "q18_large_volume_customers",
         # r9-green (CORRECTNESS_r09.json), past the window since r10;
         # implementation unchanged since
         "curation_admission",
@@ -8175,6 +8386,12 @@ def _specs() -> dict[str, QuerySpec]:
         "events_cms_rollup": q_events_cms_rollup,
         "sample_importance_weights": q_sample_importance_weights,
         "sample_dsir_selection": q_sample_dsir_selection,
+        # -- new in round 12 (growth): weighted PageRank + DAG
+        # -- longest-path levels (GDS pageRank-with-weights /
+        # -- dag.longestPath parity) ---------------------------------------
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_dag_levels": q_graph_dag_levels,
+        "graph_modularity": q_graph_modularity,
         # -- rotated in (round 12, VERDICT r11 #3): the stalest PV
         # -- evidence — rows last driver-checked in r6/r8 ------------------
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -8217,13 +8434,13 @@ def _specs() -> dict[str, QuerySpec]:
         "q11_important_stock": q11_important_stock,
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "dedup_canonical_keeper": q_dedup_canonical_keeper,
-        "sample_split_leakage": q_sample_split_leakage,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "dedup_canonical_keeper": q_dedup_canonical_keeper,
+        "sample_split_leakage": q_sample_split_leakage,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "approx_stats": q_approx_stats,
         "curation_arrival": q_curation_arrival,
         "dedup_containment": q_dedup_containment,

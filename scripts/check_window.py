@@ -129,23 +129,25 @@ def module_closures() -> tuple[dict[str, frozenset[str]], dict[str, str]]:
     known = set(mods)
     srcs = {n: open(p, encoding="utf-8").read() for n, p in mods.items()}
     direct = {n: module_imports(n, s, known) for n, s in srcs.items()}
-    closure: dict[str, frozenset[str]] = {}
-
-    def close(n: str, seen: set[str]) -> frozenset[str]:
-        if n in closure:
-            return closure[n]
-        if n in seen:  # cycle — return what we have so far
-            return frozenset()
-        seen.add(n)
-        acc = {n}
-        for d in direct[n]:
-            acc |= close(d, seen)
-            acc.add(d)
-        closure[n] = frozenset(acc)
-        return closure[n]
-
-    for n in mods:
-        close(n, set())
+    # Kleene fixpoint, NOT a DFS: a DFS that cuts cycles by returning a
+    # partial set makes cycle members' closures depend on traversal
+    # order, and set iteration order varies with PYTHONHASHSEED — the
+    # manifest then flips between processes (observed r12: the same
+    # tree hashed two ways). The fixpoint is order-independent by
+    # construction: iterate until no closure grows.
+    closure: dict[str, frozenset[str]] = {
+        n: frozenset({n}) | direct[n] for n in mods
+    }
+    changed = True
+    while changed:
+        changed = False
+        for n in mods:
+            acc = set(closure[n])
+            for d in direct[n]:
+                acc |= closure[d]
+            if len(acc) != len(closure[n]):
+                closure[n] = frozenset(acc)
+                changed = True
     hashes = {
         n: hashlib.sha256(s.encode()).hexdigest() for n, s in srcs.items()
     }

@@ -849,6 +849,20 @@ CHECKS: list[tuple[str, str, object]] = [
         and "partial_min" in p,
     ),
     (
+        "@prw_iter",
+        "weighted PageRank iteration: the weight rides the SAME edge "
+        "join as the rank (no extra exchange vs unweighted — exactly "
+        "one groupBy each for W_u, the contribution sum, and the "
+        "multiplicity build), contributions partial-aggregate, no "
+        "cartesian, no nested-loop join (base is a literal, not a "
+        "1-row broadcast), no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "partial_sum" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
         "sample_importance_weights",
         "DSIR weights: gram strings never reach an exchange (buckets "
         "hash in-projection — every hashpartitioning keys on bucket/"
@@ -1032,6 +1046,49 @@ def _no_unbucketed_target_window(p: str) -> bool:
     return bool(target_ranked) and all("_b#" in s for s in target_ranked)
 
 
+def _prw_iter(spark, sf: str):
+    """One un-checkpointed weighted-PageRank iteration over the
+    multiplicity-weighted co-order edges (same reveal trick as the
+    other iterative builders)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_weighted,
+    )
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pw = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pw.select(
+        F.col("u").alias("sourceNodeId"),
+        F.col("v").alias("targetNodeId"),
+        "w",
+    ).unionByName(
+        pw.select(
+            F.col("v").alias("sourceNodeId"),
+            F.col("u").alias("targetNodeId"),
+            "w",
+        )
+    )
+    nodes = edges.select(F.col("sourceNodeId").alias("nodeId")).distinct()
+    return pagerank_weighted(nodes, edges, "w", iters=1, checkpoint=False)
+
+
 def _eigen_iter(spark, sf: str):
     """One un-checkpointed eigenvector power iteration over the
     co-order graph (the catalog query checkpoints per round, which
@@ -1092,6 +1149,7 @@ CUSTOM_BUILDERS = {
     "@eigen_iter": _eigen_iter,
     "@betweenness_lineage": _betweenness_lineage,
     "@fastrp_iter": _fastrp_iter,
+    "@prw_iter": _prw_iter,
 }
 
 

@@ -89,6 +89,35 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="r12_replica_")
 
     co30 = _co_order_edges(spark, sf_dir)
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    co30w = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window as PW
+
+    ow = PW.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chains = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("sourceNodeId"),
+            F.lead("o_orderkey").over(ow).alias("targetNodeId"),
+        )
+        .filter(F.col("targetNodeId").isNotNull())
+    )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_custkey"
     )
@@ -103,6 +132,8 @@ def main() -> int:
     )
     inputs = {
         "co30": (co30, ["sourceNodeId", "targetNodeId"]),
+        "co30w": (co30w, ["u", "v"]),  # w carried verbatim per copy
+        "chains": (chains, ["sourceNodeId", "targetNodeId"]),
         "orders": (orders, ["o_custkey"]),
         "customer": (customer, ["c_custkey"]),
         "events": (events, ["user_id"]),
@@ -122,9 +153,13 @@ def main() -> int:
         return spark.read.parquet(paths[name][scale])
 
     from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_modularity,
+        dag_longest_path,
         eigenvector_centrality,
         fastrp_embeddings,
+        label_propagation,
         landmark_betweenness,
+        pagerank_weighted,
     )
     from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
         cms_estimate,
@@ -174,9 +209,51 @@ def main() -> int:
             fraction=_DSIR_SELECT_FRACTION,
         )
 
+    def prw(s):
+        pw = rd("co30w", s)
+        edges = pw.select(
+            F.col("u").alias("sourceNodeId"),
+            F.col("v").alias("targetNodeId"), "w",
+        ).unionByName(
+            pw.select(
+                F.col("v").alias("sourceNodeId"),
+                F.col("u").alias("targetNodeId"), "w",
+            )
+        )
+        nodes = edges.select(
+            F.col("sourceNodeId").alias("nodeId")
+        ).distinct()
+        return pagerank_weighted(nodes, edges, "w", iters=4)
+
     ops = {
         "graph_eigenvector": lambda s: eigenvector_centrality(
             rd("co30", s), iters=4, directed=False
+        ),
+        # r12 growth ops: weighted PageRank (same per-round shape as
+        # pagerank — ratio should track graph_pagerank's measured
+        # trajectory) and DAG levels (rounds = chain depth, identical
+        # per copy — the BFS-family shape)
+        "graph_pagerank_weighted": prw,
+        "graph_dag_levels": lambda s: dag_longest_path(
+            rd("chains", s), max_iter=64
+        ),
+        # LPA is structure-deterministic per copy, so communities (and
+        # their modularity rows) grow exactly 5×
+        "graph_modularity": lambda s: community_modularity(
+            rd("co30", s),
+            label_propagation(
+                rd("co30", s)
+                .select(F.col("sourceNodeId").alias("nodeId"))
+                .unionByName(
+                    rd("co30", s).select(
+                        F.col("targetNodeId").alias("nodeId")
+                    )
+                )
+                .distinct(),
+                rd("co30", s),
+                iters=3,
+                assume_canonical=True,
+            ),
         ),
         "graph_betweenness": lambda s: landmark_betweenness(
             rd("co30", s), k_landmarks=4, max_hops=12
@@ -202,6 +279,12 @@ def main() -> int:
             assert rows[1] <= rows[5] <= _CMS_DEPTH * _CMS_ROLLUP_WIDTH, (
                 name, rows,
             )
+        elif name == "sample_dsir_selection":
+            # per-source survivors are ceil(f·n): 5·ceil(f·n) − ceil(f·5n)
+            # ∈ [0, 4] per source, so the x5 count may fall short of 5×
+            # by up to 4 × n_sources — ceiling granularity, not replica
+            # coupling
+            assert 0 <= 5 * rows[1] - rows[5] <= 4 * 20, (name, rows)
         else:
             assert rows[5] == 5 * rows[1], (name, rows)
         for _ in range(trials):

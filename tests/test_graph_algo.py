@@ -1762,3 +1762,157 @@ def test_fastrp_long_iter_weights_widen(spark):
         for k in emb:
             emb[k] += w * h[k]
     assert got == emb, (got, emb)
+
+
+def test_pagerank_weighted_reference(spark):
+    """Weighted PageRank vs a pure-Python replica of the per-edge
+    floor-division recurrence; the heavier edge pulls strictly more
+    mass than the light one from the same source."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_weighted,
+    )
+
+    rows = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (4, 3, 5)]
+    edges = spark.createDataFrame(
+        rows, "sourceNodeId long, targetNodeId long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "nodeId long")
+    got = {
+        r["nodeId"]: r["rank_fp"]
+        for r in pagerank_weighted(nodes, edges, "w", iters=4).collect()
+    }
+
+    scale, num, den, n = 10**12, 85, 100, 4
+    base = ((den - num) * scale // den) // n
+    wt = {}
+    for a, _b, w in rows:
+        wt[a] = wt.get(a, 0) + w
+    r = {v: scale // n for v in (1, 2, 3, 4)}
+    for _ in range(4):
+        sums = {}
+        for a, b, w in rows:
+            sums[b] = sums.get(b, 0) + (r[a] * w) // wt[a]
+        r = {v: base + (num * sums.get(v, 0)) // den for v in r}
+    assert got == r
+    assert got[2] > got[1]  # 1 sends 3/4 of its mass to 2
+
+
+def test_pagerank_weighted_uniform_equals_unweighted(spark):
+    """Constant weights are bit-identical to the unweighted form:
+    floor(r·c / (c·d)) == floor(r/d) — the quotient is the same
+    rational, so the floor can't differ."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_fixedpoint,
+        pagerank_weighted,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = [(i, (i * 7) % 23 + 1) for i in range(1, 41)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 42)], "nodeId long")
+    weighted = pagerank_weighted(
+        nodes, edges.withColumn("w", F.lit(9)), "w", iters=3
+    )
+    plain = pagerank_fixedpoint(nodes, edges, iters=3)
+    assert sorted(map(tuple, weighted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_dag_longest_path_reference(spark):
+    """Chain + diamond + isolated-in-DAG shapes vs hand levels: level =
+    longest path ending at the node, sources at 0, diamond's sink takes
+    the LONGER arm."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        dag_longest_path,
+    )
+
+    # chain 1→2→3→4; diamond 10→{11,12}, 11→13, 12→14→13
+    pairs = [(1, 2), (2, 3), (3, 4),
+             (10, 11), (10, 12), (11, 13), (12, 14), (14, 13)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        r["nodeId"]: r["level"]
+        for r in dag_longest_path(edges).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3,
+                   10: 0, 11: 1, 12: 1, 13: 3, 14: 2}
+
+
+def test_dag_longest_path_cycle_raises(spark):
+    """Non-convergence proves a cycle — loud failure, never a silently
+    truncated depth (the GDS topological-sort contract)."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        dag_longest_path,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "sourceNodeId long, targetNodeId long"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_longest_path(edges, max_iter=10)
+
+
+def test_community_modularity_reference(spark):
+    """Two triangles joined by one bridge, perfect 2-community split —
+    checked against the hand-computed integer formula; the merged
+    single community scores strictly worse (modularity's defining
+    property on this fixture)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_modularity,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "nodeId long, label long",
+    )
+    got = {
+        r["community"]: (
+            r["n_nodes"], r["intra_edges"], r["degree_sum"],
+            r["modularity_fp"],
+        )
+        for r in community_modularity(edges, labels).collect()
+    }
+    scale, m = 10**9, 7
+    deg = {1: 2, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2}
+    for c, members in ((1, (1, 2, 3)), (2, (4, 5, 6))):
+        dc = sum(deg[n] for n in members)
+        lc = 3  # each triangle
+        q = (lc * scale) // m - (dc * dc * scale) // (4 * m * m)
+        assert got[c] == (3, 3, dc, q), (c, got[c])
+
+    one = spark.createDataFrame(
+        [(n, 9) for n in range(1, 7)], "nodeId long, label long"
+    )
+    merged = community_modularity(edges, one).collect()[0]
+    # all 7 edges intra, but Q = 7/7 − 1 = 0 < the split's total
+    assert merged["modularity_fp"] == 0
+    assert sum(v[3] for v in got.values()) > 0
+
+
+def test_community_modularity_dedup_and_selfloops(spark):
+    """Duplicate/reversed/self-loop edges collapse to the canonical
+    undirected edge set before any counting."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "nodeId long, label long"
+    )
+    r = community_modularity(edges, labels).collect()[0]
+    assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (3, 2, 4)

@@ -200,6 +200,7 @@ HEADLINE = [
     "graph_pagerank_weighted",
     "graph_dag_levels",
     "graph_modularity",
+    "graph_rwr_sample",
 ]
 
 

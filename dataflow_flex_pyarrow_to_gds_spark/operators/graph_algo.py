@@ -1328,6 +1328,112 @@ def node_similarity(
     )
 
 
+def rwr_sample(
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    walks_per_seed: int = 3,
+    walk_length: int = 6,
+    restart_ppt: int = 200,
+    seed: int = 7,
+    hash_fn=None,
+    rank_buckets: int = 32,
+) -> DataFrame:
+    """GDS ``gds.graph.sample.rwr`` parity (r12): random-walk-with-
+    restart subgraph sampling — the standard GNN-training sampler
+    (Leskovec-Faloutsos 2006 "Sampling from Large Graphs" found RWR the
+    best-performing family): from each seed, ``walks_per_seed`` walkers
+    take ``walk_length`` steps, each step restarting back to the seed
+    with probability ``restart_ppt``/1000 (GDS's ``restartProbability``
+    quantized to exact parts-per-thousand), else stepping to a uniform
+    out-neighbor. Returns the sampled node set with visit counts —
+    ``(nodeId, visits)`` over all walker positions including step 0;
+    induce the subgraph's edges with one semi-join per endpoint (the
+    composition GDS performs internally).
+
+    DETERMINISTIC by construction (the :func:`random_walks` contract):
+    the step-i restart coin is ``pmod(H(start#wn#i#seed#r), 1000) <
+    restart_ppt`` and the neighbor pick ``pmod(H(start#wn#i#seed#n),
+    deg)`` over ascending-id neighbor ranks — same walks from any
+    engine/partitioning/retry, every position replayed bit-for-bit by
+    the DuckDB oracle. Walkers at SINKS restart to their seed (GDS
+    semantics — walkers never die, so an isolated seed samples just
+    itself).
+
+    Scale shape: :func:`_ranked_adjacency` + degree table checkpoint
+    once; per step the walker state (4×8-byte rows, ∝ seeds ×
+    walks_per_seed — NOT graph size) takes one left deg join + one
+    left (node, rank) equi-join; the final visit count is one
+    partial-aggregated groupBy. Sample size is the seeds × walks ×
+    length knob, the whole point of sampling at 100 TB.
+    """
+    from .dedup import portable_hash64_col
+
+    if walk_length < 1:
+        raise ValueError("rwr_sample: walk_length must be >= 1")
+    if walks_per_seed < 1:
+        raise ValueError("rwr_sample: walks_per_seed must be >= 1")
+    if not 0 <= restart_ppt <= 1000:
+        raise ValueError("rwr_sample: restart_ppt must be in [0, 1000]")
+    hash_fn = hash_fn or portable_hash64_col
+
+    adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        adj.groupBy(F.col(SOURCE_ID).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    state = seeds.select(F.col(NODE_ID).alias("_start")).distinct().select(
+        "_start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_seed - 1))
+        ).alias("_wn"),
+        F.col("_start").alias("_node"),
+    )
+    positions = state.select("_node")
+    for step in range(1, walk_length + 1):
+        tag = F.concat_ws(
+            "#", F.col("_start"), F.col("_wn"), F.lit(step), F.lit(seed)
+        )
+        restart = (
+            F.pmod(hash_fn(F.concat_ws("#", tag, F.lit("r"))), F.lit(1000))
+            < restart_ppt
+        )
+        pick = F.when(
+            restart | F.col("_d").isNull(), F.lit(None)
+        ).otherwise(
+            F.pmod(hash_fn(F.concat_ws("#", tag, F.lit("n"))), F.col("_d"))
+        )
+        state = (
+            state.join(deg, state["_node"] == deg["_s"], "left_outer")
+            .select(
+                "_start",
+                "_wn",
+                F.col("_node").alias("_cur"),
+                pick.alias("_pick"),
+            )
+            .join(
+                ranked,
+                (F.col("_cur") == ranked["_s"])
+                & (F.col("_pick") == ranked["_r"]),
+                "left_outer",
+            )
+            .select(
+                "_start",
+                "_wn",
+                F.coalesce(F.col("_t"), F.col("_start")).alias("_node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        positions = positions.unionByName(state.select("_node"))
+    return positions.groupBy(F.col("_node").alias(NODE_ID)).agg(
+        F.count(F.lit(1)).cast("long").alias("visits")
+    )
+
+
 def community_modularity(
     edges: DataFrame,
     labels: DataFrame,

@@ -4665,6 +4665,101 @@ def _fastrp_oracle_sql(
 _GRAPH_ORACLES["graph_fastrp"] = _fastrp_oracle_sql()
 
 
+_RWR_WALKS = 3
+_RWR_LEN = 6
+_RWR_PPT = 200
+_RWR_SEED = 7
+
+
+def q_graph_rwr_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart subgraph sampling (r12 — GDS
+    ``gds.graph.sample.rwr`` parity, the GNN-training sampler): from
+    every size-50 part, 3 walkers × 6 steps over the symmetrized
+    co-order graph, restarting home with probability 200/1000 —
+    restart coin and neighbor pick both portable-hash-deterministic,
+    so the oracle replays every walker position bit-for-bit and the
+    visit counts hash-match exactly."""
+    from .operators.graph_algo import rwr_sample
+
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("nodeId"))
+    )
+    edges = _co_order_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(
+            F.col("targetNodeId").alias("sourceNodeId"),
+            F.col("sourceNodeId").alias("targetNodeId"),
+        )
+    )
+    return rwr_sample(
+        seeds,
+        sym,
+        walks_per_seed=_RWR_WALKS,
+        walk_length=_RWR_LEN,
+        restart_ppt=_RWR_PPT,
+        seed=_RWR_SEED,
+    )
+
+
+def _rwr_oracle_sql(
+    walks: int = _RWR_WALKS,
+    length: int = _RWR_LEN,
+    ppt: int = _RWR_PPT,
+    seed: int = _RWR_SEED,
+) -> str:
+    """DuckDB twin of :func:`~.operators.graph_algo.rwr_sample`: the
+    walk-oracle per-step MATERIALIZED-CTE pattern with the restart
+    branch folded in as a CASE — restart coin < ppt OR sink ⇒ back to
+    the seed, else the ranked neighbor pick."""
+    wn_values = ", ".join(f"({i})" for i in range(walks))
+    txt = f"""
+        WITH {_co_order_sql().strip()},
+        e AS MATERIALIZED (
+            SELECT u AS s, v AS t FROM e0
+            UNION ALL SELECT v AS s, u AS t FROM e0
+        ),
+        ranked AS MATERIALIZED (
+            SELECT s, t,
+                   row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS r
+            FROM e
+        ),
+        deg AS MATERIALIZED (SELECT s, count(*) AS d FROM e GROUP BY s),
+        sd AS (SELECT p_partkey AS s FROM part WHERE p_size = 50),
+        w0 AS MATERIALIZED (
+            SELECT sd.s AS start_node, wnv.wn AS walk_no, sd.s AS node_id
+            FROM sd CROSS JOIN (VALUES {wn_values}) AS wnv(wn)
+        )"""
+    for i in range(1, length + 1):
+        hr = _hash_sql_of(
+            f"concat_ws('#', w.start_node, w.walk_no, '{i}', '{seed}', 'r')"
+        )
+        hn = _hash_sql_of(
+            f"concat_ws('#', w.start_node, w.walk_no, '{i}', '{seed}', 'n')"
+        )
+        txt += f""",
+        w{i} AS MATERIALIZED (
+            SELECT w.start_node, w.walk_no,
+                   CASE WHEN ((({hr}) % 1000) + 1000) % 1000 < {ppt}
+                          OR deg.d IS NULL
+                        THEN w.start_node ELSE ranked.t END AS node_id
+            FROM w{i - 1} w
+            LEFT JOIN deg ON w.node_id = deg.s
+            LEFT JOIN ranked ON w.node_id = ranked.s
+             AND ranked.r = ((({hn}) % deg.d) + deg.d) % deg.d
+        )"""
+    selects = " UNION ALL ".join(
+        f"SELECT node_id FROM w{i}" for i in range(length + 1)
+    )
+    return txt + f"""
+        SELECT node_id AS "nodeId", CAST(count(*) AS BIGINT) AS visits
+        FROM ({selects}) GROUP BY node_id"""
+
+
+_GRAPH_ORACLES["graph_rwr_sample"] = _rwr_oracle_sql()
+
+
 _PRW_ITERS = 4
 
 
@@ -8316,8 +8411,10 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "dedup_canonical_keeper",
         "sample_split_leakage",
         # r8-green, briefly slotted for the r12 window then displaced
-        # by graph_modularity; implementation unchanged since r8
+        # by graph_modularity / graph_rwr_sample; implementation
+        # unchanged since r8
         "q18_large_volume_customers",
+        "q15_top_supplier",
         # r9-green (CORRECTNESS_r09.json), past the window since r10;
         # implementation unchanged since
         "curation_admission",
@@ -8392,6 +8489,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_dag_levels": q_graph_dag_levels,
         "graph_modularity": q_graph_modularity,
+        "graph_rwr_sample": q_graph_rwr_sample,
         # -- rotated in (round 12, VERDICT r11 #3): the stalest PV
         # -- evidence — rows last driver-checked in r6/r8 ------------------
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -8433,7 +8531,6 @@ def _specs() -> dict[str, QuerySpec]:
         "date_functions": q_date_functions,
         "q11_important_stock": q11_important_stock,
         "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
@@ -8441,6 +8538,7 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "sample_split_leakage": q_sample_split_leakage,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q15_top_supplier": q15_top_supplier,
         "approx_stats": q_approx_stats,
         "curation_arrival": q_curation_arrival,
         "dedup_containment": q_dedup_containment,

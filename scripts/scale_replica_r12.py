@@ -160,6 +160,7 @@ def main() -> int:
         label_propagation,
         landmark_betweenness,
         pagerank_weighted,
+        rwr_sample,
     )
     from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
         cms_estimate,
@@ -267,7 +268,38 @@ def main() -> int:
         "sample_importance_weights": dsir_weights,
         "sample_dsir_selection": dsir_selection,
     }
+    def rwr(s):
+        seeds = (
+            spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_size") == 50)
+            .select((F.col("p_partkey")).alias("nodeId"))
+        )
+        # seeds replicated to match the graph copies
+        if s == 5:
+            seeds = replicate(seeds, ["nodeId"])
+        canon = rd("co30", s)
+        sym = canon.unionByName(
+            canon.select(
+                F.col("targetNodeId").alias("sourceNodeId"),
+                F.col("sourceNodeId").alias("targetNodeId"),
+            )
+        )
+        return rwr_sample(
+            seeds, sym, walks_per_seed=3, walk_length=6, restart_ppt=200
+        )
+
+    ops["graph_rwr_sample"] = rwr
     bounded = {"events_cms_rollup"}  # fixed-size sketch output
+    #: hash-driven walks differ per id-offset copy, so the distinct
+    #: visited set varies per copy — assert the ratio, not exactness
+    #: (the graph_walk_skipgrams precedent)
+    ratio_only = {"graph_rwr_sample"}
+
+    if "--only" in sys.argv:
+        keep = set(
+            sys.argv[sys.argv.index("--only") + 1].split(",")
+        )
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     results = {}
     for name, fn in ops.items():
@@ -279,6 +311,8 @@ def main() -> int:
             assert rows[1] <= rows[5] <= _CMS_DEPTH * _CMS_ROLLUP_WIDTH, (
                 name, rows,
             )
+        elif name in ratio_only:
+            assert 4.0 <= rows[5] / rows[1] <= 6.0, (name, rows)
         elif name == "sample_dsir_selection":
             # per-source survivors are ceil(f·n): 5·ceil(f·n) − ceil(f·5n)
             # ∈ [0, 4] per source, so the x5 count may fall short of 5×

@@ -1916,3 +1916,100 @@ def test_community_modularity_dedup_and_selfloops(spark):
     )
     r = community_modularity(edges, labels).collect()[0]
     assert (r["n_nodes"], r["intra_edges"], r["degree_sum"]) == (3, 2, 4)
+
+
+def test_rwr_sample_python_replay(spark):
+    """RWR sampling replayed walker-for-walker in python from the same
+    portable hashes: restart coin, neighbor pick over ascending-id
+    ranks, sink-restart — visit counts must match exactly."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        rwr_sample,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 5)]  # 5 is a sink
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "nodeId long")
+    wps, wl, ppt, sd = 3, 5, 250, 7
+    got = {
+        r["nodeId"]: r["visits"]
+        for r in rwr_sample(
+            seeds, edges,
+            walks_per_seed=wps, walk_length=wl, restart_ppt=ppt, seed=sd,
+        ).collect()
+    }
+
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+    for a in nbrs:
+        nbrs[a].sort()
+    visits: dict[int, int] = {}
+    for start in (1, 2):
+        for wn in range(wps):
+            node = start
+            visits[node] = visits.get(node, 0) + 1
+            for step in range(1, wl + 1):
+                tag = f"{start}#{wn}#{step}#{sd}"
+                if _phash(tag + "#r") % 1000 < ppt or node not in nbrs:
+                    node = start
+                else:
+                    ns = nbrs[node]
+                    node = ns[_phash(tag + "#n") % len(ns)]
+                visits[node] = visits.get(node, 0) + 1
+    assert got == visits
+    # sink restart actually exercised: node 5 has no out-edges but a
+    # walker that lands there must continue (back at its seed)
+    assert 5 in got or all(v > 0 for v in got.values())
+
+
+def test_rwr_sample_isolated_seed(spark):
+    """A seed absent from the edge list samples exactly itself — one
+    walker position per step per walk, never a dropped walker."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        rwr_sample,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2)], "sourceNodeId long, targetNodeId long"
+    )
+    seeds = spark.createDataFrame([(99,)], "nodeId long")
+    rows = rwr_sample(
+        seeds, edges, walks_per_seed=2, walk_length=3
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["nodeId"] == 99
+    assert rows[0]["visits"] == 2 * (3 + 1)
+
+
+def test_r12_ops_partitioning_invariance(spark):
+    """Weighted PageRank and RWR sampling are partitioning-invariant —
+    the exact-integer / portable-hash contracts mean a repartitioned
+    input must produce byte-identical results (the pagerank invariance
+    test extended to the r12 ops)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        pagerank_weighted,
+        rwr_sample,
+    )
+
+    rows = [(i, (i * 3) % 40 + 1, i % 5 + 1) for i in range(1, 41)]
+    edges = spark.createDataFrame(
+        rows, "sourceNodeId long, targetNodeId long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 42)], "nodeId long")
+    a = sorted(map(tuple, pagerank_weighted(nodes, edges, "w", iters=3).collect()))
+    b = sorted(map(tuple, pagerank_weighted(
+        nodes.repartition(7), edges.repartition(5), "w", iters=3
+    ).collect()))
+    assert a == b
+
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "nodeId long")
+    c = sorted(map(tuple, rwr_sample(
+        seeds, edges, walks_per_seed=2, walk_length=4
+    ).collect()))
+    d = sorted(map(tuple, rwr_sample(
+        seeds.repartition(3), edges.repartition(6),
+        walks_per_seed=2, walk_length=4,
+    ).collect()))
+    assert c == d

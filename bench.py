@@ -201,6 +201,17 @@ HEADLINE = [
     "graph_dag_levels",
     "graph_modularity",
     "graph_rwr_sample",
+    # round 12 (second wave): conductance (GDS parity, shares the LPA
+    # labeler), topological sort (levels + range-bucket prefix-sum
+    # rank), Bloom decontamination (broadcast filter — the scale path
+    # of text_contamination), Bloom per-day rollup (OR merge-on-read)
+    "graph_conductance",
+    "graph_topo_order",
+    "graph_k1coloring",
+    "graph_articlerank",
+    "graph_louvain_move",
+    "text_decontaminate_bloom",
+    "events_bloom_rollup",
 ]
 
 

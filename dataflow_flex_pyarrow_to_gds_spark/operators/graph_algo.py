@@ -2654,3 +2654,525 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
                 F.col("_s").alias("support"),
             )
     raise RuntimeError(f"ktruss: no fixpoint in {max_iter} rounds")
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    *,
+    scale: int = 10**9,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.conductance`` parity (r12): per-community conductance
+    of an UNDIRECTED graph under a given community assignment →
+    ``(community, n_nodes, cut_edges, degree_sum, conductance_fp)``
+    where::
+
+        φ_c  = cut_c / min(vol_c, 2m − vol_c)
+        φ_fp = (cut_c · scale) div min(vol_c, 2m − vol_c)
+
+    (m = undirected edge count, cut_c = edges with exactly ONE endpoint
+    in c, vol_c = Σ member degrees = 2·L_c + cut_c). The min-volume
+    normalization is the standard (Kannan–Vempala–Vetta) form: a
+    "community" that is most of the graph is judged by its complement's
+    volume, so φ stays in [0, 1]. φ_fp = 0 when the min volume is 0
+    (edgeless community, or one community covering every edge — GDS
+    skips these; a zero is the honest fixed-point encoding). One
+    non-negative integer floor division — order-independent, so rows
+    hash-match an ANSI oracle bit-for-bit where the float form never
+    would. Self-loops dropped, edges deduped canonically (u < v),
+    exactly like :func:`community_modularity`, and composes with the
+    same labelers (LPA, CC, external assignment — the GDS
+    ``communityProperty`` shape).
+
+    Scale: two skinny label joins (8-byte ids) + three
+    partial-aggregated groupBys (degrees, per-community volume,
+    per-community cut) + a 1-row broadcast m; nothing wider than the
+    edge list moves, no windows, no driver state — the
+    :func:`community_modularity` plan with the intra-filter flipped.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    deg = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    lab = labels.select(
+        F.col(NODE_ID).alias("_n"), F.col("label").alias("_lbl")
+    )
+    dc = (
+        lab.join(deg, "_n", "left_outer")
+        .groupBy("_lbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("_d", F.lit(0))).cast("long").alias(
+                "degree_sum"
+            ),
+        )
+    )
+    labeled = (
+        e.join(lab.withColumnRenamed("_n", "_u"), "_u")
+        .withColumnRenamed("_lbl", "_la")
+        .join(lab.withColumnRenamed("_n", "_v"), "_v")
+        .withColumnRenamed("_lbl", "_lb")
+        .filter(F.col("_la") != F.col("_lb"))
+    )
+    cut = (
+        labeled.select(F.col("_la").alias("_lbl"))
+        .unionByName(labeled.select(F.col("_lb").alias("_lbl")))
+        .groupBy("_lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    return (
+        dc.join(cut, "_lbl", "left_outer")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("_lbl").alias("community"),
+            "n_nodes",
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias(
+                "cut_edges"
+            ),
+            "degree_sum",
+            F.expr(
+                f"CASE WHEN least(degree_sum, 2 * _m - degree_sum) = 0 "
+                f"THEN 0L ELSE "
+                f"(CAST(coalesce(cut_edges, 0L) AS DECIMAL(38,0))"
+                f" * {scale})"
+                f" div least(degree_sum, 2 * _m - degree_sum) END"
+            ).cast("long").alias("conductance_fp"),
+        )
+    )
+
+
+def topological_order(
+    edges: DataFrame,
+    *,
+    max_iter: int = 64,
+    n_buckets: int = 32,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.dag.topologicalSort`` parity (r12) → ``(nodeId,
+    level, topo_rank)``: a total topological order of a DAG, 1-based.
+    Rank order is ``(level, nodeId)`` — level from
+    :func:`dag_longest_path` (every predecessor has a strictly smaller
+    level, so any level-ascending order IS topological; GDS's own
+    ``maxDepth`` mode exposes the same pairing), with the node id as
+    the deterministic intra-level tie-break. Cyclic input fails LOUD
+    via the level pass's cycle guard — the GDS error contract.
+
+    Scale shape: the level fixpoint (depth rounds, skinny state) plus
+    ONE :func:`~.packing.global_prefix_sum` rank assignment over the
+    composite key ``level · 2⁴⁰ + nodeId`` — the range-bucket
+    prefix-sum scaffold, NEVER a single-task global ``row_number``
+    window (the shared ordering discipline of training_order /
+    pack_sequences). Node ids must fit 40 bits (asserted) so the
+    composite key stays collision-free in int64.
+    """
+    from .packing import global_prefix_sum
+
+    levels = dag_longest_path(
+        edges, max_iter=max_iter, src=src, dst=dst
+    ).localCheckpoint(eager=True)
+    bad = levels.filter(
+        (F.col(NODE_ID) < 0) | (F.col(NODE_ID) >= F.lit(1 << 40))
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "topological_order: node ids must be in [0, 2^40) so the "
+            "(level, id) composite rank key stays exact in int64"
+        )
+    keyed = levels.select(
+        NODE_ID,
+        "level",
+        (F.col("level") * F.lit(1 << 40) + F.col(NODE_ID)).alias("_ok"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    ranked = global_prefix_sum(
+        keyed, "_one", "_ok", out_col="_pre", n_buckets=n_buckets
+    )
+    return ranked.select(
+        NODE_ID,
+        "level",
+        (F.col("_pre") + F.lit(1)).cast("long").alias("topo_rank"),
+    )
+
+
+def k1_coloring(
+    edges: DataFrame,
+    *,
+    seed: int = 0,
+    max_iter: int = 40,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.k1coloring`` parity (r12): a proper vertex coloring of
+    the UNDIRECTED graph → ``(nodeId, color)`` with no edge
+    monochromatic and colors drawn greedily from ``0, 1, 2, …`` —
+    ≤ Δ+1 colors total (the K-1 guarantee). Deterministic
+    Jones–Plassmann (1993): priorities are ``(portable_hash64(node #
+    seed), node)`` — a strict total order, so unlike GDS's
+    random-permutation rounds every engine replays the SAME rounds and
+    the full coloring hash-matches an ANSI oracle bit-for-bit. Per
+    round, every uncolored node whose priority beats ALL its uncolored
+    neighbors takes the smallest color unused by its already-colored
+    neighbors (the mex); two adjacent nodes can never win the same
+    round, so properness is structural. Rounds = O(log n) expected
+    with hash priorities; LOUD RuntimeError at ``max_iter`` (the
+    fixed-unroll oracle contract — a silent partial coloring would
+    look proper and mean nothing). Self-loops are dropped (a
+    self-adjacent node is uncolorable), edges deduped canonically.
+
+    Scale shape, per round: winners come from ONE partial-aggregated
+    ``max(struct(h, id))`` over the active adjacency + a join-back
+    (never a per-source window); the mex is computed WINDOWLESS —
+    distinct (node, neighbor-color) pairs collapse hub fan-in to
+    ≤ palette-size rows per node, then ``aggregate(array_sort(
+    collect_set(color)), 0, acc,x -> if(x=acc, acc+1, acc))`` folds
+    the sorted palette to the first gap in one codegen HOF (state
+    bounded by colors-so-far ≤ Δ+1, not by degree). Colored/uncolored
+    state is 16-byte rows, checkpointed per round.
+    """
+    from .dedup import portable_hash64_col
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).localCheckpoint(eager=True)
+
+    def _prio(col: Column) -> Column:
+        return portable_hash64_col(
+            F.concat_ws("#", col.cast("string"), F.lit(str(seed)))
+        )
+
+    uncolored = (
+        sym.select(F.col("_u").alias("_n"))
+        .distinct()
+        .select("_n", _prio(F.col("_n")).alias("_h"))
+        .localCheckpoint(eager=True)
+    )
+    colored = None  # (nodeId, color)
+    for _ in range(max_iter):
+        if uncolored.limit(1).count() == 0:
+            return colored.select(
+                F.col("_n").alias(NODE_ID), "color"
+            )
+        winners, newly = _k1_round(sym, uncolored, colored)
+        colored = (
+            newly
+            if colored is None
+            else colored.unionByName(newly)
+        ).localCheckpoint(eager=True)
+        uncolored = uncolored.join(
+            winners, "_n", "left_anti"
+        ).localCheckpoint(eager=True)
+    if uncolored.limit(1).count() == 0:
+        return colored.select(F.col("_n").alias(NODE_ID), "color")
+    raise RuntimeError(
+        f"k1_coloring: nodes still uncolored after {max_iter} rounds — "
+        "raise max_iter (rounds are O(log n) expected; a partial "
+        "coloring would silently violate the contract)"
+    )
+
+
+def _k1_round(
+    sym: DataFrame, uncolored: DataFrame, colored: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """One Jones–Plassmann round (the :func:`k1_coloring` loop body,
+    factored out so the plan audit can pin its shape): returns
+    ``(winners, newly)`` — the uncolored local priority maxima and
+    their mex-colored rows. Winners come from ONE partial-aggregated
+    ``max(struct(h, id))`` over the active adjacency (never a
+    per-source window); the mex folds the sorted distinct
+    neighbor-color array in one codegen HOF, state bounded by the
+    palette, not the degree."""
+    active = (
+        sym.join(
+            uncolored.withColumnRenamed("_n", "_u")
+            .withColumnRenamed("_h", "_hu"),
+            "_u",
+        )
+        .join(
+            uncolored.withColumnRenamed("_n", "_v")
+            .withColumnRenamed("_h", "_hv"),
+            "_v",
+        )
+    )
+    rival = active.groupBy(F.col("_u").alias("_n")).agg(
+        F.max(F.struct(F.col("_hv").alias("h"), F.col("_v").alias("n")))
+        .alias("_best")
+    )
+    winners = (
+        uncolored.join(rival, "_n", "left_outer")
+        .filter(
+            F.col("_best").isNull()
+            | (
+                F.struct(F.col("_h").alias("h"), F.col("_n").alias("n"))
+                > F.col("_best")
+            )
+        )
+        .select("_n")
+    )
+    if colored is None:
+        used = winners.select(
+            "_n", F.lit(None).cast("long").alias("color")
+        ).filter(F.lit(False))
+    else:
+        used = (
+            winners.join(sym, winners["_n"] == sym["_u"])
+            .join(
+                colored.withColumnRenamed("_n", "_v"),
+                "_v",
+            )
+            .select(winners["_n"], "color")
+            .distinct()
+        )
+    mex = used.groupBy("_n").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("color")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+        ).alias("color")
+    )
+    newly = winners.join(mex, "_n", "left_outer").select(
+        "_n", F.coalesce("color", F.lit(0)).cast("long").alias("color")
+    )
+    return winners, newly
+
+
+def articlerank_fixedpoint(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 4,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    n_nodes: int | None = None,
+    n_edges: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """GDS ``gds.articleRank`` parity (r12) in the
+    :func:`pagerank_fixedpoint` exact-integer contract →
+    ``(nodeId, rank_fp)``. ArticleRank dampens low-degree influence by
+    adding the graph's MEAN out-degree to every divisor::
+
+        r(v) ← base + (d_num · Σ_{u→v} r(u)·N div (od_u·N + m))
+                      div d_den
+
+    — the textbook ``r(u)/(od_u + m/N)`` cleared of its rational
+    denominator (multiply through by N), so every step stays integer
+    floor division and the ranks hash-match an ANSI oracle bit-for-bit
+    where the float form never would. ``m`` counts directed edges, N
+    all nodes (the GDS averageOutDegree semantics, dangling included);
+    the r(u)·N product rides DECIMAL(38,0) — scale 10¹² times 10¹²
+    nodes stays inside 38 digits where int64 would wrap at ~10⁷ nodes.
+    Same simplified dangling treatment, fixed-iteration contract, and
+    per-round shape as pagerank: ONE edge-keyed join + one
+    partial-aggregated sum, checkpointed — the weight/divisor change
+    adds ZERO exchanges (the pagerank_weighted precedent).
+    """
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(NODE_ID, F.lit(0).cast("long").alias("rank_fp"))
+    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
+    if n_edges is None:
+        n_edges = edge_pairs.count()
+    base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
+    r0 = scale // n_nodes
+    outdeg = edge_pairs.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
+        F.count(F.lit(1)).alias("_od")
+    )
+    ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
+    for _ in range(iters):
+        contrib = (
+            edge_pairs
+            .join(ranks.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .join(outdeg.withColumnRenamed(NODE_ID, SOURCE_ID), SOURCE_ID)
+            .select(
+                F.col(TARGET_ID).alias(NODE_ID),
+                F.expr(
+                    f"CAST((CAST(rank_fp AS DECIMAL(38,0)) * {n_nodes})"
+                    f" div (CAST(_od AS DECIMAL(38,0)) * {n_nodes}"
+                    f"      + {n_edges}) AS LONG)"
+                ).alias("_c"),
+            )
+        )
+        sums = contrib.groupBy(NODE_ID).agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums, NODE_ID, "left_outer")
+            .select(
+                NODE_ID,
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(_s, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def louvain_local_move(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    seed: int = 0,
+    checkpoint: bool = True,
+    src: str = SOURCE_ID,
+    dst: str = TARGET_ID,
+) -> DataFrame:
+    """GDS ``gds.louvain`` phase-1 parity (r12), made checkable:
+    ``rounds`` ALTERNATING-CLASS modularity local-move sweeps over the
+    UNDIRECTED graph → ``(nodeId, label)``. Each sweep, the active
+    nodes evaluate every neighbor community c (plus staying put) by
+    the modularity gain of joining it, cleared of its rational
+    denominators (×2m² > 0, order-preserving)::
+
+        score(i, c) = 2m · k_{i,c} − deg_i · tot'_c
+        tot'_c      = Σ_{j∈c, j≠i} deg_j
+
+    and take the argmax with the total tie order (score DESC, stay
+    DESC, c ASC) — ties prefer NOT moving (the Louvain "strictly
+    positive gain" rule), then the smallest community id. Sweep t
+    activates only the nodes with ``pmod(portable_hash(n#seed#t), 2)
+    == 0`` — fully synchronous sweeps 2-cycle on symmetric structures
+    (two mutually-preferring nodes swap labels forever; measured on
+    the two-triangle fixture, where a FIXED split also fails whenever
+    the pair lands in one class). GDS breaks the same tie with
+    color-partitioned parallel sweeps; the per-sweep RESEEDED random
+    half is the cheap probabilistic instance — any swapping pair
+    separates with probability 1/2 per sweep, so symmetric cycles die
+    in O(log) sweeps expected, while staying deterministic and
+    engine-replayable where GDS's async queue order is not. All score
+    terms are integers in DECIMAL(38,0) (2m·k and deg·tot both ≤ 4m²
+    — inside 38 digits at 10¹² edges), so the fixed-round labels
+    hash-match an ANSI oracle bit-for-bit. Compose with
+    :func:`community_modularity` / :func:`community_conductance` to
+    SCORE the assignment (phase-2 graph aggregation composes as
+    label-contracted edges when needed).
+
+    Scale shape, per sweep: k_{i,c} is ONE partial-aggregated groupBy
+    over the label-joined adjacency, tot_c one over the skinny
+    (node, label, degree) table, the argmax ONE ``max(struct(...))``
+    groupBy (never a per-node window), and the candidate union adds a
+    zero-count stay row per node. Nothing wider than the edge list
+    moves; labels checkpoint per sweep.
+    """
+    from .dedup import portable_hash64_col
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_u"),
+            F.greatest(F.col(src), F.col(dst)).alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    ).localCheckpoint(eager=True)
+    m = sym.count() // 2
+    deg = (
+        sym.groupBy(F.col("_u").alias("_n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    lab = deg.select("_n", F.col("_n").alias("_l"))
+    for t in range(rounds):
+        nbr_lab = sym.join(
+            lab.withColumnRenamed("_n", "_v"), "_v"
+        ).select(F.col("_u").alias("_n"), F.col("_l").alias("_c"))
+        kic = nbr_lab.groupBy("_n", "_c").agg(
+            F.count(F.lit(1)).cast("long").alias("_k")
+        )
+        tot = (
+            lab.join(deg, "_n")
+            .groupBy(F.col("_l").alias("_c"))
+            .agg(F.sum("_d").cast("long").alias("_tot"))
+        )
+        cand = (
+            kic.unionByName(
+                lab.select(
+                    "_n",
+                    F.col("_l").alias("_c"),
+                    F.lit(0).cast("long").alias("_k"),
+                )
+            )
+            .groupBy("_n", "_c")
+            .agg(F.sum("_k").alias("_k"))
+        )
+        active = deg.filter(
+            F.pmod(
+                portable_hash64_col(
+                    F.concat_ws(
+                        "#",
+                        F.col("_n").cast("string"),
+                        F.lit(str(seed)),
+                        F.lit(str(t)),
+                    )
+                ),
+                F.lit(2),
+            )
+            == 0
+        )
+        scored = (
+            cand.join(tot, "_c")
+            # only this sweep's active half scores — the inactive
+            # half's candidate rows are dropped before any arithmetic,
+            # not computed-then-ignored
+            .join(active, "_n")
+            .join(lab.withColumnRenamed("_l", "_cur"), "_n")
+            .select(
+                "_n",
+                "_c",
+                F.expr(
+                    f"2 * CAST({m} AS DECIMAL(38,0)) * _k"
+                    f" - CAST(_d AS DECIMAL(38,0))"
+                    f"   * (_tot - CASE WHEN _c = _cur THEN _d"
+                    f"             ELSE 0L END)"
+                ).alias("_score"),
+                (F.col("_c") == F.col("_cur")).cast("int").alias("_stay"),
+            )
+        )
+        moved = (
+            scored.groupBy("_n")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_score").alias("s"),
+                        F.col("_stay").alias("st"),
+                        (-F.col("_c")).alias("nc"),
+                    )
+                ).alias("_best")
+            )
+            .select("_n", (-F.col("_best.nc")).cast("long").alias("_new"))
+        )
+        lab = lab.join(moved, "_n", "left_outer").select(
+            "_n",
+            F.coalesce("_new", "_l").cast("long").alias("_l"),
+        )
+        if checkpoint:
+            lab = lab.localCheckpoint(eager=True)
+    return lab.select(F.col("_n").alias(NODE_ID), F.col("_l").alias("label"))

@@ -354,3 +354,167 @@ def cms_estimate(
             )
         )
     )
+
+
+def _bloom_mask_col(bit: Column) -> Column:
+    """Signed-int64 single-bit mask for global bit index ``bit``:
+    ``bit mod 64`` picks the position inside the word, position 63 is
+    the sign bit (int64 min — no shift overflow, and the arithmetic
+    form replays verbatim in any ANSI engine; the simhash
+    ``_BIT_MASKS`` convention)."""
+    pos = F.pmod(bit, F.lit(64)).cast("int")
+    # the python F.shiftleft wrapper only takes a literal shift count,
+    # so the column-shift form goes through call_function; the position
+    # 63 CASE stays explicit even though the JVM's 1L << 63 happens to
+    # equal int64 min — engines differ on shift overflow, and the CASE
+    # is the exact contract the ANSI oracle replays
+    return F.when(pos == 63, F.lit(-(1 << 63))).otherwise(
+        F.call_function("shiftleft", F.lit(1).cast("long"), pos)
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: int = 0,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Bloom filter (Bloom 1970) of a column's value SET → the filter
+    AS A SKINNY TABLE ``(bloom_word, bits)``: ``m_bits`` bits packed
+    64-per-int64-word, ``k`` hash functions per value. Bit ``j`` of
+    word ``w`` is set iff some input value hashed to global bit index
+    ``64·w + j``; only NON-EMPTY words are stored (probe treats a
+    missing word as all-zero — the canonical-absence convention the
+    CMS estimate zero-fill established, ADVICE r11).
+
+    Exact and deterministic given its hashes — hash row ``i`` of value
+    x sets bit ``pmod(portable_hash64(x # i # seed), m_bits)``
+    (:func:`~.dedup.portable_hash64_col`), so the whole filter
+    hash-matches an ANSI oracle bit-for-bit, false positives and all.
+    No false NEGATIVES ever: membership of every inserted value is a
+    structural invariant (asserted generatively in tests), which is
+    what makes a Bloom probe safe for DECONTAMINATION — a "clean"
+    verdict is certain, a "flagged" verdict over-blocks at the
+    documented ~(1−e^{−kn/m})^k rate, the conservative direction.
+
+    MERGEABLE by bitwise OR on ``bloom_word`` — and OR is IDEMPOTENT,
+    so unlike CMS (sums double-count on replay) a Bloom store tolerates
+    at-least-once delivery: re-folding a replayed batch is a no-op.
+    ``group_cols`` prepends partition keys (day, batch, source) for one
+    independent filter per group in one pass — the streaming
+    maintenance shape (:func:`~..streaming.events.bloom_store_stream`).
+
+    Scale shape: one narrow explode to ``k`` rows per input row, then
+    ONE partially-aggregated groupBy on ``bloom_word`` — ≤ m_bits/64
+    distinct keys, so map-side combine collapses each partition to
+    filter size before the shuffle moves anything. The value strings
+    never shuffle. Output ≤ m_bits/64 rows — broadcastable state for
+    the probe join at any corpus size; size the filter by the 100-TB
+    key cardinality (m ≈ 10 bits/key for ~1% fp), not by input rows.
+    """
+    from .dedup import portable_hash64_col
+
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(
+            f"bloom_sketch: m_bits must be a positive multiple of 64, "
+            f"got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"bloom_sketch: k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    rows = df.select(
+        *gcols,
+        F.col(value_col).cast("string").alias("_val"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i"),
+    )
+    bit = F.pmod(
+        portable_hash64_col(
+            F.concat_ws(
+                "#",
+                F.col("_val"),
+                F.col("_i").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(m_bits),
+    )
+    return (
+        rows.select(
+            *gcols,
+            (bit / F.lit(64)).cast("long").alias("bloom_word"),
+            _bloom_mask_col(bit).alias("_m"),
+        )
+        .groupBy(*gcols, "bloom_word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Membership probes against a :func:`bloom_sketch` table →
+    ``(value_col, maybe_present)`` with the Bloom guarantee:
+    ``maybe_present = false`` is CERTAIN absence, ``true`` is presence
+    up to the filter's false-positive rate. (depth/width/seed must
+    match the build — same contract as :func:`cms_estimate`.)
+
+    Shape: candidates explode to ``k`` ``(bloom_word, mask)`` probes,
+    pre-OR per (value, word) so double-hashing into one word stays one
+    row, then ONE BROADCAST left join against the ≤ m_bits/64-row
+    filter — the probe side can be 100 TB of candidate keys while the
+    filter rides the closure. A missing word is all-zero
+    (``coalesce(bits, 0)``): any unmatched mask bit decides absent.
+    """
+    from .dedup import portable_hash64_col
+
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(
+            f"bloom_probe: m_bits must be a positive multiple of 64, "
+            f"got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"bloom_probe: k must be >= 1, got {k}")
+    rows = candidates.select(
+        F.col(value_col),
+        F.col(value_col).cast("string").alias("_val"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i"),
+    )
+    bit = F.pmod(
+        portable_hash64_col(
+            F.concat_ws(
+                "#",
+                F.col("_val"),
+                F.col("_i").cast("string"),
+                F.lit(str(seed)),
+            )
+        ),
+        F.lit(m_bits),
+    )
+    need = (
+        rows.select(
+            F.col(value_col),
+            (bit / F.lit(64)).cast("long").alias("bloom_word"),
+            _bloom_mask_col(bit).alias("_m"),
+        )
+        .groupBy(value_col, "bloom_word")
+        .agg(F.bit_or("_m").alias("_need"))
+    )
+    probed = need.join(F.broadcast(sketch), ["bloom_word"], "left_outer")
+    word_ok = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+            F.col("_need")
+        )
+        == F.col("_need")
+    )
+    return probed.groupBy(value_col).agg(
+        F.bool_and(word_ok).alias("maybe_present")
+    )

@@ -478,3 +478,77 @@ def cms_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
         store.groupBy("cms_row", "cms_bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def bloom_store_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: int = 0,
+):
+    """Streaming Bloom-filter maintenance — the membership sibling of
+    :func:`cms_store_stream`: each micro-batch folds its events into
+    PER-DAY Bloom partials (:func:`~..operators.profile.bloom_sketch`
+    with ``group_cols=("day",)``) and appends the skinny ``(day,
+    bloom_word, bits)`` rows to a store; nobody ever rescans history.
+    Bloom merge is bitwise OR — associative, commutative AND
+    IDEMPOTENT, the strongest maintenance algebra in the store family:
+    where CMS replay would double-count without the overwrite-by-
+    batch_id discipline, a replayed Bloom fold is a mathematical no-op.
+    The overwrite is kept anyway (uniform store contract), and the
+    merged filter equals the single-pass filter BIT-EXACTLY — asserted
+    to the word in tests and by the ``events_bloom_rollup`` driver
+    oracle.
+
+    Returns the started query (``trigger(availableNow=True)`` — drains
+    the source and stops; re-invoke after new files land for the next
+    epoch, the checkpoint skips everything already folded).
+    """
+    from ..operators.profile import bloom_sketch
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+
+    def fold(batch_df, batch_id: int) -> None:
+        (
+            bloom_sketch(
+                batch_df,
+                "user_id",
+                m_bits=m_bits,
+                k=k,
+                seed=seed,
+                group_cols=("day",),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        daily.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bloom_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge-on-read over the Bloom store: the GLOBAL filter as one
+    word-wise bitwise OR over every per-day per-batch partial — output
+    ``(bloom_word, bits)``, bit-identical to a single-pass
+    :func:`~..operators.profile.bloom_sketch` over the full history
+    (OR is associative/commutative/idempotent, so ANY partition of the
+    stream — including overlapping replays — merges exactly). The read
+    path never touches raw events; per-day filters fall out of the
+    same store by keeping ``day`` in the groupBy, and the merged
+    filter probes exactly like a freshly-built one
+    (:func:`~..operators.profile.bloom_probe`)."""
+    store = spark.read.parquet(store_dir)
+    return (
+        store.groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

@@ -873,6 +873,111 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BroadcastNestedLoopJoin Cross BuildRight" in p
         and not re.search(r"hashpartitioning\(_g#", p),
     ),
+    (
+        "graph_conductance",
+        "conductance: no cartesian, the 1-row edge-count m rides a "
+        "Cross-BuildRight broadcast, every exchange keys on 8-byte "
+        "node/label ids, cut/volume counts partial-aggregate, no "
+        "windows, no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" in p
+        and "partial_count" in p
+        and "partial_sum" in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "graph_topo_order",
+        "topological sort: rank assignment is the range-bucket "
+        "prefix-sum scaffold — the corpus window is _pb-bucket-"
+        "partitioned (every windowspecdefinition leads with _pb; no "
+        "global single-task window over the node set), offsets "
+        "broadcast back, no cartesian, no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and len(re.findall(r"windowspecdefinition\(", p)) > 0
+        and all(
+            m == "_pb"
+            for m in re.findall(r"windowspecdefinition\((\w+)#", p)
+        )
+        and "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "text_decontaminate_bloom",
+        "bloom decontamination: the <=512-word filter BROADCASTS onto "
+        "the probe stream (LeftOuter BuildRight — train grams never "
+        "shuffle to the filter), filter words partial-bit_or, and no "
+        "gram string ever reaches an exchange (keys are _gh/doc_id/"
+        "bloom_word only)",
+        lambda p: "CartesianProduct" not in p
+        and any(
+            "LeftOuter BuildRight" in ln
+            for ln in p.splitlines()
+            if "BroadcastHashJoin" in ln
+        )
+        and "partial_bit_or" in p
+        and not re.search(r"hashpartitioning\(_gram#", p)
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "events_bloom_rollup",
+        "bloom rollup: one partial-bit_or aggregation per stage (map-"
+        "side combine collapses each partition to <=64 filter words "
+        "before any shuffle), exchanges key on day/bloom_word only, "
+        "no joins, no windows, no Python eval",
+        lambda p: "partial_bit_or" in p
+        and "CartesianProduct" not in p
+        and "Join" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "@k1_round_plan",
+        "K-1 coloring round: winners from ONE partial-aggregated "
+        "max(struct) over the active adjacency (no per-source window "
+        "anywhere), mex folds the sorted neighbor-color array in a "
+        "codegen HOF (collect_list partial-aggregates), no cartesian, "
+        "no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and "partial_max" in p
+        and "partial_collect_list" in p
+        and "windowspecdefinition" not in p
+        and "aggregate(array_sort" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "@ar_iter",
+        "ArticleRank iteration: the mean-degree divisor is literal "
+        "arithmetic inside the SAME edge join pagerank uses (no extra "
+        "exchange, no nested-loop join — N and m are plan-time "
+        "literals), contributions partial-aggregate, no cartesian, "
+        "no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "partial_sum" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "@louvain_sweep",
+        "Louvain sweep: gain argmax is a partial-aggregated "
+        "max(struct) (never a per-node window), k_{i,c}/tot/candidate "
+        "counts all partial-aggregate, the 2m constant is a plan-time "
+        "literal (no 1-row join), no cartesian, no Python eval",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "partial_max" in p
+        and "partial_count" in p
+        and "partial_sum" in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
 ]
 
 
@@ -1141,6 +1246,83 @@ def _fastrp_iter(spark, sf: str):
     )
 
 
+def _k1_round_plan(spark, sf: str):
+    """One Jones–Plassmann round body over the q43 co-order fixture,
+    with a non-empty colored table so the mex path is live (the
+    catalog query checkpoints per round, which explains as an opaque
+    RDD scan — auditing the factored round body keeps it visible)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        portable_hash64_col,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        _k1_round,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _co_order_edges
+
+    e = _co_order_edges(spark, sf, min_qty=43)
+    ee = (
+        e.select(
+            F.least("sourceNodeId", "targetNodeId").alias("_u"),
+            F.greatest("sourceNodeId", "targetNodeId").alias("_v"),
+        )
+        .filter(F.col("_u") != F.col("_v"))
+        .distinct()
+    )
+    sym = ee.unionByName(
+        ee.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+    )
+    nodes = sym.select(F.col("_u").alias("_n")).distinct()
+    unc = nodes.filter(F.col("_n") % 2 == 0).select(
+        "_n",
+        portable_hash64_col(
+            F.concat_ws("#", F.col("_n").cast("string"), F.lit("0"))
+        ).alias("_h"),
+    )
+    col = nodes.filter(F.col("_n") % 2 == 1).select(
+        "_n", (F.col("_n") % 3).cast("long").alias("color")
+    )
+    _, newly = _k1_round(sym, unc, col)
+    return newly
+
+
+def _ar_iter(spark, sf: str):
+    """One un-checkpointed ArticleRank iteration over the namespaced
+    customer→order edges (the pagerank-family reveal trick)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        articlerank_fixedpoint,
+    )
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    edges = orders.select(
+        F.col("o_custkey").alias("sourceNodeId"),
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("targetNodeId"),
+    )
+    nodes = (
+        edges.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(edges.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    return articlerank_fixedpoint(nodes, edges, iters=1, checkpoint=False)
+
+
+def _louvain_sweep(spark, sf: str):
+    """One Louvain local-move sweep body over the q30 co-order graph
+    (rounds=1 keeps the un-checkpointed sweep lineage visible up to
+    the final checkpoint-free argmax)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        louvain_local_move,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _co_order_edges
+
+    return louvain_local_move(
+        _co_order_edges(spark, sf), rounds=1, checkpoint=False
+    )
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
@@ -1150,6 +1332,9 @@ CUSTOM_BUILDERS = {
     "@betweenness_lineage": _betweenness_lineage,
     "@fastrp_iter": _fastrp_iter,
     "@prw_iter": _prw_iter,
+    "@k1_round_plan": _k1_round_plan,
+    "@ar_iter": _ar_iter,
+    "@louvain_sweep": _louvain_sweep,
 }
 
 

@@ -49,6 +49,11 @@ from pyspark.sql import functions as F
 
 from dataflow_flex_pyarrow_to_gds_spark import get_spark
 from dataflow_flex_pyarrow_to_gds_spark.queries import (
+    _BLOOM_K,
+    _BLOOM_M,
+    _BLOOM_ROLLUP_K,
+    _BLOOM_ROLLUP_M,
+    _BLOOM_SEED,
     _CMS_DEPTH,
     _CMS_ROLLUP_WIDTH,
     _CMS_SEED,
@@ -132,6 +137,19 @@ def main() -> int:
     )
     inputs = {
         "co30": (co30, ["sourceNodeId", "targetNodeId"]),
+        "co43": (
+            _co_order_edges(spark, sf_dir, min_qty=43),
+            ["sourceNodeId", "targetNodeId"],
+        ),
+        "custorder": (
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                F.col("o_custkey").alias("sourceNodeId"),
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias(
+                    "targetNodeId"
+                ),
+            ),
+            ["sourceNodeId", "targetNodeId"],
+        ),
         "co30w": (co30w, ["u", "v"]),  # w carried verbatim per copy
         "chains": (chains, ["sourceNodeId", "targetNodeId"]),
         "orders": (orders, ["o_custkey"]),
@@ -289,7 +307,145 @@ def main() -> int:
         )
 
     ops["graph_rwr_sample"] = rwr
-    bounded = {"events_cms_rollup"}  # fixed-size sketch output
+
+    # ---- r12 second wave: conductance, topo sort, bloom family ----
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        portable_hash64_col,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_conductance,
+        topological_order,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_probe,
+        bloom_sketch,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.quality import (
+        ngrams_col,
+        words_col,
+    )
+
+    def conductance(s):
+        # same LPA-label composition as modularity: label structure is
+        # copy-deterministic, so community rows grow exactly 5×
+        e = rd("co30", s)
+        nodes = (
+            e.select(F.col("sourceNodeId").alias("nodeId"))
+            .unionByName(e.select(F.col("targetNodeId").alias("nodeId")))
+            .distinct()
+        )
+        return community_conductance(
+            e, label_propagation(nodes, e, iters=3, assume_canonical=True)
+        )
+
+    def topo(s):
+        # levels identical per copy; ranks interleave copies in the
+        # (level, id) order but the row count stays exactly 5×.
+        # id offsets (≤ 4·10⁸ + orderkeys) stay far inside 2⁴⁰
+        return topological_order(rd("chains", s), max_iter=64)
+
+    def bloom_grams(side):
+        return side.select(
+            "doc_id",
+            F.explode(ngrams_col(words_col(F.col("text")), 8)).alias(
+                "_gram"
+            ),
+        ).select("doc_id", portable_hash64_col(F.col("_gram")).alias("_gh"))
+
+    def decontaminate_bloom(s):
+        # OFFSET is a multiple of 10, so every copy keeps its doc's
+        # eval/train split; texts are verbatim per copy, so the filter
+        # CONTENT is scale-invariant (same distinct gram hashes) and
+        # per-train-doc flag counts replicate exactly
+        d = rd("docs", s)
+        ev = bloom_grams(d.filter(F.col("doc_id") % 10 == 0)).select("_gh")
+        sk = bloom_sketch(
+            ev, "_gh", m_bits=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
+        )
+        tr = bloom_grams(d.filter(F.col("doc_id") % 10 != 0))
+        verdicts = bloom_probe(
+            sk, tr.select("_gh").distinct(), "_gh",
+            m_bits=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED,
+        )
+        return (
+            tr.join(verdicts, "_gh")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(
+                    F.when(F.col("maybe_present"), 1).otherwise(0)
+                ).cast("long").alias("n_flagged"),
+            )
+        )
+
+    def bloom_rollup(s):
+        daily = rd("events", s).select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        per_day = bloom_sketch(
+            daily, "user_id",
+            m_bits=_BLOOM_ROLLUP_M, k=_BLOOM_ROLLUP_K, seed=_BLOOM_SEED,
+            group_cols=("day",),
+        )
+        return per_day.groupBy("bloom_word").agg(
+            F.bit_or("bits").alias("bits")
+        )
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        k1_coloring,
+    )
+
+    def k1(s):
+        # q43 co-order fixture (the k-core graph): id-offset copies
+        # keep per-copy priority structure IDENTICAL in distribution
+        # but not in value (hashes change with ids), so round count may
+        # drift ±1-2 across copies while rows stay exactly 5×
+        return k1_coloring(rd("co43", s), seed=0, max_iter=24)
+
+    ops["graph_k1coloring"] = k1
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        articlerank_fixedpoint,
+    )
+
+    def articlerank(s):
+        # namespaced customer→order graph (the pagerank fixture): five
+        # id-offset copies keep per-copy degree structure identical;
+        # N and m grow 5× together so the mean-degree divisor is
+        # copy-invariant and output rows are exactly 5×
+        orders = rd("custorder", s)
+        nodes = (
+            orders.select(F.col("sourceNodeId").alias("nodeId"))
+            .unionByName(
+                orders.select(F.col("targetNodeId").alias("nodeId"))
+            )
+            .distinct()
+        )
+        return articlerank_fixedpoint(nodes, orders, iters=4)
+
+    ops["graph_articlerank"] = articlerank
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        louvain_local_move,
+    )
+
+    def louvain(s):
+        # id-offset copies change per-node activation hashes, so the
+        # active half differs per copy — labels are copy-local either
+        # way (communities never span copies) and rows stay exactly 5×
+        return louvain_local_move(rd("co30", s), rounds=4)
+
+    ops["graph_louvain_move"] = louvain
+    ops["graph_conductance"] = conductance
+    ops["graph_topo_order"] = topo
+    ops["text_decontaminate_bloom"] = decontaminate_bloom
+    ops["events_bloom_rollup"] = bloom_rollup
+
+    # fixed-size sketch outputs: name -> max rows at ANY input scale
+    bounded = {
+        "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
+        "events_bloom_rollup": _BLOOM_ROLLUP_M // 64,
+    }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness
     #: (the graph_walk_skipgrams precedent)
@@ -308,9 +464,7 @@ def main() -> int:
         for scale in (1, 5):
             rows[scale] = fn(scale).count()  # warm + structure check
         if name in bounded:
-            assert rows[1] <= rows[5] <= _CMS_DEPTH * _CMS_ROLLUP_WIDTH, (
-                name, rows,
-            )
+            assert rows[1] <= rows[5] <= bounded[name], (name, rows)
         elif name in ratio_only:
             assert 4.0 <= rows[5] / rows[1] <= 6.0, (name, rows)
         elif name == "sample_dsir_selection":

@@ -2013,3 +2013,450 @@ def test_r12_ops_partitioning_invariance(spark):
         walks_per_seed=2, walk_length=4,
     ).collect()))
     assert c == d
+
+
+def test_community_conductance_reference(spark):
+    """Two triangles joined by one bridge: each triangle community has
+    cut 1, volume 7 (2·3 intra + 1 bridge end), 2m − vol = 7 → φ_fp =
+    1e9 // 7, hand-computed; the whole-graph community and an edgeless
+    community both hit the min-volume-0 guard and score exactly 0."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_conductance,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "nodeId long, label long",
+    )
+    got = {
+        r["community"]: (
+            r["n_nodes"], r["cut_edges"], r["degree_sum"],
+            r["conductance_fp"],
+        )
+        for r in community_conductance(edges, labels).collect()
+    }
+    assert got == {
+        1: (3, 1, 7, 10**9 // 7),
+        2: (3, 1, 7, 10**9 // 7),
+    }, got
+
+    # one community holding every edge: cut 0 AND 2m − vol = 0 —
+    # the guard must return 0, not divide by zero
+    one = spark.createDataFrame(
+        [(n, 9) for n in range(1, 7)], "nodeId long, label long"
+    )
+    whole = community_conductance(edges, one).collect()[0]
+    assert whole["cut_edges"] == 0 and whole["conductance_fp"] == 0
+    # an isolated labeled node (degree 0): volume 0 → φ 0 via the guard
+    iso = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)] + [(99, 3)],
+        "nodeId long, label long",
+    )
+    got_iso = {
+        r["community"]: r["conductance_fp"]
+        for r in community_conductance(edges, iso).collect()
+    }
+    assert got_iso[3] == 0
+
+
+def test_community_conductance_unbalanced_min_volume(spark):
+    """A 1-node community hanging off a clique: φ is normalized by the
+    SMALLER side's volume (the Kannan–Vempala–Vetta form) — here the
+    singleton's own volume, so φ = cut/vol = 1 exactly (scale units);
+    the big side divides the same cut by the same min, so both rows
+    carry the same φ_fp with different volumes."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_conductance,
+    )
+
+    # K4 on 1-4 plus pendant 5 attached to 4
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in range(1, 5)] + [(5, 2)],
+        "nodeId long, label long",
+    )
+    got = {
+        r["community"]: (r["cut_edges"], r["degree_sum"], r["conductance_fp"])
+        for r in community_conductance(edges, labels).collect()
+    }
+    # m=7, 2m=14; clique side vol=13, pendant vol=1; min is 1 for BOTH
+    assert got[2] == (1, 1, 10**9), got
+    assert got[1] == (1, 13, 10**9), got
+
+
+def test_topological_order_chain_diamond_and_ties(spark):
+    """Chain: rank = position. Diamond: every edge goes rank-upward and
+    same-level nodes break ties by ascending id. Ranks are 1..n dense."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        topological_order,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        r["nodeId"]: (r["level"], r["topo_rank"])
+        for r in topological_order(chain).collect()
+    }
+    assert got == {1: (0, 1), 2: (1, 2), 3: (2, 3), 4: (3, 4)}
+
+    # diamond 1→{2,3}→4 plus an independent source 9→4:
+    # levels: 1:0, 9:0, 2:1, 3:1, 4:2 — ties (1,9) and (2,3) by id
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (9, 4)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    got = {
+        r["nodeId"]: (r["level"], r["topo_rank"])
+        for r in topological_order(diamond).collect()
+    }
+    assert got == {
+        1: (0, 1), 9: (0, 2), 2: (1, 3), 3: (1, 4), 4: (2, 5)
+    }, got
+    # topological property holds edge-by-edge
+    for s, t in [(1, 2), (1, 3), (2, 4), (3, 4), (9, 4)]:
+        assert got[s][1] < got[t][1], (s, t, got)
+
+
+def test_topological_order_cycle_and_id_range_guards(spark):
+    """A cycle fails loud through the level pass; an id past 2^40 would
+    overflow the composite rank key and must raise, not wrap."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        topological_order,
+    )
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "sourceNodeId long, targetNodeId long"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        topological_order(cyc, max_iter=8)
+    big = spark.createDataFrame(
+        [(1, 1 << 40)], "sourceNodeId long, targetNodeId long"
+    )
+    with pytest.raises(ValueError, match="2\\^40"):
+        topological_order(big)
+
+
+def test_topological_order_matches_python_on_random_dag(spark):
+    """Random DAG (edges only low-id → high-id, so acyclic by
+    construction): ranks equal python's sort by (longest-path level,
+    id) exactly — partitioning cannot perturb the total order."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        topological_order,
+    )
+
+    rng = __import__("random").Random(7)
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(120)
+            for a, b in [sorted(rng.sample(range(1, 41), 2))]
+        }
+    )
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    # python twin: longest-path levels by relaxation, then (level, id)
+    nodes = sorted({n for p in pairs for n in p})
+    lvl = {n: 0 for n in nodes}
+    for _ in range(len(nodes)):
+        changed = False
+        for a, b in pairs:
+            if lvl[a] + 1 > lvl[b]:
+                lvl[b] = lvl[a] + 1
+                changed = True
+        if not changed:
+            break
+    order = sorted(nodes, key=lambda n: (lvl[n], n))
+    expect = {
+        n: (lvl[n], i + 1) for i, n in enumerate(order)
+    }
+    got = {
+        r["nodeId"]: (r["level"], r["topo_rank"])
+        for r in topological_order(edges, n_buckets=8).collect()
+    }
+    assert got == expect
+
+
+def _k1_py(pairs, seed=0):
+    """Python twin of k1_coloring: deterministic Jones–Plassmann with
+    (md5-hash, id) priorities and mex color assignment."""
+    import hashlib
+
+    def h(n):
+        hx = hashlib.md5(f"{n}#{seed}".encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    uncolored = set(adj)
+    colors: dict[int, int] = {}
+    while uncolored:
+        winners = [
+            v
+            for v in uncolored
+            if all(
+                (h(v), v) > (h(u), u)
+                for u in adj[v]
+                if u in uncolored
+            )
+        ]
+        assert winners, "JP must make progress"
+        for v in winners:
+            used = sorted({colors[u] for u in adj[v] if u in colors})
+            mex = 0
+            for c in used:
+                if c == mex:
+                    mex += 1
+            colors[v] = mex
+        uncolored -= set(winners)
+    return colors
+
+
+def test_k1_coloring_proper_and_python_replay(spark):
+    """Random graph: the coloring equals the python Jones–Plassmann
+    twin node-for-node, no edge is monochromatic, and the palette
+    respects the Δ+1 bound."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        k1_coloring,
+    )
+
+    rng = __import__("random").Random(11)
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(1, 31), 2)))
+            for _ in range(70)
+        }
+    )
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        r["nodeId"]: r["color"] for r in k1_coloring(edges).collect()
+    }
+    assert got == _k1_py(pairs)
+    for a, b in pairs:
+        assert got[a] != got[b], (a, b, got[a])
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert max(got.values()) <= max(deg.values())  # ≤ Δ+1 colors
+
+
+def test_k1_coloring_structures(spark):
+    """Hand fixtures: a triangle needs exactly 3 colors, a star 2, a
+    path 2; self-loops and duplicate/reversed edges are canonicalized
+    away; max_iter exhaustion raises loud."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        k1_coloring,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 1), (2, 2)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    got = {r["nodeId"]: r["color"] for r in k1_coloring(tri).collect()}
+    assert sorted(got.values()) == [0, 1, 2]
+    star = spark.createDataFrame(
+        [(9, i) for i in range(1, 6)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    got = {r["nodeId"]: r["color"] for r in k1_coloring(star).collect()}
+    assert len({got[i] for i in range(1, 6)}) == 1  # leaves share
+    assert got[9] != got[1]
+    # a path is 2-colorable but GREEDY JP may legitimately spend 3
+    # (mex over neighbors colored 0 and 1) — assert the replay, the
+    # properness, and the Δ+1 bound, not the optimum
+    path_pairs = [(i, i + 1) for i in range(1, 6)]
+    path = spark.createDataFrame(
+        path_pairs, "sourceNodeId long, targetNodeId long"
+    )
+    got = {r["nodeId"]: r["color"] for r in k1_coloring(path).collect()}
+    assert got == _k1_py(path_pairs)
+    for a, b in path_pairs:
+        assert got[a] != got[b]
+    assert max(got.values()) <= 2  # Δ + 1
+    with pytest.raises(RuntimeError, match="max_iter|uncolored"):
+        k1_coloring(tri, max_iter=1)
+
+
+def test_articlerank_python_replay_and_degree_damping(spark):
+    """Exact python replay of the cleared-denominator recurrence on a
+    hand graph, plus the defining property: relative to PageRank, a
+    low-out-degree endorser's contribution is dampened MORE than a
+    high-out-degree one's (the mean-degree additive divisor)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        articlerank_fixedpoint,
+        pagerank_fixedpoint,
+    )
+
+    pairs = [(1, 3), (2, 3), (2, 4), (2, 5), (5, 3)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "nodeId long"
+    )
+    iters, scale, num, den = 3, 10**12, 85, 100
+    got = {
+        r["nodeId"]: r["rank_fp"]
+        for r in articlerank_fixedpoint(
+            nodes, edges, iters=iters, scale=scale
+        ).collect()
+    }
+    N, m = 5, len(pairs)
+    od = {1: 1, 2: 3, 5: 1}
+    base = ((den - num) * scale // den) // N
+    r = {i: scale // N for i in range(1, 6)}
+    for _ in range(iters):
+        s = {i: 0 for i in range(1, 6)}
+        for u, v in pairs:
+            s[v] += (r[u] * N) // (od[u] * N + m)
+        r = {i: base + (num * s[i]) // den for i in range(1, 6)}
+    assert got == r, (got, r)
+
+    pr = {
+        x["nodeId"]: x["rank_fp"]
+        for x in pagerank_fixedpoint(
+            nodes, edges, iters=iters, scale=scale
+        ).collect()
+    }
+    # node 1 (outdeg 1) endorses 3; node 2 (outdeg 3) endorses 4. The
+    # additive m/N divisor hits outdeg-1 node 1 proportionally harder:
+    # AR shrinks a degree-1 contribution by 1/(1+1) vs PR, a degree-3
+    # one only by 3/(3+1) — so 4's AR/PR ratio exceeds 3's
+    assert got[4] * pr[3] > got[3] * pr[4]
+
+
+def _louvain_py(pairs, rounds=4, seed=0):
+    """Python twin of louvain_local_move: per-sweep-reseeded active
+    halves, integer scores, (score desc, stay desc, c asc) tie order."""
+    import hashlib
+
+    def active(n, t):
+        hx = hashlib.md5(f"{n}#{seed}#{t}".encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return (hi * (1 << 32) + lo) % 2 == 0
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    m = sum(deg.values()) // 2
+    lab = {n: n for n in adj}
+    for t in range(rounds):
+        tot: dict[int, int] = {}
+        for n, l in lab.items():
+            tot[l] = tot.get(l, 0) + deg[n]
+        new = dict(lab)
+        for i in adj:
+            if not active(i, t):
+                continue
+            kic: dict[int, int] = {lab[i]: 0}
+            for j in adj[i]:
+                kic[lab[j]] = kic.get(lab[j], 0) + 1
+            best = None
+            for c, k in kic.items():
+                tp = tot.get(c, 0) - (deg[i] if lab[i] == c else 0)
+                score = 2 * m * k - deg[i] * tp
+                key = (score, 1 if c == lab[i] else 0, -c)
+                if best is None or key > best:
+                    best = key
+            new[i] = -best[2]
+        lab = new
+    return lab
+
+
+def test_louvain_local_move_triangles_and_replay(spark):
+    """Two triangles + bridge: six reseeded-half sweeps settle on the
+    two triangle communities (the Louvain phase-1 answer — a fully
+    synchronous variant 2-cycles on this fixture forever, the reason
+    for the per-sweep active halves); a random graph replays the
+    python twin label-for-label."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        louvain_local_move,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        r["nodeId"]: r["label"]
+        for r in louvain_local_move(edges, rounds=6).collect()
+    }
+    assert got == _louvain_py(pairs, 6)
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+
+    rng = __import__("random").Random(23)
+    rpairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(1, 41), 2)))
+            for _ in range(90)
+        }
+    )
+    redges = spark.createDataFrame(
+        rpairs, "sourceNodeId long, targetNodeId long"
+    )
+    got = {
+        r["nodeId"]: r["label"]
+        for r in louvain_local_move(redges, rounds=3).collect()
+    }
+    assert got == _louvain_py(rpairs, 3)
+
+
+def test_louvain_local_move_merge_beats_singletons(spark):
+    """Composition sanity: the swept assignment's total modularity
+    strictly beats the all-singletons start (singletons score
+    −Σ(d_c/2m)² < 0), and duplicate/reversed/self-loop edges
+    canonicalize away (replay equality on the cleaned pair list)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        community_modularity,
+        louvain_local_move,
+    )
+
+    pairs = [(7, 9), (9, 7), (7, 7), (7, 8), (8, 9)]
+    edges = spark.createDataFrame(
+        pairs, "sourceNodeId long, targetNodeId long"
+    )
+    labels = louvain_local_move(edges, rounds=4)
+    got = {r["nodeId"]: r["label"] for r in labels.collect()}
+    assert got == _louvain_py([(7, 9), (7, 8), (8, 9)], 4)
+    q_final = sum(
+        r["modularity_fp"]
+        for r in community_modularity(edges, labels).collect()
+    )
+    singles = spark.createDataFrame(
+        [(n, n) for n in (7, 8, 9)], "nodeId long, label long"
+    )
+    q_single = sum(
+        r["modularity_fp"]
+        for r in community_modularity(edges, singles).collect()
+    )
+    assert q_final > q_single

@@ -375,3 +375,155 @@ def test_cms_estimate_zero_for_absent_and_empty_counters(spark):
         ).collect()
     }
     assert est == {"a": 2, "b": 1, "never-seen": 0}, est
+
+
+def _bloom_py(vals, *, m_bits, k, seed):
+    """Python twin of bloom_sketch: {word_idx: signed-int64 bits}."""
+    words: dict[int, int] = {}
+    for v in vals:
+        for i in range(k):
+            bit = _phash(f"{v}#{i}#{seed}") % m_bits
+            w, p = bit // 64, bit % 64
+            mask = -(1 << 63) if p == 63 else (1 << p)
+            cur = words.get(w, 0)
+            # signed-int64 OR: python ints are unbounded, so OR then
+            # re-wrap the sign bit exactly like the JVM long does
+            acc = (cur | mask) & ((1 << 64) - 1)
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            words[w] = acc
+    return words
+
+
+def test_bloom_sketch_python_replay_and_no_false_negatives(spark):
+    """The filter replayed word-for-word in python, plus the Bloom
+    contract: EVERY inserted value probes maybe_present=true (no false
+    negatives, the property decontamination rides), and a wide filter
+    is collision-free for a small value set (absent values probe
+    false)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    vals = ["a", "b", "c", "d", "a"]  # duplicate insert is a no-op
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    m_bits, k, seed = 256, 3, 7
+    sk = bloom_sketch(df, "v", m_bits=m_bits, k=k, seed=seed)
+    got = {r["bloom_word"]: r["bits"] for r in sk.collect()}
+    assert got == _bloom_py(vals, m_bits=m_bits, k=k, seed=seed)
+
+    cands = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "x", "y", "zebra"]],
+        "v string",
+    )
+    probed = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_probe(
+            sk, cands, "v", m_bits=m_bits, k=k, seed=seed
+        ).collect()
+    }
+    for v in ["a", "b", "c", "d"]:
+        assert probed[v] is True, (v, probed)  # structural invariant
+    # 4 values * 3 hashes in 4096 bits: fp odds ~(12/4096)^3 — these
+    # specific absent probes are deterministic given the fixed hashes
+    sk_wide = bloom_sketch(df, "v", m_bits=4096, k=k, seed=seed)
+    probed_wide = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_probe(
+            sk_wide, cands, "v", m_bits=4096, k=k, seed=seed
+        ).collect()
+    }
+    assert probed_wide == {
+        "a": True, "b": True, "c": True, "d": True,
+        "x": False, "y": False, "zebra": False,
+    }, probed_wide
+
+
+def test_bloom_sketch_merge_idempotent_and_grouped(spark):
+    """OR-merge of per-part filters == single-pass filter bit-exactly,
+    re-merging a part twice changes NOTHING (idempotence — the replay
+    tolerance CMS lacks), and group_cols yields one independent filter
+    per group."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 17}") for i in range(100)], "k long, v string"
+    )
+    m_bits, k, seed = 512, 4, 1
+    single = {
+        r["bloom_word"]: r["bits"]
+        for r in bloom_sketch(
+            df, "v", m_bits=m_bits, k=k, seed=seed
+        ).collect()
+    }
+    a = bloom_sketch(
+        df.filter(F.col("k") % 2 == 0), "v", m_bits=m_bits, k=k, seed=seed
+    )
+    b = bloom_sketch(
+        df.filter(F.col("k") % 2 == 1), "v", m_bits=m_bits, k=k, seed=seed
+    )
+    merged = {
+        r["bloom_word"]: r["bits"]
+        for r in a.unionByName(b)
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert merged == single
+    # idempotence: replaying part b into the union is a no-op
+    remerged = {
+        r["bloom_word"]: r["bits"]
+        for r in a.unionByName(b).unionByName(b)
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert remerged == single
+    # grouped: each group's filter equals the filter of its slice
+    g = bloom_sketch(
+        df.withColumn("grp", F.col("k") % 2),
+        "v",
+        m_bits=m_bits,
+        k=k,
+        seed=seed,
+        group_cols=("grp",),
+    )
+    got0 = {
+        r["bloom_word"]: r["bits"]
+        for r in g.filter(F.col("grp") == 0).collect()
+    }
+    exp0 = {r["bloom_word"]: r["bits"] for r in a.collect()}
+    assert got0 == exp0
+
+
+def test_bloom_validation_and_missing_word_is_absent(spark):
+    """Bad geometry raises; a candidate whose words are all absent from
+    the sketch (sparse store) must read absent via the zero-fill, not
+    error or drop."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_sketch(df, "v", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_sketch(df, "v", k=0)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_probe(df, df, "v", m_bits=100)
+    sk = bloom_sketch(df, "v", m_bits=65536, k=2, seed=0)
+    cands = spark.createDataFrame([("nope",), ("a",)], "v string")
+    got = {
+        r["v"]: r["maybe_present"]
+        for r in bloom_probe(sk, cands, "v", m_bits=65536, k=2, seed=0)
+        .collect()
+    }
+    assert got == {"a": True, "nope": False}

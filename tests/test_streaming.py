@@ -649,3 +649,65 @@ def test_streaming_cms_store_multi_epoch_exact(spark, sf_dir, tmp_path):
 
     batches = [d for d in os.listdir(store) if d.startswith("batch_id=")]
     assert len(batches) >= 2, batches
+
+
+def test_streaming_bloom_store_multi_epoch_exact_and_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Bloom maintenance (r12): per-day filter partials folded per
+    micro-batch across TWO drain epochs, merged on read by bitwise OR —
+    merged must equal the single-pass filter over the full history
+    BIT-EXACTLY, and because OR is idempotent, re-merging a duplicated
+    partial (an at-least-once replay) changes NOTHING (the tolerance
+    CMS sums do not have)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_sketch,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        bloom_store_rollup,
+        bloom_store_stream,
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir).select("ts", "user_id")
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 == 1)
+    src, store, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+
+    first.repartition(3).write.parquet(src)  # epoch 1
+    q = bloom_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+    second.repartition(2).write.mode("append").parquet(src)  # epoch 2
+    q = bloom_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+
+    merged = {
+        r["bloom_word"]: r["bits"]
+        for r in bloom_store_rollup(spark, store).collect()
+    }
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id")
+    single = {
+        r["bloom_word"]: r["bits"]
+        for r in bloom_sketch(daily, "user_id", m_bits=4096).collect()
+    }
+    assert merged == single  # bit-exact, every word
+    # idempotence under replay: double-read the store and re-OR
+    store_df = spark.read.parquet(store)
+    replayed = {
+        r["bloom_word"]: r["bits"]
+        for r in store_df.unionByName(store_df)
+        .groupBy("bloom_word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    assert replayed == single
+    import os
+
+    batches = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert len(batches) >= 2, batches

@@ -210,6 +210,7 @@ HEADLINE = [
     "graph_k1coloring",
     "graph_articlerank",
     "graph_louvain_move",
+    "similarity_pq_topk",
     "text_decontaminate_bloom",
     "events_bloom_rollup",
 ]

@@ -62,6 +62,19 @@ from .dedup import decontaminate, set_similarity_join_pairs
 from .quality import bigram_logprob_profile, linear_quality_score
 from .retrieval import bm25_join, bm25_topk, corpus_df_stats
 from .similarity import assign_clusters_literal, cluster_balanced_sample
+from .graph_algo import (
+    articlerank_fixedpoint,
+    community_conductance,
+    community_modularity,
+    dag_longest_path,
+    k1_coloring,
+    louvain_local_move,
+    pagerank_weighted,
+    rwr_sample,
+    topological_order,
+)
+from .profile import bloom_probe, bloom_sketch
+from .similarity import pq_codebooks, pq_encode, pq_topk
 
 __all__ = [
     "project_nodes",
@@ -76,6 +89,20 @@ __all__ = [
     "fastrp_embeddings",
     "connected_components",
     "pagerank_fixedpoint",
+    "pagerank_weighted",
+    "articlerank_fixedpoint",
+    "dag_longest_path",
+    "topological_order",
+    "k1_coloring",
+    "louvain_local_move",
+    "community_modularity",
+    "community_conductance",
+    "rwr_sample",
+    "bloom_sketch",
+    "bloom_probe",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "asof_join",
     "range_join",
     "salted_aggregate",

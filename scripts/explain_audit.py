@@ -978,6 +978,20 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p
         and "ArrowEvalPython" not in p,
     ),
+    (
+        "similarity_pq_topk",
+        "PQ retrieval: ADC scoring is literal element_at sums in "
+        "codegen (no row-at-a-time Python — the only Python is the "
+        "Arrow-batched encode matmul), shortlist and final top-k both "
+        "TakeOrderedAndProject, the candidate re-attach broadcasts, "
+        "ZERO hash exchanges anywhere, no cartesian",
+        lambda p: "TakeOrderedAndProject" in p
+        and "element_at" in p
+        and "BatchEvalPython" not in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "hashpartitioning" not in p,
+    ),
 ]
 
 

@@ -141,6 +141,12 @@ def main() -> int:
             _co_order_edges(spark, sf_dir, min_qty=43),
             ["sourceNodeId", "targetNodeId"],
         ),
+        "emb": (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+            ["vec_id"],
+        ),
         "custorder": (
             spark.read.parquet(f"{sf_dir}/orders.parquet").select(
                 F.col("o_custkey").alias("sourceNodeId"),
@@ -436,6 +442,27 @@ def main() -> int:
         return louvain_local_move(rd("co30", s), rounds=4)
 
     ops["graph_louvain_move"] = louvain
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    def pq(s):
+        # 5x corpus through the SAME catalog configuration: codebooks
+        # retrain on the bigger corpus (deterministic low-id sample),
+        # the encode pass is the part that scales, and the output is
+        # k rows at ANY corpus size (the bounded-output control)
+        emb = rd("emb", s)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        return pq_topk(
+            emb, "vec_id", "embedding", qv,
+            k=10, m_sub=16, n_codes=64, shortlist=200,
+        )
+
+    ops["similarity_pq_topk"] = pq
     ops["graph_conductance"] = conductance
     ops["graph_topo_order"] = topo
     ops["text_decontaminate_bloom"] = decontaminate_bloom
@@ -445,6 +472,7 @@ def main() -> int:
     bounded = {
         "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
         "events_bloom_rollup": _BLOOM_ROLLUP_M // 64,
+        "similarity_pq_topk": 10,  # top-k at any corpus size
     }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness

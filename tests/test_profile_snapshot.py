@@ -527,3 +527,39 @@ def test_bloom_validation_and_missing_word_is_absent(spark):
         .collect()
     }
     assert got == {"a": True, "nope": False}
+
+
+def test_bloom_no_false_negatives_randomized(spark):
+    """Generative sweep of the structural invariant: across random
+    value sets, geometries, and seeds, EVERY inserted value probes
+    maybe_present=true — one Spark job per config, python-twin checked
+    word-for-word so a miss localizes to build vs probe."""
+    import random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n_vals = rng.randrange(5, 60)
+        vals = [
+            "v" + str(rng.randrange(10**9)) for _ in range(n_vals)
+        ]
+        m_bits = 64 * rng.randrange(1, 9)
+        k = rng.randrange(1, 6)
+        seed = rng.randrange(100)
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        sk = bloom_sketch(df, "v", m_bits=m_bits, k=k, seed=seed)
+        got = {r["bloom_word"]: r["bits"] for r in sk.collect()}
+        assert got == _bloom_py(vals, m_bits=m_bits, k=k, seed=seed), (
+            trial, m_bits, k, seed,
+        )
+        probed = {
+            r["v"]: r["maybe_present"]
+            for r in bloom_probe(
+                sk, df.distinct(), "v", m_bits=m_bits, k=k, seed=seed
+            ).collect()
+        }
+        assert all(probed[v] for v in set(vals)), (trial, probed)

@@ -465,3 +465,88 @@ def test_incremental_semantic_filter_matches_bruteforce(spark):
     }
     assert got == expect
     assert not got[10][1] and not got[12][1] and got[11][1]
+
+
+def test_pq_encode_python_replay_and_compression_shape(spark):
+    """PQ codes replayed in numpy over fixed hand codebooks (the encode
+    pass must be exactly per-slice L2-argmin after normalization), and
+    the encoded table is m_sub small ints per row."""
+    import numpy as np
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    codebooks = rng.normal(size=(2, 4, 4))  # m=2 slices, 4 codes, 4 dims
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df, "vec_id", "embedding", codebooks).collect()
+    }
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i, v in enumerate(unit):
+        expect = [
+            int(np.argmin(((codebooks[j] - v[j * 4 : (j + 1) * 4]) ** 2).sum(axis=1)))
+            for j in range(2)
+        ]
+        assert got[i] == expect, (i, got[i], expect)
+        assert len(got[i]) == 2
+
+
+def test_pq_topk_matches_exact_on_fixture(spark, sf_dir):
+    """The catalog configuration (m=16, 64 codes, shortlist 200) must
+    return EXACTLY the brute-force top-10 on the embeddings fixture —
+    the recall-1.0 contract the driver oracle checks; uniform-random
+    embeddings are PQ's adversarial case, so this is the conservative
+    end of the knob."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = [
+        (r["vec_id"], r["sim"])
+        for r in brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in pq_topk(
+            emb, "vec_id", "embedding", q,
+            k=10, m_sub=16, n_codes=64, shortlist=200,
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_guards(spark):
+    """Non-divisible dims and a zero query fail loud."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(df, "vec_id", "embedding", m_sub=2)
+    df4 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="zero query"):
+        pq_topk(df4, "vec_id", "embedding", [0.0, 0.0, 0.0, 0.0], m_sub=2, n_codes=2)

@@ -2755,8 +2755,9 @@ def community_conductance(
 
 
 def topological_order(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     *,
+    levels: DataFrame | None = None,
     max_iter: int = 64,
     n_buckets: int = 32,
     src: str = SOURCE_ID,
@@ -2778,12 +2779,23 @@ def topological_order(
     window (the shared ordering discipline of training_order /
     pack_sequences). Node ids must fit 40 bits (asserted) so the
     composite key stays collision-free in int64.
+
+    Pass ``levels`` (a :func:`dag_longest_path` result) to skip the
+    level fixpoint — the build-once split for callers that already
+    hold the levels table (the catalog memoizes it per session: the
+    relaxation loop is the expensive half, the rank stage the cheap
+    one).
     """
     from .packing import global_prefix_sum
 
-    levels = dag_longest_path(
-        edges, max_iter=max_iter, src=src, dst=dst
-    ).localCheckpoint(eager=True)
+    if (edges is None) == (levels is None):
+        raise ValueError(
+            "topological_order: pass exactly one of edges / levels"
+        )
+    if levels is None:
+        levels = dag_longest_path(
+            edges, max_iter=max_iter, src=src, dst=dst
+        ).localCheckpoint(eager=True)
     bad = levels.filter(
         (F.col(NODE_ID) < 0) | (F.col(NODE_ID) >= F.lit(1 << 40))
     )

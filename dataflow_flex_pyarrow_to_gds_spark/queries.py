@@ -5252,8 +5252,32 @@ def q_graph_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Per-customer sequence windows are the sessionize
     shape (bounded rows per key at fixture scale; the range-bucket
     prefix-sum reshape applies when keys can be hubs)."""
+    return _dag_levels(spark, sf_dir)
+
+
+#: Per-session memo of the order-chain DAG's LEVELS table, keyed by
+#: (applicationId, sf_dir) — the _CO_ORDER_MEMO pattern one derivation
+#: deeper: levels are the shared FIXTURE of the DAG family (the
+#: dag-levels row selects them, the topo row ranks over them — both
+#: oracles already ride one recursive CTE), and the ~24-round
+#: relaxation loop is the single most expensive fixture build in the
+#: catalog (~18 s at sf0.1), so a session pays it once. The memoized
+#: frame is already localCheckpoint-materialized by the fixpoint loop.
+_DAG_LEVELS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def clear_dag_levels_memo() -> None:
+    """Evict memoized DAG levels (the clear_co_order_memo analog)."""
+    _DAG_LEVELS_MEMO.clear()
+
+
+def _dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph_algo import dag_longest_path
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DAG_LEVELS_MEMO.get(key)
+    if got is not None:
+        return got
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = (
         _t(spark, sf_dir, "orders")
@@ -5263,7 +5287,9 @@ def q_graph_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("targetNodeId").isNotNull())
     )
-    return dag_longest_path(nxt, max_iter=64)
+    levels = dag_longest_path(nxt, max_iter=64)
+    _DAG_LEVELS_MEMO[key] = levels
+    return levels
 
 
 #: Shared recursive head of the order-chain DAG oracles: ``lv`` holds
@@ -5321,19 +5347,13 @@ def q_graph_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full permutation hash-matches the oracle's window over the
     SAME recursive level CTE the graph_dag_levels row selects from.
     The rank itself is assigned by the range-bucket prefix-sum
-    scaffold, never a single-task global window."""
+    scaffold, never a single-task global window; the level fixpoint is
+    the DAG family's memoized shared fixture (``_DAG_LEVELS_MEMO``),
+    so a session pays the ~24-round relaxation once across both
+    rows."""
     from .operators.graph_algo import topological_order
 
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    nxt = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderkey").alias("sourceNodeId"),
-            F.lead("o_orderkey").over(w).alias("targetNodeId"),
-        )
-        .filter(F.col("targetNodeId").isNotNull())
-    )
-    return topological_order(nxt, max_iter=64)
+    return topological_order(levels=_dag_levels(spark, sf_dir))
 
 
 _CMS_DEPTH = 4

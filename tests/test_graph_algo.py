@@ -2460,3 +2460,33 @@ def test_louvain_local_move_merge_beats_singletons(spark):
         for r in community_modularity(edges, singles).collect()
     )
     assert q_final > q_single
+
+
+def test_topological_order_levels_injection(spark):
+    """The precomputed-levels path returns exactly what the edges path
+    returns, and passing both/neither fails loud."""
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        dag_longest_path,
+        topological_order,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    via_edges = {
+        r["nodeId"]: (r["level"], r["topo_rank"])
+        for r in topological_order(edges).collect()
+    }
+    lv = dag_longest_path(edges)
+    via_levels = {
+        r["nodeId"]: (r["level"], r["topo_rank"])
+        for r in topological_order(levels=lv).collect()
+    }
+    assert via_edges == via_levels
+    with pytest.raises(ValueError, match="exactly one"):
+        topological_order(edges, levels=lv)
+    with pytest.raises(ValueError, match="exactly one"):
+        topological_order()

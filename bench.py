@@ -211,6 +211,8 @@ HEADLINE = [
     "graph_articlerank",
     "graph_louvain_move",
     "similarity_pq_topk",
+    "stats_exact_quantiles",
+    "dedup_sorted_neighborhood",
     "text_decontaminate_bloom",
     "events_bloom_rollup",
 ]

@@ -2334,3 +2334,133 @@ def canonical_keeper(
         .select(F.col(group_col), F.col(id_col).alias(out_col))
     )
     return groups.join(best, group_col).select(id_col, out_col)
+
+
+def _snm_key_num(key: Column, prefix_chars: int = 8) -> Column:
+    """Monotone int64 encoding of a key string's first ``prefix_chars``
+    ASCII characters (big-endian base-256 fold, missing positions pad
+    0) — lets the range-bucket scaffold partition a STRING total order
+    with numeric boundaries: equal prefixes collapse to one value (one
+    bucket), and numeric order equals string-prefix order for
+    single-byte characters (the normalized-key contract; multi-byte
+    codepoints would break monotonicity and belong in the key
+    normalization, not here)."""
+    acc = F.lit(0).cast("long")
+    for i in range(prefix_chars):
+        acc = acc * F.lit(256) + F.coalesce(
+            F.ascii(F.substring(key, i + 1, 1)), F.lit(0)
+        ).cast("long")
+    return acc
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 8,
+    threshold: float = 0.5,
+    key_chars: int = 16,
+    n_buckets: int = 32,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo 1995) — the
+    classic entity-resolution blocking the LSH/containment family
+    lacks: sort the corpus by a BLOCKING KEY (here the first
+    ``key_chars`` characters of the whitespace-normalized lowercased
+    text), take every pair within ``window`` positions as a candidate,
+    verify by exact token-set jaccard ≥ ``threshold`` →
+    ``(id_a, id_b, jaccard)`` with the canonical id_a < id_b. SNM's
+    trade vs MinHash-LSH: candidates ∝ n·(window−1) REGARDLESS of
+    cluster sizes (a 10⁶-duplicate flood contributes linearly, where
+    an LSH bucket goes quadratic), at the cost of missing near-dups
+    whose keys sort far apart — complementary recall profiles, which
+    is why production ER stacks run both.
+
+    Scale shape — the GLOBAL SORT NEVER HAPPENS: positions come from
+    the range-bucket scaffold (numeric boundaries over the monotone
+    key-prefix encoding — balance only; correctness comes from the
+    bucket-partitioned ``(key, id)`` windows plus broadcast cumulative
+    offsets, the global_prefix_sum discipline), candidates from ONE
+    integer equi-join of the rank table against itself shifted by
+    1..window−1 (explode is the multiplier, the join key is an 8-byte
+    rank), and token sets re-attach to SURVIVING candidates only.
+    Deterministic end-to-end: the (key, id) order is total, so the
+    pair set replays in any ANSI engine's row_number.
+    """
+    if window < 2:
+        raise ValueError(f"sorted_neighborhood_pairs: window must be >= 2, got {window}")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    key = F.substring(norm, 1, key_chars)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_key"),
+        token_set_col(F.col(text_col)).alias("_toks"),
+    ).filter(F.size(F.filter("_toks", lambda x: x != "")) > 0)
+    base = base.withColumn(
+        "_toks", F.filter("_toks", lambda x: x != "")
+    )
+    keyed = base.withColumn("_kn", _snm_key_num(F.col("_key")))
+    # range buckets on the numeric prefix (equal prefixes can't split)
+    bounds = keyed.agg(
+        F.percentile_approx(
+            "_kn", [i / n_buckets for i in range(1, n_buckets)], 10_000
+        ).alias("b")
+    ).first()["b"]
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col("_kn") > F.lit(b), i + 1).otherwise(bucket)
+    keyed = keyed.withColumn("_pb", bucket)
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("_pb").orderBy("_key", "_id")
+    local = keyed.withColumn("_lp", F.row_number().over(w_local))
+    offsets_rows = (
+        local.groupBy("_pb").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    counts = {r["_pb"]: r["_c"] for r in offsets_rows}
+    run, offs = 0, {}
+    for pb in sorted(counts):
+        offs[pb] = run
+        run += counts[pb]
+    off_df = local.sparkSession.createDataFrame(
+        [(pb, off) for pb, off in offs.items()], "_pb int, _off long"
+    )
+    ranked = local.join(F.broadcast(off_df), "_pb").select(
+        "_id",
+        "_toks",
+        (F.col("_lp") + F.col("_off")).alias("_rn"),
+    )
+    if checkpoint:
+        # the rank table is consumed twice (left side + shifted right
+        # side) — materialize once; checkpoint=False exists for plan
+        # inspection (the audited lineage would otherwise truncate)
+        ranked = ranked.localCheckpoint(eager=True)
+    right = ranked.select(
+        F.col("_id").alias("_idb"),
+        F.col("_toks").alias("_toksb"),
+        F.explode(
+            F.array(*[F.lit(o) for o in range(1, window)])
+        ).alias("_o"),
+        F.col("_rn").alias("_rnb"),
+    ).withColumn("_rn", F.col("_rnb") - F.col("_o"))
+    inter = F.size(F.array_intersect("_toks", "_toksb"))
+    union = F.size("_toks") + F.size("_toksb") - inter
+    jac = inter.cast("double") / union
+    return (
+        ranked.join(right, "_rn")
+        .select(
+            F.least("_id", "_idb").alias("id_a"),
+            F.greatest("_id", "_idb").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= F.lit(threshold))
+        .drop("_j")
+        # no pair-keyed distinct: each unordered pair arises from
+        # exactly one (rank, offset) combination by construction, so
+        # the candidate stream never shuffles on pair ids (the
+        # minhash/simhash discipline)
+    )

@@ -518,3 +518,115 @@ def bloom_probe(
     return probed.groupBy(value_col).agg(
         F.bool_and(word_ok).alias("maybe_present")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    *,
+    n_buckets: int = 32,
+    local_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT order-statistic quantiles of a numeric column at any
+    scale → one row per requested q: ``(quantile, rank, value)`` with
+    ``rank = floor((n−1)·q) + 1`` (the lower/type-1 convention —
+    engine-independent: the value at position ``rank`` of the sorted
+    multiset, which any ANSI engine replays as ORDER BY … OFFSET).
+
+    ``approx_percentile`` trades exactness for one pass; this is the
+    classic distributed SELECTION algorithm for when the answer must
+    be exact (SLA thresholds, billing cut-offs, dedup score cut
+    points): per target rank, iteratively NARROW the candidate range —
+    each round buckets the surviving values by ``percentile_approx``
+    boundaries (balance only — skewed boundaries degrade parallelism,
+    never correctness), counts per bucket (ONE partial-aggregated
+    groupBy of ≤ n_buckets rows), locates the bucket holding the rank,
+    and recurses into it with the rank rebased. When ≤
+    ``local_threshold`` candidates remain, ONE ``orderBy().limit(r)``
+    finishes — bounded driver-side work by construction, never a
+    global sort. Rounds ≈ log_{n_buckets}(n / threshold): 3 rounds
+    reach 10¹² rows at the defaults. Heavy duplicate values collapse
+    a round's narrowing (a bucket of one value cannot split); the
+    equal-value fast path answers immediately instead of spinning, and
+    ``max_rounds`` is a loud guard, not a silent cap.
+    """
+    if not quantiles:
+        raise ValueError("exact_quantiles: no quantiles requested")
+    if any(not 0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"exact_quantiles: q outside [0,1]: {quantiles}")
+    vals = df.select(F.col(value_col).alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    n = vals.count()
+    if n == 0:
+        raise ValueError("exact_quantiles: no non-null values")
+    out_rows = []
+    for q in quantiles:
+        rank = int((n - 1) * q) + 1  # 1-based lower order statistic
+        cur = vals
+        cur_n, r = n, rank
+        for _ in range(max_rounds):
+            if cur_n <= local_threshold:
+                got = (
+                    cur.orderBy(F.asc("_x"))
+                    .limit(r)
+                    .agg(F.max("_x").alias("_v"))
+                    .first()["_v"]
+                )
+                break
+            lo_hi = cur.agg(
+                F.min("_x").alias("lo"), F.max("_x").alias("hi")
+            ).first()
+            if lo_hi["lo"] == lo_hi["hi"]:
+                got = lo_hi["lo"]  # all-equal: any rank is this value
+                break
+            bounds = cur.agg(
+                F.percentile_approx(
+                    "_x",
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    10_000,
+                ).alias("b")
+            ).first()["b"]
+            # strictly increasing boundary list (duplicates collapse)
+            uniq = sorted(set(bounds))
+            bucket = F.lit(0)
+            for i, b in enumerate(uniq):
+                bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(
+                    bucket
+                )
+            counts = dict(
+                (row["_b"], row["_c"])
+                for row in cur.groupBy(bucket.alias("_b"))
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .collect()
+            )
+            run, target = 0, None
+            for i in range(len(uniq) + 1):
+                c = counts.get(i, 0)
+                if run < r <= run + c:
+                    target, r = i, r - run
+                    break
+                run += c
+            lo = None if target == 0 else uniq[target - 1]
+            hi = None if target == len(uniq) else uniq[target]
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_x") > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("_x") <= F.lit(hi))
+            cur = cur.filter(cond)
+            cur_n = counts.get(target, 0)
+        else:
+            raise RuntimeError(
+                f"exact_quantiles: rank {rank} not localized in "
+                f"{max_rounds} rounds (raise max_rounds or "
+                "local_threshold)"
+            )
+        out_rows.append((float(q), rank, got))
+    spark = df.sparkSession
+    vtype = df.schema[value_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows, f"quantile double, rank long, value {vtype}"
+    )

@@ -852,6 +852,97 @@ def _conductance_oracle_sql(scale: int = 10**9) -> str:
 _GRAPH_ORACLES["graph_conductance"] = _conductance_oracle_sql()
 
 
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (r12 — Hernández–Stolfo SNM, the
+    classic ER blocking the LSH family lacks): sort by the 16-char
+    normalized-text blocking key, candidates = pairs within 8 sorted
+    positions (∝ n·7 REGARDLESS of cluster sizes — the flood case
+    where an LSH bucket goes quadratic), verified by exact token-set
+    jaccard ≥ 0.5. The global sort never happens: positions come from
+    the range-bucket scaffold over a monotone key-prefix encoding,
+    candidates from one integer rank equi-join. The (key, id) order is
+    total, so the full pair set and jaccards hash-match the oracle's
+    row_number replay bit-for-bit."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        window=8,
+        threshold=0.5,
+    )
+
+
+#: registered later next to the other deferred oracles
+_SNM_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(list_distinct(
+                   string_split_regex(lower(trim(text)), '\s+')),
+                   x -> x <> '') AS toks,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      1, 16) AS key
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, toks,
+               row_number() OVER (ORDER BY key, doc_id) AS rn
+        FROM t WHERE len(toks) > 0
+    ),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.toks, b.toks))::DOUBLE
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS j
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 8
+    )
+    SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+           round(j, 6) AS jaccard
+    FROM p WHERE j >= 0.5
+"""
+
+
+def q_stats_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed order statistics (r12 — the exact counterpart
+    of the approx_stats/percentile_prices family): p25/p50/p90/p99 of
+    lineitem's extended price by iterative range narrowing — per round
+    one bucket-count groupBy (≤ n_buckets skinny rows) and a rank
+    rebase into the surviving bucket, finishing with a bounded local
+    sort; never a global sort, rounds ≈ log₃₂(n). local_threshold is
+    forced below the fixture row count so the driver checks the
+    NARROWING path, not the small-data fallback. Values are copied
+    parquet doubles (zero arithmetic), so they hash-match the oracle's
+    ORDER BY/OFFSET order statistics bit-for-bit."""
+    from .operators.profile import exact_quantiles
+
+    return exact_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        [0.25, 0.5, 0.9, 0.99],
+        local_threshold=5_000,
+    )
+
+
+#: registered later, next to the bloom oracles — _RELATIONAL_ORACLES
+#: is defined further down the module
+_EXACT_QUANTILES_ORACLE = """
+    WITH v AS (
+        SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    qs(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)),
+    r AS (
+        SELECT q, CAST(floor((n.n - 1) * q) AS BIGINT) + 1 AS rank
+        FROM qs, n
+    ),
+    s AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+    SELECT r.q AS quantile, r.rank AS rank, s.x AS value
+    FROM r JOIN s ON s.rn = r.rank
+"""
+
+
 def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community conductance (r12 — GDS ``gds.conductance`` parity)
     of the 3-round LPA communities over the co-order graph: φ_c =
@@ -5688,6 +5779,9 @@ _RELATIONAL_ORACLES["events_bloom_rollup"] = _bloom_rollup_oracle_sql()
 # deferred from the definition site: these need _hash_sql_of
 _GRAPH_ORACLES["graph_k1coloring"] = _k1_oracle_sql()
 _GRAPH_ORACLES["graph_louvain_move"] = _louvain_oracle_sql()
+# deferred: _RELATIONAL_ORACLES is defined below the graph section
+_RELATIONAL_ORACLES["stats_exact_quantiles"] = _EXACT_QUANTILES_ORACLE
+_RELATIONAL_ORACLES["dedup_sorted_neighborhood"] = _SNM_ORACLE
 
 
 _DSIR_TARGET_SOURCES = ("src1", "src3", "src5", "src7")
@@ -8997,6 +9091,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "dedup_incremental",
         "dedup_near_groups",
         "dedup_minhash_pairs",
+        "text_bm25_topk",
+        "dedup_set_similarity",
         "dedup_containment",
         "dedup_containment_groups",
         "dedup_edit_distance",
@@ -9162,6 +9258,8 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_articlerank": q_graph_articlerank,
         "graph_louvain_move": q_graph_louvain_move,
         "similarity_pq_topk": q_similarity_pq_topk,
+        "stats_exact_quantiles": q_stats_exact_quantiles,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "events_bloom_rollup": q_events_bloom_rollup,
         # -- new in round 12 (VERDICT r11 #1/#5/#6): the five r11
@@ -9215,8 +9313,6 @@ def _specs() -> dict[str, QuerySpec]:
         "text_token_frequencies": q_text_token_frequencies,
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_passage_removal": q_dedup_passage_removal,
-        "dedup_set_similarity": q_dedup_set_similarity,
-        "text_bm25_topk": q_text_bm25_topk,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
@@ -9229,6 +9325,8 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_near_groups": q_dedup_near_groups,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "text_bm25_topk": q_text_bm25_topk,
+        "dedup_set_similarity": q_dedup_set_similarity,
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "sample_split_leakage": q_sample_split_leakage,
         "q18_large_volume_customers": q18_large_volume_customers,

@@ -992,6 +992,40 @@ CHECKS: list[tuple[str, str, object]] = [
         and "CartesianProduct" not in p
         and "hashpartitioning" not in p,
     ),
+    (
+        "@quantile_round",
+        "exact-quantiles narrowing round: ONE partial-aggregated "
+        "bucket count over a literal-CASE bucketing (codegen), scan "
+        "pruned to the value column, no sort, no window, no Python "
+        "eval — the global sort the operator exists to avoid never "
+        "appears",
+        lambda p: "partial_count" in p
+        and "CASE WHEN" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 1
+        and "Sort" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "@snm_plan",
+        "SNM dedup: the global sort never materializes (every "
+        "windowspecdefinition is _pb-bucket-partitioned), candidates "
+        "come from an integer rank equi-join (no exchange keyed on "
+        "pair ids), offsets broadcast back, no cartesian, no Python "
+        "eval",
+        lambda p: "CartesianProduct" not in p
+        and all(
+            m == "_pb"
+            for m in re.findall(r"windowspecdefinition\((\w+)#", p)
+        )
+        and "hashpartitioning(id_a" not in p
+        and "hashpartitioning(id_b" not in p
+        and "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
 ]
 
 
@@ -1337,6 +1371,49 @@ def _louvain_sweep(spark, sf: str):
     )
 
 
+
+def _quantile_round(spark, sf: str):
+    """One exact-quantiles narrowing round over lineitem prices: the
+    bucket-count aggregation that dominates each round (the located
+    bucket's filter + recursion are driver-coordinated on its ≤32-row
+    result)."""
+    from pyspark.sql import functions as F
+
+    vals = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(F.col("l_extendedprice").alias("_x"))
+        .filter(F.col("_x").isNotNull())
+    )
+    bounds = vals.agg(
+        F.percentile_approx(
+            "_x", [i / 8 for i in range(1, 8)], 10_000
+        ).alias("b")
+    ).first()["b"]
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(bucket)
+    return vals.groupBy(bucket.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+
+
+
+def _snm_plan(spark, sf: str):
+    """Full un-checkpointed sorted-neighborhood lineage (the catalog
+    query materializes the rank table, which explains as an opaque RDD
+    scan — checkpoint=False keeps the bucket windows and offset
+    broadcast visible)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=8, threshold=0.5,
+        checkpoint=False,
+    )
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
@@ -1349,6 +1426,8 @@ CUSTOM_BUILDERS = {
     "@k1_round_plan": _k1_round_plan,
     "@ar_iter": _ar_iter,
     "@louvain_sweep": _louvain_sweep,
+    "@quantile_round": _quantile_round,
+    "@snm_plan": _snm_plan,
 }
 
 

@@ -1211,3 +1211,88 @@ def test_containment_unpersist_after_frees_storage(spark):
     # by the ContextCleaner when the DataFrame is garbage-collected
     assert len(new) == 1, new
     assert sorted(map(tuple, out.collect())) == expect
+
+
+def _snm_py(rows, *, window, threshold, key_chars=16):
+    """Python twin of sorted_neighborhood_pairs."""
+    import re
+
+    def key(t):
+        return re.sub(r"\s+", " ", t.strip().lower())[:key_chars]
+
+    def toks(t):
+        return {x for x in re.split(r"\s+", t.strip().lower()) if x}
+
+    docs = [(i, key(t), toks(t)) for i, t in rows if toks(t)]
+    docs.sort(key=lambda d: (d[1], d[0]))
+    out = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, min(a + window, len(docs))):
+            ta, tb = docs[a][2], docs[b][2]
+            inter = len(ta & tb)
+            j = inter / (len(ta) + len(tb) - inter)
+            if j >= threshold:
+                ia, ib = sorted((docs[a][0], docs[b][0]))
+                out[(ia, ib)] = round(j, 6)
+    return out
+
+
+def test_sorted_neighborhood_python_replay(spark):
+    """Pairs and jaccards replay the python twin exactly — including
+    docs whose keys tie in the first 8 chars (same numeric bucket key,
+    string order decides), empty docs dropped, and pairs with sorted
+    distance >= window absent."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma zeta"),
+        (4, "omega psi chi"),
+        (5, "omega psi chi phi"),
+        (6, "  ALPHA   beta gamma delta  "),  # normalizes onto doc 1
+        (7, ""),  # dropped
+        (8, "zzz distinct tail content here"),
+        (9, "alphabet soup is different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=3, threshold=0.4, n_buckets=4
+        ).collect()
+    }
+    expect = _snm_py(rows, window=3, threshold=0.4)
+    assert got == expect, (got, expect)
+    # normalization puts doc 6 adjacent to the alpha-beta-gamma block
+    # (ties on the 16-char key order by id: 1,2,3,6) — it pairs with 2
+    # and 3, while (1,6) sits at sorted distance 3, OUTSIDE window=3:
+    # the miss profile SNM trades for linear candidates, asserted
+    assert (2, 6) in got and (3, 6) in got
+    assert (1, 6) not in got
+    assert (4, 5) in got
+    with __import__("pytest").raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "doc_id", "text", window=1)
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    """Linear candidate guarantee: a flood of identical docs yields
+    exactly the in-window pairs (n·(window−1) − triangle tail), never
+    the quadratic closure an LSH bucket would produce."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 40, 4
+    df = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=w, threshold=0.9, n_buckets=4
+    ).collect()
+    expect_n = sum(min(w - 1, n - 1 - i) for i in range(n))
+    assert len(pairs) == expect_n  # linear in n, not n·(n−1)/2
+    assert all(r["jaccard"] == 1.0 for r in pairs)

@@ -563,3 +563,47 @@ def test_bloom_no_false_negatives_randomized(spark):
             ).collect()
         }
         assert all(probed[v] for v in set(vals)), (trial, probed)
+
+
+def test_exact_quantiles_python_replay_and_narrowing(spark):
+    """Order statistics match python's sorted()[rank-1] exactly for
+    edge and interior q, with local_threshold forced tiny so the
+    range-narrowing loop (not the local fallback) produces the answer;
+    the all-equal fast path and the guards fail loud."""
+    import random
+
+    import pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    rng = random.Random(5)
+    vals = [rng.randrange(0, 10_000) for _ in range(5_000)] + [None] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    clean = sorted(v for v in vals if v is not None)
+    n = len(clean)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["quantile"]: (r["rank"], r["value"])
+        for r in exact_quantiles(
+            df, "x", qs, n_buckets=8, local_threshold=50
+        ).collect()
+    }
+    for q in qs:
+        rank = int((n - 1) * q) + 1
+        assert got[q] == (rank, clean[rank - 1]), (q, got[q])
+
+    ones = spark.createDataFrame([(7,)] * 100, "x long")
+    got1 = exact_quantiles(
+        ones, "x", [0.5], n_buckets=4, local_threshold=10
+    ).collect()[0]
+    assert (got1["rank"], got1["value"]) == (50, 7)
+
+    with pytest.raises(ValueError, match="no quantiles"):
+        exact_quantiles(df, "x", [])
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles(df, "x", [1.5])
+    nulls = spark.createDataFrame([(None,)], "x long")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_quantiles(nulls, "x", [0.5])

@@ -215,6 +215,13 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "text_decontaminate_bloom",
     "events_bloom_rollup",
+    # round 12 fourth wave: KMV distinct sketch + merge-on-read rollup,
+    # MMR diversified retrieval, association rules, assortativity
+    "stats_kmv_distinct",
+    "events_kmv_rollup",
+    "similarity_mmr_topk",
+    "assoc_rules_parts",
+    "graph_assortativity",
 ]
 
 

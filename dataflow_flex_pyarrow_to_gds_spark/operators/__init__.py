@@ -34,6 +34,10 @@ from .sampling import (
     importance_weights,
 )
 from .profile import cms_estimate, cms_sketch
+from .profile import kmv_estimate, kmv_sketch
+from .itemsets import frequent_pair_rules
+from .similarity import mmr_topk
+from .graph_algo import degree_assortativity
 from .similarity import embedding_near_dup_pairs_blocked_np
 from .dedup import (
     near_dup_groups,
@@ -77,6 +81,11 @@ from .profile import bloom_probe, bloom_sketch
 from .similarity import pq_codebooks, pq_encode, pq_topk
 
 __all__ = [
+    "kmv_estimate",
+    "kmv_sketch",
+    "frequent_pair_rules",
+    "mmr_topk",
+    "degree_assortativity",
     "project_nodes",
     "project_edges",
     "route_sources",

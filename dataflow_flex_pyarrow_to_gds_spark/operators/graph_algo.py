@@ -3188,3 +3188,94 @@ def louvain_local_move(
         if checkpoint:
             lab = lab.localCheckpoint(eager=True)
     return lab.select(F.col("_n").alias(NODE_ID), F.col("_l").alias("label"))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002, Phys. Rev. Lett. 89) of an
+    undirected graph given canonical ``u < v`` edges → ONE row of exact
+    integer sufficient statistics plus the coefficient:
+
+    - ``m2``   — ordered endpoint pairs (= 2·|edges|)
+    - ``sx``   — Σ degree over ordered pairs (x and y marginals are
+      identical by symmetry, so one sum serves both)
+    - ``sxy``  — Σ dx·dy, ``sx2`` — Σ dx²
+    - ``assort_ppm`` — the Pearson degree-degree correlation
+      ``(m2·sxy − sx²) / (m2·sx2 − sx²)`` in integer parts-per-million,
+      computed as sign · (|num|·10⁶ div den) so truncation is
+      engine-independent for NEGATIVE correlations too (Spark's ``div``
+      truncates toward zero, DuckDB's ``//`` floors — they agree only
+      on non-negative operands, hence the explicit sign split). NULL
+      when den = 0 (a degree-regular graph has no degree variance —
+      correlation undefined, not 0).
+
+    Positive = hubs link hubs (social nets), negative = hubs link
+    leaves (the internet AS graph, dependency graphs) — the one-number
+    screen for whether hub-cap / salting knobs will matter downstream.
+
+    All sums run in DECIMAL(38,0): dx·dy ≤ Δ² ~ 10¹² per term at
+    Δ = 10⁶, and 2m such terms overflow int64 at ~10⁷ edges already —
+    the headroom discipline of the eigenvector/ArticleRank family.
+    Scale shape: one groupBy for degrees, two skinny broadcast-eligible
+    equi-joins to attach (dx, dy) to the 2m incidence rows, ONE
+    partial-agg global sum — no windows, no iteration, no driver state.
+    """
+    dec = "DECIMAL(38,0)"
+    und = edges.select(
+        F.col(SOURCE_ID).alias("_a"), F.col(TARGET_ID).alias("_b")
+    ).unionAll(
+        edges.select(
+            F.col(TARGET_ID).alias("_a"), F.col(SOURCE_ID).alias("_b")
+        )
+    )
+    # joined twice (dx and dy sides) — materialize the n-row degree
+    # table once instead of re-running its groupBy shuffle per side
+    deg = und.groupBy("_a").agg(
+        F.count(F.lit(1)).alias("_d")
+    ).localCheckpoint(eager=False)
+    pairs = (
+        und.join(deg.select(F.col("_a"), F.col("_d").alias("_dx")), "_a")
+        .join(
+            deg.select(
+                F.col("_a").alias("_b"), F.col("_d").alias("_dy")
+            ),
+            "_b",
+        )
+        .select(
+            F.col("_dx").cast(dec).alias("_dx"),
+            F.col("_dy").cast(dec).alias("_dy"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("_dx").cast(dec).alias("_sx"),
+        F.sum(F.col("_dx") * F.col("_dy")).cast(dec).alias("_sxy"),
+        F.sum(F.col("_dx") * F.col("_dx")).cast(dec).alias("_sx2"),
+    )
+    num = f"(CAST(m2 AS {dec}) * _sxy - _sx * _sx)"
+    den = f"(CAST(m2 AS {dec}) * _sx2 - _sx * _sx)"
+    # outputs are BIGINT (the eigenvector/ArticleRank contract: decimal
+    # headroom INTERNAL, int64 at the boundary) — _sx2 dominates the
+    # three sums (Cauchy-Schwarz gives _sxy ≤ _sx2; degrees ≥ 1 give
+    # _sx ≤ _sx2), and the ×10⁶ ppm step needs |num| ≤ 10³¹ to stay
+    # inside DECIMAL(38,0), so both limits guard LOUD instead of
+    # Spark's silent non-ANSI wrap/NULL (the FastRP widen-or-raise
+    # discipline, ADVICE r11)
+    guard = (
+        f"CASE WHEN _sx2 > {(1 << 63) - 1} OR "
+        f"abs({num}) > CAST('{10**31}' AS {dec}) "
+        f"THEN CAST(raise_error('degree_assortativity: statistics "
+        f"exceed int64/ppm headroom — rescale degrees first') AS BIGINT) "
+    )
+    ppm = (
+        guard
+        + f"WHEN {den} = 0 THEN NULL "
+        f"ELSE CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END "
+        f"     * (abs({num}) * 1000000 div {den}) AS BIGINT) END"
+    )
+    return agg.select(
+        "m2",
+        F.col("_sx").cast("long").alias("sx"),
+        F.col("_sxy").cast("long").alias("sxy"),
+        F.col("_sx2").cast("long").alias("sx2"),
+        F.expr(ppm).alias("assort_ppm"),
+    )

@@ -630,3 +630,133 @@ def exact_quantiles(
     return spark.createDataFrame(
         out_rows, f"quantile double, rank long, value {vtype}"
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: int = 64,
+    seed: int = 0,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002,
+    Beyer et al. 2007) of a column's value SET → the sketch AS A SKINNY
+    TABLE ``(kmv_pos, kmv_hash)``: the ``k`` SMALLEST distinct 64-bit
+    hashes of the values, ``kmv_pos`` = 1..k in ascending hash order.
+    The k-th minimum of a uniform hash estimates distinct cardinality
+    (:func:`kmv_estimate`); the sample itself doubles as a uniform
+    distinct-value sample (every distinct value is equally likely to
+    land in the bottom k — the "distinct reservoir" a corpus profiler
+    wants).
+
+    Deterministic and exact given its hash —
+    ``portable_hash64(val # seed)`` (:func:`~.dedup.portable_hash64_col`)
+    — so unlike HLL (estimate-only check) the whole sketch hash-matches
+    an ANSI oracle bit-for-bit. Two distinct values colliding on the
+    full 64-bit hash count once, which IS the KMV semantics (the sketch
+    estimates distinct hashes; at 64 bits the collision term is
+    negligible against the ~1/√k sampling error).
+
+    MERGEABLE, and the strongest maintenance algebra here: merge =
+    union → distinct → re-bottom-k, which is associative, commutative
+    AND idempotent (min commutes with min), so like the Bloom store —
+    and unlike CMS counter sums — a KMV store tolerates at-least-once
+    replay bit-for-bit. Unlike Bloom it also answers a QUANTITY
+    (distinct count), not just membership. ``group_cols`` prepends
+    partition keys (day, batch, source) for one independent sketch per
+    group in one pass — the streaming maintenance shape
+    (:func:`~..streaming.events.kmv_store_stream`).
+
+    Scale shape: one partially-aggregated distinct on
+    (group, kmv_hash) — the value strings themselves never shuffle,
+    only 8-byte hashes — then a rank-limited window Catalyst rewrites
+    to WindowGroupLimit: every map task keeps only its local bottom-k
+    before the exchange, so the sort never sees more than
+    k · num_partitions rows per group regardless of input size. Output
+    ≤ k rows per group — broadcastable state at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import portable_hash64_col
+
+    if k < 1:
+        raise ValueError(f"kmv_sketch: k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    h = portable_hash64_col(
+        F.concat_ws(
+            "#", F.col(value_col).cast("string"), F.lit(str(seed))
+        )
+    )
+    hashes = (
+        df.select(*gcols, h.alias("kmv_hash"))
+        .groupBy(*gcols, "kmv_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
+        F.asc("kmv_hash")
+    )
+    return (
+        hashes.select(
+            *gcols,
+            "kmv_hash",
+            F.row_number().over(w).alias("kmv_pos"),
+        )
+        .filter(F.col("kmv_pos") <= k)
+        .select(*gcols, "kmv_pos", "kmv_hash")
+    )
+
+
+#: 2^63 + 1: maps the signed kmv_hash onto the positive denominator
+#: h + 2^63 + 1 ∈ [1, 2^64] so the estimate division never sees zero
+#: and truncating division equals floor on both engines.
+_KMV_SHIFT = (1 << 63) + 1
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    k: int,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Distinct-cardinality estimate off a :func:`kmv_sketch` table →
+    ``(group…, kmv_k, kth_hash, est_distinct)`` per group.
+
+    If the sketch holds FEWER than ``k`` rows the stream had fewer than
+    k distinct hashes and the count is EXACT (= rows held). Otherwise
+    the unbiased KMV estimator ``(k−1)/u_k`` applies, where
+    ``u_k = (h_k + 2^63 + 1) / 2^64`` maps the k-th smallest signed
+    hash onto (0, 1]; the division is carried out in DECIMAL(38,0)
+    integer arithmetic — ``((k−1)·2^64) div (h_k + 2^63 + 1)`` — so the
+    estimate replays bit-for-bit in any ANSI engine (no float in the
+    pipeline; relative error ~1/√(k−2), ≈13% at k=64). ``k`` must match
+    the build — fewer rows than k is the exact-regime signal, so a
+    mismatched k silently mis-classifies the regime (same contract as
+    :func:`cms_estimate`).
+
+    Scale shape: one partial-agg groupBy over an input that is already
+    ≤ k rows per group. Driver-free, join-free.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_estimate: k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    num = (k - 1) * (1 << 64)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("_held"),
+        F.max("kmv_hash").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("_held") < k, F.col("_held").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST(CAST({num} AS DECIMAL(38,0)) div "
+            f"(CAST(kth_hash AS DECIMAL(38,0)) + {_KMV_SHIFT}) AS BIGINT)"
+        )
+    )
+    return agg.select(
+        *gcols,
+        F.lit(k).cast("long").alias("kmv_k"),
+        F.col("kth_hash"),
+        est.alias("est_distinct"),
+    )

@@ -1627,3 +1627,138 @@ def pq_topk(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _cos_fold(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-to-right fold the Spark
+    side's :func:`~..functions.scalar.dot` builds (F.aggregate from
+    0.0), so the two produce the identical IEEE double bit-for-bit —
+    the replay discipline every quantized comparison here relies on."""
+    import math
+
+    dab = 0.0
+    daa = 0.0
+    dbb = 0.0
+    for x, y in zip(a, b):
+        dab += x * y
+    for x in a:
+        daa += x * x
+    for y in b:
+        dbb += y * y
+    return dab / (math.sqrt(daa) * math.sqrt(dbb))
+
+
+def _mmr_pool_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    scale: int,
+    pool_size: int,
+) -> DataFrame:
+    """The distributed stage of :func:`mmr_topk`: quantized relevance
+    scored in whole-stage codegen, cut to ``pool_size`` rows by
+    (rel desc, id asc) — Catalyst compiles the orderBy+limit to
+    TakeOrderedAndProject (per-partition top-k, no global sort); the
+    plan audit pins that."""
+    from ..functions.scalar import cosine_similarity
+
+    cos = cosine_similarity(
+        _as_double(F.col(vec_col)), _query_lit(query_vec)
+    )
+    rel_q = F.floor(cos * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _as_double(F.col(vec_col)).alias("_v"),
+            rel_q.alias("_rel"),
+        )
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(pool_size)
+    )
+
+
+def mmr_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    *,
+    k: int = 5,
+    pool_size: int = 40,
+    lambda_pct: int = 65,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) → ``(mmr_rank, id, rel_q, mmr_score)``: greedily
+    pick the item maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s)`` — relevance to the query traded against redundancy with
+    what's already picked. THE diversity pass of a retrieval/data-
+    curation pipeline: plain top-k returns k near-copies of the best
+    hit; MMR returns k hits that each add information (hard-negative
+    mining, diverse few-shot selection, dedup-aware retrieval).
+
+    Exactness: similarities are quantized to integers
+    (``floor(cos·scale + 0.5)``) and λ to percent, so every greedy
+    decision is int64 arithmetic — the whole selection replays
+    bit-for-bit in an ANSI oracle (ties broken by id ascending; step 1
+    has no selected set, its redundancy term is 0). Two candidates
+    whose float cosines differ below 1/scale tie and fall to the id
+    tie-break deterministically on both engines.
+
+    Scale shape (the standard MMR deployment): the DISTRIBUTED stage is
+    one corpus-wide scan scoring ``rel_q`` inside whole-stage codegen,
+    cut to ``pool_size`` by (rel_q desc, id asc) — Catalyst's
+    TakeOrderedAndProject, per-partition top-k before the exchange, no
+    global sort. The greedy itself is inherently sequential (the CELF
+    family), but over the BOUNDED pool: pool_size·k driver-side
+    cosines (~2·10⁴ mults at the defaults — microseconds), the
+    PQ-codebook/IVF-centroid driver-budget precedent. ``pool_size`` is
+    the recall/diversity-horizon knob: at 100 TB the scan dominates
+    end-to-end cost and the pool stays constant-size.
+    """
+    import math
+
+    from ..functions.scalar import cosine_similarity
+
+    if k < 1:
+        raise ValueError(f"mmr_topk: k must be >= 1, got {k}")
+    if pool_size < k:
+        raise ValueError(
+            f"mmr_topk: pool_size {pool_size} must be >= k {k}"
+        )
+    if not 0 <= lambda_pct <= 100:
+        raise ValueError(
+            f"mmr_topk: lambda_pct must be in [0, 100], got {lambda_pct}"
+        )
+    pool = _mmr_pool_df(
+        df, id_col, vec_col, query_vec, scale=scale, pool_size=pool_size
+    ).collect()
+    mu = 100 - lambda_pct
+    cand = [(r["_id"], list(r["_v"]), r["_rel"]) for r in pool]
+    picked: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for cid, cv, crel in cand:
+            ms = (
+                max(
+                    math.floor(_cos_fold(cv, sv) * scale + 0.5)
+                    for sv in sel_vecs
+                )
+                if sel_vecs
+                else 0
+            )
+            score = lambda_pct * crel - mu * ms
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, cv, crel, score)
+        _, bid, bv, brel, bscore = best
+        picked.append((rank, bid, brel, bscore))
+        sel_vecs.append(bv)
+        cand = [c for c in cand if c[0] != bid]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picked, "mmr_rank int, id long, rel_q long, mmr_score long"
+    ).withColumnRenamed("id", id_col)

@@ -852,6 +852,51 @@ def _conductance_oracle_sql(scale: int = 10**9) -> str:
 _GRAPH_ORACLES["graph_conductance"] = _conductance_oracle_sql()
 
 
+def _assortativity_oracle_sql() -> str:
+    """Verbatim replay of degree_assortativity's sufficient statistics
+    and sign-split ppm division over the min_qty=30 co-order graph."""
+    num = "(m2 * sxy - sx * sx)"
+    den = "(m2 * sx2 - sx * sx)"
+    return f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        FROM lineitem WHERE l_quantity >= 30
+    ),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    sym AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+    pe AS (
+        SELECT CAST(da.d AS HUGEINT) AS dx, CAST(db.d AS HUGEINT) AS dy
+        FROM sym JOIN deg da ON da.a = sym.a
+                 JOIN deg db ON db.a = sym.b
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m2,
+               CAST(sum(dx) AS HUGEINT) AS sx,
+               CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+               CAST(sum(dx * dx) AS HUGEINT) AS sx2
+        FROM pe
+    )
+    SELECT CAST(m2 AS BIGINT) AS m2,
+           CAST(sx AS BIGINT) AS sx,
+           CAST(sxy AS BIGINT) AS sxy,
+           CAST(sx2 AS BIGINT) AS sx2,
+           CASE WHEN {den} = 0 THEN NULL
+                ELSE CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END)
+                     * (abs({num}) * 1000000 // {den}) AS BIGINT)
+           END AS assort_ppm
+    FROM stats"""
+
+
+_GRAPH_ORACLES["graph_assortativity"] = _assortativity_oracle_sql()
+
+
 def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood dedup (r12 — Hernández–Stolfo SNM, the
     classic ER blocking the LSH family lacks): sort by the 16-char
@@ -966,6 +1011,21 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(nodes, edges, iters=3, assume_canonical=True)
     return community_conductance(edges, labels)
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (r12 — Newman 2002) of the co-order graph:
+    the Pearson degree-degree correlation over the 2m ordered endpoint
+    pairs, as ONE row of exact DECIMAL(38,0) sufficient statistics plus
+    the coefficient in integer ppm (sign split from the magnitude so
+    truncation replays on engines that disagree about negative integer
+    division). The one-number screen for whether hubs attach to hubs —
+    i.e. whether the hub-cap/salting knobs downstream will matter. One
+    degree groupBy, two skinny joins onto the incidence rows, one
+    partial-agg global sum; no iteration, no windows."""
+    from .operators.graph_algo import degree_assortativity
+
+    return degree_assortativity(_co_order_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -3992,6 +4052,166 @@ def clear_pq_codebook_memo() -> None:
     _PQ_CODEBOOK_MEMO.clear()
 
 
+_MMR_K = 5
+_MMR_POOL = 40
+_MMR_LAMBDA_PCT = 65
+_MMR_SCALE = 10_000
+
+
+def q_similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 vs the vec_id=0
+    query (r12 — the diversity pass plain top-k lacks: each pick
+    maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked, so
+    the result adds information instead of returning near-copies).
+    Similarities quantize to integer ten-thousandths and λ to percent,
+    so every greedy decision is int64 arithmetic and the oracle replays
+    the full selection — pool cut, per-step redundancy maxes, argmax
+    tie-breaks — bit-for-bit as unrolled CTEs. The distributed stage is
+    the corpus-wide relevance scan cut to a 40-item pool by
+    TakeOrderedAndProject; the greedy runs over that bounded pool
+    (pool·k cosines — the PQ-codebook driver-budget precedent)."""
+    from .operators.similarity import mmr_topk
+
+    return mmr_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _query_vec(spark, sf_dir),
+        k=_MMR_K,
+        pool_size=_MMR_POOL,
+        lambda_pct=_MMR_LAMBDA_PCT,
+        scale=_MMR_SCALE,
+    )
+
+
+def _mmr_oracle_sql(
+    k: int = _MMR_K,
+    pool: int = _MMR_POOL,
+    lp: int = _MMR_LAMBDA_PCT,
+    scale: int = _MMR_SCALE,
+) -> str:
+    """Unrolled-CTE replay of mmr_topk's greedy: pool cut, then one
+    (candidates, winner, selected-union) CTE triple per step — every
+    comparison on the same floor-quantized int64 scores, winner ties on
+    vec_id ascending. MATERIALIZED like the k1/RWR oracles (each step's
+    CTEs are re-referenced; inlining would re-evaluate the tree)."""
+    mu = 100 - lp
+    cosq = _COS_SQL.format(a="e.embedding::DOUBLE[]", b="q.qv")
+    relq = f"CAST(floor(({cosq}) * {scale} + 0.5) AS BIGINT)"
+    sim_ps = _COS_SQL.format(a="p.emb", b="s.emb")
+    simq_ps = f"CAST(floor(({sim_ps}) * {scale} + 0.5) AS BIGINT)"
+    parts = [
+        f"""pool AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+                   {relq} AS rel_q
+            FROM embeddings e,
+                 (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0) q
+            ORDER BY rel_q DESC, e.vec_id ASC LIMIT {pool}
+        )"""
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            cand = (
+                f"SELECT p.vec_id, p.emb, p.rel_q, "
+                f"CAST({lp} AS BIGINT) * p.rel_q AS mmr_score "
+                f"FROM pool p"
+            )
+        else:
+            prev_u = " UNION ALL ".join(
+                f"SELECT vec_id, emb FROM s{j}" for j in range(1, i)
+            )
+            parts.append(f"u{i - 1} AS MATERIALIZED ({prev_u})")
+            cand = f"""SELECT p.vec_id, p.emb, p.rel_q,
+                   CAST({lp} AS BIGINT) * p.rel_q
+                   - CAST({mu} AS BIGINT) * (
+                       SELECT max({simq_ps}) FROM u{i - 1} s
+                     ) AS mmr_score
+              FROM pool p
+              WHERE p.vec_id NOT IN (SELECT vec_id FROM u{i - 1})"""
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT CAST({i} AS INTEGER) AS "
+            f"mmr_rank, vec_id, emb, rel_q, mmr_score FROM ({cand}) "
+            f"ORDER BY mmr_score DESC, vec_id ASC LIMIT 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT mmr_rank, vec_id, rel_q, mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY mmr_rank"
+    )
+
+
+_RELATIONAL_ORACLES["similarity_mmr_topk"] = _mmr_oracle_sql()
+
+
+_ASSOC_MIN_SUPPORT = 2
+_ASSOC_MAX_BASKET = 6
+
+
+def q_assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets (r12 — the
+    market-basket pass, Agrawal & Srikant '94, as declarative SQL
+    instead of MLlib FPGrowth): which parts co-occur in the same order
+    more than independence predicts. One within-basket self-join →
+    pair supports, min-support cut BEFORE the metric joins, per-item
+    supports broadcast, n_baskets on a 1-row broadcast cross join (the
+    modularity 2m pattern). All metrics integer (percent confidence,
+    ppm lift in DECIMAL(38,0)) — the full rule table hash-matches.
+    ``max_basket_items=6`` EXCLUDES degenerate mega-baskets (quadratic
+    fan-out rides basket size, the skew knob) and the exclusion
+    replays in the oracle — at sf0.01 it genuinely drops the 7-part
+    orders, so the driver checks the cap path, not a no-op."""
+    from .operators.itemsets import frequent_pair_rules
+
+    return frequent_pair_rules(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_support=_ASSOC_MIN_SUPPORT,
+        max_basket_items=_ASSOC_MAX_BASKET,
+    )
+
+
+def _assoc_oracle_sql(
+    ms: int = _ASSOC_MIN_SUPPORT, cap: int = _ASSOC_MAX_BASKET
+) -> str:
+    return f"""
+        WITH b0 AS (
+            SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem
+        ),
+        keep AS (
+            SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= {cap}
+        ),
+        b AS (SELECT b0.* FROM b0 JOIN keep USING (bk)),
+        p AS (
+            SELECT a.it AS item_a, c.it AS item_b,
+                   count(*) AS supp_ab
+            FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it
+            GROUP BY 1, 2 HAVING count(*) >= {ms}
+        ),
+        s AS (SELECT it, count(*) AS supp FROM b GROUP BY it),
+        n AS (SELECT count(DISTINCT bk) AS nb FROM b)
+        SELECT p.item_a, p.item_b, p.supp_ab,
+               sa.supp AS supp_a, sb.supp AS supp_b,
+               100 * p.supp_ab // sa.supp AS conf_a_to_b_pct,
+               100 * p.supp_ab // sb.supp AS conf_b_to_a_pct,
+               CAST((p.supp_ab::HUGEINT * n.nb * 1000000) //
+                    (sa.supp::HUGEINT * sb.supp) AS BIGINT) AS lift_ppm
+        FROM p
+        JOIN s sa ON sa.it = p.item_a
+        JOIN s sb ON sb.it = p.item_b
+        CROSS JOIN n
+    """
+
+
+_RELATIONAL_ORACLES["assoc_rules_parts"] = _assoc_oracle_sql()
+
+
 def q_similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka two-stage retrieval: coarse cosine over the first 16
     dims → top-50 candidates (TakeOrderedAndProject) → exact 64-dim
@@ -5775,6 +5995,111 @@ def _bloom_rollup_oracle_sql(
 
 
 _RELATIONAL_ORACLES["events_bloom_rollup"] = _bloom_rollup_oracle_sql()
+
+
+_KMV_K = 64
+_KMV_SEED = 0
+_KMV_ROLLUP_K = 32
+
+
+def _kmv_hash_sql(val_expr: str, *, seed: int) -> str:
+    """DuckDB twin of kmv_sketch's hash: portable_hash64(val # seed)."""
+    return _hash_sql_of(f"CAST({val_expr} AS VARCHAR) || '#{seed}'")
+
+
+def q_stats_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-cardinality sketch (r12 — the fourth
+    maintenance algebra: HLL merges by register max, CMS by counter
+    sum, Bloom by bitwise OR, KMV by min-of-mins — idempotent like
+    Bloom AND it answers a quantity): estimate the distinct-part count
+    of lineitem from the 64 smallest portable hashes of ``l_partkey``.
+    Everything is integer end-to-end — the estimator
+    ``(k−1)·2^64 div (h_k + 2^63 + 1)`` runs in DECIMAL(38,0) — so the
+    single output row (kmv_k, kth_hash, est_distinct) hash-matches the
+    oracle's verbatim replay bit-for-bit (unlike HLL's 10% gate). At
+    100 TB only 8-byte hashes shuffle (never the values) and Catalyst
+    rewrites the rank limit into TakeOrderedAndProject — per-partition
+    bottom-k before the exchange, ≤ k rows per task moving."""
+    from .operators.profile import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(
+        _t(spark, sf_dir, "lineitem"), "l_partkey",
+        k=_KMV_K, seed=_KMV_SEED,
+    )
+    return kmv_estimate(sk, k=_KMV_K)
+
+
+def _kmv_distinct_oracle_sql(k: int = _KMV_K, seed: int = _KMV_SEED) -> str:
+    h = _kmv_hash_sql("l_partkey", seed=seed)
+    num = (k - 1) * (1 << 64)
+    return f"""
+        WITH h AS (SELECT DISTINCT {h} AS kmv_hash FROM lineitem),
+        bk AS (SELECT kmv_hash FROM h ORDER BY kmv_hash ASC LIMIT {k})
+        SELECT CAST({k} AS BIGINT) AS kmv_k,
+               max(kmv_hash) AS kth_hash,
+               CASE WHEN count(*) < {k} THEN count(*)
+                    ELSE CAST(({num}::HUGEINT) //
+                              (max(kmv_hash)::HUGEINT +
+                               9223372036854775809::HUGEINT) AS BIGINT)
+               END AS est_distinct
+        FROM bk
+    """
+
+
+_RELATIONAL_ORACLES["stats_kmv_distinct"] = _kmv_distinct_oracle_sql()
+
+
+def q_events_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming KMV maintenance path (r12,
+    :func:`~.streaming.events.kmv_store_stream`): fold events into
+    PER-DAY bottom-k partials (``group_cols=("day",)`` — one
+    independent distinct-user sketch per day in one pass), then
+    merge-on-read by distinct + re-bottom-k into the global sketch.
+    Min commutes with min, so the merge is associative, commutative
+    AND idempotent — any hash in the global bottom k is in its day's
+    bottom k, so the merged sketch equals the single-pass sketch
+    BIT-FOR-BIT even under overlapping replays; the oracle computes
+    the single-pass side directly, making the driver row itself the
+    merge≡single-pass proof (the events_bloom_rollup pattern, but for
+    a cardinality sketch). The streaming path folds the same partials
+    per micro-batch and is pinned to this twin in tests."""
+    from pyspark.sql.window import Window
+
+    from .operators.profile import kmv_sketch
+    from .streaming.events import read_events
+
+    daily = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    per_day = kmv_sketch(
+        daily, "user_id",
+        k=_KMV_ROLLUP_K, seed=_KMV_SEED, group_cols=("day",),
+    )
+    w = Window.orderBy(F.asc("kmv_hash"))
+    return (
+        per_day.select("kmv_hash")
+        .distinct()
+        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
+        .filter(F.col("kmv_pos") <= _KMV_ROLLUP_K)
+        .select("kmv_pos", "kmv_hash")
+    )
+
+
+def _kmv_rollup_oracle_sql(
+    k: int = _KMV_ROLLUP_K, seed: int = _KMV_SEED
+) -> str:
+    h = _kmv_hash_sql("user_id", seed=seed)
+    return f"""
+        WITH h AS (SELECT DISTINCT {h} AS kmv_hash FROM events),
+        bk AS (SELECT kmv_hash FROM h ORDER BY kmv_hash ASC LIMIT {k})
+        SELECT CAST(row_number() OVER (ORDER BY kmv_hash ASC)
+                    AS INTEGER) AS kmv_pos,
+               kmv_hash
+        FROM bk
+    """
+
+
+_RELATIONAL_ORACLES["events_kmv_rollup"] = _kmv_rollup_oracle_sql()
 
 # deferred from the definition site: these need _hash_sql_of
 _GRAPH_ORACLES["graph_k1coloring"] = _k1_oracle_sql()
@@ -9075,6 +9400,17 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
+        # displaced from the r12 rotation block by the fourth-wave rows
+        # (KMV sketch/rollup, MMR, association rules, assortativity take
+        # priority as NEW queries); prior driver-green evidence r8/r10,
+        # implementation unchanged since
+        "unpivot_orders",
+        "percentile_prices",
+        "exists_big_customers",
+        "running_revenue",
+        "text_token_frequencies",
+        "dedup_repeated_passages",
+        "dedup_passage_removal",
         # r11-green (CORRECTNESS_r11.json, 50/50), displaced by the r12
         # window refresh (five new operators + the stale-evidence
         # rotation); implementation unchanged in r12
@@ -9136,7 +9472,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "text_contamination",
         "text_decontaminate",
         "text_fingerprint",
-        "text_lang_id",
         "text_pii_redact",
         "text_pii_scan",
         "text_rolling_hash",
@@ -9178,7 +9513,6 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "salted_agg_events",
         "stats_hll_rollup",
         "text_bm25_join",
-        "text_stats",
         "web_url_normalize",
         "window_analytics",
         "window_range_frame",
@@ -9247,6 +9581,24 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # -- new in round 12 (growth, fourth wave): the KMV bottom-k
+        # -- distinct sketch (the fourth mergeable maintenance algebra:
+        # -- min-of-mins — idempotent like Bloom AND it answers a
+        # -- quantity) + its merge≡single-pass rollup twin, MMR
+        # -- diversified retrieval, market-basket association rules,
+        # -- and degree assortativity --------------------------------------
+        "stats_kmv_distinct": q_stats_kmv_distinct,
+        "events_kmv_rollup": q_events_kmv_rollup,
+        "similarity_mmr_topk": q_similarity_mmr_topk,
+        "assoc_rules_parts": q_assoc_rules_parts,
+        "graph_assortativity": q_graph_assortativity,
+        # -- rotated in (r12 fourth wave): the only two catalog rows
+        # -- whose module closure includes operators/__init__ (they
+        # -- import through the package surface), re-windowed because
+        # -- the fourth-wave re-exports changed that file's hash — the
+        # -- v2 tripwire working as designed -------------------------------
+        "text_lang_id": q_text_lang_id,
+        "text_stats": q_text_stats,
         # -- new in round 12 (growth, second wave): community
         # -- conductance + topological sort (GDS conductance /
         # -- dag.topologicalSort parity) and the Bloom-filter family —
@@ -9306,6 +9658,10 @@ def _specs() -> dict[str, QuerySpec]:
         "q19_bracket_revenue": q19_bracket_revenue,
         "window_top_orders": q_window_top_orders,
         "window_distribution": q_window_distribution,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round, implementation unchanged since, and ------
+        # ---- re-verified green locally via scripts/check_oracle.py) -----
         "unpivot_orders": q_unpivot_orders,
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,
@@ -9313,10 +9669,6 @@ def _specs() -> dict[str, QuerySpec]:
         "text_token_frequencies": q_text_token_frequencies,
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_passage_removal": q_dedup_passage_removal,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round, implementation unchanged since, and ------
-        # ---- re-verified green locally via scripts/check_oracle.py) -----
         "scalar_functions": q_scalar_functions,
         "date_functions": q_date_functions,
         "q11_important_stock": q11_important_stock,
@@ -9376,7 +9728,6 @@ def _specs() -> dict[str, QuerySpec]:
         "text_contamination": q_text_contamination,
         "text_decontaminate": q_text_decontaminate,
         "text_fingerprint": q_text_fingerprint,
-        "text_lang_id": q_text_lang_id,
         "text_pii_redact": q_text_pii_redact,
         "text_pii_scan": q_text_pii_scan,
         "text_rolling_hash": q_text_rolling_hash,
@@ -9416,7 +9767,6 @@ def _specs() -> dict[str, QuerySpec]:
         "salted_agg_events": q_salted_agg_events,
         "stats_hll_rollup": q_stats_hll_rollup,
         "text_bm25_join": q_text_bm25_join,
-        "text_stats": q_text_stats,
         "web_url_normalize": q_web_url_normalize,
         "window_analytics": q_window_analytics,
         "window_range_frame": q_window_range_frame,

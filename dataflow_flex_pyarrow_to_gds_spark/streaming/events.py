@@ -552,3 +552,85 @@ def bloom_store_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
         store.groupBy("bloom_word")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def kmv_store_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 32,
+    seed: int = 0,
+):
+    """Streaming KMV / bottom-k distinct-sketch maintenance — the
+    cardinality sibling of :func:`bloom_store_stream`: each micro-batch
+    folds its events into PER-DAY bottom-k partials
+    (:func:`~..operators.profile.kmv_sketch` with
+    ``group_cols=("day",)``) and appends the skinny ``(day, kmv_pos,
+    kmv_hash)`` rows to a store; nobody ever rescans history. KMV merge
+    is union → distinct → re-bottom-k — min commutes with min, so like
+    Bloom's OR (and unlike CMS's sums) the merge is associative,
+    commutative AND IDEMPOTENT: a replayed fold is a mathematical
+    no-op, and the merged sketch equals the single-pass sketch
+    BIT-EXACTLY — asserted to the hash in tests and by the
+    ``events_kmv_rollup`` driver oracle. Any hash in the global bottom
+    k is necessarily in its own batch's bottom k, so per-batch partials
+    lose nothing. The overwrite-by-batch_id discipline is kept anyway
+    (uniform store contract).
+
+    Returns the started query (``trigger(availableNow=True)`` — drains
+    the source and stops; re-invoke after new files land for the next
+    epoch, the checkpoint skips everything already folded).
+    """
+    from ..operators.profile import kmv_sketch
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+    daily = events.select(F.to_date("ts").alias("day"), "user_id")
+
+    def fold(batch_df, batch_id: int) -> None:
+        (
+            kmv_sketch(
+                batch_df,
+                "user_id",
+                k=k,
+                seed=seed,
+                group_cols=("day",),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        daily.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kmv_store_rollup(
+    spark: SparkSession, store_dir: str, *, k: int = 32
+) -> DataFrame:
+    """Merge-on-read over the KMV store: the GLOBAL bottom-k sketch as
+    one distinct + rank-limit over every per-day per-batch partial —
+    output ``(kmv_pos, kmv_hash)``, bit-identical to a single-pass
+    :func:`~..operators.profile.kmv_sketch` over the full history
+    (min-of-mins; overlapping replays dedup in the distinct). The read
+    path never touches raw events — its input is ≤ k rows per (day,
+    batch) — and per-day sketches fall out of the same store by
+    keeping ``day`` in the partition key. The merged sketch feeds
+    :func:`~..operators.profile.kmv_estimate` exactly like a
+    freshly-built one."""
+    from pyspark.sql.window import Window
+
+    store = spark.read.parquet(store_dir)
+    w = Window.orderBy(F.asc("kmv_hash"))
+    return (
+        store.select("kmv_hash")
+        .distinct()
+        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
+        .filter(F.col("kmv_pos") <= k)
+        .select("kmv_pos", "kmv_hash")
+    )

@@ -1026,6 +1026,61 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p
         and "ArrowEvalPython" not in p,
     ),
+    (
+        "stats_kmv_distinct",
+        "KMV bottom-k: scan pruned to the key column, the rank limit "
+        "compiled to TakeOrderedAndProject (per-partition bottom-k "
+        "before the exchange — no global sort), no joins, no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 1
+        and "Join" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "events_kmv_rollup",
+        "KMV merge-on-read: the per-day grouped bottom-k rides "
+        "WindowGroupLimit (each map task keeps only its local bottom-k "
+        "per day) and the global merge is a TakeOrderedAndProject over "
+        "<= k rows per day — no unbounded window anywhere",
+        lambda p: "WindowGroupLimit" in p
+        and "TakeOrderedAndProject" in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "@mmr_pool",
+        "MMR's distributed stage: quantized relevance in whole-stage "
+        "codegen cut by TakeOrderedAndProject — no global sort, no "
+        "Python; the greedy only ever sees this bounded pool",
+        lambda p: "TakeOrderedAndProject" in p
+        and "Sort " not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "assoc_rules_parts",
+        "association rules: the deduped (basket, item) table "
+        "materializes ONCE (downstream consumers read the checkpoint, "
+        "zero repeated parquet scans), metric joins broadcast, the "
+        "only nested-loop joins are 1-row broadcast cross joins, no "
+        "cartesian, no Python",
+        lambda p: p.count("Scan parquet") == 0
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "SortMergeJoin" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "graph_assortativity",
+        "assortativity: the degree table materializes once (both dx "
+        "and dy sides read the checkpoint), ONE final partial-agg "
+        "global sum, no cartesian, no window, no Python",
+        lambda p: "CartesianProduct" not in p
+        and "partial_count" in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
 ]
 
 
@@ -1414,6 +1469,21 @@ def _snm_plan(spark, sf: str):
     )
 
 
+def _mmr_pool(spark, sf: str):
+    """The distributed pool-cut stage of similarity_mmr_topk (the
+    catalog row collects it, so the audit builds the stage directly)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        _mmr_pool_df,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _query_vec
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return _mmr_pool_df(
+        emb, "vec_id", "embedding", _query_vec(spark, sf),
+        scale=10_000, pool_size=40,
+    )
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
@@ -1428,6 +1498,7 @@ CUSTOM_BUILDERS = {
     "@louvain_sweep": _louvain_sweep,
     "@quantile_round": _quantile_round,
     "@snm_plan": _snm_plan,
+    "@mmr_pool": _mmr_pool,
 }
 
 

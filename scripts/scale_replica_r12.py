@@ -147,6 +147,13 @@ def main() -> int:
             ),
             ["k"],
         ),
+        "liparts": (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("bk"),
+                F.col("l_partkey").alias("it"),
+            ),
+            ["bk", "it"],
+        ),
         "emb": (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
                 "vec_id", "embedding"
@@ -506,12 +513,105 @@ def main() -> int:
     ops["text_decontaminate_bloom"] = decontaminate_bloom
     ops["events_bloom_rollup"] = bloom_rollup
 
+    # ---- r12 fourth wave: KMV, MMR, association rules, assortativity
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        degree_assortativity,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.itemsets import (
+        frequent_pair_rules,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        mmr_topk,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.queries import (
+        _ASSOC_MAX_BASKET,
+        _ASSOC_MIN_SUPPORT,
+        _KMV_K,
+        _KMV_ROLLUP_K,
+        _KMV_SEED,
+        _MMR_LAMBDA_PCT,
+        _MMR_POOL,
+        _MMR_SCALE,
+    )
+
+    def kmv_distinct(s):
+        # 5× rows AND 5× distinct part keys (both bk and it offset per
+        # copy) — the sketch state stays k rows, the estimate tracks
+        # the 5× cardinality; output is ONE row at any scale
+        return kmv_estimate(
+            kmv_sketch(rd("liparts", s), "it", k=_KMV_K, seed=_KMV_SEED),
+            k=_KMV_K,
+        )
+
+    def kmv_rollup(s):
+        daily = rd("events", s).select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        per_day = kmv_sketch(
+            daily, "user_id",
+            k=_KMV_ROLLUP_K, seed=_KMV_SEED, group_cols=("day",),
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(F.asc("kmv_hash"))
+        return (
+            per_day.select("kmv_hash")
+            .distinct()
+            .select(
+                "kmv_hash", F.row_number().over(w).alias("kmv_pos")
+            )
+            .filter(F.col("kmv_pos") <= _KMV_ROLLUP_K)
+            .select("kmv_pos", "kmv_hash")
+        )
+
+    def mmr(s):
+        # 5× corpus through the same pool/λ: the distributed pool cut
+        # is the part that scales, the greedy stays pool-bounded and
+        # the output is k rows at ANY corpus size
+        emb = rd("emb", s)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        return mmr_topk(
+            emb, "vec_id", "embedding", qv,
+            k=5, pool_size=_MMR_POOL, lambda_pct=_MMR_LAMBDA_PCT,
+            scale=_MMR_SCALE,
+        )
+
+    def assoc(s):
+        # both basket and item ids offset per copy → five disjoint
+        # markets with identical per-copy pair structure: rule rows
+        # exactly 5× (per-copy supports identical; lift shifts with
+        # the 5× basket total — values change, shape doesn't)
+        return frequent_pair_rules(
+            rd("liparts", s), "bk", "it",
+            min_support=_ASSOC_MIN_SUPPORT,
+            max_basket_items=_ASSOC_MAX_BASKET,
+        )
+
+    ops["stats_kmv_distinct"] = kmv_distinct
+    ops["events_kmv_rollup"] = kmv_rollup
+    ops["similarity_mmr_topk"] = mmr
+    ops["assoc_rules_parts"] = assoc
+    ops["graph_assortativity"] = lambda s: degree_assortativity(
+        rd("co30", s)
+    )
+
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {
         "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
         "events_bloom_rollup": _BLOOM_ROLLUP_M // 64,
         "similarity_pq_topk": 10,  # top-k at any corpus size
         "stats_exact_quantiles": 4,  # one row per requested q
+        "stats_kmv_distinct": 1,  # one estimate row at any scale
+        "events_kmv_rollup": _KMV_ROLLUP_K,  # ≤ k sketch rows
+        "similarity_mmr_topk": 5,  # k picks at any corpus size
+        "graph_assortativity": 1,  # one statistics row
     }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness

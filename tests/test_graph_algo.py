@@ -2490,3 +2490,43 @@ def test_topological_order_levels_injection(spark):
         topological_order(edges, levels=lv)
     with pytest.raises(ValueError, match="exactly one"):
         topological_order()
+
+
+def test_degree_assortativity_star_path_and_regular(spark):
+    """Closed forms: a star is maximally disassortative (r = −1 →
+    ppm = −1000000 via the sign-split division), a triangle is
+    degree-regular (no degree variance → NULL, not 0), and a 4-path's
+    statistics replay by hand."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        degree_assortativity,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            pairs, "sourceNodeId long, targetNodeId long"
+        )
+
+    star = degree_assortativity(
+        edges([(0, 1), (0, 2), (0, 3)])
+    ).collect()[0]
+    assert star["m2"] == 6
+    assert star["assort_ppm"] == -1_000_000
+
+    tri = degree_assortativity(
+        edges([(1, 2), (1, 3), (2, 3)])
+    ).collect()[0]
+    assert tri["assort_ppm"] is None  # regular: undefined, never 0
+
+    # path 1-2-3-4: degrees 1,2,2,1; ordered pairs (dx,dy):
+    # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    path = degree_assortativity(
+        edges([(1, 2), (2, 3), (3, 4)])
+    ).collect()[0]
+    m2, sx = 6, 1 + 2 + 2 + 2 + 2 + 1
+    sxy = 2 + 2 + 4 + 4 + 2 + 2
+    sx2 = 1 + 4 + 4 + 4 + 4 + 1
+    num, den = m2 * sxy - sx * sx, m2 * sx2 - sx * sx
+    assert (path["m2"], int(path["sx"]), int(path["sxy"]),
+            int(path["sx2"])) == (m2, sx, sxy, sx2)
+    want = (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // den)
+    assert path["assort_ppm"] == want == -500_000

@@ -607,3 +607,121 @@ def test_exact_quantiles_python_replay_and_narrowing(spark):
     nulls = spark.createDataFrame([(None,)], "x long")
     with pytest.raises(ValueError, match="no non-null"):
         exact_quantiles(nulls, "x", [0.5])
+
+
+def test_kmv_sketch_python_replay_and_grouped(spark):
+    """The bottom-k sketch replayed hash-for-hash in python (rank,
+    order, and the distinct-before-rank), globally and per group."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_sketch,
+    )
+
+    vals = [("g1", f"v{i % 7}") for i in range(30)] + [
+        ("g2", f"w{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(vals, "g string, v string")
+    k, seed = 4, 5
+    got = [
+        (r["g"], r["kmv_pos"], r["kmv_hash"])
+        for r in kmv_sketch(
+            df, "v", k=k, seed=seed, group_cols=("g",)
+        ).collect()
+    ]
+
+    expect = []
+    for g, pool in (
+        ("g1", {f"v{i % 7}" for i in range(30)}),
+        ("g2", {f"w{i}" for i in range(3)}),
+    ):
+        hs = sorted({_phash(f"{v}#{seed}") for v in pool})[:k]
+        expect += [(g, i + 1, h) for i, h in enumerate(hs)]
+    assert sorted(got) == sorted(expect), (got, expect)
+
+    # global (no group): same replay
+    got_g = [
+        (r["kmv_pos"], r["kmv_hash"])
+        for r in kmv_sketch(df, "v", k=k, seed=seed).collect()
+    ]
+    all_h = sorted(
+        {_phash(f"{v}#{seed}") for _, v in vals}
+    )[:k]
+    assert sorted(got_g) == [(i + 1, h) for i, h in enumerate(all_h)]
+
+
+def test_kmv_estimate_regimes_and_python_replay(spark):
+    """Below k distinct the estimate is EXACT (= distinct count seen);
+    at/above k the integer estimator replays in python to the digit and
+    lands within the ~2/sqrt(k) KMV error band on a 1000-distinct
+    stream."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k, seed = 64, 0
+    small = spark.createDataFrame(
+        [(f"s{i}",) for i in range(10)], "v string"
+    )
+    est = kmv_estimate(
+        kmv_sketch(small, "v", k=k, seed=seed), k=k
+    ).collect()[0]
+    assert est["est_distinct"] == 10  # exact regime
+    assert est["kmv_k"] == k
+
+    big = spark.createDataFrame(
+        [(f"b{i}",) for i in range(1000)], "v string"
+    )
+    got = kmv_estimate(
+        kmv_sketch(big, "v", k=k, seed=seed), k=k
+    ).collect()[0]
+    hs = sorted({_phash(f"b{i}#{seed}") for i in range(1000)})
+    kth = hs[k - 1]
+    expect = ((k - 1) * (1 << 64)) // (kth + (1 << 63) + 1)
+    assert got["kth_hash"] == kth
+    assert got["est_distinct"] == expect  # integer replay, bit-exact
+    assert abs(expect - 1000) / 1000 <= 2 / (k ** 0.5), expect
+
+
+def test_kmv_merge_is_min_of_mins_and_idempotent(spark):
+    """bottomk(bottomk(A) ∪ bottomk(B)) == bottomk(A ∪ B), and
+    re-merging a duplicated partial changes nothing — the
+    associative/commutative/idempotent algebra the KMV store rides."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_sketch,
+    )
+
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(200)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(100, 300)], "v string"  # overlap
+    )
+    k = 16
+    sa, sb = kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k)
+    # merging = distinct + re-bottom-k on the RAW hashes (no re-hash);
+    # sa appears twice = an at-least-once replay, dropped by the distinct
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.asc("kmv_hash"))
+    merged = (
+        sa.unionByName(sb).unionByName(sa)
+        .select("kmv_hash")
+        .distinct()
+        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
+        .filter(F.col("kmv_pos") <= k)
+    )
+    single = kmv_sketch(a.unionByName(b), "v", k=k)
+    got = {(r["kmv_pos"], r["kmv_hash"]) for r in merged.collect()}
+    want = {(r["kmv_pos"], r["kmv_hash"]) for r in single.collect()}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(a, "v", k=0)
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_estimate,
+    )
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_estimate(sa, k=1)

@@ -711,3 +711,70 @@ def test_streaming_bloom_store_multi_epoch_exact_and_idempotent(
 
     batches = [d for d in os.listdir(store) if d.startswith("batch_id=")]
     assert len(batches) >= 2, batches
+
+
+def test_streaming_kmv_store_multi_epoch_exact_and_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """KMV maintenance (r12): per-day bottom-k partials folded per
+    micro-batch across TWO drain epochs, merged on read by
+    distinct + re-bottom-k — min commutes with min, so merged must
+    equal the single-pass sketch over the full history BIT-EXACTLY,
+    and like Bloom's OR (unlike CMS sums) re-merging a duplicated
+    partial (an at-least-once replay) changes NOTHING."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_sketch,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        kmv_store_rollup,
+        kmv_store_stream,
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir).select("ts", "user_id")
+    first = ev.filter(F.col("user_id") % 2 == 0)
+    second = ev.filter(F.col("user_id") % 2 == 1)
+    src, store, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+
+    first.repartition(3).write.parquet(src)  # epoch 1
+    q = kmv_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+    second.repartition(2).write.mode("append").parquet(src)  # epoch 2
+    q = kmv_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+
+    merged = {
+        (r["kmv_pos"], r["kmv_hash"])
+        for r in kmv_store_rollup(spark, store).collect()
+    }
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id")
+    single = {
+        (r["kmv_pos"], r["kmv_hash"])
+        for r in kmv_sketch(daily, "user_id", k=32).collect()
+    }
+    assert merged == single  # bit-exact, every rank
+    # idempotence under replay: double-read the store and re-merge
+    store_df = spark.read.parquet(store)
+    w = Window.orderBy(F.asc("kmv_hash"))
+    replayed = {
+        (r["kmv_pos"], r["kmv_hash"])
+        for r in store_df.unionByName(store_df)
+        .select("kmv_hash")
+        .distinct()
+        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
+        .filter(F.col("kmv_pos") <= 32)
+        .select("kmv_pos", "kmv_hash")
+        .collect()
+    }
+    assert replayed == single
+    import os
+
+    batches = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert len(batches) >= 2, batches

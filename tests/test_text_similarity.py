@@ -550,3 +550,109 @@ def test_pq_guards(spark):
     )
     with pytest.raises(ValueError, match="zero query"):
         pq_topk(df4, "vec_id", "embedding", [0.0, 0.0, 0.0, 0.0], m_sub=2, n_codes=2)
+
+
+def test_mmr_topk_diversifies_and_replays(spark):
+    """MMR on a hand-built corpus: three near-copies of the best hit
+    plus two orthogonal-ish vectors — plain top-3 returns the copies,
+    MMR's rank-2/3 picks must skip them for the diverse vectors; the
+    full greedy (pool cut, redundancy maxes, tie-breaks) replays in
+    python to the integer."""
+    import math
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        _cos_fold,
+        mmr_topk,
+    )
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    vecs = {
+        1: [0.990, 0.141, 0.0, 0.0],    # best hit
+        2: [0.985, 0.172, 0.0, 0.0],    # near-copy of 1 (cos ~0.999)
+        3: [0.980, 0.199, 0.0, 0.0],    # near-copy of 1
+        4: [0.500, 0.0, 0.866, 0.0],    # relevant but different
+        5: [0.450, 0.0, 0.0, 0.893],    # different again
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, v array<double>"
+    )
+    got = [
+        (r["mmr_rank"], r["vec_id"], r["rel_q"], r["mmr_score"])
+        for r in mmr_topk(
+            df, "vec_id", "v", q, k=3, pool_size=5, lambda_pct=30
+        ).collect()
+    ]
+    # python replay with the identical quantized greedy
+    scale, lp, mu = 10_000, 30, 70
+    rel = {
+        i: math.floor(_cos_fold(v, q) * scale + 0.5)
+        for i, v in vecs.items()
+    }
+    sel, expect = [], []
+    cand = dict(vecs)
+    for rank in range(1, 4):
+        best = None
+        for i, v in cand.items():
+            ms = (
+                max(
+                    math.floor(_cos_fold(v, s) * scale + 0.5)
+                    for s in sel
+                )
+                if sel
+                else 0
+            )
+            score = lp * rel[i] - mu * ms
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, v, score)
+        _, bi, bv, bs = best
+        expect.append((rank, bi, rel[bi], bs))
+        sel.append(bv)
+        del cand[bi]
+    assert got == expect, (got, expect)
+    # the diversity contract: ranks 2 and 3 are NOT the near-copies
+    assert [g[1] for g in got][0] == 1
+    assert set(g[1] for g in got[1:]) == {4, 5}, got
+    # plain top-3 WOULD return the three copies (the thing MMR fixes)
+    top3 = sorted(rel, key=lambda i: (-rel[i], i))[:3]
+    assert set(top3) == {1, 2, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pool_size"):
+        mmr_topk(df, "vec_id", "v", q, k=6, pool_size=3)
+    with _pytest.raises(ValueError, match="lambda_pct"):
+        mmr_topk(df, "vec_id", "v", q, k=2, pool_size=5, lambda_pct=101)
+
+
+def test_mmr_lambda_extremes(spark):
+    """λ=100% degenerates to plain relevance top-k (redundancy ignored);
+    λ=0% after the forced rank-1 pick maximizes pure diversity (most
+    NEGATIVE max-sim-to-selected)."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    q = [1.0, 0.0, 0.0]
+    vecs = {
+        1: [0.99, 0.10, 0.00],
+        2: [0.98, 0.11, 0.00],
+        3: [-0.50, 0.86, 0.00],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, v array<double>"
+    )
+    pure_rel = [
+        r["vec_id"]
+        for r in mmr_topk(
+            df, "vec_id", "v", q, k=2, pool_size=3, lambda_pct=100
+        ).collect()
+    ]
+    assert pure_rel == [1, 2]
+    diverse = [
+        r["vec_id"]
+        for r in mmr_topk(
+            df, "vec_id", "v", q, k=2, pool_size=3, lambda_pct=0
+        ).collect()
+    ]
+    assert diverse == [1, 3]

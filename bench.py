@@ -222,6 +222,9 @@ HEADLINE = [
     "similarity_mmr_topk",
     "assoc_rules_parts",
     "graph_assortativity",
+    "graph_kmeans",
+    "graph_scale_properties",
+    "stats_drift_tokens",
 ]
 
 

@@ -760,3 +760,174 @@ def kmv_estimate(
         F.col("kth_hash"),
         est.alias("est_distinct"),
     )
+
+
+def scale_properties(
+    df: DataFrame,
+    id_col: str,
+    value_fp_col: str,
+    *,
+    ppm: int = 10**6,
+) -> DataFrame:
+    """Property scaling (GDS ``gds.scaleProperties`` parity) of an
+    integer fixed-point column → one row per id with the three scalers
+    whose arithmetic is EXACT over integers, each in parts-per-million:
+
+    - ``minmax_ppm`` — ``(x − min)·ppm div (max − min)`` (GDS MinMax);
+      0 when the column is constant (GDS's zero-variance convention)
+    - ``mean_ppm``   — ``(x·n − sum)·ppm div ((max − min)·n)`` (GDS
+      Mean: (x − avg)/(max − min) cleared of its rational — avg is
+      carried as the exact sum/n pair, never a rounded intermediate);
+      sign-split division so negatives truncate identically on every
+      engine
+    - ``max_ppm``    — ``x·ppm div max`` (GDS Max, |max| as divisor)
+
+    GDS's remaining scalers need irrational intermediates (StdScore a
+    √variance, Log a logarithm) — they are deliberately NOT offered in
+    the exact contract; callers wanting them accept float semantics
+    and use the plain column functions. Input must already be integer
+    fixed-point (``value_fp_col``): quantization policy is the
+    caller's (cents for money, micro-units for ratios) because the
+    right scale is a domain fact, not an engine default.
+
+    Scale shape: ONE partially-aggregated global (min, max, sum, n)
+    riding a 1-row broadcast cross join, then a narrow codegen map —
+    no windows, no per-row shuffle. The ×ppm products run in
+    DECIMAL(38,0): x·n alone reaches 10¹⁷ at 10¹² rows of 10⁵-unit
+    values, and ×10⁶ would wrap int64 silently.
+    """
+    dec = "DECIMAL(38,0)"
+    stats = df.agg(
+        F.min(value_fp_col).alias("_mn"),
+        F.max(value_fp_col).alias("_mx"),
+        F.sum(F.col(value_fp_col).cast(dec)).cast(dec).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    x = f"CAST({value_fp_col} AS {dec})"
+
+    def signed_div(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({den}) = 0 THEN 0 "
+            f"ELSE CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END "
+            f"     * (abs({num}) * {ppm} div ({den})) AS BIGINT) END"
+        )
+
+    minmax = signed_div(f"{x} - _mn", f"CAST(_mx AS {dec}) - _mn")
+    mean = signed_div(
+        f"{x} * _n - _sum", f"(CAST(_mx AS {dec}) - _mn) * _n"
+    )
+    mx = signed_div(x, f"abs(CAST(_mx AS {dec}))")
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.col(value_fp_col),
+        F.expr(minmax).alias("minmax_ppm"),
+        F.expr(mean).alias("mean_ppm"),
+        F.expr(mx).alias("max_ppm"),
+    )
+
+
+def drift_buckets(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 64,
+    seed: int = 0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Two-sample distribution-drift table (the data-drift monitor a
+    pipeline runs between yesterday's corpus and today's drop) → one
+    row per occupied hash bucket:
+
+    - ``bucket``, ``o_a``, ``o_b`` — observed counts after hashing
+      values into ``n_buckets`` via ``portable_hash64(val # seed)``
+      (the DSIR bucket discipline: a fixed featurization both engines
+      replay; all-empty buckets are omitted — they contribute 0)
+    - ``chi2_term_fp`` — this bucket's contribution to the two-sample
+      chi-square, ``(o_a·N_b − o_b·N_a)² · scale div
+      (N_a·N_b·(o_a+o_b))``; Σ over buckets is the χ² statistic
+      (df = occupied buckets − 1) in fixed-point. Floor-quantized PER
+      BUCKET — a documented, engine-independent convention.
+    - ``p_diff_ppm`` — ``o_a·10⁶ div N_a − o_b·10⁶ div N_b``, the
+      proportion gap; Σ of its squares is the scale-safe L2 drift
+      screen (bounded by the ppm grid at ANY corpus size, where the
+      exact χ² numerator grows as N² and needs the guard below).
+
+    The χ² path runs in DECIMAL(38,0) and RAISES once either side
+    exceeds 10⁷ rows (``(o·N)²·scale`` would pass 10³⁸ — Spark's
+    non-ANSI overflow is a silent NULL; the FastRP widen-or-raise
+    discipline): at that size, χ² against a fixed bucket count is
+    astronomically significant for ANY visible drift, so monitor the
+    ppm screen or χ² over a deterministic sample instead.
+
+    Scale shape: one union-tagged pass, ONE partial-agg groupBy of
+    ≤ n_buckets keys (map-side combine collapses each partition to
+    bucket count before the shuffle — the CMS shape), totals on a
+    1-row broadcast cross join. The value strings never shuffle.
+    """
+    from .dedup import portable_hash64_col
+
+    if n_buckets < 2:
+        raise ValueError(
+            f"drift_buckets: n_buckets must be >= 2, got {n_buckets}"
+        )
+    dec = "DECIMAL(38,0)"
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        b = F.pmod(
+            portable_hash64_col(
+                F.concat_ws(
+                    "#",
+                    F.col(value_col).cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            F.lit(n_buckets),
+        )
+        return df.select(
+            b.cast("long").alias("bucket"), F.lit(tag).alias("_t")
+        )
+
+    tagged = side(df_a, 0).unionAll(side(df_b, 1))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("o_a"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("o_b"),
+    )
+    totals = counts.agg(
+        F.sum("o_a").alias("_na"), F.sum("o_b").alias("_nb")
+    )
+    num = f"(CAST(o_a AS {dec}) * _nb - CAST(o_b AS {dec}) * _na)"
+    bad = (
+        f"_na = 0 OR _nb = 0 OR _na > {10**7} OR _nb > {10**7}"
+    )
+    guard = (
+        f"CASE WHEN {bad} "
+        f"THEN CAST(raise_error('drift_buckets: a side is empty or "
+        f"exceeds 1e7 rows — chi2 fixed-point needs 0 < n <= 1e7; use "
+        f"the ppm screen or a deterministic sample') AS BIGINT) "
+    )
+    chi2 = (
+        guard
+        + f"WHEN o_a + o_b = 0 THEN 0 "
+        f"ELSE CAST(({num} * {num} * {scale}) div "
+        f"(CAST(_na AS {dec}) * _nb * (o_a + o_b)) AS BIGINT) END"
+    )
+    pdiff = (
+        guard
+        + f"ELSE CAST(CAST(o_a AS {dec}) * 1000000 div _na "
+        f"- CAST(o_b AS {dec}) * 1000000 div _nb AS BIGINT) END"
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "o_a",
+            "o_b",
+            F.expr(chi2).alias("chi2_term_fp"),
+            F.expr(pdiff).alias("p_diff_ppm"),
+        )
+    )

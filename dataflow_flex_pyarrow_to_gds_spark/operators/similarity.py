@@ -1762,3 +1762,107 @@ def mmr_topk(
     return spark.createDataFrame(
         picked, "mmr_rank int, id long, rel_q long, mmr_score long"
     ).withColumnRenamed("id", id_col)
+
+
+def lloyd_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact-integer Lloyd k-means → ``(id, cluster)`` (GDS
+    ``gds.kmeans`` parity — the centroid-based community detector for
+    node-property vectors; GDS's uniform random init is replaced by
+    the k LOWEST ids so the whole run replays bit-for-bit, its
+    documented determinism knob). Components quantize to integer
+    micro-units once; every later step is int64 arithmetic:
+
+    - assignment — argmin over k of Σ_d (x_d − c_d)², ties to the
+      LOWER cluster id (a ``least(struct(dist, c))`` lexicographic
+      fold, engine-independent);
+    - update — per-dimension truncating mean ``sum div count``
+      (toward zero on BOTH engines via a sign split in the oracle);
+      an emptied cluster keeps its previous centroid (the GDS
+      behavior) rather than vanishing.
+
+    Fixed ``iters`` is the contract (the pagerank/LPA discipline):
+    k-means converges but a data-dependent stop isn't oracle-
+    unrollable. Headroom: |x|·scale ≤ 10⁹ per component allows dims ≤
+    10⁴ before the squared sum nears int64 — asserted per call.
+
+    Scale shape: per iteration, assignment is ONE narrow codegen map
+    (centroids ride as k·d literal arrays — no join, no shuffle; the
+    PQ-ADC lookup-table pattern) and the update is ONE
+    partially-aggregated groupBy of d rows per cluster after a
+    posexplode; the k·d centroid collect is the bounded driver budget
+    (IVF/PQ precedent). The quantized vectors checkpoint once and
+    every iteration reads the materialization, not the raw scan.
+    """
+    if k < 1:
+        raise ValueError(f"lloyd_assignments: k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(
+            f"lloyd_assignments: iters must be >= 1, got {iters}"
+        )
+    q = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qdf = (
+        df.select(F.col(id_col).alias("_id"), q.alias("_q"))
+        .localCheckpoint(eager=False)
+    )
+    seeds = qdf.orderBy(F.asc("_id")).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"lloyd_assignments: k={k} exceeds the {len(seeds)}-row corpus"
+        )
+    dims = len(seeds[0]["_q"])
+    if scale * scale * dims >= (1 << 62):
+        raise ValueError(
+            f"lloyd_assignments: scale²·dims = {scale * scale * dims} "
+            "risks int64 overflow in the squared distance"
+        )
+    centroids = [list(r["_q"]) for r in seeds]  # cluster c = c-th lowest id
+
+    def _assigned():
+        structs = []
+        for c, cent in enumerate(centroids):
+            lit = F.array(*[F.lit(int(w)) for w in cent])
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("_q"), lit, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            structs.append(
+                F.struct(dist.alias("d"), F.lit(c).alias("c"))
+            )
+        pick = structs[0] if len(structs) == 1 else F.least(*structs)
+        return qdf.select("_id", "_q", pick.getField("c").alias("_c"))
+
+    for _ in range(iters):
+        sums = (
+            _assigned()
+            .select("_c", F.posexplode("_q").alias("_d", "_v"))
+            .groupBy("_c", "_d")
+            .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .select(
+                "_c", "_d", F.expr("_s div _n").alias("_w")
+            )
+            .collect()
+        )
+        got: dict[int, list[int]] = {}
+        for r in sums:
+            got.setdefault(r["_c"], [0] * dims)[r["_d"]] = r["_w"]
+        # emptied clusters keep their previous centroid
+        centroids = [got.get(c, centroids[c]) for c in range(k)]
+    return _assigned().select(
+        F.col("_id").alias(id_col), F.col("_c").alias("cluster")
+    )

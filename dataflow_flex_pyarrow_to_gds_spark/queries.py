@@ -4212,6 +4212,179 @@ def _assoc_oracle_sql(
 _RELATIONAL_ORACLES["assoc_rules_parts"] = _assoc_oracle_sql()
 
 
+_KMEANS_K = 4
+_KMEANS_ITERS = 3
+_KMEANS_SCALE = 10**6
+
+
+def q_graph_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Lloyd k-means over the embeddings node property
+    (r12 — GDS ``gds.kmeans`` parity, its random init pinned to the k
+    lowest ids, GDS's own determinism knob): 3 fixed iterations of
+    argmin-distance assignment (int64 micro-unit arithmetic, ties to
+    the lower cluster) and truncating-mean centroid update (emptied
+    clusters keep their centroid). Per iteration the assignment is ONE
+    narrow codegen map — centroids ride as k·d literals, the PQ-ADC
+    pattern, zero joins — and the update is one partial-agg groupBy of
+    ≤ k·d rows; the full assignment table hash-matches the oracle's
+    unrolled tabular replay (dims exploded, same truncation, same
+    tie-breaks)."""
+    from .operators.similarity import lloyd_assignments
+
+    return lloyd_assignments(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        scale=_KMEANS_SCALE,
+    )
+
+
+def _kmeans_oracle_sql(
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    scale: int = _KMEANS_SCALE,
+) -> str:
+    """Unrolled tabular Lloyd twin: the operator's literal-array codegen
+    distances become dim-keyed joins (same integers, same argmin
+    (dist, c) tie order, same toward-zero centroid division via the
+    sign split), one (assignment, centroid, empty-cluster-union) CTE
+    triple per iteration — MATERIALIZED, the k1/MMR lesson."""
+    trunc_div = (
+        "CASE WHEN sum(ed.v) < 0 THEN -((-sum(ed.v)) // count(*)) "
+        "ELSE sum(ed.v) // count(*) END"
+    )
+    parts = [
+        f"""e AS MATERIALIZED (
+            SELECT vec_id, list_transform(
+                embedding::DOUBLE[],
+                x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)
+            ) AS q
+            FROM embeddings
+        )""",
+        """ed AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(q, 1) - 1 AS dim,
+                   unnest(q) AS v
+            FROM e
+        )""",
+        f"""c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q
+            FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {k})
+        )""",
+        """c0d AS MATERIALIZED (
+            SELECT c, generate_subscripts(q, 1) - 1 AS dim,
+                   unnest(q) AS w
+            FROM c0
+        )""",
+    ]
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+            SELECT vec_id, c FROM (
+                SELECT ed.vec_id, cd.c,
+                       row_number() OVER (
+                           PARTITION BY ed.vec_id
+                           ORDER BY sum((ed.v - cd.w) * (ed.v - cd.w)),
+                                    cd.c
+                       ) AS rn
+                FROM ed JOIN {cents} cd USING (dim)
+                GROUP BY ed.vec_id, cd.c
+            ) WHERE rn = 1
+        )"""
+
+    # the operator runs `iters` assign→update rounds and returns ONE
+    # final assignment against the post-update centroids — replay that
+    # exact cadence: a{i} assigns with c{i-1}d, c{i}d updates, and the
+    # output is an (iters+1)-th assignment against c{iters}d
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i}", f"c{i - 1}d"))
+        parts.append(
+            f"""c{i}new AS MATERIALIZED (
+            SELECT a.c, ed.dim, {trunc_div} AS w
+            FROM a{i} a JOIN ed USING (vec_id)
+            GROUP BY a.c, ed.dim
+        )"""
+        )
+        parts.append(
+            f"""c{i}d AS MATERIALIZED (
+            SELECT c, dim, w FROM c{i}new
+            UNION ALL
+            SELECT c, dim, w FROM c{i - 1}d
+            WHERE c NOT IN (SELECT DISTINCT c FROM a{i})
+        )"""
+        )
+    parts.append(assign_cte("afinal", f"c{iters}d"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+        SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM afinal"""
+    )
+
+
+_GRAPH_ORACLES["graph_kmeans"] = _kmeans_oracle_sql()
+
+
+def q_graph_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-property scaling (r12 — GDS ``gds.scaleProperties``
+    parity) over part retail prices in exact cents: the three scalers
+    whose arithmetic closes over integers (MinMax, Mean with the exact
+    sum/n rational, Max) in parts-per-million, sign-split divisions so
+    negative numerators truncate identically cross-engine. One
+    partial-agg global stats row broadcast into a narrow codegen map —
+    the preprocessing pass GDS runs before kmeans/FastRP, feeding the
+    same micro-unit convention those operators consume. StdScore/Log
+    are deliberately excluded from the exact contract (√ and log are
+    irrational; callers accept float semantics via plain columns)."""
+    from .operators.profile import scale_properties
+
+    cents = F.floor(
+        F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey", cents.alias("price_c")
+    )
+    return scale_properties(parts, "p_partkey", "price_c")
+
+
+def _scale_props_oracle_sql(ppm: int = 10**6) -> str:
+    def signed_div(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({den}) = 0 THEN 0 "
+            f"ELSE CAST((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) "
+            f"     * (abs({num}) * {ppm} // ({den})) AS BIGINT) END"
+        )
+
+    x = "CAST(price_c AS HUGEINT)"
+    minmax = signed_div(f"{x} - mn", "CAST(mx AS HUGEINT) - mn")
+    mean = signed_div(
+        f"{x} * n - s", "(CAST(mx AS HUGEINT) - mn) * n"
+    )
+    mxs = signed_div(x, "abs(CAST(mx AS HUGEINT))")
+    return f"""
+        WITH p AS (
+            SELECT p_partkey,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+            FROM part
+        ),
+        st AS (
+            SELECT min(price_c) AS mn, max(price_c) AS mx,
+                   CAST(sum(price_c) AS HUGEINT) AS s,
+                   CAST(count(*) AS HUGEINT) AS n
+            FROM p
+        )
+        SELECT p.p_partkey, p.price_c,
+               {minmax} AS minmax_ppm,
+               {mean} AS mean_ppm,
+               {mxs} AS max_ppm
+        FROM p CROSS JOIN st
+    """
+
+
+_RELATIONAL_ORACLES["graph_scale_properties"] = _scale_props_oracle_sql()
+
+
 def q_similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka two-stage retrieval: coarse cosine over the first 16
     dims → top-50 candidates (TakeOrderedAndProject) → exact 64-dim
@@ -6100,6 +6273,93 @@ def _kmv_rollup_oracle_sql(
 
 
 _RELATIONAL_ORACLES["events_kmv_rollup"] = _kmv_rollup_oracle_sql()
+
+
+_DRIFT_BUCKETS = 64
+_DRIFT_SEED = 0
+_DRIFT_SCALE = 10**6
+_DRIFT_SRC_A = "src1"
+_DRIFT_SRC_B = "src2"
+
+
+def q_stats_drift_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample token-distribution drift between two sources (r12 —
+    the monitor a pipeline runs between yesterday's corpus and today's
+    drop): per-doc token sets hash into 64 fixed buckets (the DSIR
+    featurization), then each occupied bucket reports its exact χ²
+    contribution in fixed-point plus the scale-safe proportion gap in
+    ppm. Integer end-to-end (DECIMAL(38,0) internals, loud overflow
+    guard past 10⁷ rows/side) — the full drift table hash-matches.
+    One union-tagged pass, one ≤64-key partial-agg groupBy, totals on
+    a 1-row broadcast: the value strings never shuffle."""
+    from .operators.dedup import token_set_col
+    from .operators.profile import drift_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(token_set_col(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    return drift_buckets(
+        toks.filter(F.col("source") == _DRIFT_SRC_A).select("token"),
+        toks.filter(F.col("source") == _DRIFT_SRC_B).select("token"),
+        "token",
+        n_buckets=_DRIFT_BUCKETS,
+        seed=_DRIFT_SEED,
+        scale=_DRIFT_SCALE,
+    )
+
+
+def _drift_oracle_sql(
+    n_buckets: int = _DRIFT_BUCKETS,
+    seed: int = _DRIFT_SEED,
+    scale: int = _DRIFT_SCALE,
+) -> str:
+    h = _hash_sql_of(f"token || '#{seed}'")
+    bucket = f"((({h}) % {n_buckets}) + {n_buckets}) % {n_buckets}"
+    num = "(o_a::HUGEINT * nb - o_b::HUGEINT * na)"
+    return rf"""
+        WITH tok AS (
+            SELECT source, unnest(list_distinct(string_split_regex(
+                       lower(trim(text)), '\s+'))) AS token
+            FROM documents
+        ),
+        t2 AS (
+            SELECT source, token FROM tok
+            WHERE token <> ''
+              AND source IN ('{_DRIFT_SRC_A}', '{_DRIFT_SRC_B}')
+        ),
+        tagged AS (
+            SELECT {bucket} AS bucket,
+                   CASE WHEN source = '{_DRIFT_SRC_A}' THEN 0 ELSE 1
+                   END AS t
+            FROM t2
+        ),
+        c AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS o_a,
+                   CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS o_b
+            FROM tagged GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(o_a) AS HUGEINT) AS na,
+                   CAST(sum(o_b) AS HUGEINT) AS nb
+            FROM c
+        )
+        SELECT bucket, o_a, o_b,
+               CASE WHEN o_a + o_b = 0 THEN 0
+                    ELSE CAST(({num} * {num} * {scale}) //
+                              (na * nb * (o_a + o_b)) AS BIGINT)
+               END AS chi2_term_fp,
+               CAST(o_a::HUGEINT * 1000000 // na
+                    - o_b::HUGEINT * 1000000 // nb AS BIGINT)
+                   AS p_diff_ppm
+        FROM c CROSS JOIN tot
+    """
+
+
+_RELATIONAL_ORACLES["stats_drift_tokens"] = _drift_oracle_sql()
 
 # deferred from the definition site: these need _hash_sql_of
 _GRAPH_ORACLES["graph_k1coloring"] = _k1_oracle_sql()
@@ -9404,6 +9664,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # (KMV sketch/rollup, MMR, association rules, assortativity take
         # priority as NEW queries); prior driver-green evidence r8/r10,
         # implementation unchanged since
+        "q19_bracket_revenue",
+        "window_top_orders",
+        "window_distribution",
         "unpivot_orders",
         "percentile_prices",
         "exists_big_customers",
@@ -9592,6 +9855,9 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_mmr_topk": q_similarity_mmr_topk,
         "assoc_rules_parts": q_assoc_rules_parts,
         "graph_assortativity": q_graph_assortativity,
+        "graph_kmeans": q_graph_kmeans,
+        "graph_scale_properties": q_graph_scale_properties,
+        "stats_drift_tokens": q_stats_drift_tokens,
         # -- rotated in (r12 fourth wave): the only two catalog rows
         # -- whose module closure includes operators/__init__ (they
         # -- import through the package surface), re-windowed because
@@ -9655,13 +9921,13 @@ def _specs() -> dict[str, QuerySpec]:
         "text_quality_gopher": q_text_quality_gopher,
         "sample_stratified_split": q_sample_stratified_split,
         "set_ops_nations": q_set_ops_nations,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "window_top_orders": q_window_top_orders,
+        "window_distribution": q_window_distribution,
         "unpivot_orders": q_unpivot_orders,
         "percentile_prices": q_percentile_prices,
         "exists_big_customers": q_exists_big_customers,

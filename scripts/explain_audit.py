@@ -1081,6 +1081,43 @@ CHECKS: list[tuple[str, str, object]] = [
         and "windowspecdefinition" not in p
         and "BatchEvalPython" not in p,
     ),
+    (
+        "stats_drift_tokens",
+        "drift monitor: ONE partial-agg groupBy of <= n_buckets keys "
+        "(map-side combine collapses partitions to bucket count), "
+        "totals on a 1-row broadcast nested-loop join, no hash join "
+        "of the value stream, no window, no Python",
+        lambda p: "partial_sum" in p
+        and "BroadcastNestedLoopJoin" in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "graph_kmeans",
+        "k-means assignment: ZERO exchanges — centroids ride as k·d "
+        "literal arrays in a whole-stage-codegen zip_with map over the "
+        "checkpointed quantized vectors (the PQ-ADC pattern); no join, "
+        "no window, no Python",
+        lambda p: p.count("Exchange") == 0
+        and "zip_with" in p
+        and "Join" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "graph_scale_properties",
+        "property scaling: scan pruned to (id, value), ONE partial-agg "
+        "global stats row broadcast via a 1-row nested-loop cross join "
+        "into a narrow codegen map — no hash join, no window, no Python",
+        lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2
+        and "partial_min" in p
+        and "BroadcastNestedLoopJoin" in p
+        and "BroadcastHashJoin" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
 ]
 
 

@@ -602,6 +602,62 @@ def main() -> int:
         rd("co30", s)
     )
 
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        scale_properties,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        lloyd_assignments,
+    )
+
+    def kmeans(s):
+        # copies are identical point sets on offset ids: the k lowest
+        # ids stay in copy 0 (same seeds), and 5 identical copies have
+        # the same per-cluster means as one — so every copy reproduces
+        # the x1 assignment and rows grow exactly 5×; the iteration
+        # count is fixed by contract either way
+        return lloyd_assignments(
+            rd("emb", s), "vec_id", "embedding", k=4, iters=3
+        )
+
+    def scaleprops(s):
+        # min/max are copy-invariant and sum/n grow together, so every
+        # scaled value replicates exactly; rows exactly 5×
+        d = rd("liprice", s).select(
+            F.col("k").alias("id"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c"),
+        )
+        return scale_properties(d, "id", "price_c")
+
+    ops["graph_kmeans"] = kmeans
+    ops["graph_scale_properties"] = scaleprops
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.dedup import (
+        token_set_col,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        drift_buckets,
+    )
+
+    def drift(s):
+        # texts are verbatim per copy, so both sides' bucket counts
+        # grow exactly 5x together: proportions (and the occupied
+        # bucket set) are copy-invariant while the chi-square terms
+        # scale ~linearly with N, the statistic's defined behavior
+        toks = rd("docs", s).select(
+            "source",
+            F.explode(token_set_col(F.col("text"))).alias("token"),
+        ).filter(F.col("token") != "")
+        return drift_buckets(
+            toks.filter(F.col("source") == "src1").select("token"),
+            toks.filter(F.col("source") == "src2").select("token"),
+            "token",
+            n_buckets=64,
+        )
+
+    ops["stats_drift_tokens"] = drift
+
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {
         "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
@@ -612,6 +668,7 @@ def main() -> int:
         "events_kmv_rollup": _KMV_ROLLUP_K,  # ≤ k sketch rows
         "similarity_mmr_topk": 5,  # k picks at any corpus size
         "graph_assortativity": 1,  # one statistics row
+        "stats_drift_tokens": 64,  # <= n_buckets rows at any scale
     }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness

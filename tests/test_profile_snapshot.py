@@ -725,3 +725,97 @@ def test_kmv_merge_is_min_of_mins_and_idempotent(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         kmv_estimate(sa, k=1)
+
+
+def test_scale_properties_hand_computed_and_degenerate(spark):
+    """The three exact scalers replayed by hand — negatives truncate
+    toward zero through the sign split, a constant column yields 0
+    (the GDS zero-variance convention), and max scales against |max|."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        scale_properties,
+    )
+
+    rows = [(1, -200), (2, 0), (3, 100), (4, 600)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: (r["minmax_ppm"], r["mean_ppm"], r["max_ppm"])
+        for r in scale_properties(df, "id", "v").collect()
+    }
+    mn, mx, s, n = -200, 600, 500, 4
+    for i, v in rows:
+        minmax = (abs(v - mn) * 10**6) // (mx - mn)
+        if v - mn < 0:
+            minmax = -minmax
+        num = v * n - s
+        mean = (abs(num) * 10**6) // ((mx - mn) * n)
+        if num < 0:
+            mean = -mean
+        mxs = (abs(v) * 10**6) // abs(mx)
+        if v < 0:
+            mxs = -mxs
+        assert got[i] == (minmax, mean, mxs), (i, got[i])
+    # spot values: minmax spans exactly [0, 1e6]
+    assert got[1][0] == 0 and got[4][0] == 10**6
+    # constant column: both range scalers 0, max scaler x/|x| = 1e6
+    const = spark.createDataFrame([(1, 7), (2, 7)], "id long, v long")
+    for r in scale_properties(const, "id", "v").collect():
+        assert (r["minmax_ppm"], r["mean_ppm"], r["max_ppm"]) == (
+            0, 0, 10**6,
+        )
+
+
+def test_drift_buckets_hand_computed_and_guards(spark):
+    """Drift table replayed by hand: bucket hashes, exact chi-square
+    terms (floor-quantized per bucket), ppm proportion gaps; identical
+    distributions yield all-zero terms; an empty side raises loud."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        drift_buckets,
+    )
+
+    a_vals = ["x"] * 6 + ["y"] * 2
+    b_vals = ["x"] * 2 + ["y"] * 6
+    a = spark.createDataFrame([(v,) for v in a_vals], "v string")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v string")
+    nb_, seed, scale = 8, 3, 10**6
+    got = {
+        r["bucket"]: (r["o_a"], r["o_b"], r["chi2_term_fp"],
+                      r["p_diff_ppm"])
+        for r in drift_buckets(
+            a, b, "v", n_buckets=nb_, seed=seed, scale=scale
+        ).collect()
+    }
+
+    expect = {}
+    cnt = {}
+    for v in a_vals:
+        k = _phash(f"{v}#{seed}") % nb_
+        cnt.setdefault(k, [0, 0])[0] += 1
+    for v in b_vals:
+        k = _phash(f"{v}#{seed}") % nb_
+        cnt.setdefault(k, [0, 0])[1] += 1
+    na = sum(o[0] for o in cnt.values())
+    nbt = sum(o[1] for o in cnt.values())
+    for k, (oa, ob) in cnt.items():
+        num = oa * nbt - ob * na
+        chi = (num * num * scale) // (na * nbt * (oa + ob))
+        pd = oa * 10**6 // na - ob * 10**6 // nbt
+        expect[k] = (oa, ob, chi, pd)
+    assert got == expect, (got, expect)
+    # drift actually registered (x and y land in different buckets
+    # with these counts — if they collided the test fixture is wrong)
+    assert len(got) == 2 and any(t[2] > 0 for t in got.values())
+
+    # identical distributions: every term and every gap exactly 0
+    same = {
+        r["bucket"]: (r["chi2_term_fp"], r["p_diff_ppm"])
+        for r in drift_buckets(a, a, "v", n_buckets=nb_, seed=seed).collect()
+    }
+    assert all(t == (0, 0) for t in same.values())
+
+    empty = spark.createDataFrame([], "v string")
+    with _pytest.raises(Exception, match="side is empty"):
+        drift_buckets(a, empty, "v", n_buckets=nb_).collect()
+    with _pytest.raises(ValueError, match="n_buckets"):
+        drift_buckets(a, b, "v", n_buckets=1)

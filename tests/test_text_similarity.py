@@ -656,3 +656,83 @@ def test_mmr_lambda_extremes(spark):
         ).collect()
     ]
     assert diverse == [1, 3]
+
+
+def test_lloyd_assignments_blobs_replay_and_empty_cluster(spark):
+    """Exact-integer Lloyd on two separated 2-D blobs: assignments
+    converge to the blobs and replay in python to the integer; two
+    identical seed vectors empty one cluster (argmin ties go to the
+    lower id) which then KEEPS its centroid instead of crashing."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        lloyd_assignments,
+    )
+
+    pts = {
+        0: [0.00, 0.01],   # seed c0 (blob A)
+        1: [0.00, 0.01],   # seed c1 — identical: c1 empties on ties
+        2: [0.90, 0.88],   # seed c2 (blob B)
+        3: [0.02, 0.00],
+        4: [0.01, 0.03],
+        5: [0.91, 0.90],
+        6: [0.88, 0.93],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, v array<double>"
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in lloyd_assignments(df, "vec_id", "v", k=3, iters=2).collect()
+    }
+
+    # python twin with the identical quantized arithmetic
+    import math
+
+    scale = 10**6
+    q = {i: [math.floor(x * scale + 0.5) for x in v] for i, v in pts.items()}
+    cents = [q[0], q[1], q[2]]
+
+    def assign(cs):
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), ci)
+                for ci, c in enumerate(cs)
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        new = []
+        for ci in range(3):
+            members = [q[i] for i, c in a.items() if c == ci]
+            if not members:
+                new.append(cents[ci])  # emptied: keep previous
+                continue
+            dims = len(members[0])
+            cent = []
+            for d in range(dims):
+                s, n = sum(m[d] for m in members), len(members)
+                t = abs(s) // n
+                cent.append(-t if s < 0 else t)
+            new.append(cent)
+        cents = new
+    expect = assign(cents)
+    assert got == expect, (got, expect)
+    # blob structure: B is cluster 2; A splits between 0 and the
+    # REACTIVATED cluster 1 — it emptied on the round-1 tie rule, KEPT
+    # its centroid (the contract under test), and that unmoved centroid
+    # sits exactly on the duplicate seeds while c0's moved to A's mean,
+    # so the seeds legitimately re-join it in the final assignment
+    assert {got[i] for i in (0, 1, 3, 4)} <= {0, 1}
+    assert {got[2], got[5], got[6]} == {2}
+    assert got[0] == 1  # the reactivation actually happened
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds"):
+        lloyd_assignments(df, "vec_id", "v", k=100, iters=1)
+    with _pytest.raises(ValueError, match="iters"):
+        lloyd_assignments(df, "vec_id", "v", k=2, iters=0)
+    with _pytest.raises(ValueError, match="overflow"):
+        lloyd_assignments(df, "vec_id", "v", k=2, iters=1, scale=10**16)

@@ -225,6 +225,9 @@ HEADLINE = [
     "graph_kmeans",
     "graph_scale_properties",
     "stats_drift_tokens",
+    "stats_histogram_prices",
+    "events_robust_outliers",
+    "graph_cc_incremental",
 ]
 
 

@@ -931,3 +931,135 @@ def drift_buckets(
             F.expr(pdiff).alias("p_diff_ppm"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_fp_col: str,
+    *,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact equal-width histogram of an integer fixed-point column →
+    one row per OCCUPIED bucket ``(bucket, lo_fp, hi_fp, cnt)`` where
+    ``bucket = (x − min)·n_buckets div (max − min + 1)`` — pure int64
+    arithmetic, so edges and counts hash-match any ANSI engine (the
+    float-width histograms engines ship disagree at bucket boundaries
+    by one ulp; the +1 denominator puts max itself in the last bucket
+    without a special case). ``lo_fp``/``hi_fp`` are the bucket's
+    inclusive value range in the same fixed-point units. A constant
+    column degenerates to one bucket holding everything.
+
+    The profiling companion of :func:`exact_quantiles` (exact order
+    statistics) and :func:`drift_buckets` (two-sample comparison):
+    quantiles answer "what value sits at rank r", the histogram
+    answers "how is mass distributed between the extremes".
+
+    Scale shape: one partial-agg (min, max) riding a 1-row broadcast
+    cross join, then ONE partial-agg groupBy of ≤ n_buckets keys —
+    map-side combine collapses every partition to bucket counts
+    before the shuffle (the CMS shape). Two passes over the column,
+    zero windows, zero driver state.
+    """
+    if n_buckets < 1:
+        raise ValueError(
+            f"value_histogram: n_buckets must be >= 1, got {n_buckets}"
+        )
+    dec = "DECIMAL(38,0)"
+    stats = df.agg(
+        F.min(value_fp_col).alias("_mn"),
+        F.max(value_fp_col).alias("_mx"),
+    )
+    x = f"CAST({value_fp_col} AS {dec})"
+    width = f"(CAST(_mx AS {dec}) - _mn + 1)"
+    bucket = (
+        f"CAST(({x} - _mn) * {n_buckets} div {width} AS BIGINT)"
+    )
+    # inclusive integer edges: bucket b covers
+    # [mn + ceil(b·width/nb), mn + ceil((b+1)·width/nb) − 1]
+    lo = (
+        f"CAST(CAST(_mn AS {dec}) + (bucket * {width} + {n_buckets} - 1) "
+        f"div {n_buckets} AS BIGINT)"
+    )
+    hi = (
+        f"CAST(CAST(_mn AS {dec}) + ((bucket + 1) * {width} "
+        f"+ {n_buckets} - 1) div {n_buckets} - 1 AS BIGINT)"
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.expr(bucket).alias("bucket"), "_mn", "_mx")
+        .groupBy("bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.expr(lo).alias("lo_fp"),
+            F.expr(hi).alias("hi_fp"),
+            "cnt",
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    z_num: int = 3,
+    z_den: int = 1,
+    n_buckets: int = 32,
+    local_threshold: int = 100_000,
+) -> DataFrame:
+    """Median/MAD outlier detection → the rows whose absolute deviation
+    from the median exceeds ``(z_num/z_den) · MAD`` (the robust z-score
+    gate — the guardrail monitor that survives the contamination it is
+    looking for, where mean/stddev get dragged by the very outliers
+    they should flag; Hampel 1974, Leys et al. 2013).
+
+    EXACT at any scale: both the median and the MAD (median absolute
+    deviation) come from :func:`exact_quantiles` — the iterative
+    range-narrowing selection, never a global sort — and every flagged
+    value satisfies ``dev · z_den > z_num · MAD`` with the deviation an
+    exact IEEE subtraction of two corpus values and the threshold a
+    single rounding on each side (engine-independent; no division
+    anywhere). ``MAD = 0`` (a majority-constant column) flags every
+    non-median value — the defined behavior of the estimator, noted
+    here because it surprises: use a quantile gate for those columns.
+
+    Output ``(id, value, dev)`` with ``dev`` rounded to 6 decimals for
+    display (the flag tests the UNROUNDED deviation).
+
+    Scale shape: two exact-selection passes (each ≤ log_{n_buckets}(n)
+    rounds moving ≤ n_buckets count rows — the exact_quantiles
+    contract) plus ONE narrow filter pass; thresholds ride as plan
+    literals, so the flag scan is whole-stage codegen with no join.
+    """
+    if z_num < 0 or z_den < 1:
+        raise ValueError(
+            f"robust_outliers: need z_num >= 0 and z_den >= 1, got "
+            f"{z_num}/{z_den}"
+        )
+    vals = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    med = exact_quantiles(
+        vals, "_x", [0.5],
+        n_buckets=n_buckets, local_threshold=local_threshold,
+    ).collect()[0]["value"]
+    devs = vals.select(
+        "_id", "_x", F.abs(F.col("_x") - F.lit(med)).alias("_dev")
+    )
+    mad = exact_quantiles(
+        devs, "_dev", [0.5],
+        n_buckets=n_buckets, local_threshold=local_threshold,
+    ).collect()[0]["value"]
+    return (
+        devs.filter(
+            F.col("_dev") * F.lit(float(z_den))
+            > F.lit(float(z_num)) * F.lit(mad)
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_x").alias(value_col),
+            F.round("_dev", 6).alias("dev"),
+        )
+    )

@@ -1013,6 +1013,59 @@ def q_graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_conductance(edges, labels)
 
 
+def q_graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (r12 — the graph member of the
+    incremental-maintenance family: per-batch cost ∝ delta, never
+    history): yesterday's labeling is the min_qty=43 co-order graph's
+    CC; today's delta batch is the edges the 42-threshold adds. Delta
+    edges project into LABEL space (old components contract to
+    super-nodes), full CC runs on that delta-bounded super-graph only,
+    and one broadcast remap rewrites the labeling — bit-identical to
+    recomputing CC on the union graph, which is exactly what the
+    oracle does (recursive-closure ground truth, independent of the
+    incremental construction). The fixture genuinely merges: the 42
+    graph collapses the 43 graph's components into a giant one, so the
+    driver checks real merge traffic, not a no-op append."""
+    from .operators.graph_algo import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_e = _co_order_edges(spark, sf_dir, min_qty=43)
+    full_e = _co_order_edges(spark, sf_dir, min_qty=42)
+    delta = full_e.exceptAll(old_e)
+    nodes = (
+        old_e.select(F.col("sourceNodeId").alias("nodeId"))
+        .unionByName(old_e.select(F.col("targetNodeId").alias("nodeId")))
+        .distinct()
+    )
+    old_labels = connected_components(nodes, old_e, max_iter=30)
+    return connected_components_incremental(
+        old_labels, delta, max_iter=30
+    )
+
+
+_GRAPH_ORACLES["graph_cc_incremental"] = """
+    WITH RECURSIVE
+      li AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 42
+      ),
+      e AS (
+          SELECT DISTINCT a.p AS u, b.p AS v
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      ),
+      sym(s, t) AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      vertices(n) AS (SELECT s FROM sym),
+      paths(a, b) AS (
+          SELECT n, n FROM vertices
+          UNION
+          SELECT p.a, sy.t FROM paths p JOIN sym sy ON p.b = sy.s
+      )
+    SELECT a AS "nodeId", min(b) AS component FROM paths GROUP BY a
+"""
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (r12 — Newman 2002) of the co-order graph:
     the Pearson degree-degree correlation over the 2m ordered endpoint
@@ -6361,6 +6414,116 @@ def _drift_oracle_sql(
 
 _RELATIONAL_ORACLES["stats_drift_tokens"] = _drift_oracle_sql()
 
+
+_HIST_BUCKETS = 32
+
+
+def q_stats_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-width histogram of lineitem prices in cents (r12 —
+    the profiling companion of exact_quantiles: ranks vs mass). Pure
+    int64 bucket arithmetic — edges included — so the whole histogram
+    hash-matches where float-width histograms disagree at boundaries
+    by an ulp. One (min, max) partial agg on a 1-row broadcast, one
+    ≤32-key partial-agg groupBy; the CMS shape."""
+    from .operators.profile import value_histogram
+
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return value_histogram(
+        _t(spark, sf_dir, "lineitem").select(cents.alias("price_c")),
+        "price_c",
+        n_buckets=_HIST_BUCKETS,
+    )
+
+
+def _histogram_oracle_sql(nb: int = _HIST_BUCKETS) -> str:
+    width = "(mx::HUGEINT - mn + 1)"
+    return f"""
+        WITH p AS (
+            SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS x
+            FROM lineitem
+        ),
+        st AS (SELECT min(x) AS mn, max(x) AS mx FROM p),
+        b AS (
+            SELECT CAST((x::HUGEINT - mn) * {nb} // {width} AS BIGINT)
+                       AS bucket,
+                   mn, mx
+            FROM p CROSS JOIN st
+        )
+        SELECT bucket,
+               CAST(mn + (bucket::HUGEINT * {width} + {nb} - 1) // {nb}
+                    AS BIGINT) AS lo_fp,
+               CAST(mn + ((bucket::HUGEINT + 1) * {width} + {nb} - 1)
+                    // {nb} - 1 AS BIGINT) AS hi_fp,
+               count(*) AS cnt
+        FROM b GROUP BY bucket, mn, mx
+    """
+
+
+_RELATIONAL_ORACLES["stats_histogram_prices"] = _histogram_oracle_sql()
+
+
+_OUTLIER_Z_NUM = 3
+_OUTLIER_Z_DEN = 1
+
+
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate over event values (r12 — the robust
+    complement of events_anomaly's mean/stddev z-score: the medians
+    survive the very contamination the gate is hunting, where moments
+    get dragged by it). Median and MAD both come from exact_quantiles
+    (iterative range narrowing — never a global sort), the deviation
+    is an exact IEEE subtraction, and the z·MAD threshold is a plan
+    literal, so the flag scan is one narrow codegen pass and the
+    flagged set hash-matches the oracle's ORDER-BY-rank replay."""
+    from .operators.profile import robust_outliers
+
+    return robust_outliers(
+        _t(spark, sf_dir, "events"),
+        "event_id",
+        "value",
+        z_num=_OUTLIER_Z_NUM,
+        z_den=_OUTLIER_Z_DEN,
+        local_threshold=5_000,
+    )
+
+
+def _robust_outliers_oracle_sql(
+    z_num: int = _OUTLIER_Z_NUM, z_den: int = _OUTLIER_Z_DEN
+) -> str:
+    return f"""
+        WITH v AS (
+            SELECT event_id, CAST(value AS DOUBLE) AS value
+            FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+            SELECT value AS m FROM (
+                SELECT value,
+                       row_number() OVER (ORDER BY value) AS rn
+                FROM v
+            ) WHERE rn = (SELECT (count(*) - 1) // 2 + 1 FROM v)
+        ),
+        dev AS (
+            SELECT event_id, value, abs(value - m) AS dev
+            FROM v CROSS JOIN med
+        ),
+        mad AS (
+            SELECT dev AS d FROM (
+                SELECT dev, row_number() OVER (ORDER BY dev) AS rn
+                FROM dev
+            ) WHERE rn = (SELECT (count(*) - 1) // 2 + 1 FROM dev)
+        )
+        SELECT event_id, value, round(dev, 6) AS dev
+        FROM dev CROSS JOIN mad
+        WHERE dev * CAST({z_den} AS DOUBLE)
+              > CAST({z_num} AS DOUBLE) * d
+    """
+
+
+_RELATIONAL_ORACLES["events_robust_outliers"] = _robust_outliers_oracle_sql()
+
 # deferred from the definition site: these need _hash_sql_of
 _GRAPH_ORACLES["graph_k1coloring"] = _k1_oracle_sql()
 _GRAPH_ORACLES["graph_louvain_move"] = _louvain_oracle_sql()
@@ -9664,6 +9827,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # (KMV sketch/rollup, MMR, association rules, assortativity take
         # priority as NEW queries); prior driver-green evidence r8/r10,
         # implementation unchanged since
+        "text_quality_gopher",
+        "sample_stratified_split",
+        "set_ops_nations",
         "q19_bracket_revenue",
         "window_top_orders",
         "window_distribution",
@@ -9858,6 +10024,9 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_kmeans": q_graph_kmeans,
         "graph_scale_properties": q_graph_scale_properties,
         "stats_drift_tokens": q_stats_drift_tokens,
+        "stats_histogram_prices": q_stats_histogram_prices,
+        "events_robust_outliers": q_events_robust_outliers,
+        "graph_cc_incremental": q_graph_cc_incremental,
         # -- rotated in (r12 fourth wave): the only two catalog rows
         # -- whose module closure includes operators/__init__ (they
         # -- import through the package surface), re-windowed because
@@ -9918,13 +10087,13 @@ def _specs() -> dict[str, QuerySpec]:
         "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,
         "curation_pipeline": q_curation_pipeline,
-        "text_quality_gopher": q_text_quality_gopher,
-        "sample_stratified_split": q_sample_stratified_split,
-        "set_ops_nations": q_set_ops_nations,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "text_quality_gopher": q_text_quality_gopher,
+        "sample_stratified_split": q_sample_stratified_split,
+        "set_ops_nations": q_set_ops_nations,
         "q19_bracket_revenue": q19_bracket_revenue,
         "window_top_orders": q_window_top_orders,
         "window_distribution": q_window_distribution,

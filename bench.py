@@ -228,6 +228,8 @@ HEADLINE = [
     "stats_histogram_prices",
     "events_robust_outliers",
     "graph_cc_incremental",
+    "events_resample_locf",
+    "overlap_join_orders",
 ]
 
 

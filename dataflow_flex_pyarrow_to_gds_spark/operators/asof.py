@@ -154,3 +154,90 @@ def range_join(
         (F.col(left_ts) >= F.col(right_start))
         & (F.col(left_ts) <= F.col(right_end))
     ).drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    left_start: str,
+    left_end: str,
+    right_id: str,
+    right_start: str,
+    right_end: str,
+    keys: tuple[str, ...] | list[str] = (),
+    bucket: int = 16,
+) -> DataFrame:
+    """Interval × interval OVERLAP join → one row per pair whose closed
+    ranges intersect: ``(keys…, left_id, right_id, overlap_start,
+    overlap_end)`` with ``overlap_* = [max(starts), min(ends)]``. The
+    temporal sibling of :func:`range_join` (point-in-interval) and
+    :func:`asof_join` (nearest-at-or-before) — the shape behind
+    "which promotions ran while this order was open", concurrent
+    sessions, conflicting reservations.
+
+    Bounds are INTEGER columns (days-since-epoch, unix seconds — the
+    caller picks the unit; a domain fact, like the scaler fixed-point
+    convention). Both engines then agree exactly and the full pair set
+    hash-matches.
+
+    Scale shape — the classic bucketized overlap join, because Spark's
+    only native plan for a pure inequality ON-clause is a nested loop:
+    each interval explodes to the ``bucket``-width blocks it covers,
+    candidates come from ONE equi-join on (keys…, block), and each
+    genuine pair is emitted EXACTLY ONCE — not deduped but filtered to
+    the FIRST SHARED block, ``block == max(start_l, start_r) div
+    bucket`` (the pair's earliest co-covered block; a distinct would
+    shuffle pair-sized data, the filter is free). Fan-out per row is
+    ``span/bucket + 1`` — size ``bucket`` to the TYPICAL interval so
+    the explode is a small constant; degenerate open-ended intervals
+    should be capped by the caller before the join.
+    """
+    if bucket < 1:
+        raise ValueError(
+            f"interval_overlap_join: bucket must be >= 1, got {bucket}"
+        )
+    ks = list(keys)
+
+    def blocks(df, ident, start, end, side):
+        if ident in ks:
+            raise ValueError(
+                f"interval_overlap_join: id column {ident} collides "
+                "with a join key"
+            )
+        return df.select(
+            *ks,
+            F.col(ident).alias(f"_{side}id"),
+            F.col(start).cast("long").alias(f"_{side}s"),
+            F.col(end).cast("long").alias(f"_{side}e"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST({start} AS BIGINT) div {bucket}"),
+                    F.expr(f"CAST({end} AS BIGINT) div {bucket}"),
+                )
+            ).alias("_blk"),
+        )
+
+    lb = blocks(left, left_id, left_start, left_end, "l")
+    rb = blocks(right, right_id, right_start, right_end, "r")
+    return (
+        lb.join(rb, [*ks, "_blk"])
+        .filter(
+            (F.col("_ls") <= F.col("_re"))
+            & (F.col("_rs") <= F.col("_le"))
+            & (
+                F.col("_blk")
+                == F.expr(
+                    f"greatest(_ls, _rs) div {bucket}"
+                )
+            )
+        )
+        .select(
+            *ks,
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.greatest("_ls", "_rs").alias("overlap_start"),
+            F.least("_le", "_re").alias("overlap_end"),
+        )
+    )

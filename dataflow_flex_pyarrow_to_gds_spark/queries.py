@@ -6524,6 +6524,108 @@ def _robust_outliers_oracle_sql(
 
 _RELATIONAL_ORACLES["events_robust_outliers"] = _robust_outliers_oracle_sql()
 
+
+def q_overlap_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (r12 — the temporal sibling of range_join
+    and as-of: interval × interval, the shape Spark can only plan
+    natively as a nested loop): same-customer orders whose 14-day
+    fulfillment windows intersect, each pair exactly once (o1 < o2)
+    with the intersection bounds. Candidates come from ONE equi-join
+    on (customer, 16-day block) with the first-shared-block filter
+    replacing a pair-level distinct; bounds are integer
+    days-since-epoch so the whole pair set hash-matches."""
+    from .operators.asof import interval_overlap_join
+
+    days = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey"),
+        days.alias("s"),
+        (days + F.lit(14)).alias("e"),
+    )
+    out = interval_overlap_join(
+        o.withColumnRenamed("o_orderkey", "o1"),
+        o.withColumnRenamed("o_orderkey", "o2"),
+        left_id="o1",
+        left_start="s",
+        left_end="e",
+        right_id="o2",
+        right_start="s",
+        right_end="e",
+        keys=("o_custkey",),
+        bucket=16,
+    )
+    return out.filter(F.col("o1") < F.col("o2"))
+
+
+_RELATIONAL_ORACLES["overlap_join_orders"] = """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS s
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS o1, b.o_orderkey AS o2,
+           CAST(greatest(a.s, b.s) AS BIGINT) AS overlap_start,
+           CAST(least(a.s + 14, b.s + 14) AS BIGINT) AS overlap_end
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.s + 14 AND b.s <= a.s + 14
+"""
+
+
+def q_events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (r12): every user's irregular event
+    stream resampled onto their daily grid, gaps filled by
+    last-observation-carried-forward — the preprocessing any fixed-step
+    model or day-over-day diff silently requires. Per-day
+    representatives from ONE partial-agg max(struct) (a total
+    (ts, event_id) tie order — never a per-event window), the grid
+    explodes from a 2-column bounds row (sequence()), and the LOCF
+    window runs over the already-regularized calendar, so a hot key
+    costs its day SPAN, not its event count. Values are copied
+    doubles; the oracle replays with an ASOF join — same semantics,
+    each engine's idiomatic plan."""
+    from .streaming.events import read_events, resample_locf
+
+    return resample_locf(
+        read_events(spark, sf_dir), "user_id", "ts", "value", "event_id"
+    )
+
+
+_RELATIONAL_ORACLES["events_resample_locf"] = """
+    WITH rep AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(value AS DOUBLE) AS v
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC,
+                                CAST(value AS DOUBLE) DESC
+                   ) AS rn
+            FROM events WHERE value IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx
+        FROM rep GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM b
+    )
+    SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+           r.v AS value_locf,
+           (r.day = g.day) AS is_observed
+    FROM grid g ASOF JOIN rep r
+      ON g.user_id = r.user_id AND g.day >= r.day
+"""
+
 # deferred from the definition site: these need _hash_sql_of
 _GRAPH_ORACLES["graph_k1coloring"] = _k1_oracle_sql()
 _GRAPH_ORACLES["graph_louvain_move"] = _louvain_oracle_sql()
@@ -9827,6 +9929,8 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # (KMV sketch/rollup, MMR, association rules, assortativity take
         # priority as NEW queries); prior driver-green evidence r8/r10,
         # implementation unchanged since
+        "source_curation_stats",
+        "curation_pipeline",
         "text_quality_gopher",
         "sample_stratified_split",
         "set_ops_nations",
@@ -10027,6 +10131,8 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_histogram_prices": q_stats_histogram_prices,
         "events_robust_outliers": q_events_robust_outliers,
         "graph_cc_incremental": q_graph_cc_incremental,
+        "events_resample_locf": q_events_resample_locf,
+        "overlap_join_orders": q_overlap_join_orders,
         # -- rotated in (r12 fourth wave): the only two catalog rows
         # -- whose module closure includes operators/__init__ (they
         # -- import through the package surface), re-windowed because
@@ -10085,12 +10191,12 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_per_source_cap": q_sample_per_source_cap,
         "events_anomaly": q_events_anomaly,
         "text_repetition": q_text_repetition,
-        "source_curation_stats": q_source_curation_stats,
-        "curation_pipeline": q_curation_pipeline,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "source_curation_stats": q_source_curation_stats,
+        "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,
         "sample_stratified_split": q_sample_stratified_split,
         "set_ops_nations": q_set_ops_nations,

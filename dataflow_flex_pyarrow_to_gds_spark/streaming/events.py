@@ -634,3 +634,85 @@ def kmv_store_rollup(
         .filter(F.col("kmv_pos") <= k)
         .select("kmv_pos", "kmv_hash")
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Time-series regularization: resample an irregular event stream
+    onto each key's DAILY grid with gaps filled by
+    last-observation-carried-forward → ``(key, day, value_locf,
+    is_observed)`` for every day between the key's first and last
+    event (the preprocessing step before any fixed-step window model
+    or day-over-day diff — irregular streams make those silently
+    wrong).
+
+    Deterministic and exact: a day's representative observation is the
+    (ts, order_col)-max event of that day (a total tie order — two
+    events on the same timestamp resolve by ``order_col``), carried
+    values are COPIED doubles (never recomputed), and the grid is a
+    closed date sequence — so the whole resampled table hash-matches
+    an ANSI replay (the oracle uses an ASOF join; this side uses
+    ``last(ignorenulls)`` over the calendar — same semantics, each
+    engine's idiomatic plan).
+
+    Scale shape: per-day representatives come from ONE partial-agg
+    ``max(struct)`` groupBy (never a per-event window); the grid
+    explodes from a 2-column bounds row per key (``sequence()`` — ≤
+    span-days rows per key, generated, not shuffled); the LOCF fill is
+    one per-key window over the DAILY grid — cardinality = keys ×
+    span-days, already regularized, so the window partition is
+    span-bounded regardless of how bursty the raw stream was (the
+    burst is absorbed by the groupBy, which combines map-side). Skew
+    note: a single key's partition is its day span, not its event
+    count — hot keys cost the same as quiet ones.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.to_date(F.col(ts_col))
+    # null-valued events are NOT observations: they neither set nor
+    # clear the carried value (the same contract on both engines)
+    df = df.filter(F.col(value_col).isNotNull())
+    obs = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            day.alias("day"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_s"),
+        )
+        .groupBy("_k", "day")
+        .agg(F.max("_s").alias("_s"))
+        .select("_k", "day", F.col("_s.v").alias("_obs"))
+    )
+    bounds = obs.groupBy("_k").agg(
+        F.min("day").alias("_mn"), F.max("day").alias("_mx")
+    )
+    grid = bounds.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("day")
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "day"], "left_outer")
+        .select(
+            "_k",
+            # midnight timestamp, not DATE: Arrow maps Spark DATE to
+            # python date objects where ANSI engines hand back
+            # datetime64 — the timestamp form compares identically
+            # everywhere
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("_obs", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("_obs").isNotNull().alias("is_observed"),
+        )
+        .withColumnRenamed("_k", key_col)
+    )

@@ -1115,6 +1115,32 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "events_resample_locf",
+        "LOCF resampling: per-day representatives via partial-agg "
+        "max(struct) (no per-event window), every window partitioned "
+        "by the key over the regularized calendar, grid exploded from "
+        "bounds (no cartesian), no Python",
+        lambda p: "partial_max" in p
+        and "CartesianProduct" not in p
+        and all(
+            m == "_k"
+            for m in re.findall(r"windowspecdefinition\((\w+)#", p)
+        )
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "overlap_join_orders",
+        "interval-overlap join: candidates from ONE equi-join on "
+        "(key, block) — a hash join, never a nested loop or cartesian "
+        "— with the first-shared-block filter (no pair-level "
+        "distinct/exchange after the join), no Python",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and ("SortMergeJoin" in p or "BroadcastHashJoin" in p
+             or "ShuffledHashJoin" in p)
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "graph_kmeans",
         "k-means assignment: ZERO exchanges — centroids ride as k·d "
         "literal arrays in a whole-stage-codegen zip_with map over the "

@@ -141,6 +141,13 @@ def main() -> int:
             _co_order_edges(spark, sf_dir, min_qty=43),
             ["sourceNodeId", "targetNodeId"],
         ),
+        "ordwin": (
+            spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                "o_custkey", "o_orderkey",
+                F.col("o_orderdate").alias("win"),
+            ),
+            ["o_custkey", "o_orderkey"],
+        ),
         "cc_delta": (
             _co_order_edges(spark, sf_dir, min_qty=42).exceptAll(
                 _co_order_edges(spark, sf_dir, min_qty=43)
@@ -714,6 +721,46 @@ def main() -> int:
         )
 
     ops["graph_cc_incremental"] = cc_inc
+
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        resample_locf,
+    )
+
+    def locf(s):
+        # user ids offset per copy, (ts, value) verbatim: each copy
+        # reproduces the x1 grid and fills -> rows exactly 5x; the
+        # window partitions stay span-bounded per key at both scales
+        return resample_locf(
+            rd("events", s), "user_id", "ts", "value", "event_id"
+        )
+
+    ops["events_resample_locf"] = locf
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    def ovl(s):
+        # custkey AND orderkey offset per copy: five disjoint customer
+        # namespaces with identical per-copy window structure -> pairs
+        # exactly 5x
+        days = F.datediff(
+            F.col("win"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        o = rd("ordwin", s).select(
+            "o_custkey", "o_orderkey", days.alias("s"),
+            (days + F.lit(14)).alias("e"),
+        )
+        out = interval_overlap_join(
+            o.withColumnRenamed("o_orderkey", "o1"),
+            o.withColumnRenamed("o_orderkey", "o2"),
+            left_id="o1", left_start="s", left_end="e",
+            right_id="o2", right_start="s", right_end="e",
+            keys=("o_custkey",), bucket=16,
+        )
+        return out.filter(F.col("o1") < F.col("o2"))
+
+    ops["overlap_join_orders"] = ovl
 
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {

@@ -310,3 +310,65 @@ def test_asof_join_directions_match_pandas_generative(spark):
             assert got == exp, (direction, got, exp, left, right)
 
     check()
+
+
+def test_interval_overlap_join_hand_and_once_only(spark):
+    """Overlap pairs by hand: touching endpoints count (closed
+    ranges), disjoint pairs don't, intersection bounds are exact, and
+    a pair spanning MANY shared blocks is emitted exactly once (the
+    first-shared-block filter, not a distinct); keys partition the
+    candidate space."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k1", 100, 0, 100), ("k1", 101, 50, 60), ("k2", 102, 0, 10)],
+        "g string, lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", 200, 60, 70),    # touches 101 at 60; inside 100
+            ("k1", 201, 101, 110),  # disjoint from 100 (ends at 100)
+            ("k2", 202, 10, 20),    # touches 102 at 10
+            ("k1", 203, 5, 6),      # inside 100 only
+        ],
+        "g string, rid long, rs long, re long",
+    )
+    got = {
+        (r["g"], r["lid"], r["rid"]): (
+            r["overlap_start"], r["overlap_end"]
+        )
+        for r in interval_overlap_join(
+            left, right,
+            left_id="lid", left_start="ls", left_end="le",
+            right_id="rid", right_start="rs", right_end="re",
+            keys=("g",), bucket=7,
+        ).collect()
+    }
+    assert got == {
+        ("k1", 100, 200): (60, 70),
+        ("k1", 101, 200): (60, 60),
+        ("k2", 102, 202): (10, 10),
+        ("k1", 100, 203): (5, 6),
+    }
+    # exactly-once even when the overlap spans many blocks: collect()
+    # above already proves no duplicates (dict build would hide them),
+    # so assert on the raw row count too
+    n = interval_overlap_join(
+        left, right,
+        left_id="lid", left_start="ls", left_end="le",
+        right_id="rid", right_start="rs", right_end="re",
+        keys=("g",), bucket=2,  # tiny blocks: 100-wide span = 50 blocks
+    ).count()
+    assert n == 4
+    with _pytest.raises(ValueError, match="bucket"):
+        interval_overlap_join(
+            left, right,
+            left_id="lid", left_start="ls", left_end="le",
+            right_id="rid", right_start="rs", right_end="re",
+            bucket=0,
+        )

@@ -778,3 +778,42 @@ def test_streaming_kmv_store_multi_epoch_exact_and_idempotent(
 
     batches = [d for d in os.listdir(store) if d.startswith("batch_id=")]
     assert len(batches) >= 2, batches
+
+
+def test_resample_locf_hand_computed(spark):
+    """LOCF regularization by hand: gaps fill with the carried value,
+    multi-event days pick the (ts, order)-max representative, each
+    key's grid spans exactly [first, last] day, null values are not
+    observations, and is_observed marks real days."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        resample_locf,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00:00", 10.0, 1),
+        (1, "2024-01-01 09:00:00", 11.0, 2),   # same day, later ts wins
+        (1, "2024-01-04 12:00:00", 40.0, 3),   # 2-day gap before this
+        (2, "2024-01-02 00:00:00", 7.0, 4),
+        (2, "2024-01-02 00:00:00", 8.0, 5),    # ts tie: order_col wins
+        (2, "2024-01-03 00:00:00", None, 6),   # null: not an observation
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["user_id"], str(r["day"])[:10]): (
+            r["value_locf"], r["is_observed"]
+        )
+        for r in resample_locf(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (11.0, True),
+        (1, "2024-01-02"): (11.0, False),
+        (1, "2024-01-03"): (11.0, False),
+        (1, "2024-01-04"): (40.0, True),
+        (2, "2024-01-02"): (8.0, True),
+    }

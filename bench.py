@@ -230,6 +230,7 @@ HEADLINE = [
     "graph_cc_incremental",
     "events_resample_locf",
     "overlap_join_orders",
+    "stats_weighted_quantiles",
 ]
 
 

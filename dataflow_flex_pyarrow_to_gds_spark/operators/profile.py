@@ -1063,3 +1063,158 @@ def robust_outliers(
             F.round("_dev", 6).alias("dev"),
         )
     )
+
+
+def exact_weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[float],
+    *,
+    n_buckets: int = 32,
+    local_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT weighted order-statistic quantiles → one row per requested
+    q: ``(quantile, rank, value)`` where ``rank = floor((W−1)·q) + 1``
+    over the total integer weight ``W`` and ``value`` is the smallest
+    v whose cumulative weight reaches the rank — i.e. the type-1 lower
+    statistic of the WEIGHT-EXPANDED multiset, without ever expanding
+    it (the billing/SLA case: "the price under which 50% of shipped
+    QUANTITY falls", token-weighted document cut-offs).
+
+    Weights are POSITIVE int64 by contract (fractional weights are the
+    caller's fixed-point decision; zero/negative raise at runtime via
+    a loud pre-check) — integer cumulative sums are order-independent,
+    so the answer replays in any ANSI engine as a grouped cumulative
+    window.
+
+    Scale shape — :func:`exact_quantiles`' narrowing with weight mass
+    in place of row count: each round buckets the surviving values by
+    ``percentile_approx`` boundaries (BALANCE only — skewed boundaries
+    slow the narrowing, never break it), ONE partial-agg groupBy sums
+    ≤ n_buckets (weight, rowcount) pairs, the rank localizes to its
+    bucket and rebases by the preceding buckets' weight; when ≤
+    ``local_threshold`` ROWS survive, one bounded single-partition
+    cumulative window finishes (the documented bounded finish —
+    exact_quantiles' orderBy().limit() trick doesn't apply because the
+    crossing row depends on weights, not position). Rounds ≈
+    log_{n_buckets}(n / threshold); duplicate-heavy columns hit the
+    equal-value fast path; ``max_rounds`` is a loud guard.
+    """
+    from pyspark.sql.window import Window
+
+    if not quantiles:
+        raise ValueError("exact_weighted_quantiles: no quantiles requested")
+    if any(not 0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(
+            f"exact_weighted_quantiles: q outside [0,1]: {quantiles}"
+        )
+    vals = df.select(
+        F.col(value_col).alias("_x"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter(F.col("_x").isNotNull())
+    bad = vals.filter(
+        F.col("_w").isNull() | (F.col("_w") <= 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "exact_weighted_quantiles: weights must be positive "
+            "non-null integers"
+        )
+    tot = vals.agg(
+        F.sum("_w").alias("_W"), F.count(F.lit(1)).alias("_n")
+    ).collect()[0]
+    W, n = tot["_W"], tot["_n"]
+    if n == 0:
+        raise ValueError("exact_weighted_quantiles: no non-null values")
+
+    def _finish(cur, r):
+        w = (
+            Window.orderBy(F.asc("_x"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        grouped = cur.groupBy("_x").agg(F.sum("_w").alias("_w"))
+        return (
+            grouped.select(
+                "_x", F.sum("_w").over(w).alias("_cw")
+            )
+            .filter(F.col("_cw") >= r)
+            .orderBy(F.asc("_x"))
+            .limit(1)
+            .collect()[0]["_x"]
+        )
+
+    out_rows = []
+    for q in quantiles:
+        rank = int((W - 1) * q) + 1
+        cur, cur_n, r = vals, n, rank
+        got = None
+        for _ in range(max_rounds):
+            if cur_n <= local_threshold:
+                got = _finish(cur, r)
+                break
+            bounds = cur.agg(
+                F.percentile_approx(
+                    "_x",
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    10_000,
+                ).alias("b")
+            ).first()["b"]
+            uniq = sorted(set(bounds))
+            if not uniq:  # all-equal fast path
+                got = cur.first()["_x"]
+                break
+            bucket = F.lit(0)
+            for i, b in enumerate(uniq):
+                bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(
+                    bucket
+                )
+            stats = {
+                row["_b"]: (row["_wsum"], row["_cnt"])
+                for row in cur.groupBy(bucket.alias("_b"))
+                .agg(
+                    F.sum("_w").alias("_wsum"),
+                    F.count(F.lit(1)).alias("_cnt"),
+                )
+                .collect()
+            }
+            run, target = 0, None
+            for i in range(len(uniq) + 1):
+                ws, cnt = stats.get(i, (0, 0))
+                if run < r <= run + ws:
+                    target, r = i, r - run
+                    break
+                run += ws
+            lo = None if target == 0 else uniq[target - 1]
+            hi = None if target == len(uniq) else uniq[target]
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_x") > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col("_x") <= F.lit(hi))
+            new_n = stats.get(target, (0, 0))[1]
+            nxt = cur.filter(cond)
+            if new_n == cur_n:
+                # the round couldn't split: either one heavy value
+                # (answer found — the equal-value fast path) or a
+                # pathological boundary; decide with one tiny agg
+                mm = nxt.agg(
+                    F.min("_x").alias("a"), F.max("_x").alias("b")
+                ).collect()[0]
+                if mm["a"] == mm["b"]:
+                    got = mm["a"]
+                    break
+            cur, cur_n = nxt, new_n
+        if got is None:
+            raise RuntimeError(
+                f"exact_weighted_quantiles: rank {rank} not localized "
+                f"in {max_rounds} rounds (raise max_rounds or "
+                "local_threshold)"
+            )
+        out_rows.append((float(q), rank, got))
+    spark = df.sparkSession
+    vtype = df.schema[value_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows, f"quantile double, rank long, value {vtype}"
+    )

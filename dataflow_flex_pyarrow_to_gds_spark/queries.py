@@ -6465,6 +6465,59 @@ def _histogram_oracle_sql(nb: int = _HIST_BUCKETS) -> str:
 _RELATIONAL_ORACLES["stats_histogram_prices"] = _histogram_oracle_sql()
 
 
+_WQ_QUANTILES = (0.25, 0.5, 0.9)
+
+
+def q_stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles (r12 — the weighted-selection
+    extension of stats_exact_quantiles: "the price under which half
+    the shipped QUANTITY falls", the billing/SLA shape a token-
+    weighted corpus cut-off shares): rank = floor((W−1)·q)+1 over the
+    total integer weight, answer = smallest value whose cumulative
+    weight reaches it — the weight-expanded type-1 statistic without
+    the expansion. Same iterative narrowing as the unweighted row
+    (per round ONE ≤32-key partial-agg of (weight, count) pairs), the
+    threshold forced below the fixture so the driver checks the
+    narrowing path, and a bounded single-partition cumulative finish.
+    Values are copied parquet doubles — bit-exact."""
+    from .operators.profile import exact_weighted_quantiles
+
+    return exact_weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        list(_WQ_QUANTILES),
+        local_threshold=5_000,
+    )
+
+
+def _weighted_quantiles_oracle_sql(qs: tuple = _WQ_QUANTILES) -> str:
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+        WITH v AS (
+            SELECT l_extendedprice AS x,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+        g AS (SELECT x, sum(w) AS w FROM v GROUP BY x),
+        c AS (SELECT x, sum(w) OVER (ORDER BY x) AS cw FROM g),
+        r AS (
+            SELECT CAST(q AS DOUBLE) AS quantile,
+                   CAST(floor((tw - 1) * q) AS BIGINT) + 1 AS rank
+            FROM t CROSS JOIN (VALUES {vals}) AS qs(q)
+        )
+        SELECT r.quantile, r.rank,
+               (SELECT min(x) FROM c WHERE cw >= r.rank) AS value
+        FROM r
+    """
+
+
+_RELATIONAL_ORACLES["stats_weighted_quantiles"] = (
+    _weighted_quantiles_oracle_sql()
+)
+
+
 _OUTLIER_Z_NUM = 3
 _OUTLIER_Z_DEN = 1
 
@@ -9929,6 +9982,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # (KMV sketch/rollup, MMR, association rules, assortativity take
         # priority as NEW queries); prior driver-green evidence r8/r10,
         # implementation unchanged since
+        "text_repetition",
         "source_curation_stats",
         "curation_pipeline",
         "text_quality_gopher",
@@ -10133,6 +10187,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_cc_incremental": q_graph_cc_incremental,
         "events_resample_locf": q_events_resample_locf,
         "overlap_join_orders": q_overlap_join_orders,
+        "stats_weighted_quantiles": q_stats_weighted_quantiles,
         # -- rotated in (r12 fourth wave): the only two catalog rows
         # -- whose module closure includes operators/__init__ (they
         # -- import through the package surface), re-windowed because
@@ -10190,11 +10245,11 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_edges_project": q_graph_edges_project,
         "sample_per_source_cap": q_sample_per_source_cap,
         "events_anomaly": q_events_anomaly,
-        "text_repetition": q_text_repetition,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,
         "curation_pipeline": q_curation_pipeline,
         "text_quality_gopher": q_text_quality_gopher,

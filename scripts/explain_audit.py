@@ -1141,6 +1141,19 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "@wq_round",
+        "weighted-quantiles narrowing round: ONE partial-agg "
+        "(weight-sum, count) pass over a literal-CASE bucketing, scan "
+        "pruned to (value, weight), no sort, no window, no Python",
+        lambda p: "partial_sum" in p
+        and "CASE WHEN" in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2
+        and "Sort" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "graph_kmeans",
         "k-means assignment: ZERO exchanges — centroids ride as k·d "
         "literal arrays in a whole-stage-codegen zip_with map over the "
@@ -1569,6 +1582,32 @@ def _mmr_pool(spark, sf: str):
     )
 
 
+def _wq_round(spark, sf: str):
+    """One weighted narrowing round's plan (the @quantile_round analog
+    with weight mass in place of row count)."""
+    from pyspark.sql import functions as F
+
+    vals = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(
+            F.col("l_extendedprice").alias("_x"),
+            F.col("l_quantity").cast("long").alias("_w"),
+        )
+        .filter(F.col("_x").isNotNull())
+    )
+    bounds = vals.agg(
+        F.percentile_approx(
+            "_x", [i / 8 for i in range(1, 8)], 10_000
+        ).alias("b")
+    ).first()["b"]
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(bucket)
+    return vals.groupBy(bucket.alias("_b")).agg(
+        F.sum("_w").alias("_ws"), F.count(F.lit(1)).alias("_c")
+    )
+
+
 def _cc_inc_remap(spark, sf: str):
     """The incremental-CC composition on a tiny in-session graph (the
     catalog row's q43/q42 fixture needs the full old-label fixpoint;
@@ -1605,6 +1644,7 @@ CUSTOM_BUILDERS = {
     "@snm_plan": _snm_plan,
     "@mmr_pool": _mmr_pool,
     "@cc_inc_remap": _cc_inc_remap,
+    "@wq_round": _wq_round,
 }
 
 

@@ -141,6 +141,13 @@ def main() -> int:
             _co_order_edges(spark, sf_dir, min_qty=43),
             ["sourceNodeId", "targetNodeId"],
         ),
+        "liqty": (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("k"),
+                "l_extendedprice", "l_quantity",
+            ),
+            ["k"],
+        ),
         "ordwin": (
             spark.read.parquet(f"{sf_dir}/orders.parquet").select(
                 "o_custkey", "o_orderkey",
@@ -762,6 +769,24 @@ def main() -> int:
 
     ops["overlap_join_orders"] = ovl
 
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_weighted_quantiles,
+    )
+
+    def wq(s):
+        # prices and quantities verbatim per copy: every weighted rank
+        # quintuples but lands on the same VALUE (each copy contributes
+        # the identical weight mass); per round the exchange still
+        # moves <= n_buckets (weight, count) pairs. Output fixed at
+        # one row per requested q.
+        d = rd("liqty", s)
+        return exact_weighted_quantiles(
+            d, "l_extendedprice", "l_quantity",
+            [0.25, 0.5, 0.9], local_threshold=5_000,
+        )
+
+    ops["stats_weighted_quantiles"] = wq
+
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {
         "events_cms_rollup": _CMS_DEPTH * _CMS_ROLLUP_WIDTH,
@@ -774,6 +799,7 @@ def main() -> int:
         "graph_assortativity": 1,  # one statistics row
         "stats_drift_tokens": 64,  # <= n_buckets rows at any scale
         "stats_histogram_prices": 32,  # <= n_buckets rows at any scale
+        "stats_weighted_quantiles": 3,  # one row per requested q
     }
     #: hash-driven walks differ per id-offset copy, so the distinct
     #: visited set varies per copy — assert the ratio, not exactness

@@ -908,3 +908,53 @@ def test_robust_outliers_hand_computed_and_mad_zero(spark):
     assert flagged == {9}
     with _pytest.raises(ValueError, match="z_num"):
         robust_outliers(df, "id", "v", z_num=-1)
+
+
+def test_exact_weighted_quantiles_python_replay_and_paths(spark):
+    """Weighted type-1 statistics replayed against an explicit
+    weight-expansion, through BOTH the bounded finish and the
+    narrowing path (threshold forced below the input), plus the heavy
+    single-value fast path and the positive-weight guard."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_weighted_quantiles,
+    )
+
+    rows = [(10.0, 1), (20.0, 3), (30.0, 2), (5.0, 4)]
+    df = spark.createDataFrame(rows, "x double, w long")
+    expanded = sorted(
+        [x for x, w in rows for _ in range(w)]
+    )  # the multiset the weights stand for
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    for local_threshold in (100, 2):  # bounded finish, then narrowing
+        got = {
+            r["quantile"]: (r["rank"], r["value"])
+            for r in exact_weighted_quantiles(
+                df, "x", "w", qs, local_threshold=local_threshold,
+                n_buckets=4, max_rounds=12,
+            ).collect()
+        }
+        for q in qs:
+            rank = int((len(expanded) - 1) * q) + 1
+            assert got[q] == (rank, expanded[rank - 1]), (
+                local_threshold, q, got[q],
+            )
+
+    # one heavy value dominating every rank: the can't-split fast path
+    heavy = spark.createDataFrame(
+        [(7.0, 1000), (1.0, 1), (9.0, 1)], "x double, w long"
+    )
+    out = {
+        r["quantile"]: r["value"]
+        for r in exact_weighted_quantiles(
+            heavy, "x", "w", [0.5], local_threshold=1, n_buckets=4,
+        ).collect()
+    }
+    assert out[0.5] == 7.0
+
+    bad = spark.createDataFrame([(1.0, 0)], "x double, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        exact_weighted_quantiles(bad, "x", "w", [0.5])
+    with _pytest.raises(ValueError, match="no quantiles"):
+        exact_weighted_quantiles(df, "x", "w", [])

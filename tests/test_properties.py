@@ -129,3 +129,139 @@ def test_balanced_sum_sql_cross_engine_bitwise(spark):
         assert struct.pack("<d", got_spark) == struct.pack("<d", got_duck)
 
     check()
+
+
+def test_kmv_bottom_k_property(spark):
+    """For arbitrary value multisets, the sketch is EXACTLY the k
+    smallest distinct portable hashes with dense ranks, and the
+    below-k estimate equals the true distinct count."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    def phash(t: str) -> int:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+        if hi >= 1 << 31:
+            hi -= 1 << 32
+        return hi * (1 << 32) + lo
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=111),
+                min_size=1, max_size=4,
+            ),
+            min_size=1, max_size=60,
+        ),
+        st.integers(min_value=2, max_value=12),
+    )
+    def check(vals, k):
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = [
+            (r["kmv_pos"], r["kmv_hash"])
+            for r in kmv_sketch(df, "v", k=k, seed=1).collect()
+        ]
+        hs = sorted({phash(f"{v}#1") for v in vals})[:k]
+        assert sorted(got) == [(i + 1, h) for i, h in enumerate(hs)]
+        if len({*vals}) < k:
+            est = kmv_estimate(
+                kmv_sketch(df, "v", k=k, seed=1), k=k
+            ).collect()[0]
+            assert est["est_distinct"] == len({phash(f"{v}#1") for v in vals})
+
+    check()
+
+
+def test_histogram_partition_property(spark):
+    """For arbitrary int64 multisets and bucket counts: counts sum to
+    n, every value lies inside its bucket's inclusive range, and the
+    occupied buckets' ranges are disjoint and ordered."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        value_histogram,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-10**9, max_value=10**9),
+            min_size=1, max_size=50,
+        ),
+        st.integers(min_value=1, max_value=16),
+    )
+    def check(vals, nb):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        rows = value_histogram(df, "x", n_buckets=nb).collect()
+        assert sum(r["cnt"] for r in rows) == len(vals)
+        mn, mx = min(vals), max(vals)
+        width = mx - mn + 1
+        by_bucket = {r["bucket"]: r for r in rows}
+        for v in vals:
+            b = (v - mn) * nb // width
+            r = by_bucket[b]
+            assert r["lo_fp"] <= v <= r["hi_fp"], (v, dict(r.asDict()))
+        ordered = sorted(rows, key=lambda r: r["bucket"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["hi_fp"] < b["lo_fp"]
+
+    check()
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """For arbitrary interval sets and bucket widths, the bucketized
+    join returns EXACTLY the brute-force overlap pairs, once each,
+    with exact intersection bounds."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    iv = st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.integers(min_value=0, max_value=60),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(iv, min_size=1, max_size=12),
+        st.lists(iv, min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=40),
+    )
+    def check(ls, rs, bucket):
+        left = spark.createDataFrame(
+            [(i, s, s + d) for i, (s, d) in enumerate(ls)],
+            "lid long, ls long, le long",
+        )
+        right = spark.createDataFrame(
+            [(i, s, s + d) for i, (s, d) in enumerate(rs)],
+            "rid long, rs long, re long",
+        )
+        got = sorted(
+            (r["lid"], r["rid"], r["overlap_start"], r["overlap_end"])
+            for r in interval_overlap_join(
+                left, right,
+                left_id="lid", left_start="ls", left_end="le",
+                right_id="rid", right_start="rs", right_end="re",
+                bucket=bucket,
+            ).collect()
+        )
+        want = sorted(
+            (i, j, max(s1, s2), min(e1, e2))
+            for i, (s1, d1) in enumerate(ls)
+            for j, (s2, d2) in enumerate(rs)
+            for e1 in [s1 + d1]
+            for e2 in [s2 + d2]
+            if s1 <= e2 and s2 <= e1
+        )
+        assert got == want
+
+    check()

@@ -231,6 +231,7 @@ HEADLINE = [
     "events_resample_locf",
     "overlap_join_orders",
     "stats_weighted_quantiles",
+    "graph_node_similarity_topk",
 ]
 
 

@@ -7220,6 +7220,86 @@ _RELATIONAL_ORACLES["graph_node_similarity"] = """
 """
 
 
+_NODESIM_TOPK = 3
+_NODESIM_TOPK_THRESHOLD = 0.1
+
+
+def q_graph_node_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDS nodeSimilarity ``topK`` parity (r12 — the per-node output
+    mode: each node's K most similar peers rather than the global pair
+    stream): the shared PPJoin core produces canonical pairs, both
+    orientations feed a per-node rank window cut at K — Catalyst
+    rewrites the rank filter to WindowGroupLimit, so every map task
+    keeps only its local top-K per node before the exchange (the KMV
+    discipline). Ties break (jaccard_ppm desc, peer asc) — a total
+    order, so the whole per-node table hash-matches."""
+    from pyspark.sql.window import Window
+
+    from .operators.graph_algo import node_similarity
+
+    pairs = node_similarity(
+        _heavy_adjacency(spark, sf_dir),
+        threshold=_NODESIM_TOPK_THRESHOLD,
+    )
+    sym = pairs.select(
+        F.col("node_a").alias("node"),
+        F.col("node_b").alias("peer"),
+        "jaccard_ppm",
+    ).unionByName(
+        pairs.select(
+            F.col("node_b").alias("node"),
+            F.col("node_a").alias("peer"),
+            "jaccard_ppm",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("jaccard_ppm"), F.asc("peer")
+    )
+    return (
+        sym.select(
+            "node", "peer", "jaccard_ppm",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _NODESIM_TOPK)
+    )
+
+
+_RELATIONAL_ORACLES["graph_node_similarity_topk"] = f"""
+    WITH adj AS (
+        SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    s AS (SELECT p, list(o ORDER BY o) AS os, count(*) AS n
+          FROM adj GROUP BY p),
+    j AS (
+        SELECT a.p AS node_a, b.p AS node_b,
+               len(list_intersect(a.os, b.os)) AS i,
+               a.n + b.n - len(list_intersect(a.os, b.os)) AS u
+        FROM s a JOIN s b ON a.p < b.p
+    ),
+    pairs AS (
+        SELECT node_a, node_b,
+               (1000000 * CAST(i AS BIGINT)) // CAST(u AS BIGINT)
+                   AS jaccard_ppm
+        FROM j
+        WHERE CAST(i AS DOUBLE) / u >= {_NODESIM_TOPK_THRESHOLD}
+    ),
+    sym AS (
+        SELECT node_a AS node, node_b AS peer, jaccard_ppm FROM pairs
+        UNION ALL
+        SELECT node_b, node_a, jaccard_ppm FROM pairs
+    )
+    SELECT node, peer, jaccard_ppm, rk FROM (
+        SELECT node, peer, jaccard_ppm,
+               CAST(row_number() OVER (
+                   PARTITION BY node
+                   ORDER BY jaccard_ppm DESC, peer ASC
+               ) AS INTEGER) AS rk
+        FROM sym
+    ) WHERE rk <= {_NODESIM_TOPK}
+"""
+
+
 def _heavy_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The heavy-lineitem part→order adjacency all three nodeSimilarity
     metric rows share (quantity ≥ 45 — sparse enough that overlaps mean
@@ -9982,6 +10062,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         # (KMV sketch/rollup, MMR, association rules, assortativity take
         # priority as NEW queries); prior driver-green evidence r8/r10,
         # implementation unchanged since
+        "events_anomaly",
         "text_repetition",
         "source_curation_stats",
         "curation_pipeline",
@@ -10188,6 +10269,7 @@ def _specs() -> dict[str, QuerySpec]:
         "events_resample_locf": q_events_resample_locf,
         "overlap_join_orders": q_overlap_join_orders,
         "stats_weighted_quantiles": q_stats_weighted_quantiles,
+        "graph_node_similarity_topk": q_graph_node_similarity_topk,
         # -- rotated in (r12 fourth wave): the only two catalog rows
         # -- whose module closure includes operators/__init__ (they
         # -- import through the package surface), re-windowed because
@@ -10244,11 +10326,11 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_nodes_project": q_graph_nodes_project,
         "graph_edges_project": q_graph_edges_project,
         "sample_per_source_cap": q_sample_per_source_cap,
-        "events_anomaly": q_events_anomaly,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round, implementation unchanged since, and ------
         # ---- re-verified green locally via scripts/check_oracle.py) -----
+        "events_anomaly": q_events_anomaly,
         "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,
         "curation_pipeline": q_curation_pipeline,

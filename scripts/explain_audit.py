@@ -1154,6 +1154,15 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "graph_node_similarity_topk",
+        "nodeSimilarity topK: the per-node rank cut rides "
+        "WindowGroupLimit (local top-K per map task before the "
+        "exchange), no cartesian, no Python",
+        lambda p: "WindowGroupLimit" in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "graph_kmeans",
         "k-means assignment: ZERO exchanges — centroids ride as k·d "
         "literal arrays in a whole-stage-codegen zip_with map over the "

@@ -141,6 +141,15 @@ def main() -> int:
             _co_order_edges(spark, sf_dir, min_qty=43),
             ["sourceNodeId", "targetNodeId"],
         ),
+        "heavyadj": (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter(F.col("l_quantity") >= 45)
+            .select(
+                F.col("l_partkey").alias("sourceNodeId"),
+                F.col("l_orderkey").alias("targetNodeId"),
+            ),
+            ["sourceNodeId", "targetNodeId"],
+        ),
         "liqty": (
             spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
                 F.col("l_orderkey").alias("k"),
@@ -786,6 +795,37 @@ def main() -> int:
         )
 
     ops["stats_weighted_quantiles"] = wq
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node_similarity,
+    )
+    from pyspark.sql import Window as _PW
+
+    def nstopk(s):
+        # part AND order ids offset per copy -> five disjoint
+        # adjacencies with identical per-copy neighbor sets: pair
+        # stream, per-node lists, and ranks replicate exactly 5x
+        pairs = node_similarity(rd("heavyadj", s), threshold=0.1)
+        sym = pairs.select(
+            F.col("node_a").alias("node"),
+            F.col("node_b").alias("peer"),
+            "jaccard_ppm",
+        ).unionByName(
+            pairs.select(
+                F.col("node_b").alias("node"),
+                F.col("node_a").alias("peer"),
+                "jaccard_ppm",
+            )
+        )
+        w = _PW.partitionBy("node").orderBy(
+            F.desc("jaccard_ppm"), F.asc("peer")
+        )
+        return sym.select(
+            "node", "peer", "jaccard_ppm",
+            F.row_number().over(w).alias("rk"),
+        ).filter(F.col("rk") <= 3)
+
+    ops["graph_node_similarity_topk"] = nstopk
 
     # fixed-size sketch outputs: name -> max rows at ANY input scale
     bounded = {

@@ -2597,3 +2597,35 @@ def test_connected_components_incremental_matches_full(spark):
     assert same == {
         r["nodeId"]: r["component"] for r in old_labels.collect()
     }
+
+
+def test_node_similarity_topk_per_node_and_symmetry(spark):
+    """topK per-node output mode: every pair feeds BOTH endpoints'
+    lists, ranks are dense per node cut at K, ties break (sim desc,
+    peer asc), and a node with fewer than K qualifying peers keeps
+    them all."""
+    from dataflow_flex_pyarrow_to_gds_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = Q.q_graph_node_similarity_topk(spark, sf).collect()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["node"], []).append(
+            (r["rk"], r["jaccard_ppm"], r["peer"])
+        )
+    assert by_node, "fixture produced no similar pairs"
+    for node, lst in by_node.items():
+        lst.sort()
+        assert [x[0] for x in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= Q._NODESIM_TOPK
+        sims = [-x[1] for x in lst]
+        assert sims == sorted(sims), (node, lst)  # non-increasing sim
+    # symmetry of the underlying pair stream: if (a, b) is somewhere
+    # in a's list with sim s, then (b, a) exists in the symmetrized
+    # stream — it may fall out of b's top-K, but when b has spare
+    # capacity it MUST be there
+    for node, lst in by_node.items():
+        for rk, ppm, peer in lst:
+            plist = by_node.get(peer, [])
+            if len(plist) < Q._NODESIM_TOPK:
+                assert any(p == node for _, _, p in plist), (node, peer)

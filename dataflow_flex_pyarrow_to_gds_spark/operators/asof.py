@@ -206,6 +206,14 @@ def interval_overlap_join(
                 f"interval_overlap_join: id column {ident} collides "
                 "with a join key"
             )
+        # a reversed interval (end < start) would explode a DESCENDING
+        # block sequence and silently mis-join — raise loud instead
+        lo = F.expr(
+            f"CASE WHEN CAST({end} AS BIGINT) < CAST({start} AS BIGINT) "
+            f"THEN CAST(raise_error('interval_overlap_join: interval "
+            f"with end < start on the {side} side') AS BIGINT) "
+            f"ELSE CAST({start} AS BIGINT) div {bucket} END"
+        )
         return df.select(
             *ks,
             F.col(ident).alias(f"_{side}id"),
@@ -213,7 +221,7 @@ def interval_overlap_join(
             F.col(end).cast("long").alias(f"_{side}e"),
             F.explode(
                 F.sequence(
-                    F.expr(f"CAST({start} AS BIGINT) div {bucket}"),
+                    lo,
                     F.expr(f"CAST({end} AS BIGINT) div {bucket}"),
                 )
             ).alias("_blk"),

@@ -688,6 +688,11 @@ def kmv_sketch(
             "#", F.col(value_col).cast("string"), F.lit(str(seed))
         )
     )
+    # NULLs are not values: concat_ws would silently hash them as the
+    # bare seed string while ANSI string concat null-propagates — the
+    # one place the two engines would diverge, so the contract is
+    # "nulls don't exist to the sketch" on both
+    df = df.filter(F.col(value_col).isNotNull())
     hashes = (
         df.select(*gcols, h.alias("kmv_hash"))
         .groupBy(*gcols, "kmv_hash")
@@ -746,7 +751,16 @@ def kmv_estimate(
         F.count(F.lit(1)).alias("_held"),
         F.max("kmv_hash").alias("kth_hash"),
     )
+    # a sketch holding MORE than k rows means the caller's k does not
+    # match the build — max(kmv_hash) would not be h_k and the
+    # estimate would be silently wrong; raise instead
     est = F.when(
+        F.col("_held") > k,
+        F.expr(
+            "CAST(raise_error('kmv_estimate: sketch holds more rows "
+            "than k — pass the k the sketch was built with') AS BIGINT)"
+        ),
+    ).when(
         F.col("_held") < k, F.col("_held").cast("long")
     ).otherwise(
         F.expr(
@@ -797,6 +811,9 @@ def scale_properties(
     values, and ×10⁶ would wrap int64 silently.
     """
     dec = "DECIMAL(38,0)"
+    # NULLs are not observations (the value_histogram contract): the
+    # aggregates would skip them while the scaled rows went null
+    df = df.filter(F.col(value_fp_col).isNotNull())
     stats = df.agg(
         F.min(value_fp_col).alias("_mn"),
         F.max(value_fp_col).alias("_mx"),
@@ -874,6 +891,9 @@ def drift_buckets(
     dec = "DECIMAL(38,0)"
 
     def side(df: DataFrame, tag: int) -> DataFrame:
+        # NULLs are not values (the kmv_sketch contract — concat_ws
+        # and ANSI concat disagree about them)
+        df = df.filter(F.col(value_col).isNotNull())
         b = F.pmod(
             portable_hash64_col(
                 F.concat_ws(
@@ -965,6 +985,9 @@ def value_histogram(
             f"value_histogram: n_buckets must be >= 1, got {n_buckets}"
         )
     dec = "DECIMAL(38,0)"
+    # NULLs are not observations: min/max would skip them but the
+    # bucket expression would emit a phantom null-bucket row
+    df = df.filter(F.col(value_fp_col).isNotNull())
     stats = df.agg(
         F.min(value_fp_col).alias("_mn"),
         F.max(value_fp_col).alias("_mx"),

@@ -1814,7 +1814,10 @@ def lloyd_assignments(
         ),
     )
     qdf = (
-        df.select(F.col(id_col).alias("_id"), q.alias("_q"))
+        # null vectors are not clusterable points: a null _q would
+        # null-poison every distance and corrupt the argmin silently
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), q.alias("_q"))
         .localCheckpoint(eager=False)
     )
     seeds = qdf.orderBy(F.asc("_id")).limit(k).collect()

@@ -958,3 +958,75 @@ def test_exact_weighted_quantiles_python_replay_and_paths(spark):
         exact_weighted_quantiles(bad, "x", "w", [0.5])
     with _pytest.raises(ValueError, match="no quantiles"):
         exact_weighted_quantiles(df, "x", "w", [])
+
+
+def test_new_operator_null_and_contract_guards(spark):
+    """The r12 edge contracts, exercised: nulls are invisible to the
+    KMV sketch / histogram / scalers / drift buckets (concat_ws and
+    ANSI concat disagree about null hashing — the one cross-engine
+    divergence, so nulls are defined away on both sides), and
+    kmv_estimate raises on a sketch larger than its k instead of
+    silently mis-estimating."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        drift_buckets,
+        kmv_estimate,
+        kmv_sketch,
+        scale_properties,
+        value_histogram,
+    )
+
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",)], "v string"
+    )
+    nonull = withnull.filter(F.col("v").isNotNull())
+    assert sorted(
+        r["kmv_hash"] for r in kmv_sketch(withnull, "v", k=8).collect()
+    ) == sorted(
+        r["kmv_hash"] for r in kmv_sketch(nonull, "v", k=8).collect()
+    )
+
+    ints = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9)], "id long, x long"
+    )
+    hist = value_histogram(ints.select("x"), "x", n_buckets=4).collect()
+    assert sum(r["cnt"] for r in hist) == 2  # the null never buckets
+    scaled = scale_properties(ints, "id", "x").collect()
+    assert {r["id"] for r in scaled} == {1, 3}
+
+    d = {
+        r["bucket"]: (r["o_a"], r["o_b"])
+        for r in drift_buckets(withnull, nonull, "v", n_buckets=8).collect()
+    }
+    assert sum(oa for oa, _ in d.values()) == 3  # null dropped side a
+
+    three = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "v string"
+    )
+    sk = kmv_sketch(three, "v", k=8)  # holds 3 rows
+    with _pytest.raises(Exception, match="more rows than k"):
+        kmv_estimate(sk, k=2).collect()
+
+
+def test_interval_overlap_reversed_interval_raises(spark):
+    """end < start is a contract violation, not a quiet mis-join."""
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 5)], "lid long, ls long, le long"  # reversed
+    )
+    right = spark.createDataFrame(
+        [(2, 0, 100)], "rid long, rs long, re long"
+    )
+    with _pytest.raises(Exception, match="end < start"):
+        interval_overlap_join(
+            left, right,
+            left_id="lid", left_start="ls", left_end="le",
+            right_id="rid", right_start="rs", right_end="re",
+        ).collect()

@@ -794,7 +794,10 @@ def scale_properties(
       carried as the exact sum/n pair, never a rounded intermediate);
       sign-split division so negatives truncate identically on every
       engine
-    - ``max_ppm``    — ``x·ppm div max`` (GDS Max, |max| as divisor)
+    - ``max_ppm``    — ``x·ppm div max(|x|)`` (GDS Max: the divisor is
+      the maximum ABSOLUTE value ``greatest(|min|, |max|)``, so
+      all-negative columns scale into [−ppm, 0] exactly as GDS does,
+      not past it)
 
     GDS's remaining scalers need irrational intermediates (StdScore a
     √variance, Log a logarithm) — they are deliberately NOT offered in
@@ -833,7 +836,9 @@ def scale_properties(
     mean = signed_div(
         f"{x} * _n - _sum", f"(CAST(_mx AS {dec}) - _mn) * _n"
     )
-    mx = signed_div(x, f"abs(CAST(_mx AS {dec}))")
+    mx = signed_div(
+        x, f"greatest(abs(CAST(_mn AS {dec})), abs(CAST(_mx AS {dec})))"
+    )
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col),
         F.col(value_fp_col),

@@ -1674,6 +1674,12 @@ def _mmr_pool_df(
             _as_double(F.col(vec_col)).alias("_v"),
             rel_q.alias("_rel"),
         )
+        # null and zero-norm vectors are not retrievable items:
+        # cosine_similarity null-propagates on a zero norm, and a null
+        # _rel reaching the driver greedy would poison λ·rel arithmetic
+        # (the pq_topk zero-query guard precedent, applied corpus-side
+        # as a filter because one bad row must not fail the scan)
+        .filter(F.col("_rel").isNotNull())
         .orderBy(F.desc("_rel"), F.asc("_id"))
         .limit(pool_size)
     )
@@ -1759,9 +1765,24 @@ def mmr_topk(
         sel_vecs.append(bv)
         cand = [c for c in cand if c[0] != bid]
     spark = df.sparkSession
-    return spark.createDataFrame(
-        picked, "mmr_rank int, id long, rel_q long, mmr_score long"
-    ).withColumnRenamed("id", id_col)
+    # the id field keeps the INPUT column's type — a hardcoded 'long'
+    # would crash createDataFrame for string/int ids
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("mmr_rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("rel_q", LongType(), False),
+            StructField("mmr_score", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(picked, schema)
 
 
 def lloyd_assignments(

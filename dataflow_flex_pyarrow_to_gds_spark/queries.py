@@ -4413,7 +4413,9 @@ def _scale_props_oracle_sql(ppm: int = 10**6) -> str:
     mean = signed_div(
         f"{x} * n - s", "(CAST(mx AS HUGEINT) - mn) * n"
     )
-    mxs = signed_div(x, "abs(CAST(mx AS HUGEINT))")
+    mxs = signed_div(
+        x, "greatest(abs(CAST(mn AS HUGEINT)), abs(CAST(mx AS HUGEINT)))"
+    )
     return f"""
         WITH p AS (
             SELECT p_partkey,
@@ -10270,11 +10272,17 @@ def _specs() -> dict[str, QuerySpec]:
         "overlap_join_orders": q_overlap_join_orders,
         "stats_weighted_quantiles": q_stats_weighted_quantiles,
         "graph_node_similarity_topk": q_graph_node_similarity_topk,
-        # -- rotated in (r12 fourth wave): the only two catalog rows
-        # -- whose module closure includes operators/__init__ (they
-        # -- import through the package surface), re-windowed because
-        # -- the fourth-wave re-exports changed that file's hash — the
-        # -- v2 tripwire working as designed -------------------------------
+        # -- rotated in (r12 fourth wave) because the fourth-wave
+        # -- re-exports changed operators/__init__'s hash. HONESTY NOTE
+        # -- (ADVICE r12): these two were NOT the only hash flips that
+        # -- round — the r12 operator-module edits (asof/profile/
+        # -- similarity/graph_algo/events) flipped ~101 PV queries'
+        # -- v2 hashes, and the same-commit manifest re-baseline hid
+        # -- that from the tripwire. r13 closes the hole structurally:
+        # -- check_window now requires hash-bound local re-verification
+        # -- evidence (scripts/local_verified.json, written only by a
+        # -- green scripts/check_oracle.py --record run) for any
+        # -- changed query beyond the window ------------------------------
         "text_lang_id": q_text_lang_id,
         "text_stats": q_text_stats,
         # -- new in round 12 (growth, second wave): community

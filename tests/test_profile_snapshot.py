@@ -762,6 +762,17 @@ def test_scale_properties_hand_computed_and_degenerate(spark):
         assert (r["minmax_ppm"], r["mean_ppm"], r["max_ppm"]) == (
             0, 0, 10**6,
         )
+    # ADVICE r12: GDS's Max scaler divides by max(|x|), not |max(x)| —
+    # an all-negative column (|min| > max) must land in [-1e6, 0], not
+    # overshoot past -1e6 the way an abs(max)=100 divisor would
+    neg = spark.createDataFrame(
+        [(1, -500), (2, -100), (3, -250)], "id long, v long"
+    )
+    got_neg = {
+        r["id"]: r["max_ppm"] for r in scale_properties(neg, "id", "v").collect()
+    }
+    assert got_neg == {1: -(10**6), 2: -200_000, 3: -500_000}
+    assert all(-(10**6) <= v <= 0 for v in got_neg.values())
 
 
 def test_drift_buckets_hand_computed_and_guards(spark):

@@ -658,6 +658,31 @@ def test_mmr_lambda_extremes(spark):
     assert diverse == [1, 3]
 
 
+def test_mmr_id_type_preserved_and_bad_vectors_filtered(spark):
+    """ADVICE r12: the output id field carries the INPUT column's type
+    (int ids used to crash the hardcoded 'id long' schema), and null /
+    zero-norm corpus vectors are filtered before the pool cut instead
+    of null-poisoning the driver greedy."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    q = [1.0, 0.0]
+    df = spark.createDataFrame(
+        [
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),   # zero norm: cosine is null
+            (3, None),         # null vector
+            (4, [0.1, 0.9]),
+        ],
+        "vec_id int, v array<double>",
+    )
+    out = mmr_topk(df, "vec_id", "v", q, k=2, pool_size=4)
+    assert out.schema["vec_id"].dataType.simpleString() == "int"
+    got = [r["vec_id"] for r in out.collect()]
+    assert got == [1, 4], got  # 2 and 3 never reach the pool
+
+
 def test_lloyd_assignments_blobs_replay_and_empty_cluster(spark):
     """Exact-integer Lloyd on two separated 2-D blobs: assignments
     converge to the blobs and replay in python to the integer; two

@@ -520,6 +520,209 @@ def bloom_probe(
     )
 
 
+def _range_cond(lo, hi) -> Column:
+    """Half-open candidate-range predicate ``lo < _x <= hi`` (None =
+    unbounded) — the narrowing invariant both quantile operators keep."""
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col("_x") > F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col("_x") <= F.lit(hi))
+    return cond
+
+
+def _rid_expr(ranges: list[tuple]) -> Column:
+    """Range-id CASE over a DISJOINT range list (rows outside every
+    range get NULL and are filtered). Disjointness is structural: all
+    ranks start on the full column, and states sharing a range share
+    that round's boundary list, so ranges stay identical-or-disjoint
+    (a laminar family) every round."""
+    expr = F.lit(None).cast("int")
+    for i, (lo, hi) in enumerate(ranges):
+        expr = F.when(_range_cond(lo, hi), F.lit(i)).otherwise(expr)
+    return expr
+
+
+def _uniq_ranges(states: list[dict]) -> list[tuple]:
+    out: list[tuple] = []
+    for s in states:
+        rng = (s["lo"], s["hi"])
+        if rng not in out:
+            out.append(rng)
+    return out
+
+
+def _finish_ranks_batch(
+    vals: DataFrame, states: list[dict], *, weighted: bool
+) -> None:
+    """ONE action finishing EVERY rank whose surviving range is below
+    the local threshold: ranges get a range-id, a window PARTITIONED
+    BY the range-id (bounded ≤ local_threshold rows per partition by
+    the caller's contract — and partitioned, so no single-partition
+    WindowExec warning can mask a real scale bug) ranks each range,
+    and a broadcast join against the ≤len(states)-row needs table
+    picks each rank's value. Mutates ``states`` in place."""
+    from pyspark.sql.window import Window
+
+    spark = vals.sparkSession
+    ranges = _uniq_ranges(states)
+    cols = ["_x", "_w"] if weighted else ["_x"]
+    filtered = vals.select(
+        _rid_expr(ranges).alias("_rid"), *cols
+    ).filter(F.col("_rid").isNotNull())
+    needs = spark.createDataFrame(
+        [
+            (ranges.index((s["lo"], s["hi"])), i, int(s["r"]))
+            for i, s in enumerate(states)
+        ],
+        "_rid int, _sidx int, _r long",
+    )
+    if weighted:
+        w = Window.partitionBy("_rid").orderBy(F.asc("_x")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = (
+            filtered.groupBy("_rid", "_x")
+            .agg(F.sum("_w").alias("_gw"))
+            .select("_rid", "_x", F.sum("_gw").over(w).alias("_m"))
+        )
+        hit = F.col("_m") >= F.col("_r")  # first value reaching the mass
+    else:
+        w = Window.partitionBy("_rid").orderBy(F.asc("_x"))
+        cum = filtered.select(
+            "_rid", "_x", F.row_number().over(w).alias("_m")
+        )
+        hit = F.col("_m") == F.col("_r")  # the order statistic itself
+    res = (
+        cum.join(F.broadcast(needs), "_rid")
+        .filter(hit)
+        .groupBy("_sidx")
+        .agg(F.min("_x").alias("_v"))
+        .collect()
+    )
+    for r in res:
+        states[r["_sidx"]]["val"] = r["_v"]
+    missing = [s for s in states if s["val"] is None]
+    if missing:
+        raise RuntimeError(
+            "exact quantile finish: residual rank exceeded its range's "
+            f"mass for {len(missing)} rank(s) — narrowing invariant "
+            "violated"
+        )
+
+
+def _narrow_ranks_batched(
+    vals: DataFrame,
+    states: list[dict],
+    *,
+    weighted: bool,
+    n_buckets: int,
+    local_threshold: int,
+    max_rounds: int,
+    op_name: str,
+) -> None:
+    """The shared batched SELECTION engine (VERDICT r12 #3): localize
+    ALL requested ranks together, paying a CONSTANT number of cluster
+    round-trips per round — one grouped ``percentile_approx`` boundary
+    pass and one grouped (range, bucket) stats pass — regardless of
+    how many quantiles were requested (the per-q loop paid
+    ~3·len(quantiles) actions per round). Each state's surviving
+    candidate range rides a range-id column; per round every active
+    rank localizes to its bucket, rebases its residual, and tightens
+    ``hi`` to the bucket's observed max. A bucket holding one distinct
+    value answers immediately (the equal-value fast path, now per
+    bucket instead of per range). Ranks whose range falls below
+    ``local_threshold`` rows finish in one batched partitioned-window
+    action (:func:`_finish_ranks_batch`).
+    """
+    for _ in range(max_rounds):
+        active = [s for s in states if s["val"] is None]
+        if not active:
+            return
+        small = [s for s in active if s["cnt"] <= local_threshold]
+        if small:
+            _finish_ranks_batch(vals, small, weighted=weighted)
+            active = [s for s in active if s["val"] is None]
+            if not active:
+                return
+        ranges = _uniq_ranges(active)
+        cols = ["_x", "_w"] if weighted else ["_x"]
+        filtered = vals.select(
+            _rid_expr(ranges).alias("_rid"), *cols
+        ).filter(F.col("_rid").isNotNull())
+        # action 1/2: per-range balance boundaries (approximate is fine
+        # — skewed boundaries degrade parallelism, never correctness)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = {
+            r["_rid"]: sorted(set(r["_b"]))
+            for r in filtered.groupBy("_rid")
+            .agg(F.percentile_approx("_x", probs, 10_000).alias("_b"))
+            .collect()
+        }
+        # action 2/2: per-(range, bucket) stats — ≤ n_buckets rows per
+        # range move to the driver, partial-aggregated map-side
+        bexpr = F.lit(None).cast("int")
+        for ridx, uniq in bounds.items():
+            inner = F.lit(0)
+            for j, b in enumerate(uniq):
+                inner = F.when(F.col("_x") > F.lit(b), j + 1).otherwise(
+                    inner
+                )
+            bexpr = F.when(F.col("_rid") == ridx, inner).otherwise(bexpr)
+        aggs = [
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_x").alias("_mn"),
+            F.max("_x").alias("_mx"),
+        ]
+        if weighted:
+            aggs.append(F.sum("_w").alias("_ws"))
+        stats = {
+            (r["_rid"], r["_bk"]): r
+            for r in filtered.groupBy("_rid", bexpr.alias("_bk"))
+            .agg(*aggs)
+            .collect()
+        }
+        for s in active:
+            ridx = ranges.index((s["lo"], s["hi"]))
+            uniq = bounds[ridx]
+            run = 0
+            for j in range(len(uniq) + 1):
+                row = stats.get((ridx, j))
+                if row is None:
+                    continue
+                mass = row["_ws"] if weighted else row["_c"]
+                if run < s["r"] <= run + mass:
+                    if row["_mn"] == row["_mx"]:
+                        s["val"] = row["_mn"]  # single distinct value
+                    else:
+                        s["lo"] = s["lo"] if j == 0 else uniq[j - 1]
+                        s["hi"] = row["_mx"]  # observed max tightens hi
+                        s["r"] -= run
+                        s["cnt"] = row["_c"]
+                    break
+                run += mass
+            else:
+                raise RuntimeError(
+                    f"{op_name}: residual rank {s['r']} exceeded its "
+                    "range's mass — narrowing invariant violated"
+                )
+    # the round budget is spent; anything now under the threshold still
+    # finishes (one more bounded action), the rest fails LOUD
+    small = [
+        s
+        for s in states
+        if s["val"] is None and s["cnt"] <= local_threshold
+    ]
+    if small:
+        _finish_ranks_batch(vals, small, weighted=weighted)
+    left = [s for s in states if s["val"] is None]
+    if left:
+        raise RuntimeError(
+            f"{op_name}: {len(left)} rank(s) not localized in "
+            f"{max_rounds} rounds (raise max_rounds or local_threshold)"
+        )
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -538,19 +741,21 @@ def exact_quantiles(
     ``approx_percentile`` trades exactness for one pass; this is the
     classic distributed SELECTION algorithm for when the answer must
     be exact (SLA thresholds, billing cut-offs, dedup score cut
-    points): per target rank, iteratively NARROW the candidate range —
-    each round buckets the surviving values by ``percentile_approx``
+    points): iteratively NARROW each rank's candidate range — each
+    round buckets the surviving values by ``percentile_approx``
     boundaries (balance only — skewed boundaries degrade parallelism,
-    never correctness), counts per bucket (ONE partial-aggregated
-    groupBy of ≤ n_buckets rows), locates the bucket holding the rank,
-    and recurses into it with the rank rebased. When ≤
-    ``local_threshold`` candidates remain, ONE ``orderBy().limit(r)``
-    finishes — bounded driver-side work by construction, never a
-    global sort. Rounds ≈ log_{n_buckets}(n / threshold): 3 rounds
-    reach 10¹² rows at the defaults. Heavy duplicate values collapse
-    a round's narrowing (a bucket of one value cannot split); the
-    equal-value fast path answers immediately instead of spinning, and
-    ``max_rounds`` is a loud guard, not a silent cap.
+    never correctness), aggregates ≤ n_buckets (count, min, max) rows
+    per range, locates the bucket holding each rank, and recurses with
+    the rank rebased. ALL requested quantiles narrow TOGETHER
+    (VERDICT r12 #3): the per-round cost is a constant two cluster
+    actions — one grouped boundary pass, one grouped bucket-stats
+    pass — regardless of ``len(quantiles)``, and ranks that fall below
+    ``local_threshold`` candidates finish in one batched
+    partitioned-window action. Rounds ≈ log_{n_buckets}(n /
+    threshold): 3 rounds reach 10¹² rows at the defaults. Heavy
+    duplicate values cannot stall silently — a bucket holding a single
+    distinct value answers immediately, and ``max_rounds`` is a loud
+    guard, not a silent cap.
     """
     if not quantiles:
         raise ValueError("exact_quantiles: no quantiles requested")
@@ -562,73 +767,32 @@ def exact_quantiles(
     n = vals.count()
     if n == 0:
         raise ValueError("exact_quantiles: no non-null values")
-    out_rows = []
-    for q in quantiles:
-        rank = int((n - 1) * q) + 1  # 1-based lower order statistic
-        cur = vals
-        cur_n, r = n, rank
-        for _ in range(max_rounds):
-            if cur_n <= local_threshold:
-                got = (
-                    cur.orderBy(F.asc("_x"))
-                    .limit(r)
-                    .agg(F.max("_x").alias("_v"))
-                    .first()["_v"]
-                )
-                break
-            lo_hi = cur.agg(
-                F.min("_x").alias("lo"), F.max("_x").alias("hi")
-            ).first()
-            if lo_hi["lo"] == lo_hi["hi"]:
-                got = lo_hi["lo"]  # all-equal: any rank is this value
-                break
-            bounds = cur.agg(
-                F.percentile_approx(
-                    "_x",
-                    [i / n_buckets for i in range(1, n_buckets)],
-                    10_000,
-                ).alias("b")
-            ).first()["b"]
-            # strictly increasing boundary list (duplicates collapse)
-            uniq = sorted(set(bounds))
-            bucket = F.lit(0)
-            for i, b in enumerate(uniq):
-                bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(
-                    bucket
-                )
-            counts = dict(
-                (row["_b"], row["_c"])
-                for row in cur.groupBy(bucket.alias("_b"))
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .collect()
-            )
-            run, target = 0, None
-            for i in range(len(uniq) + 1):
-                c = counts.get(i, 0)
-                if run < r <= run + c:
-                    target, r = i, r - run
-                    break
-                run += c
-            lo = None if target == 0 else uniq[target - 1]
-            hi = None if target == len(uniq) else uniq[target]
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("_x") > F.lit(lo))
-            if hi is not None:
-                cond = cond & (F.col("_x") <= F.lit(hi))
-            cur = cur.filter(cond)
-            cur_n = counts.get(target, 0)
-        else:
-            raise RuntimeError(
-                f"exact_quantiles: rank {rank} not localized in "
-                f"{max_rounds} rounds (raise max_rounds or "
-                "local_threshold)"
-            )
-        out_rows.append((float(q), rank, got))
+    states = [
+        {
+            "q": q,
+            "rank": int((n - 1) * q) + 1,  # 1-based lower statistic
+            "r": int((n - 1) * q) + 1,
+            "lo": None,
+            "hi": None,
+            "cnt": n,
+            "val": None,
+        }
+        for q in quantiles
+    ]
+    _narrow_ranks_batched(
+        vals,
+        states,
+        weighted=False,
+        n_buckets=n_buckets,
+        local_threshold=local_threshold,
+        max_rounds=max_rounds,
+        op_name="exact_quantiles",
+    )
     spark = df.sparkSession
     vtype = df.schema[value_col].dataType.simpleString()
     return spark.createDataFrame(
-        out_rows, f"quantile double, rank long, value {vtype}"
+        [(float(s["q"]), s["rank"], s["val"]) for s in states],
+        f"quantile double, rank long, value {vtype}",
     )
 
 
@@ -1117,21 +1281,23 @@ def exact_weighted_quantiles(
     so the answer replays in any ANSI engine as a grouped cumulative
     window.
 
-    Scale shape — :func:`exact_quantiles`' narrowing with weight mass
-    in place of row count: each round buckets the surviving values by
-    ``percentile_approx`` boundaries (BALANCE only — skewed boundaries
-    slow the narrowing, never break it), ONE partial-agg groupBy sums
-    ≤ n_buckets (weight, rowcount) pairs, the rank localizes to its
-    bucket and rebases by the preceding buckets' weight; when ≤
-    ``local_threshold`` ROWS survive, one bounded single-partition
-    cumulative window finishes (the documented bounded finish —
-    exact_quantiles' orderBy().limit() trick doesn't apply because the
-    crossing row depends on weights, not position). Rounds ≈
-    log_{n_buckets}(n / threshold); duplicate-heavy columns hit the
-    equal-value fast path; ``max_rounds`` is a loud guard.
+    Scale shape — :func:`exact_quantiles`' BATCHED narrowing
+    (:func:`_narrow_ranks_batched`, VERDICT r12 #3) with weight mass
+    in place of row count: all requested quantiles narrow together at
+    a constant two cluster actions per round — one grouped
+    ``percentile_approx`` boundary pass (BALANCE only — skewed
+    boundaries slow the narrowing, never break it) and one grouped
+    (range, bucket) pass summing (weight, rowcount, min, max); each
+    rank localizes to its bucket and rebases by the preceding buckets'
+    weight. Ranks whose range holds ≤ ``local_threshold`` ROWS finish
+    in one batched cumulative window PARTITIONED by range-id (bounded
+    per-partition by contract, and partitioned so no unpartitioned-
+    WindowExec warning noise — exact_quantiles' orderBy().limit()
+    trick doesn't apply because the crossing row depends on weights,
+    not position). Rounds ≈ log_{n_buckets}(n / threshold); a bucket
+    holding one distinct value answers immediately (the duplicate-
+    heavy fast path); ``max_rounds`` is a loud guard.
     """
-    from pyspark.sql.window import Window
-
     if not quantiles:
         raise ValueError("exact_weighted_quantiles: no quantiles requested")
     if any(not 0.0 <= q <= 1.0 for q in quantiles):
@@ -1156,93 +1322,30 @@ def exact_weighted_quantiles(
     W, n = tot["_W"], tot["_n"]
     if n == 0:
         raise ValueError("exact_weighted_quantiles: no non-null values")
-
-    def _finish(cur, r):
-        w = (
-            Window.orderBy(F.asc("_x"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        grouped = cur.groupBy("_x").agg(F.sum("_w").alias("_w"))
-        return (
-            grouped.select(
-                "_x", F.sum("_w").over(w).alias("_cw")
-            )
-            .filter(F.col("_cw") >= r)
-            .orderBy(F.asc("_x"))
-            .limit(1)
-            .collect()[0]["_x"]
-        )
-
-    out_rows = []
-    for q in quantiles:
-        rank = int((W - 1) * q) + 1
-        cur, cur_n, r = vals, n, rank
-        got = None
-        for _ in range(max_rounds):
-            if cur_n <= local_threshold:
-                got = _finish(cur, r)
-                break
-            bounds = cur.agg(
-                F.percentile_approx(
-                    "_x",
-                    [i / n_buckets for i in range(1, n_buckets)],
-                    10_000,
-                ).alias("b")
-            ).first()["b"]
-            uniq = sorted(set(bounds))
-            if not uniq:  # all-equal fast path
-                got = cur.first()["_x"]
-                break
-            bucket = F.lit(0)
-            for i, b in enumerate(uniq):
-                bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(
-                    bucket
-                )
-            stats = {
-                row["_b"]: (row["_wsum"], row["_cnt"])
-                for row in cur.groupBy(bucket.alias("_b"))
-                .agg(
-                    F.sum("_w").alias("_wsum"),
-                    F.count(F.lit(1)).alias("_cnt"),
-                )
-                .collect()
-            }
-            run, target = 0, None
-            for i in range(len(uniq) + 1):
-                ws, cnt = stats.get(i, (0, 0))
-                if run < r <= run + ws:
-                    target, r = i, r - run
-                    break
-                run += ws
-            lo = None if target == 0 else uniq[target - 1]
-            hi = None if target == len(uniq) else uniq[target]
-            cond = F.lit(True)
-            if lo is not None:
-                cond = cond & (F.col("_x") > F.lit(lo))
-            if hi is not None:
-                cond = cond & (F.col("_x") <= F.lit(hi))
-            new_n = stats.get(target, (0, 0))[1]
-            nxt = cur.filter(cond)
-            if new_n == cur_n:
-                # the round couldn't split: either one heavy value
-                # (answer found — the equal-value fast path) or a
-                # pathological boundary; decide with one tiny agg
-                mm = nxt.agg(
-                    F.min("_x").alias("a"), F.max("_x").alias("b")
-                ).collect()[0]
-                if mm["a"] == mm["b"]:
-                    got = mm["a"]
-                    break
-            cur, cur_n = nxt, new_n
-        if got is None:
-            raise RuntimeError(
-                f"exact_weighted_quantiles: rank {rank} not localized "
-                f"in {max_rounds} rounds (raise max_rounds or "
-                "local_threshold)"
-            )
-        out_rows.append((float(q), rank, got))
+    states = [
+        {
+            "q": q,
+            "rank": int((W - 1) * q) + 1,  # rank over total weight mass
+            "r": int((W - 1) * q) + 1,
+            "lo": None,
+            "hi": None,
+            "cnt": n,  # ROW count gates the local finish, not mass
+            "val": None,
+        }
+        for q in quantiles
+    ]
+    _narrow_ranks_batched(
+        vals,
+        states,
+        weighted=True,
+        n_buckets=n_buckets,
+        local_threshold=local_threshold,
+        max_rounds=max_rounds,
+        op_name="exact_weighted_quantiles",
+    )
     spark = df.sparkSession
     vtype = df.schema[value_col].dataType.simpleString()
     return spark.createDataFrame(
-        out_rows, f"quantile double, rank long, value {vtype}"
+        [(float(s["q"]), s["rank"], s["val"]) for s in states],
+        f"quantile double, rank long, value {vtype}",
     )

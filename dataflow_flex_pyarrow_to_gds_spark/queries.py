@@ -951,10 +951,13 @@ _SNM_ORACLE = r"""
 def q_stats_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed order statistics (r12 — the exact counterpart
     of the approx_stats/percentile_prices family): p25/p50/p90/p99 of
-    lineitem's extended price by iterative range narrowing — per round
-    one bucket-count groupBy (≤ n_buckets skinny rows) and a rank
-    rebase into the surviving bucket, finishing with a bounded local
-    sort; never a global sort, rounds ≈ log₃₂(n). local_threshold is
+    lineitem's extended price by BATCHED iterative range narrowing
+    (r13, VERDICT r12 #3) — all four ranks narrow together at two
+    cluster actions per round (one grouped boundary pass, one grouped
+    bucket-stats pass of ≤ n_buckets skinny rows per range), each rank
+    rebasing into its surviving bucket, finishing with one batched
+    partitioned bounded sort; never a global sort, rounds ≈ log₃₂(n),
+    round-trips independent of the quantile count. local_threshold is
     forced below the fixture row count so the driver checks the
     NARROWING path, not the small-data fallback. Values are copied
     parquet doubles (zero arithmetic), so they hash-match the oracle's
@@ -6303,13 +6306,18 @@ def q_events_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, "user_id",
         k=_KMV_ROLLUP_K, seed=_KMV_SEED, group_cols=("day",),
     )
-    w = Window.orderBy(F.asc("kmv_hash"))
-    return (
+    # TakeOrderedAndProject bottom-k, then rank the ≤ k survivors under
+    # a constant partition spec (kmv_store_merge's shape — no global
+    # sort, no unpartitioned-WindowExec warning, r12 #5)
+    bottom = (
         per_day.select("kmv_hash")
         .distinct()
-        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
-        .filter(F.col("kmv_pos") <= _KMV_ROLLUP_K)
-        .select("kmv_pos", "kmv_hash")
+        .orderBy(F.asc("kmv_hash"))
+        .limit(_KMV_ROLLUP_K)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("kmv_hash"))
+    return bottom.select(
+        F.row_number().over(w).alias("kmv_pos"), "kmv_hash"
     )
 
 
@@ -6477,11 +6485,14 @@ def q_stats_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted corpus cut-off shares): rank = floor((W−1)·q)+1 over the
     total integer weight, answer = smallest value whose cumulative
     weight reaches it — the weight-expanded type-1 statistic without
-    the expansion. Same iterative narrowing as the unweighted row
-    (per round ONE ≤32-key partial-agg of (weight, count) pairs), the
-    threshold forced below the fixture so the driver checks the
-    narrowing path, and a bounded single-partition cumulative finish.
-    Values are copied parquet doubles — bit-exact."""
+    the expansion. Same BATCHED narrowing as the unweighted row (r13:
+    all ranks together, two cluster actions per round — grouped
+    boundaries + one ≤32-key partial-agg of (weight, count, min, max)
+    per range), the threshold forced below the fixture so the driver
+    checks the narrowing path, and a batched cumulative finish
+    PARTITIONED by range-id (bounded per partition — and no
+    unpartitioned-WindowExec warning). Values are copied parquet
+    doubles — bit-exact."""
     from .operators.profile import exact_weighted_quantiles
 
     return exact_weighted_quantiles(

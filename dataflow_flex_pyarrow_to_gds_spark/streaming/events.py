@@ -626,13 +626,21 @@ def kmv_store_rollup(
     from pyspark.sql.window import Window
 
     store = spark.read.parquet(store_dir)
-    w = Window.orderBy(F.asc("kmv_hash"))
-    return (
+    # bottom-k via orderBy().limit() — Catalyst's TakeOrderedAndProject
+    # keeps each map task's local bottom-k before the exchange (the
+    # kmv_sketch WindowGroupLimit shape), so the global sort a naive
+    # unpartitioned row_number window would run never appears; the
+    # ranking window then runs over ≤ k rows WITH a (constant)
+    # partition spec — no unpartitioned-WindowExec warning (r12 #5)
+    bottom = (
         store.select("kmv_hash")
         .distinct()
-        .select("kmv_hash", F.row_number().over(w).alias("kmv_pos"))
-        .filter(F.col("kmv_pos") <= k)
-        .select("kmv_pos", "kmv_hash")
+        .orderBy(F.asc("kmv_hash"))
+        .limit(k)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("kmv_hash"))
+    return bottom.select(
+        F.row_number().over(w).alias("kmv_pos"), "kmv_hash"
     )
 
 

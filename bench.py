@@ -234,6 +234,35 @@ HEADLINE = [
     "graph_node_similarity_topk",
 ]
 
+#: Session-memoized fixture builds (VERDICT r12 #2): these queries own a
+#: pay-once MATERIALIZED session fixture (a localCheckpoint / cached
+#: table / trained model), so their three consecutive isolated trials
+#: read [build+query, warm, warm] and min-of-3 charges the build to NO
+#: row. The isolated pass evicts the memo before the owner's trials,
+#: times one cold run, and reports cold − warm_min as an explicit
+#: ``fixture_builds`` line which isolated_total includes exactly once.
+#: (Disk-persisted build artifacts — the bucketed edge table, the
+#: persisted minhash index — are deliberately NOT evicted: they model a
+#: separate build-pipeline step and survive sessions by design; the
+#: plan-handle memo behind curation_full_funnel re-executes per trial
+#: and needs no accounting.)
+FIXTURES: list[tuple[str, str]] = [
+    ("dag_levels", "graph_dag_levels"),
+    ("co_order_edges", "graph_label_propagation"),
+    ("pq_codebooks", "similarity_pq_topk"),
+]
+
+
+def _clear_fixture(fixture: str) -> None:
+    if fixture == "dag_levels":
+        catalog.clear_dag_levels_memo()
+    elif fixture == "co_order_edges":
+        catalog.clear_co_order_memo()
+    elif fixture == "pq_codebooks":
+        catalog.clear_pq_codebook_memo()
+    else:  # pragma: no cover - config error is a loud error
+        raise ValueError(f"unknown fixture {fixture!r}")
+
 
 def _ambient_load() -> dict:
     """Machine-contention snapshot recorded into the artifact (VERDICT
@@ -393,10 +422,25 @@ def main() -> None:
     # ambient suite pressure from a real per-query change without
     # re-measuring. Skippable for a fast suite-only run.
     isolated: dict[str, float] = {}
+    fixture_builds: dict[str, float] = {}
     if "--no-isolated" not in sys.argv and not os.environ.get(
         "SPARK_GRAFT_NO_ISOLATED"
     ):
+        fixture_owner = {owner: fx for fx, owner in FIXTURES}
         for name in HEADLINE:
+            cold = None
+            if name in fixture_owner:
+                # evict the session fixture and pay its build ONCE,
+                # visibly (VERDICT r12 #2) — the suite pass above
+                # already warmed it, so without this eviction the 3
+                # isolated trials would all read warm and the build
+                # would appear in no total
+                _clear_fixture(fixture_owner[name])
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                cold = time.perf_counter() - t0
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -405,6 +449,10 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             isolated[name] = round(best, 3)
+            if cold is not None:
+                fixture_builds[f"fixture:{fixture_owner[name]}"] = round(
+                    max(cold - best, 0.0), 3
+                )
 
     # Full artifact → file; stdout gets ONE compact line. The driver
     # captures only the last ~2000 chars of stdout, so the r7/r8 lines
@@ -425,13 +473,24 @@ def main() -> None:
     }
     if isolated:
         full["queries_isolated"] = isolated
-        full["isolated_total"] = round(sum(isolated.values()), 3)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json"),
-        "w",
-    ) as f:
+        # fixture builds are charged exactly once, as their own labeled
+        # lines, INSIDE isolated_total (VERDICT r12 #2)
+        full["fixture_builds"] = fixture_builds
+        full["isolated_total"] = round(
+            sum(isolated.values()) + sum(fixture_builds.values()), 3
+        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # Regime separation (VERDICT r12 #4): the driver's contended run
+    # overwrites BENCH_FULL.json in the working tree, which in r12
+    # destroyed the committed idle-protocol history. An IDLE run (the
+    # builder's protocol: load1 < 0.5 and no other runnable procs)
+    # additionally snapshots to BENCH_FULL_idle.json so per-query
+    # trajectories are always read within one regime.
+    if load_start["load1"] < 0.5 and load_start["running_procs"] == 0:
+        with open(os.path.join(here, "BENCH_FULL_idle.json"), "w") as f:
+            json.dump(full, f, indent=1)
     out = {
         "metric": "headline_suite_seconds",
         "value": full["value"],
@@ -448,6 +507,9 @@ def main() -> None:
     }
     if isolated:
         out["isolated_total"] = full["isolated_total"]
+        out["fixture_builds_total"] = round(
+            sum(fixture_builds.values()), 3
+        )
         out["full"] = "BENCH_FULL.json"
     print(json.dumps(out, separators=(",", ":")))
 

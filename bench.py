@@ -232,6 +232,9 @@ HEADLINE = [
     "overlap_join_orders",
     "stats_weighted_quantiles",
     "graph_node_similarity_topk",
+    # round 13: directed SCC (coloring decomposition) + condensation DAG
+    "graph_scc",
+    "graph_scc_condensation",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a
@@ -250,6 +253,7 @@ FIXTURES: list[tuple[str, str]] = [
     ("dag_levels", "graph_dag_levels"),
     ("co_order_edges", "graph_label_propagation"),
     ("pq_codebooks", "similarity_pq_topk"),
+    ("scc_assignment", "graph_scc"),
 ]
 
 
@@ -260,6 +264,8 @@ def _clear_fixture(fixture: str) -> None:
         catalog.clear_co_order_memo()
     elif fixture == "pq_codebooks":
         catalog.clear_pq_codebook_memo()
+    elif fixture == "scc_assignment":
+        catalog.clear_scc_memo()
     else:  # pragma: no cover - config error is a loud error
         raise ValueError(f"unknown fixture {fixture!r}")
 

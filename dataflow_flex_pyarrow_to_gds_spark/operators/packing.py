@@ -98,7 +98,15 @@ def bucket_offsets(
     (driver-scale input). Broadcast-join the result back onto the
     bucketed rows."""
     sums = bucketed.groupBy(bucket_col).agg(F.sum(value).alias("_bs"))
-    w_off = W.orderBy(bucket_col).rowsBetween(W.unboundedPreceding, -1)
+    # constant partition spec over the ≤ n_buckets-row input: pmod(col, 1)
+    # because a foldable literal is optimized out of the spec and the
+    # "No Partition Defined" WindowExec warning would fire — that noise
+    # must stay zero so a REAL unpartitioned window can't hide (r12 #5)
+    w_off = (
+        W.partitionBy(F.pmod(F.col(bucket_col), F.lit(1)))
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     return sums.select(
         bucket_col,
         F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias(out_col),

@@ -863,9 +863,17 @@ def kmv_sketch(
         .agg(F.count(F.lit(1)).alias("_n"))
         .drop("_n")
     )
-    w = Window.partitionBy(*[F.col(c) for c in gcols]).orderBy(
-        F.asc("kmv_hash")
+    # ungrouped sketches partition on a NON-FOLDABLE constant (a bare
+    # literal is optimized out of the spec): the rank-limit still
+    # rewrites to WindowGroupLimit (local bottom-k per map task), and a
+    # partitioned WindowExec keeps the zero-unpartitioned-window-warning
+    # invariant (r12 #5) so a REAL unpartitioned window can't hide
+    parts = (
+        [F.col(c) for c in gcols]
+        if gcols
+        else [F.pmod(F.col("kmv_hash"), F.lit(1))]
     )
+    w = Window.partitionBy(*parts).orderBy(F.asc("kmv_hash"))
     return (
         hashes.select(
             *gcols,
@@ -937,6 +945,102 @@ def kmv_estimate(
         F.lit(k).cast("long").alias("kmv_k"),
         F.col("kth_hash"),
         est.alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int,
+) -> DataFrame:
+    """Set-operation cardinality estimates from TWO :func:`kmv_sketch`
+    tables (the theta-sketch idea of Dasgupta et al. 2016 /
+    DataSketches, applied to the bottom-k sample): ONE row
+    ``(kmv_k, theta_hash, union_est, intersect_est, only_a_est,
+    only_b_est)`` — distinct counts of A∪B, A∩B, A\\B and B\\A, the
+    question a single-set sketch cannot answer ("how many users were
+    active in BOTH years?"). Both sketches must be built with the same
+    ``k``, seed and hash (the :func:`kmv_estimate` contract; a sketch
+    holding MORE than k rows raises loudly).
+
+    Estimator: θ = the smaller of the two k-th minima (a FULL sketch's
+    max hash; a sketch holding < k rows is its entire set and leaves θ
+    unconstrained — both under-full means every count is EXACT and is
+    returned as-is with ``theta_hash`` NULL). Below θ, each sketch's
+    hash sample is a uniform distinct sample of its set, so
+    ``est(X) = |{h ∈ X : h < θ}| · 2⁶⁴ div (θ + 2⁶³ + 1)`` — the
+    strictly-below-θ rule is the (k−1)/u_k unbiasedness convention.
+    All arithmetic is DECIMAL(38,0) integer (the kmv_estimate
+    discipline), so every estimate replays bit-for-bit in an ANSI
+    oracle. Estimates are per-operation and need not be additively
+    consistent (union_est ≠ inter+only_a+only_b in general) — the
+    standard theta-sketch caveat, documented not hidden.
+
+    Scale shape: inputs are ≤ k rows each by construction; one full
+    outer join on the 8-byte hash + one 1-row stats broadcast + one
+    conditional aggregate. Driver-free, bounded everywhere.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_set_ops: k must be >= 2, got {k}")
+    a = sketch_a.select(F.col("kmv_hash").alias("_h"), F.lit(1).alias("_a"))
+    b = sketch_b.select(F.col("kmv_hash").alias("_h"), F.lit(1).alias("_b"))
+    guard = (
+        "CASE WHEN _na > {k} OR _nb > {k} THEN "
+        "CAST(raise_error('kmv_set_ops: a sketch holds more rows than "
+        "k — pass the k the sketches were built with') AS BIGINT) "
+        "ELSE 0 END"
+    ).format(k=k)
+    stats = (
+        a.agg(F.count(F.lit(1)).alias("_na"), F.max("_h").alias("_ma"))
+        .crossJoin(
+            b.agg(F.count(F.lit(1)).alias("_nb"), F.max("_h").alias("_mb"))
+        )
+        .select(
+            "_na",
+            "_nb",
+            F.expr(guard).alias("_g"),
+            # θ = least of the FULL sketches' k-th minima; an
+            # under-full sketch leaves θ unconstrained (NULL side)
+            F.least(
+                F.when(F.col("_na") >= k, F.col("_ma")),
+                F.when(F.col("_nb") >= k, F.col("_mb")),
+            ).alias("_theta"),
+        )
+    )
+    both = a.join(b, "_h", "full_outer").select(
+        "_h",
+        F.coalesce("_a", F.lit(0)).alias("_a"),
+        F.coalesce("_b", F.lit(0)).alias("_b"),
+    )
+    tagged = both.crossJoin(F.broadcast(stats)).filter(
+        F.col("_theta").isNull() | (F.col("_h") < F.col("_theta"))
+    )
+    # _g rides the groupBy so the k-mismatch raise_error cannot be
+    # pruned out of the plan (it is always 0 when the contract holds)
+    counts = tagged.groupBy("_theta", "_g").agg(
+        F.count(F.lit(1)).alias("_cu"),
+        F.sum((F.col("_a") * F.col("_b"))).alias("_ci"),
+        F.sum(F.col("_a") * (1 - F.col("_b"))).alias("_coa"),
+        F.sum(F.col("_b") * (1 - F.col("_a"))).alias("_cob"),
+    )
+
+    def est(cnt: str) -> Column:
+        exact = (F.col(cnt) + F.col("_g")).cast("long")
+        scaled = F.expr(
+            f"CAST((CAST({cnt} AS DECIMAL(38,0)) + _g) * "
+            f"CAST({1 << 64} AS DECIMAL(38,0)) div "
+            f"(CAST(_theta AS DECIMAL(38,0)) + {_KMV_SHIFT}) AS BIGINT)"
+        )
+        return F.when(F.col("_theta").isNull(), exact).otherwise(scaled)
+
+    return counts.select(
+        F.lit(k).cast("long").alias("kmv_k"),
+        F.col("_theta").alias("theta_hash"),
+        est("_cu").alias("union_est"),
+        est("_ci").alias("intersect_est"),
+        est("_coa").alias("only_a_est"),
+        est("_cob").alias("only_b_est"),
     )
 
 

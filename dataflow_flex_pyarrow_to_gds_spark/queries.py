@@ -6315,7 +6315,10 @@ def q_events_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("kmv_hash"))
         .limit(_KMV_ROLLUP_K)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("kmv_hash"))
+    # non-foldable constant partition (kmv_store_merge convention)
+    w = Window.partitionBy(
+        F.pmod(F.col("kmv_hash"), F.lit(1))
+    ).orderBy(F.asc("kmv_hash"))
     return bottom.select(
         F.row_number().over(w).alias("kmv_pos"), "kmv_hash"
     )
@@ -10069,183 +10072,612 @@ def q_layout_dpp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round 13: directed strongly connected components (VERDICT r12 #7 —
+# the one revisitable non-goal, shipped) + the condensation DAG
+# ---------------------------------------------------------------------------
+
+#: Per-session memo of the order-cycle digraph's SCC assignment, keyed
+#: by (applicationId, sf_dir) — the _DAG_LEVELS_MEMO pattern: the SCC
+#: decomposition is the shared fixture of the SCC family (the scc row
+#: selects it, the condensation row contracts over it), and the
+#: two-phase coloring fixpoint is iterative-join work a session should
+#: pay once. bench.py charges the build explicitly (FIXTURES).
+_SCC_MEMO: dict[tuple, DataFrame] = {}
+
+
+def clear_scc_memo() -> None:
+    """Evict memoized SCC assignments (the clear_dag_levels_memo
+    analog)."""
+    _SCC_MEMO.clear()
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCC fixture digraph: each customer's orders (by date) are
+    chunked into chains of ≤ 6 and each chain is CLOSED into a cycle
+    (last → first when the chain has ≥ 2 orders), plus one condensation
+    edge per customer from chain 0's head to chain 1's head — so the
+    graph has nontrivial SCCs (the cycles), trivial SCCs (singleton
+    chains), and a 2-deep condensation chain that exercises the outer
+    peel loop. Deterministic; replays in ANSI SQL as two windows."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.row_number().over(w).alias("rn"),
+    )
+    b = o.select(
+        "c",
+        "k",
+        F.expr("(rn - 1) div 6").alias("bk"),
+        F.expr("((rn - 1) % 6) + 1").alias("brn"),
+    )
+    wb = W.partitionBy("c", "bk").orderBy("brn")
+    chain = b.select(
+        F.col("k").alias("sourceNodeId"),
+        F.lead("k").over(wb).alias("targetNodeId"),
+    ).filter(F.col("targetNodeId").isNotNull())
+    agg = b.groupBy("c", "bk").agg(
+        F.min_by("k", "brn").alias("first_k"),
+        F.max_by("k", "brn").alias("last_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    back = agg.filter(F.col("n") >= 2).select(
+        F.col("last_k").alias("sourceNodeId"),
+        F.col("first_k").alias("targetNodeId"),
+    )
+    cross = (
+        agg.filter(F.col("bk") == 0)
+        .select("c", F.col("first_k").alias("sourceNodeId"))
+        .join(
+            agg.filter(F.col("bk") == 1).select(
+                "c", F.col("first_k").alias("targetNodeId")
+            ),
+            "c",
+        )
+        .select("sourceNodeId", "targetNodeId")
+    )
+    return chain.unionByName(back).unionByName(cross)
+
+
+def _scc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scc import strongly_connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SCC_MEMO.get(key)
+    if got is not None:
+        return got
+    scc = strongly_connected_components(_scc_edges(spark, sf_dir))
+    scc = scc.localCheckpoint(eager=True)
+    _SCC_MEMO[key] = scc
+    return scc
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed strongly connected components (r13 — GDS ``gds.scc``
+    parity, closing VERDICT r12 #7's non-goal): every node of the
+    order-cycle digraph labeled with its component's min node id.
+    Orzan-style coloring decomposition, not Tarjan — per outer peel a
+    forward min-label fixpoint (the dag_longest_path relaxation shape:
+    skinny equi-join + partial-agg min per round) finds each node's
+    min reaching id, a backward frontier walk restricted to the color
+    class marks exactly the root's component (the classic lossless-
+    restriction invariant), and marked components peel off; outer
+    rounds ≤ condensation depth (2 here by construction). Both
+    fixpoints carry loud round guards — truncation would silently
+    merge or split components. Exact integers; the oracle replays it
+    as a recursive transitive closure + mutual-reachability min."""
+    return _scc_assignment(spark, sf_dir)
+
+
+def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG over the SCC assignment (r13): one row per
+    ordered pair of distinct components joined by an original edge,
+    with cross-edge multiplicity — the acyclic quotient a scheduler or
+    cycle-breaking pass consumes. Two skinny label joins + one
+    partial-agg count, no iteration; the SCC assignment itself is the
+    family's memoized session fixture (``_SCC_MEMO``, charged
+    explicitly by bench.py's fixture accounting)."""
+    from .operators.scc import scc_condensation
+
+    return scc_condensation(
+        _scc_edges(spark, sf_dir), _scc_assignment(spark, sf_dir)
+    )
+
+
+#: Shared recursive head of the SCC oracles: fixture edges (two
+#: windows), transitive closure, mutual-reachability min per node.
+_SCC_SQL_HEAD = """
+    WITH RECURSIVE
+    o AS (
+        SELECT o_custkey AS c, o_orderkey AS k,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    b AS (
+        SELECT c, k, (rn - 1) // 6 AS bk, ((rn - 1) % 6) + 1 AS brn
+        FROM o
+    ),
+    chain AS (
+        SELECT a.k AS s, x.k AS t
+        FROM b a JOIN b x
+          ON a.c = x.c AND a.bk = x.bk AND x.brn = a.brn + 1
+    ),
+    agg AS (
+        SELECT c, bk, min_by(k, brn) AS first_k,
+               max_by(k, brn) AS last_k, count(*) AS n
+        FROM b GROUP BY c, bk
+    ),
+    back AS (SELECT last_k AS s, first_k AS t FROM agg WHERE n >= 2),
+    cross_e AS (
+        SELECT a.first_k AS s, x.first_k AS t
+        FROM agg a JOIN agg x ON a.c = x.c AND a.bk = 0 AND x.bk = 1
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT s, t FROM (
+            SELECT s, t FROM chain
+            UNION ALL SELECT s, t FROM back
+            UNION ALL SELECT s, t FROM cross_e
+        )
+    ),
+    n AS (
+        -- explicit DISTINCT: under WITH RECURSIVE DuckDB treats a
+        -- two-branch UNION CTE as anchor/recursive and does NOT dedup
+        -- across the branches (observed: exactly 2x rows)
+        SELECT DISTINCT id FROM (
+            SELECT s AS id FROM e UNION ALL SELECT t AS id FROM e
+        )
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM e
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN e ON e.s = r.t
+    ),
+    mutual AS (
+        SELECT a.s AS u, min(a.t) AS mn
+        FROM reach a JOIN reach x ON a.s = x.t AND a.t = x.s
+        GROUP BY a.s
+    ),
+    scc AS (
+        SELECT n.id AS node,
+               CAST(least(n.id, coalesce(m.mn, n.id)) AS BIGINT) AS scc_id
+        FROM n LEFT JOIN mutual m ON m.u = n.id
+    )
+"""
+
+_GRAPH_ORACLES["graph_scc"] = (
+    _SCC_SQL_HEAD
+    + """
+    SELECT node AS "nodeId", scc_id FROM scc
+"""
+)
+
+_GRAPH_ORACLES["graph_scc_condensation"] = (
+    _SCC_SQL_HEAD
+    + """
+    SELECT ls.scc_id AS source_scc, lt.scc_id AS target_scc,
+           CAST(count(*) AS BIGINT) AS cross_edges
+    FROM e
+    JOIN scc ls ON ls.node = e.s
+    JOIN scc lt ON lt.node = e.t
+    WHERE ls.scc_id <> lt.scc_id
+    GROUP BY 1, 2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# round 13: KMV set operations, Pareto frontier, bigram collocations,
+# decile binning (the batched-quantile composition row)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style set-operation estimates from two KMV sketches (r13
+    — the question a single-set sketch cannot answer): how many
+    distinct customers ordered in 1995 ∪/∩/\\ 1996, estimated from the
+    two years' bottom-64 hash sketches under the shared θ = the
+    smaller k-th minimum. Strictly-below-θ counting (the (k−1)/u_k
+    convention), DECIMAL(38,0) integer division — the single output
+    row hash-matches the oracle's verbatim replay. At 100 TB the
+    inputs are two ≤ k-row tables: one 8-byte-hash outer join, one
+    1-row stats broadcast, one conditional aggregate."""
+    from .operators.profile import kmv_set_ops, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    a = kmv_sketch(
+        orders.filter(F.year("o_orderdate") == 1995),
+        "o_custkey",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    )
+    b = kmv_sketch(
+        orders.filter(F.year("o_orderdate") == 1996),
+        "o_custkey",
+        k=_KMV_K,
+        seed=_KMV_SEED,
+    )
+    return kmv_set_ops(a, b, k=_KMV_K)
+
+
+def _kmv_setops_oracle_sql(k: int = _KMV_K, seed: int = _KMV_SEED) -> str:
+    h = _kmv_hash_sql("o_custkey", seed=seed)
+    shift = "9223372036854775809::HUGEINT"
+    two64 = "18446744073709551616::HUGEINT"
+
+    def est(cnt: str) -> str:
+        return (
+            f"CASE WHEN theta IS NULL THEN CAST({cnt} AS BIGINT) "
+            f"ELSE CAST(({cnt}::HUGEINT * {two64}) // "
+            f"(theta::HUGEINT + {shift}) AS BIGINT) END"
+        )
+
+    return f"""
+        WITH
+        ha AS (SELECT DISTINCT {h} AS hh FROM orders
+               WHERE year(o_orderdate) = 1995),
+        hb AS (SELECT DISTINCT {h} AS hh FROM orders
+               WHERE year(o_orderdate) = 1996),
+        ba AS (SELECT hh FROM ha ORDER BY hh ASC LIMIT {k}),
+        bb AS (SELECT hh FROM hb ORDER BY hh ASC LIMIT {k}),
+        st AS (
+            SELECT (SELECT count(*) FROM ba) AS na,
+                   (SELECT max(hh) FROM ba) AS ma,
+                   (SELECT count(*) FROM bb) AS nb,
+                   (SELECT max(hh) FROM bb) AS mb
+        ),
+        th AS (
+            SELECT CASE WHEN na >= {k} AND nb >= {k} THEN least(ma, mb)
+                        WHEN na >= {k} THEN ma
+                        WHEN nb >= {k} THEN mb
+                        ELSE NULL END AS theta
+            FROM st
+        ),
+        u AS (
+            SELECT coalesce(a.hh, b.hh) AS hh,
+                   CASE WHEN a.hh IS NULL THEN 0 ELSE 1 END AS ia,
+                   CASE WHEN b.hh IS NULL THEN 0 ELSE 1 END AS ib
+            FROM ba a FULL OUTER JOIN bb b ON a.hh = b.hh
+        ),
+        f AS (
+            SELECT u.* FROM u, th
+            WHERE th.theta IS NULL OR u.hh < th.theta
+        ),
+        c AS (
+            SELECT count(*) AS cu, sum(ia * ib) AS ci,
+                   sum(ia * (1 - ib)) AS coa,
+                   sum(ib * (1 - ia)) AS cob
+            FROM f
+        )
+        SELECT CAST({k} AS BIGINT) AS kmv_k,
+               th.theta AS theta_hash,
+               {est('cu')} AS union_est,
+               {est('ci')} AS intersect_est,
+               {est('coa')} AS only_a_est,
+               {est('cob')} AS only_b_est
+        FROM c, th
+    """
+
+
+_RELATIONAL_ORACLES["stats_kmv_setops"] = _kmv_setops_oracle_sql()
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier / skyline (r13 — Börzsönyi et al. 2001) of
+    parts over (size, retail price), both maximized: the optimal
+    trade-off shortlist a single-score rank would destroy. The scale
+    path never runs the O(n²) dominance join the oracle replays: per-x
+    max-y reduction (partial agg + semi join), then the strictly-
+    greater-x running max via the range-bucket scaffold — per-bucket
+    maxima partial-aggregate to ≤ 32 rows, the EXCLUSIVE suffix max
+    over that driver-scale table broadcasts back, per-bucket windows
+    (one row per distinct x) do the rest. No forced broadcast of the
+    frontier itself: anticorrelated data can put every row on it."""
+    from .operators.skyline import pareto_frontier
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return pareto_frontier(parts, "p_size", "p_retailprice")
+
+
+_RELATIONAL_ORACLES["pareto_parts"] = """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part p
+    WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+          AND q.p_size >= p.p_size
+          AND q.p_retailprice >= p.p_retailprice
+          AND (q.p_size > p.p_size
+               OR q.p_retailprice > p.p_retailprice)
+      )
+"""
+
+
+def q_text_colloc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining (r13 — Manning & Schütze ch. 5's
+    collocation pass, the corpus-analysis step behind multi-word
+    vocabulary entries): adjacent lowercase word pairs scored by LIFT
+    in ppm — the PMI family member that closes over integers (PMI =
+    log lift, identical ranking) so every score replays bit-for-bit.
+    Bigrams form INSIDE each row (zip_with over the token array —
+    whole-stage codegen, no posexplode self-join); one partial-agg
+    pair count, vocabulary-bounded unigram joins, 1-row total
+    broadcasts. min_count=3 prunes the hapax tail before any join."""
+    from .operators.colloc import bigram_collocations
+
+    return bigram_collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=3
+    )
+
+
+_RELATIONAL_ORACLES["text_colloc_lift"] = r"""
+    WITH w AS (
+        SELECT list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> ''
+               ) AS ws
+        FROM documents
+    ),
+    tok AS (
+        SELECT j AS pos, ws[j] AS w, rowid AS doc
+        FROM (SELECT ws, row_number() OVER () AS rowid FROM w
+              WHERE len(ws) > 0),
+             LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS j)
+    ),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    mt AS (SELECT sum(c) AS m FROM uni),
+    bi AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS pair_count
+        FROM tok a JOIN tok b ON a.doc = b.doc AND b.pos = a.pos + 1
+        GROUP BY a.w, b.w
+    ),
+    nt AS (SELECT sum(pair_count) AS n FROM bi)
+    SELECT bi.w1, bi.w2, CAST(bi.pair_count AS BIGINT) AS pair_count,
+           CAST(bi.pair_count::HUGEINT * mt.m::HUGEINT * mt.m * 1000000
+                // (nt.n::HUGEINT * ua.c * ub.c) AS BIGINT) AS lift_ppm
+    FROM bi
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    CROSS JOIN mt CROSS JOIN nt
+    WHERE bi.pair_count >= 3
+"""
+
+
+def q_stats_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning (r13 — the feature-
+    discretization pass, composed over the BATCHED exact-quantile
+    engine): the nine decile cut points of lineitem's extended price
+    localize in ONE batched narrowing (two cluster actions per round
+    for all nine ranks — the VERDICT r12 #3 win, exercised at 9 ranks
+    where the stats_exact_quantiles row exercises 4), then each row
+    bins by value-vs-boundary comparison in a literal codegen CASE
+    (equal values land in one bin by construction — the well-defined
+    variant of ntile) and one partial-agg computes per-bin counts and
+    price ranges. The 9 collected boundary literals are the bounded
+    driver budget (IVF/PQ precedent)."""
+    from .operators.profile import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    ).filter(F.col("x").isNotNull())
+    dec = exact_quantiles(
+        li, "x", [i / 10 for i in range(1, 10)], local_threshold=5_000
+    )
+    vals = [r["value"] for r in dec.orderBy("quantile").collect()]
+    bin_col = F.lit(1)
+    for v in vals:
+        bin_col = bin_col + F.when(F.col("x") > F.lit(v), 1).otherwise(0)
+    return (
+        li.select(bin_col.cast("long").alias("bin"), "x")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_price"),
+            F.max("x").alias("max_price"),
+        )
+    )
+
+
+_RELATIONAL_ORACLES["stats_decile_bins"] = """
+    WITH v AS (
+        SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+    ),
+    nn AS (SELECT count(*) AS n FROM v),
+    rk AS (
+        SELECT row_number() OVER (ORDER BY x ASC) AS rn, x AS qv FROM v
+    ),
+    qs AS (
+        SELECT i, rk.qv
+        FROM (SELECT unnest(range(1, 10)) AS i) ii, nn, rk
+        WHERE rk.rn = ((nn.n - 1) * i) // 10 + 1
+    ),
+    b AS (
+        SELECT x,
+               1 + (SELECT count(*) FROM qs WHERE v.x > qs.qv) AS bin
+        FROM v
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_price, max(x) AS max_price
+    FROM b GROUP BY bin
+"""
+
+
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
-        # displaced from the r12 rotation block by the fourth-wave rows
-        # (KMV sketch/rollup, MMR, association rules, assortativity take
-        # priority as NEW queries); prior driver-green evidence r8/r10,
-        # implementation unchanged since
-        "events_anomaly",
-        "text_repetition",
-        "source_curation_stats",
-        "curation_pipeline",
-        "text_quality_gopher",
-        "sample_stratified_split",
-        "set_ops_nations",
-        "q19_bracket_revenue",
-        "window_top_orders",
-        "window_distribution",
-        "unpivot_orders",
-        "percentile_prices",
-        "exists_big_customers",
-        "running_revenue",
-        "text_token_frequencies",
-        "dedup_repeated_passages",
-        "dedup_passage_removal",
-        # r11-green (CORRECTNESS_r11.json, 50/50), displaced by the r12
-        # window refresh (five new operators + the stale-evidence
-        # rotation); implementation unchanged in r12
+        # every entry here is driver-green in a prior round's
+        # CORRECTNESS artifact (union across rounds r3-r12, zero red)
+        # AND carries hash-bound local re-verification evidence in
+        # scripts/local_verified.json recorded by a green
+        # check_oracle.py --record sweep at the CURRENT v2 hash —
+        # the ADVICE r12 mechanism replacing silent re-baselines.
+        "agg_distinct_parts",
         "approx_stats",
+        "array_agg_orders",
+        "asof_purchase_click",
+        "assoc_rules_parts",
+        "cube_lineitem",
+        "curation_admission",
+        "curation_apply_delta",
         "curation_arrival",
-        # displaced from the r12 rotation block by the second-wave rows
-        # (conductance/topo/bloom take priority as NEW queries); prior
-        # driver-green evidence r6/r8, implementation unchanged since
-        "scalar_functions",
-        "date_functions",
-        "q11_important_stock",
-        "q14_promo_revenue",
-        "graph_pagerank",
-        "dedup_incremental",
-        "dedup_near_groups",
-        "dedup_minhash_pairs",
-        "text_bm25_topk",
-        "dedup_set_similarity",
+        "curation_corpus_diff",
+        "curation_full_funnel",
+        "curation_release",
+        "dedup_boilerplate_lines",
+        "dedup_canonical_keeper",
         "dedup_containment",
         "dedup_containment_groups",
         "dedup_edit_distance",
         "dedup_exact_groups",
-        "dedup_semantic_groups",
-        "embedding_near_dup",
-        "graph_harmonic_closeness",
-        "graph_ktruss",
-        "graph_node2vec_walks",
-        "graph_node_similarity_cosine",
-        "graph_node_similarity_overlap",
-        "graph_random_walks",
-        "graph_shortest_paths",
-        "graph_triangles",
-        "graph_walk_skipgrams",
-        "multimodal_audio_stats",
-        "multimodal_features",
-        "multimodal_image_stats",
-        "multimodal_image_stats_jpeg",
-        "multimodal_video_frames",
-        "q13_customer_distribution",
-        "q20_excess_shippers",
-        "q21_waiting_suppliers",
-        "q3_shipping_priority",
-        "q4_order_priority",
-        "q5_region_revenue",
-        "q7_nation_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "range_join_shipments",
-        "sample_mixture_weights",
-        "sample_token_budget",
-        "sequence_packing",
-        "similarity_knn_join",
-        "similarity_matryoshka_topk",
-        "similarity_topk",
-        "sort_limit",
-        "text_bigram_logprob",
-        "text_bpe_merges",
-        "text_chunking",
-        "text_contamination",
-        "text_decontaminate",
-        "text_fingerprint",
-        "text_pii_redact",
-        "text_pii_scan",
-        "text_rolling_hash",
-        "text_unigram_logprob",
-        # r10-green (CORRECTNESS_r10.json), last displaced in r11;
-        # implementation unchanged since
-        "agg_distinct_parts",
-        "array_agg_orders",
-        "asof_purchase_click",
-        "cube_lineitem",
-        "dedup_boilerplate_lines",
         "dedup_minhash_banded",
+        "dedup_ngram3_pairs",
+        "dedup_semantic_groups",
         "dedup_simhash_pairs",
+        "dedup_sorted_neighborhood",
+        "embedding_near_dup",
         "embedding_near_dup_lsh",
         "events_attribution",
+        "events_bloom_rollup",
+        "events_cms_rollup",
         "events_decayed_guardrails",
         "events_decayed_value",
         "events_dedup",
         "events_funnel",
         "events_hourly",
+        "events_resample_locf",
         "events_retention",
+        "events_robust_outliers",
         "events_sessionize",
         "events_type_pivot",
+        "graph_articlerank",
+        "graph_assortativity",
+        "graph_betweenness",
         "graph_bfs",
+        "graph_cc_incremental",
+        "graph_cc_star",
         "graph_clustering",
+        "graph_conductance",
+        "graph_connected_components",
+        "graph_dag_levels",
+        "graph_dangling_edges",
+        "graph_edge_resolution",
+        "graph_edges_project",
+        "graph_eigenvector",
+        "graph_fastrp",
+        "graph_harmonic_closeness",
+        "graph_hits",
+        "graph_k1coloring",
         "graph_kcore",
+        "graph_kmeans",
+        "graph_ktruss",
         "graph_label_propagation",
+        "graph_link_prediction",
+        "graph_load_stats",
+        "graph_louvain_move",
+        "graph_modularity",
+        "graph_node2vec_walks",
+        "graph_node_degrees",
         "graph_node_similarity",
+        "graph_node_similarity_cosine",
+        "graph_node_similarity_overlap",
+        "graph_node_similarity_topk",
+        "graph_nodes_project",
+        "graph_pagerank_bucketed",
+        "graph_pagerank_weighted",
         "graph_ppr",
+        "graph_random_walks",
+        "graph_rwr_sample",
+        "graph_sample_neighbors",
+        "graph_shortest_paths",
+        "graph_topo_order",
+        "graph_triangles",
+        "graph_walk_skipgrams",
         "grouping_sets_lineitem",
         "json_extract_events",
+        "layout_dpp_revenue",
+        "layout_zorder_revenue",
+        "multimodal_audio_stats",
+        "multimodal_features",
+        "multimodal_image_stats",
+        "multimodal_image_stats_jpeg",
+        "multimodal_video_frames",
+        "overlap_join_orders",
+        "profile_cms_frequencies",
+        "q10_returned_revenue",
+        "q12_shipmode_priority",
+        "q13_customer_distribution",
+        "q15_top_supplier",
         "q16_supplier_exclusion",
         "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
         "q1_pricing_summary",
+        "q20_excess_shippers",
+        "q21_waiting_suppliers",
         "q22_idle_customers",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_region_revenue",
+        "q6_forecast_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "range_join_shipments",
         "regression_stats",
         "retrieval_hybrid_rrf",
         "rollup_lineitem",
         "salted_agg_events",
+        "salted_join_parts",
+        "sample_dsir_selection",
+        "sample_importance_weights",
+        "sample_mixture_weights",
+        "sample_per_source_cap",
+        "sample_quality_curriculum",
+        "sample_shard_assignment",
+        "sample_split_leakage",
+        "sample_temperature",
+        "sample_token_budget",
+        "sample_top_fraction",
+        "sample_training_order",
+        "sequence_packing",
+        "similarity_knn_join",
+        "similarity_matryoshka_topk",
+        "similarity_pq_topk",
+        "similarity_topk",
+        "sort_limit",
+        "stats_drift_tokens",
+        "stats_histogram_prices",
         "stats_hll_rollup",
+        "text_bigram_logprob",
         "text_bm25_join",
+        "text_bpe_encode",
+        "text_bpe_encode_arrow",
+        "text_bpe_merges",
+        "text_chunking",
+        "text_chunking_udtf",
+        "text_chunking_udtf_arrow",
+        "text_contamination",
+        "text_decontaminate",
+        "text_decontaminate_bloom",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_pii_cards",
+        "text_pii_redact",
+        "text_pii_scan",
+        "text_quality_classifier",
+        "text_rolling_hash",
+        "text_stats",
+        "text_strip_html",
+        "text_unigram_logprob",
         "web_url_normalize",
         "window_analytics",
         "window_range_frame",
-        # r9-green, briefly slotted for the r12 window then displaced
-        # by the two r12 growth operators (weighted PageRank + DAG
-        # levels); implementation unchanged since r9
-        "dedup_canonical_keeper",
-        "sample_split_leakage",
-        # r8-green, briefly slotted for the r12 window then displaced
-        # by graph_modularity / graph_rwr_sample; implementation
-        # unchanged since r8
-        "q18_large_volume_customers",
-        "q15_top_supplier",
-        # r9-green (CORRECTNESS_r09.json), past the window since r10;
-        # implementation unchanged since
-        "curation_admission",
-        "curation_apply_delta",
-        "curation_corpus_diff",
-        "curation_full_funnel",
-        "curation_release",
-        "dedup_incremental_indexed",
-        "dedup_ngram3_pairs",
-        "dedup_semantic_incremental",
-        "embedding_random_projection",
-        "graph_hits",
-        "graph_link_prediction",
-        "graph_pagerank_bucketed",
-        "graph_sample_neighbors",
-        "layout_dpp_revenue",
-        "layout_zorder_revenue",
-        "q2_min_cost_supplier",
-        "salted_join_parts",
-        "sample_cluster_balance",
-        "sample_quality_curriculum",
-        "sample_shard_assignment",
-        "sample_temperature",
-        "sample_top_fraction",
-        "sample_training_order",
-        "similarity_ann_index",
-        "similarity_hard_negatives",
-        "similarity_ivf_topk",
-        "similarity_lsh_topk",
-        "similarity_sq8_topk",
-        "stats_contract_violations",
-        "stats_table_profile",
-        "text_bpe_encode",
-        "text_bpe_encode_arrow",
-        "text_chunking_udtf",
-        "text_chunking_udtf_arrow",
-        "text_pii_cards",
-        "text_quality_classifier",
-        "text_strip_html",
     }
 )
 
@@ -10262,93 +10694,28 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new in round 12 (growth, fourth wave): the KMV bottom-k
-        # -- distinct sketch (the fourth mergeable maintenance algebra:
-        # -- min-of-mins — idempotent like Bloom AND it answers a
-        # -- quantity) + its merge≡single-pass rollup twin, MMR
-        # -- diversified retrieval, market-basket association rules,
-        # -- and degree assortativity --------------------------------------
+        # -- new in round 13: directed SCC (VERDICT r12 #7 closed) + the
+        # -- condensation DAG, theta-style KMV set ops, Pareto frontier,
+        # -- bigram collocation lift, batched-decile binning ----------
+        "graph_scc": q_graph_scc,
+        "graph_scc_condensation": q_graph_scc_condensation,
+        "stats_kmv_setops": q_stats_kmv_setops,
+        "pareto_parts": q_pareto_parts,
+        "text_colloc_lift": q_text_colloc_lift,
+        "stats_decile_bins": q_stats_decile_bins,
+        # -- changed in round 13 and therefore re-windowed: the batched
+        # -- multi-rank quantile narrowing (VERDICT r12 #3) rewrote both
+        # -- quantile rows; the GDS Max-scaler divisor and the MMR
+        # -- id-typing/zero-vector fixes (ADVICE r12) touched their rows;
+        # -- the KMV merge windows moved to TakeOrderedAndProject ----------
+        "stats_exact_quantiles": q_stats_exact_quantiles,
+        "stats_weighted_quantiles": q_stats_weighted_quantiles,
+        "graph_scale_properties": q_graph_scale_properties,
+        "similarity_mmr_topk": q_similarity_mmr_topk,
         "stats_kmv_distinct": q_stats_kmv_distinct,
         "events_kmv_rollup": q_events_kmv_rollup,
-        "similarity_mmr_topk": q_similarity_mmr_topk,
-        "assoc_rules_parts": q_assoc_rules_parts,
-        "graph_assortativity": q_graph_assortativity,
-        "graph_kmeans": q_graph_kmeans,
-        "graph_scale_properties": q_graph_scale_properties,
-        "stats_drift_tokens": q_stats_drift_tokens,
-        "stats_histogram_prices": q_stats_histogram_prices,
-        "events_robust_outliers": q_events_robust_outliers,
-        "graph_cc_incremental": q_graph_cc_incremental,
-        "events_resample_locf": q_events_resample_locf,
-        "overlap_join_orders": q_overlap_join_orders,
-        "stats_weighted_quantiles": q_stats_weighted_quantiles,
-        "graph_node_similarity_topk": q_graph_node_similarity_topk,
-        # -- rotated in (r12 fourth wave) because the fourth-wave
-        # -- re-exports changed operators/__init__'s hash. HONESTY NOTE
-        # -- (ADVICE r12): these two were NOT the only hash flips that
-        # -- round — the r12 operator-module edits (asof/profile/
-        # -- similarity/graph_algo/events) flipped ~101 PV queries'
-        # -- v2 hashes, and the same-commit manifest re-baseline hid
-        # -- that from the tripwire. r13 closes the hole structurally:
-        # -- check_window now requires hash-bound local re-verification
-        # -- evidence (scripts/local_verified.json, written only by a
-        # -- green scripts/check_oracle.py --record run) for any
-        # -- changed query beyond the window ------------------------------
-        "text_lang_id": q_text_lang_id,
-        "text_stats": q_text_stats,
-        # -- new in round 12 (growth, second wave): community
-        # -- conductance + topological sort (GDS conductance /
-        # -- dag.topologicalSort parity) and the Bloom-filter family —
-        # -- scale-path decontamination + the OR-mergeable rollup twin
-        # -- of the streaming filter store ---------------------------------
-        "graph_conductance": q_graph_conductance,
-        "graph_topo_order": q_graph_topo_order,
-        "graph_k1coloring": q_graph_k1coloring,
-        "graph_articlerank": q_graph_articlerank,
-        "graph_louvain_move": q_graph_louvain_move,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        "stats_exact_quantiles": q_stats_exact_quantiles,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        "events_bloom_rollup": q_events_bloom_rollup,
-        # -- new in round 12 (VERDICT r11 #1/#5/#6): the five r11
-        # -- operators wired into the driver gate — eigenvector power
-        # -- iteration, landmark Brandes betweenness, FastRP signed
-        # -- projection, CMS sketch+estimate (+ the merge-on-read
-        # -- rollup twin of the streaming maintenance path), DSIR
-        # -- weights + the composed end-to-end selection -------------------
-        "graph_eigenvector": q_graph_eigenvector,
-        "graph_betweenness": q_graph_betweenness,
-        "graph_fastrp": q_graph_fastrp,
-        "profile_cms_frequencies": q_profile_cms_frequencies,
-        "events_cms_rollup": q_events_cms_rollup,
-        "sample_importance_weights": q_sample_importance_weights,
-        "sample_dsir_selection": q_sample_dsir_selection,
-        # -- new in round 12 (growth): weighted PageRank + DAG
-        # -- longest-path levels (GDS pageRank-with-weights /
-        # -- dag.longestPath parity) ---------------------------------------
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "graph_dag_levels": q_graph_dag_levels,
-        "graph_modularity": q_graph_modularity,
-        "graph_rwr_sample": q_graph_rwr_sample,
-        # -- rotated in (round 12, VERDICT r11 #3): the stalest PV
-        # -- evidence — rows last driver-checked in r6/r8 ------------------
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_shipmode_priority": q12_shipmode_priority,
-        "graph_cc_star": q_graph_cc_star,
-        "graph_load_stats": q_graph_load_stats,
-        "graph_node_degrees": q_graph_node_degrees,
-        "graph_connected_components": q_graph_connected_components,
-        "graph_dangling_edges": q_graph_dangling_edges,
-        "graph_edge_resolution": q_graph_edge_resolution,
-        "graph_nodes_project": q_graph_nodes_project,
-        "graph_edges_project": q_graph_edges_project,
-        "sample_per_source_cap": q_sample_per_source_cap,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round, implementation unchanged since, and ------
-        # ---- re-verified green locally via scripts/check_oracle.py) -----
+        # -- rotated in (VERDICT r12 #1): the stalest driver evidence —
+        # -- the r8/r10 block ----------
         "events_anomaly": q_events_anomaly,
         "text_repetition": q_text_repetition,
         "source_curation_stats": q_source_curation_stats,
@@ -10366,6 +10733,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_token_frequencies": q_text_token_frequencies,
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_passage_removal": q_dedup_passage_removal,
+        # -- rotated in (VERDICT r12 #1): the r6/r8 block ----------
         "scalar_functions": q_scalar_functions,
         "date_functions": q_date_functions,
         "q11_important_stock": q11_important_stock,
@@ -10376,6 +10744,70 @@ def _specs() -> dict[str, QuerySpec]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "text_bm25_topk": q_text_bm25_topk,
         "dedup_set_similarity": q_dedup_set_similarity,
+        # -- rotated in: changed-module consumers (profile/similarity/
+        # -- packing closure) whose last driver check was r9 — the oldest
+        # -- evidence among this round's hash flips; the remaining flips
+        # -- beyond the window carry hash-bound local re-verification
+        # -- evidence (scripts/local_verified.json, check_window-enforced) ----------
+        "similarity_ann_index": q_similarity_ann_index,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "embedding_random_projection": q_embedding_random_projection,
+        "sample_cluster_balance": q_sample_cluster_balance,
+        "stats_table_profile": q_stats_table_profile,
+        "stats_contract_violations": q_stats_contract_violations,
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round) with hash-bound local re-verification ----
+        # ---- evidence recorded by scripts/check_oracle.py --record ------
+        "assoc_rules_parts": q_assoc_rules_parts,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_kmeans": q_graph_kmeans,
+        "stats_drift_tokens": q_stats_drift_tokens,
+        "stats_histogram_prices": q_stats_histogram_prices,
+        "events_robust_outliers": q_events_robust_outliers,
+        "graph_cc_incremental": q_graph_cc_incremental,
+        "events_resample_locf": q_events_resample_locf,
+        "overlap_join_orders": q_overlap_join_orders,
+        "graph_node_similarity_topk": q_graph_node_similarity_topk,
+        "text_lang_id": q_text_lang_id,
+        "text_stats": q_text_stats,
+        "graph_conductance": q_graph_conductance,
+        "graph_topo_order": q_graph_topo_order,
+        "graph_k1coloring": q_graph_k1coloring,
+        "graph_articlerank": q_graph_articlerank,
+        "graph_louvain_move": q_graph_louvain_move,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "events_bloom_rollup": q_events_bloom_rollup,
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_betweenness": q_graph_betweenness,
+        "graph_fastrp": q_graph_fastrp,
+        "profile_cms_frequencies": q_profile_cms_frequencies,
+        "events_cms_rollup": q_events_cms_rollup,
+        "sample_importance_weights": q_sample_importance_weights,
+        "sample_dsir_selection": q_sample_dsir_selection,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_dag_levels": q_graph_dag_levels,
+        "graph_modularity": q_graph_modularity,
+        "graph_rwr_sample": q_graph_rwr_sample,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "graph_cc_star": q_graph_cc_star,
+        "graph_load_stats": q_graph_load_stats,
+        "graph_node_degrees": q_graph_node_degrees,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_dangling_edges": q_graph_dangling_edges,
+        "graph_edge_resolution": q_graph_edge_resolution,
+        "graph_nodes_project": q_graph_nodes_project,
+        "graph_edges_project": q_graph_edges_project,
+        "sample_per_source_cap": q_sample_per_source_cap,
         "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "sample_split_leakage": q_sample_split_leakage,
         "q18_large_volume_customers": q18_large_volume_customers,
@@ -10472,10 +10904,7 @@ def _specs() -> dict[str, QuerySpec]:
         "curation_corpus_diff": q_curation_corpus_diff,
         "curation_full_funnel": q_curation_full_funnel,
         "curation_release": q_curation_release,
-        "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
-        "dedup_semantic_incremental": q_dedup_semantic_incremental,
-        "embedding_random_projection": q_embedding_random_projection,
         "graph_hits": q_graph_hits,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
@@ -10484,19 +10913,11 @@ def _specs() -> dict[str, QuerySpec]:
         "layout_zorder_revenue": q_layout_zorder_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "salted_join_parts": q_salted_join_parts,
-        "sample_cluster_balance": q_sample_cluster_balance,
         "sample_quality_curriculum": q_sample_quality_curriculum,
         "sample_shard_assignment": q_sample_shard_assignment,
         "sample_temperature": q_sample_temperature,
         "sample_top_fraction": q_sample_top_fraction,
         "sample_training_order": q_sample_training_order,
-        "similarity_ann_index": q_similarity_ann_index,
-        "similarity_hard_negatives": q_similarity_hard_negatives,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_sq8_topk": q_similarity_sq8_topk,
-        "stats_contract_violations": q_stats_contract_violations,
-        "stats_table_profile": q_stats_table_profile,
         "text_bpe_encode": q_text_bpe_encode,
         "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
         "text_chunking_udtf": q_text_chunking_udtf,

@@ -638,7 +638,12 @@ def kmv_store_rollup(
         .orderBy(F.asc("kmv_hash"))
         .limit(k)
     )
-    w = Window.partitionBy(F.lit(0)).orderBy(F.asc("kmv_hash"))
+    # pmod(col, 1) = a constant the optimizer cannot fold away, so
+    # the WindowExec keeps a partition spec and never logs the
+    # unpartitioned-window warning (r12 #5); input is <= k rows
+    w = Window.partitionBy(
+        F.pmod(F.col("kmv_hash"), F.lit(1))
+    ).orderBy(F.asc("kmv_hash"))
     return bottom.select(
         F.row_number().over(w).alias("kmv_pos"), "kmv_hash"
     )

@@ -5,6 +5,17 @@ over the same parquet tables, then compares row count, column names, and
 order-insensitive values. Usage::
 
     python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py --record [sf_dir] [query ...]
+
+``--record`` (ADVICE r12): after the run, every GREEN oracle-compared
+query gets an entry in ``scripts/local_verified.json`` binding its
+CURRENT v2 hash (scripts/check_window.py's module-aware hash) to this
+verification. check_window.py accepts that evidence for changed
+queries beyond the driver window — so a module edit whose hash-flip
+blast radius exceeds the 50-slot window is re-verified VISIBLY instead
+of silently re-baselined. Evidence self-invalidates: any further
+change to the query flips its v2 hash and the stale entry no longer
+counts.
 """
 
 from __future__ import annotations
@@ -78,8 +89,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    record = "--record" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from dataflow_flex_pyarrow_to_gds_spark import get_spark
@@ -90,6 +103,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failed = []
+    green = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -117,7 +131,32 @@ def main() -> int:
                 print(f"    {p}")
         else:
             print(f"OK   {name}: {len(spark_pdf)} rows")
+            green.append(name)
     print(f"\n{len(failed)} failures" if failed else "\nall green")
+    if record and green:
+        import json
+
+        import check_window as cw
+
+        evid_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "local_verified.json",
+        )
+        cur = cw.current_hashes()
+        evid = {}
+        if os.path.exists(evid_path):
+            with open(evid_path) as f:
+                evid = json.load(f)
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "local")
+        for name in green:
+            evid[name] = {
+                "hash": cur[name],
+                "sf_dir": sf_dir,
+                "recorded": rnd,
+            }
+        with open(evid_path, "w") as f:
+            json.dump(evid, f, indent=1, sort_keys=True)
+        print(f"recorded {len(green)} green entries to {evid_path}")
     return 1 if failed else 0
 
 

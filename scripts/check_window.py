@@ -36,6 +36,14 @@ Usage::
 ``--update`` is part of cutting a round: run it AFTER arranging the
 window so next round's check compares against this round's verified
 state.
+
+Evidence path (r13, ADVICE r12): when a module edit flips more query
+hashes than the 50-slot window holds, the overflow is NOT silently
+re-baselined — each changed query beyond the window must carry an
+entry in ``scripts/local_verified.json`` whose hash equals the query's
+CURRENT v2 hash, written only by a green
+``scripts/check_oracle.py --record`` run. Evidence self-invalidates on
+any further change; NEW queries never pass on evidence.
 """
 
 from __future__ import annotations
@@ -274,23 +282,45 @@ def main() -> int:
         cur = v1_hashes()
         fmt = "v1 (legacy — run --update to upgrade to the module-aware v2)"
     window = set(list(C.queries())[: C.DRIVER_WINDOW])
-    bad = [
-        name
-        for name, h in cur.items()
-        if prev.get(name) != h and name not in window
-    ]
+    # Hash-bound local re-verification evidence (ADVICE r12): a CHANGED
+    # query beyond the window passes iff scripts/local_verified.json
+    # holds an entry recorded by a GREEN check_oracle.py --record run at
+    # the query's CURRENT v2 hash. Evidence self-invalidates on any
+    # further change; NEW queries never pass on evidence — they must
+    # enter the window for real driver verification.
+    evid_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "local_verified.json"
+    )
+    evidence: dict[str, dict] = {}
+    if os.path.exists(evid_path):
+        with open(evid_path) as f:
+            evidence = json.load(f)
+    bad = []
+    reverified = 0
+    for name, h in cur.items():
+        if prev.get(name) == h or name in window:
+            continue
+        ev = evidence.get(name)
+        if name in prev and ev and ev.get("hash") == h:
+            reverified += 1
+            continue
+        bad.append(name)
     for name in bad:
         why = "NEW" if name not in prev else "CHANGED"
         print(
-            f"FAIL  {name}: {why} since the last manifest but beyond the "
-            f"driver window (window={C.DRIVER_WINDOW})"
+            f"FAIL  {name}: {why} since the last manifest, beyond the "
+            f"driver window (window={C.DRIVER_WINDOW}), and no "
+            "current-hash entry in local_verified.json — re-window it "
+            "or re-verify with scripts/check_oracle.py --record"
         )
     if bad:
         return 1
     n_changed = sum(1 for name, h in cur.items() if prev.get(name) != h)
     print(
-        f"OK  {len(cur)} queries [{fmt}]; {n_changed} changed/new, "
-        "all inside the driver window"
+        f"OK  {len(cur)} queries [{fmt}]; {n_changed} changed/new — "
+        f"{n_changed - reverified} inside the driver window, "
+        f"{reverified} beyond it with current-hash local re-verification "
+        "evidence"
     )
     return 0
 

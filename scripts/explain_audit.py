@@ -1176,6 +1176,27 @@ CHECKS: list[tuple[str, str, object]] = [
         and "ArrowEvalPython" not in p,
     ),
     (
+        "@scc_color_round",
+        "SCC coloring round: ONE skinny edge-keyed equi-join + "
+        "partial-aggregated min (map-side combine) — no window, no "
+        "cartesian, no Python in the plan executed diameter-many times",
+        lambda p: "partial_min" in p
+        and "windowspecdefinition" not in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "graph_scc_condensation",
+        "SCC condensation: label equi-joins + ONE partial-agg count — "
+        "no cartesian, no Python (the only windows in the plan are the "
+        "fixture's per-customer sequence windows, not the contraction)",
+        lambda p: "partial_count" in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
         "graph_scale_properties",
         "property scaling: scan pruned to (id, value), ONE partial-agg "
         "global stats row broadcast via a 1-row nested-loop cross join "
@@ -1637,7 +1658,50 @@ def _cc_inc_remap(spark, sf: str):
     return connected_components_incremental(labels, delta)
 
 
+def _scc_color_round(spark, sf: str):
+    """One forward min-label relaxation round of the SCC coloring
+    fixpoint over the order-cycle fixture edges — the per-round plan
+    the operator executes diameter-many times, pinned directly (the
+    @lpa_iter / @eigen_iter precedent)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.queries import _scc_edges
+
+    e = (
+        _scc_edges(spark, sf)
+        .select(
+            F.col("sourceNodeId").alias("_s"),
+            F.col("targetNodeId").alias("_t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    color = (
+        e.select(F.col("_s").alias("nodeId"))
+        .unionByName(e.select(F.col("_t").alias("nodeId")))
+        .distinct()
+        .select("nodeId", F.col("nodeId").alias("_color"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        e.join(
+            color.select(
+                F.col("nodeId").alias("_s"), F.col("_color").alias("_cs")
+            ),
+            "_s",
+        )
+        .groupBy(F.col("_t").alias("nodeId"))
+        .agg(F.min("_cs").alias("_cin"))
+    )
+    return color.join(cand, "nodeId", "left_outer").select(
+        "nodeId",
+        F.least(
+            F.col("_color"), F.coalesce("_cin", F.col("_color"))
+        ).alias("_color"),
+    )
+
+
 CUSTOM_BUILDERS = {
+    "@scc_color_round": _scc_color_round,
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,
     "@hits_iter": _hits_iter,

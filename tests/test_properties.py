@@ -265,3 +265,144 @@ def test_interval_overlap_matches_bruteforce(spark):
         assert got == want
 
     check()
+
+
+def test_dag_family_cycle_guard_property(spark):
+    """VERDICT r12 #8: random near-DAG digraphs — cyclic input must
+    RAISE loudly from dag_longest_path and topological_order (never
+    silently wrong levels); acyclic input must match the brute-force
+    longest path and yield a rank order every edge ascends."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        dag_longest_path,
+        topological_order,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    )
+
+    def is_cyclic(pairs):
+        adj = {}
+        for s, t in pairs:
+            adj.setdefault(s, set()).add(t)
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {n: WHITE for p in pairs for n in p}
+
+        def dfs(u):
+            color[u] = GRAY
+            for v in adj.get(u, ()):
+                if color[v] == GRAY or (color[v] == WHITE and dfs(v)):
+                    return True
+            color[u] = BLACK
+            return False
+
+        return any(color[n] == WHITE and dfs(n) for n in list(color))
+
+    def brute_levels(pairs):
+        nodes = {n for p in pairs for n in p}
+        lv = {n: 0 for n in nodes}
+        for _ in range(len(nodes) + 1):
+            changed = False
+            for s, t in pairs:
+                if lv[s] + 1 > lv[t]:
+                    lv[t] = lv[s] + 1
+                    changed = True
+            if not changed:
+                break
+        return lv
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=12, unique=True))
+    def check(pairs):
+        df = spark.createDataFrame(
+            pairs, "sourceNodeId long, targetNodeId long"
+        )
+        if is_cyclic(pairs):
+            try:
+                dag_longest_path(df, max_iter=24).collect()
+                raise AssertionError(
+                    f"cycle {pairs} must raise, not return levels"
+                )
+            except RuntimeError:
+                pass
+            try:
+                topological_order(df, max_iter=24).collect()
+                raise AssertionError(f"cycle {pairs} must raise in topo")
+            except RuntimeError:
+                pass
+        else:
+            got = {
+                r["nodeId"]: r["level"]
+                for r in dag_longest_path(df, max_iter=24).collect()
+            }
+            assert got == brute_levels(pairs), pairs
+            ranks = {
+                r["nodeId"]: r["topo_rank"]
+                for r in topological_order(df, max_iter=24).collect()
+            }
+            for s, t in pairs:
+                assert ranks[s] < ranks[t], (pairs, ranks)
+
+    check()
+
+
+def test_cc_incremental_random_deltas_match_full_recompute(spark):
+    """VERDICT r12 #8: random delta batches (self-loops, cycles,
+    brand-new nodes, already-merged edges) folded into a prior
+    labeling must be bit-identical to the brute-force union-find over
+    base ∪ delta — min-of-mins exactness under arbitrary deltas."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        connected_components_incremental,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    )
+
+    def uf_labels(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, t in pairs:
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[max(rs, rt)] = min(rs, rt)
+        return {n: find(n) for n in nodes}
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(edge, min_size=1, max_size=10, unique=True),
+        st.lists(edge, min_size=1, max_size=8, unique=True),
+    )
+    def check(base, delta):
+        base_nodes = sorted({n for p in base for n in p})
+        old = uf_labels(base, base_nodes)
+        old_df = spark.createDataFrame(
+            list(old.items()), "nodeId long, component long"
+        )
+        delta_df = spark.createDataFrame(
+            delta, "sourceNodeId long, targetNodeId long"
+        )
+        got = {
+            r["nodeId"]: r["component"]
+            for r in connected_components_incremental(
+                old_df, delta_df
+            ).collect()
+        }
+        all_nodes = sorted(
+            set(base_nodes) | {n for p in delta for n in p}
+        )
+        assert got == uf_labels(base + delta, all_nodes), (base, delta)
+
+    check()

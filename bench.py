@@ -232,9 +232,15 @@ HEADLINE = [
     "overlap_join_orders",
     "stats_weighted_quantiles",
     "graph_node_similarity_topk",
-    # round 13: directed SCC (coloring decomposition) + condensation DAG
+    # round 13: directed SCC (coloring decomposition) + condensation
+    # DAG, theta-style KMV set ops, Pareto frontier, bigram
+    # collocation lift, batched-decile binning (9 ranks, one narrowing)
     "graph_scc",
     "graph_scc_condensation",
+    "stats_kmv_setops",
+    "pareto_parts",
+    "text_colloc_lift",
+    "stats_decile_bins",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

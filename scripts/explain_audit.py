@@ -897,7 +897,10 @@ CHECKS: list[tuple[str, str, object]] = [
         lambda p: "CartesianProduct" not in p
         and len(re.findall(r"windowspecdefinition\(", p)) > 0
         and all(
-            m == "_pb"
+            # _pb itself, or the projected pmod(_pb, 1) constant
+            # (printed as a _wN alias) that bucket_offsets' bounded
+            # offset window partitions on since r13's warning sweep
+            m == "_pb" or m.startswith("_w")
             for m in re.findall(r"windowspecdefinition\((\w+)#", p)
         )
         and "BroadcastHashJoin" in p
@@ -1029,9 +1032,11 @@ CHECKS: list[tuple[str, str, object]] = [
     (
         "stats_kmv_distinct",
         "KMV bottom-k: scan pruned to the key column, the rank limit "
-        "compiled to TakeOrderedAndProject (per-partition bottom-k "
-        "before the exchange — no global sort), no joins, no Python",
-        lambda p: "TakeOrderedAndProject" in p
+        "compiled to a local bottom-k before the exchange (r13: "
+        "WindowGroupLimit under the constant-partitioned window — "
+        "previously TakeOrderedAndProject under the unpartitioned one; "
+        "both keep <= k rows per map task), no joins, no Python",
+        lambda p: ("TakeOrderedAndProject" in p or "WindowGroupLimit" in p)
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 1
         and "Join" not in p
@@ -1195,6 +1200,45 @@ CHECKS: list[tuple[str, str, object]] = [
         and "CartesianProduct" not in p
         and "BatchEvalPython" not in p
         and "ArrowEvalPython" not in p,
+    ),
+    (
+        "pareto_parts",
+        "Pareto frontier: per-x reduction + bucketed suffix max + semi "
+        "keep-filter — no cartesian, no O(n^2) dominance join, no "
+        "Python",
+        lambda p: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "LeftSemi" in p,
+    ),
+    (
+        "text_colloc_lift",
+        "collocations: bigrams form INSIDE the row (zip_with in "
+        "codegen, no posexplode self-join), partial-agg pair counts, "
+        "no cartesian with scans (1-row totals only), no Python",
+        lambda p: "zip_with" in p
+        and "partial_count" in p
+        and "BatchEvalPython" not in p
+        and _broadcasts_only_hold_aggregates(p),
+    ),
+    (
+        "stats_decile_bins",
+        "decile binning: the 9 boundaries ride as literals in ONE "
+        "codegen CASE map + one partial-agg — no join, no window, no "
+        "sort, no Python in the binning plan",
+        lambda p: "partial_count" in p
+        and "Join" not in p
+        and "windowspecdefinition" not in p
+        and "Sort" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
+        "stats_kmv_setops",
+        "KMV set ops: bounded <= k-row inputs — the only scan-bearing "
+        "broadcast subtrees are aggregated sketch sides, full-outer "
+        "hash join on 8-byte hashes, no Python",
+        lambda p: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and ("FullOuter" in p or "full_outer" in p),
     ),
     (
         "graph_scale_properties",

@@ -241,6 +241,7 @@ HEADLINE = [
     "pareto_parts",
     "text_colloc_lift",
     "stats_decile_bins",
+    "stats_grouped_quantiles",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

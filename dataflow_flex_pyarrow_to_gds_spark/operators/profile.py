@@ -520,10 +520,14 @@ def bloom_probe(
     )
 
 
-def _range_cond(lo, hi) -> Column:
+def _range_cond(g, lo, hi) -> Column:
     """Half-open candidate-range predicate ``lo < _x <= hi`` (None =
-    unbounded) — the narrowing invariant both quantile operators keep."""
+    unbounded) — the narrowing invariant every quantile operator keeps.
+    ``g`` (a group INDEX, None = ungrouped) prepends an equality on the
+    ``_g`` tag column: grouped ranks narrow inside their group only."""
     cond = F.lit(True)
+    if g is not None:
+        cond = cond & (F.col("_g") == F.lit(g))
     if lo is not None:
         cond = cond & (F.col("_x") > F.lit(lo))
     if hi is not None:
@@ -534,19 +538,20 @@ def _range_cond(lo, hi) -> Column:
 def _rid_expr(ranges: list[tuple]) -> Column:
     """Range-id CASE over a DISJOINT range list (rows outside every
     range get NULL and are filtered). Disjointness is structural: all
-    ranks start on the full column, and states sharing a range share
-    that round's boundary list, so ranges stay identical-or-disjoint
-    (a laminar family) every round."""
+    ranks start on their group's full column, groups are disjoint by
+    definition, and states sharing a range share that round's boundary
+    list, so ranges stay identical-or-disjoint (a laminar family)
+    every round."""
     expr = F.lit(None).cast("int")
-    for i, (lo, hi) in enumerate(ranges):
-        expr = F.when(_range_cond(lo, hi), F.lit(i)).otherwise(expr)
+    for i, (g, lo, hi) in enumerate(ranges):
+        expr = F.when(_range_cond(g, lo, hi), F.lit(i)).otherwise(expr)
     return expr
 
 
 def _uniq_ranges(states: list[dict]) -> list[tuple]:
     out: list[tuple] = []
     for s in states:
-        rng = (s["lo"], s["hi"])
+        rng = (s.get("g"), s["lo"], s["hi"])
         if rng not in out:
             out.append(rng)
     return out
@@ -572,7 +577,7 @@ def _finish_ranks_batch(
     ).filter(F.col("_rid").isNotNull())
     needs = spark.createDataFrame(
         [
-            (ranges.index((s["lo"], s["hi"])), i, int(s["r"]))
+            (ranges.index((s.get("g"), s["lo"], s["hi"])), i, int(s["r"]))
             for i, s in enumerate(states)
         ],
         "_rid int, _sidx int, _r long",
@@ -683,7 +688,7 @@ def _narrow_ranks_batched(
             .collect()
         }
         for s in active:
-            ridx = ranges.index((s["lo"], s["hi"]))
+            ridx = ranges.index((s.get("g"), s["lo"], s["hi"]))
             uniq = bounds[ridx]
             run = 0
             for j in range(len(uniq) + 1):
@@ -793,6 +798,110 @@ def exact_quantiles(
     return spark.createDataFrame(
         [(float(s["q"]), s["rank"], s["val"]) for s in states],
         f"quantile double, rank long, value {vtype}",
+    )
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    *,
+    n_buckets: int = 32,
+    local_threshold: int = 100_000,
+    max_rounds: int = 8,
+    max_groups: int = 64,
+) -> DataFrame:
+    """EXACT per-group order-statistic quantiles → one row per
+    (group, requested q): ``(group, quantile, rank, value)`` with the
+    same type-1 ``rank = floor((n_g−1)·q) + 1`` convention as
+    :func:`exact_quantiles`, computed over each group's own multiset —
+    the per-segment SLA/billing cut-off ("p99 latency per tenant",
+    "median price per return flag") that a global quantile flattens.
+
+    The r13 BATCHED narrowing engine generalizes with a group
+    dimension for free: every (group, q) pair is one rank state, its
+    candidate range carries the group index, and because groups are
+    disjoint the laminar-range invariant holds unchanged — so ALL
+    groups × ALL quantiles still localize together at the same
+    constant TWO cluster actions per round (grouped boundaries +
+    grouped bucket stats), NOT groups×quantiles separate narrowings.
+    The practical bound is driver state: ranges ride a literal CASE
+    column, so the distinct group count must be driver-bounded —
+    ``max_groups`` raises LOUDLY past it (the IVF/PQ bounded-budget
+    contract; for high-cardinality groups use ``percentile_approx``
+    per group, which is what it exists for).
+    """
+    if not quantiles:
+        raise ValueError("exact_quantiles_grouped: no quantiles requested")
+    if any(not 0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(
+            f"exact_quantiles_grouped: q outside [0,1]: {quantiles}"
+        )
+    if max_groups < 1:
+        raise ValueError(
+            f"exact_quantiles_grouped: max_groups must be >= 1, "
+            f"got {max_groups}"
+        )
+    base = df.select(
+        F.col(group_col).alias("_gv"), F.col(value_col).alias("_x")
+    ).filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
+    counts = base.groupBy("_gv").agg(F.count(F.lit(1)).alias("_n"))
+    rows = counts.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"exact_quantiles_grouped: more than max_groups="
+            f"{max_groups} distinct groups — the range CASE is driver-"
+            "bounded by contract; use percentile_approx for "
+            "high-cardinality grouping"
+        )
+    groups = sorted((r["_gv"], r["_n"]) for r in rows)
+    gidx = F.lit(None).cast("int")
+    for i, (gv, _n) in enumerate(groups):
+        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
+    vals = base.select(gidx.alias("_g"), "_x")
+    states = []
+    for i, (gv, n_g) in enumerate(groups):
+        for q in quantiles:
+            states.append(
+                {
+                    "gv": gv,
+                    "g": i,
+                    "q": q,
+                    "rank": int((n_g - 1) * q) + 1,
+                    "r": int((n_g - 1) * q) + 1,
+                    "lo": None,
+                    "hi": None,
+                    "cnt": n_g,
+                    "val": None,
+                }
+            )
+    _narrow_ranks_batched(
+        vals,
+        states,
+        weighted=False,
+        n_buckets=n_buckets,
+        local_threshold=local_threshold,
+        max_rounds=max_rounds,
+        op_name="exact_quantiles_grouped",
+    )
+    spark = df.sparkSession
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("quantile", DoubleType(), False),
+            StructField("rank", LongType(), False),
+            StructField("value", df.schema[value_col].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (s["gv"], float(s["q"]), s["rank"], s["val"])
+            for s in states
+        ],
+        schema,
     )
 
 

@@ -1232,6 +1232,20 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "@gq_round",
+        "grouped-quantiles narrowing round: ONE partial-agg "
+        "(count, min, max) pass over a literal group+range CASE "
+        "routing, scan pruned to (group, value), no sort, no window, "
+        "no Python — groups multiply STATES, not cluster actions",
+        lambda p: "partial_count" in p
+        and "partial_min" in p
+        and "Sort" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
         "stats_kmv_setops",
         "KMV set ops: bounded <= k-row inputs — the only scan-bearing "
         "broadcast subtrees are aggregated sketch sides, full-outer "
@@ -1744,7 +1758,43 @@ def _scc_color_round(spark, sf: str):
     )
 
 
+def _gq_round(spark, sf: str):
+    """One grouped-quantiles narrowing round: the (group, bucket)
+    stats pass over the literal group+range CASE routing — the plan
+    the r13 grouped engine executes per round (the @quantile_round /
+    @wq_round precedent with the group dimension live)."""
+    from pyspark.sql import functions as F
+
+    vals = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(
+            F.col("l_returnflag").alias("_gv"),
+            F.col("l_extendedprice").alias("_x"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
+    )
+    gidx = F.lit(None).cast("int")
+    for i, gv in enumerate(["A", "N", "R"]):
+        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
+    tagged = vals.select(gidx.alias("_g"), "_x")
+    rid = F.lit(None).cast("int")
+    for i in range(3):
+        rid = F.when(F.col("_g") == F.lit(i), F.lit(i)).otherwise(rid)
+    filtered = tagged.select(rid.alias("_rid"), "_x").filter(
+        F.col("_rid").isNotNull()
+    )
+    bucket = F.lit(0)
+    for j, b in enumerate([10000.0, 30000.0, 50000.0]):
+        bucket = F.when(F.col("_x") > F.lit(b), j + 1).otherwise(bucket)
+    return filtered.groupBy("_rid", bucket.alias("_bk")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    )
+
+
 CUSTOM_BUILDERS = {
+    "@gq_round": _gq_round,
     "@scc_color_round": _scc_color_round,
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,
     "@lpa_iter": _lpa_iter,

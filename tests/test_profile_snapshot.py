@@ -1041,3 +1041,43 @@ def test_interval_overlap_reversed_interval_raises(spark):
             left_id="lid", left_start="ls", left_end="le",
             right_id="rid", right_start="rs", right_end="re",
         ).collect()
+
+
+def test_exact_quantiles_grouped_python_replay_and_guards(spark):
+    """Per-group batched narrowing (r13): every (group, q) rank matches
+    the brute-force per-group sorted()[rank-1] with narrowing FORCED
+    (threshold below the group sizes); guards raise loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles_grouped,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice("abc"), float(rng.randrange(500)))
+        for _ in range(3000)
+    ] + [("solo", 42.0)]  # a 1-row group hits the immediate finish
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = exact_quantiles_grouped(
+        df, "g", "v", [0.25, 0.5, 0.9], local_threshold=150
+    ).collect()
+    assert len(got) == 4 * 3
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    for r in got:
+        vs = sorted(by[r["g"]])
+        rank = int((len(vs) - 1) * r["quantile"]) + 1
+        assert r["rank"] == rank, r
+        assert r["value"] == vs[rank - 1], r
+    with _pytest.raises(ValueError, match="max_groups"):
+        exact_quantiles_grouped(df, "g", "v", [0.5], max_groups=2)
+    with _pytest.raises(ValueError, match="no quantiles"):
+        exact_quantiles_grouped(df, "g", "v", [])
+    with _pytest.raises(ValueError, match="outside"):
+        exact_quantiles_grouped(df, "g", "v", [1.5])

@@ -242,6 +242,7 @@ HEADLINE = [
     "text_colloc_lift",
     "stats_decile_bins",
     "stats_grouped_quantiles",
+    "events_kmv_setops",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

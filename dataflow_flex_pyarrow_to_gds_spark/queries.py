@@ -10509,6 +10509,97 @@ _RELATIONAL_ORACLES["stats_decile_bins"] = """
 """
 
 
+def q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set ops over event segments (r13 — the composition row of
+    the sketch algebra: build per-segment sketches the kmv_store way,
+    then answer the CROSS-segment question): how many distinct users
+    clicked ∪/∩/\\ purchased, from two bottom-32 sketches. The funnel
+    overlap a product dashboard asks of a 100-TB event log, answered
+    from two ≤ k-row sketch tables instead of two corpus scans plus a
+    distinct join."""
+    from .operators.profile import kmv_set_ops, kmv_sketch
+    from .streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    a = kmv_sketch(
+        ev.filter(F.col("event_type") == "click"),
+        "user_id",
+        k=_KMV_ROLLUP_K,
+        seed=_KMV_SEED,
+    )
+    b = kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        k=_KMV_ROLLUP_K,
+        seed=_KMV_SEED,
+    )
+    return kmv_set_ops(a, b, k=_KMV_ROLLUP_K)
+
+
+def _events_kmv_setops_oracle_sql(
+    k: int = _KMV_ROLLUP_K, seed: int = _KMV_SEED
+) -> str:
+    h = _kmv_hash_sql("user_id", seed=seed)
+    shift = "9223372036854775809::HUGEINT"
+    two64 = "18446744073709551616::HUGEINT"
+
+    def est(cnt: str) -> str:
+        return (
+            f"CASE WHEN theta IS NULL THEN CAST({cnt} AS BIGINT) "
+            f"ELSE CAST(({cnt}::HUGEINT * {two64}) // "
+            f"(theta::HUGEINT + {shift}) AS BIGINT) END"
+        )
+
+    return f"""
+        WITH
+        ha AS (SELECT DISTINCT {h} AS hh FROM events
+               WHERE event_type = 'click'),
+        hb AS (SELECT DISTINCT {h} AS hh FROM events
+               WHERE event_type = 'purchase'),
+        ba AS (SELECT hh FROM ha ORDER BY hh ASC LIMIT {k}),
+        bb AS (SELECT hh FROM hb ORDER BY hh ASC LIMIT {k}),
+        st AS (
+            SELECT (SELECT count(*) FROM ba) AS na,
+                   (SELECT max(hh) FROM ba) AS ma,
+                   (SELECT count(*) FROM bb) AS nb,
+                   (SELECT max(hh) FROM bb) AS mb
+        ),
+        th AS (
+            SELECT CASE WHEN na >= {k} AND nb >= {k} THEN least(ma, mb)
+                        WHEN na >= {k} THEN ma
+                        WHEN nb >= {k} THEN mb
+                        ELSE NULL END AS theta
+            FROM st
+        ),
+        u AS (
+            SELECT coalesce(a.hh, b.hh) AS hh,
+                   CASE WHEN a.hh IS NULL THEN 0 ELSE 1 END AS ia,
+                   CASE WHEN b.hh IS NULL THEN 0 ELSE 1 END AS ib
+            FROM ba a FULL OUTER JOIN bb b ON a.hh = b.hh
+        ),
+        f AS (
+            SELECT u.* FROM u, th
+            WHERE th.theta IS NULL OR u.hh < th.theta
+        ),
+        c AS (
+            SELECT count(*) AS cu, sum(ia * ib) AS ci,
+                   sum(ia * (1 - ib)) AS coa,
+                   sum(ib * (1 - ia)) AS cob
+            FROM f
+        )
+        SELECT CAST({k} AS BIGINT) AS kmv_k,
+               th.theta AS theta_hash,
+               {est('cu')} AS union_est,
+               {est('ci')} AS intersect_est,
+               {est('coa')} AS only_a_est,
+               {est('cob')} AS only_b_est
+        FROM c, th
+    """
+
+
+_RELATIONAL_ORACLES["events_kmv_setops"] = _events_kmv_setops_oracle_sql()
+
+
 def q_stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (r13 — the per-segment SLA/billing
     cut-off a global quantile flattens: "p25/p50/p90 price per return
@@ -10678,6 +10769,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "rollup_lineitem",
         "salted_agg_events",
         "sample_cluster_balance",
+        "stats_table_profile",
         "salted_join_parts",
         "sample_dsir_selection",
         "sample_importance_weights",
@@ -10749,6 +10841,7 @@ def _specs() -> dict[str, QuerySpec]:
         "text_colloc_lift": q_text_colloc_lift,
         "stats_decile_bins": q_stats_decile_bins,
         "stats_grouped_quantiles": q_stats_grouped_quantiles,
+        "events_kmv_setops": q_events_kmv_setops,
         # -- changed in round 13 and therefore re-windowed: the batched
         # -- multi-rank quantile narrowing (VERDICT r12 #3) rewrote both
         # -- quantile rows; the GDS Max-scaler divisor and the MMR
@@ -10802,7 +10895,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "embedding_random_projection": q_embedding_random_projection,
-        "stats_table_profile": q_stats_table_profile,
         "stats_contract_violations": q_stats_contract_violations,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
         # ---- entries beyond this line sit past the driver window and ----
@@ -10812,6 +10904,7 @@ def _specs() -> dict[str, QuerySpec]:
         # displaced by the r13 grouped-quantiles row; r9 driver-green,
         # current-hash local evidence recorded
         "sample_cluster_balance": q_sample_cluster_balance,
+        "stats_table_profile": q_stats_table_profile,
         "assoc_rules_parts": q_assoc_rules_parts,
         "graph_assortativity": q_graph_assortativity,
         "graph_kmeans": q_graph_kmeans,

@@ -172,3 +172,12 @@ __all__ = [
     "corpus_df_stats",
     "triangle_count",
 ]
+from .scc import scc_condensation, strongly_connected_components
+from .skyline import pareto_frontier
+from .colloc import bigram_collocations
+from .profile import (
+    exact_quantiles,
+    exact_quantiles_grouped,
+    exact_weighted_quantiles,
+    kmv_set_ops,
+)

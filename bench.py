@@ -243,6 +243,7 @@ HEADLINE = [
     "stats_decile_bins",
     "stats_grouped_quantiles",
     "events_kmv_setops",
+    "stats_grouped_wquantiles",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

@@ -801,6 +801,116 @@ def exact_quantiles(
     )
 
 
+def exact_weighted_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[float],
+    *,
+    n_buckets: int = 32,
+    local_threshold: int = 100_000,
+    max_rounds: int = 8,
+    max_groups: int = 64,
+) -> DataFrame:
+    """Per-group WEIGHTED exact quantiles → ``(group, quantile, rank,
+    value)`` with ``rank = floor((W_g−1)·q) + 1`` over each group's
+    total integer weight — the full generality point of the r13
+    batched engine: group dimension (this function and
+    :func:`exact_quantiles_grouped`) × weight measure
+    (:func:`exact_weighted_quantiles`) compose with NO new machinery,
+    because group indexes live in the range CASE and weight mass in
+    the bucket stats — still a constant two cluster actions per round
+    for ALL groups × ALL quantiles. Weights positive int64 by the
+    loud shared contract; group cardinality driver-bounded by
+    ``max_groups`` (the literal-CASE budget)."""
+    if not quantiles:
+        raise ValueError(
+            "exact_weighted_quantiles_grouped: no quantiles requested"
+        )
+    if any(not 0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(
+            f"exact_weighted_quantiles_grouped: q outside [0,1]: "
+            f"{quantiles}"
+        )
+    if max_groups < 1:
+        raise ValueError(
+            f"exact_weighted_quantiles_grouped: max_groups must be "
+            f">= 1, got {max_groups}"
+        )
+    base = df.select(
+        F.col(group_col).alias("_gv"),
+        F.col(value_col).alias("_x"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
+    bad = base.filter(
+        F.col("_w").isNull() | (F.col("_w") <= 0)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "exact_weighted_quantiles_grouped: weights must be "
+            "positive non-null integers"
+        )
+    counts = base.groupBy("_gv").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_W")
+    )
+    rows = counts.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"exact_weighted_quantiles_grouped: more than max_groups="
+            f"{max_groups} distinct groups — the range CASE is driver-"
+            "bounded by contract"
+        )
+    groups = sorted((r["_gv"], r["_n"], r["_W"]) for r in rows)
+    gidx = F.lit(None).cast("int")
+    for i, (gv, _n, _W) in enumerate(groups):
+        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
+    vals = base.select(gidx.alias("_g"), "_x", "_w")
+    states = []
+    for i, (gv, n_g, W_g) in enumerate(groups):
+        for q in quantiles:
+            states.append(
+                {
+                    "gv": gv,
+                    "g": i,
+                    "q": q,
+                    "rank": int((W_g - 1) * q) + 1,
+                    "r": int((W_g - 1) * q) + 1,
+                    "lo": None,
+                    "hi": None,
+                    "cnt": n_g,  # ROW count gates the local finish
+                    "val": None,
+                }
+            )
+    _narrow_ranks_batched(
+        vals,
+        states,
+        weighted=True,
+        n_buckets=n_buckets,
+        local_threshold=local_threshold,
+        max_rounds=max_rounds,
+        op_name="exact_weighted_quantiles_grouped",
+    )
+    spark = df.sparkSession
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(group_col, df.schema[group_col].dataType, True),
+            StructField("quantile", DoubleType(), False),
+            StructField("rank", LongType(), False),
+            StructField("value", df.schema[value_col].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (s["gv"], float(s["q"]), s["rank"], s["val"])
+            for s in states
+        ],
+        schema,
+    )
+
+
 def exact_quantiles_grouped(
     df: DataFrame,
     group_col: str,
@@ -1125,13 +1235,24 @@ def kmv_set_ops(
     tagged = both.crossJoin(F.broadcast(stats)).filter(
         F.col("_theta").isNull() | (F.col("_h") < F.col("_theta"))
     )
-    # _g rides the groupBy so the k-mismatch raise_error cannot be
-    # pruned out of the plan (it is always 0 when the contract holds)
-    counts = tagged.groupBy("_theta", "_g").agg(
+    # ONE global aggregate (never a groupBy — two empty sketches must
+    # still yield the single all-zero row an ANSI aggregate produces);
+    # _theta and _g are constants across rows, min() recovers them, and
+    # referencing _g here keeps the k-mismatch raise_error un-prunable
+    # (it is always 0 when the contract holds)
+    counts = tagged.agg(
+        F.min("_theta").alias("_theta"),
+        F.coalesce(F.min("_g"), F.lit(0)).alias("_g"),
         F.count(F.lit(1)).alias("_cu"),
-        F.sum((F.col("_a") * F.col("_b"))).alias("_ci"),
-        F.sum(F.col("_a") * (1 - F.col("_b"))).alias("_coa"),
-        F.sum(F.col("_b") * (1 - F.col("_a"))).alias("_cob"),
+        F.coalesce(
+            F.sum(F.col("_a") * F.col("_b")), F.lit(0)
+        ).alias("_ci"),
+        F.coalesce(
+            F.sum(F.col("_a") * (1 - F.col("_b"))), F.lit(0)
+        ).alias("_coa"),
+        F.coalesce(
+            F.sum(F.col("_b") * (1 - F.col("_a"))), F.lit(0)
+        ).alias("_cob"),
     )
 
     def est(cnt: str) -> Column:

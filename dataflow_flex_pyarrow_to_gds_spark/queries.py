@@ -10600,6 +10600,53 @@ def _events_kmv_setops_oracle_sql(
 _RELATIONAL_ORACLES["events_kmv_setops"] = _events_kmv_setops_oracle_sql()
 
 
+def q_stats_grouped_wquantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WEIGHTED exact quantiles (r13 — the generality point
+    of the batched engine: group dimension × weight measure compose
+    with no new machinery): "the price under which half the shipped
+    QUANTITY falls, per return flag" — rank = floor((W_g−1)·q)+1 over
+    each group's total integer weight, still a constant two cluster
+    actions per round for all groups × all quantiles, batched
+    range-id-partitioned cumulative finishes. Threshold forced below
+    per-group sizes; values copied parquet doubles — bit-exact."""
+    from .operators.profile import exact_weighted_quantiles_grouped
+
+    return exact_weighted_quantiles_grouped(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        [0.5, 0.9],
+        local_threshold=5_000,
+    )
+
+
+_RELATIONAL_ORACLES["stats_grouped_wquantiles"] = """
+    WITH v AS (
+        SELECT l_returnflag AS g, l_extendedprice AS x,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ),
+    n AS (SELECT g, sum(w) AS W FROM v GROUP BY g),
+    cum AS (
+        SELECT g, x,
+               sum(w) OVER (
+                   PARTITION BY g ORDER BY x ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw
+        FROM (SELECT g, x, sum(w) AS w FROM v GROUP BY g, x)
+    ),
+    qq AS (SELECT unnest([0.5, 0.9]) AS q)
+    SELECT n.g AS l_returnflag, qq.q AS quantile,
+           CAST(floor((n.W - 1) * qq.q) + 1 AS BIGINT) AS rank,
+           (SELECT min(cum.x) FROM cum
+            WHERE cum.g = n.g
+              AND cum.cw >= floor((n.W - 1) * qq.q) + 1) AS value
+    FROM n CROSS JOIN qq
+"""
+
+
 def q_stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact quantiles (r13 — the per-segment SLA/billing
     cut-off a global quantile flattens: "p25/p50/p90 price per return
@@ -10770,6 +10817,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "salted_agg_events",
         "sample_cluster_balance",
         "stats_table_profile",
+        "dedup_semantic_incremental",
         "salted_join_parts",
         "sample_dsir_selection",
         "sample_importance_weights",
@@ -10842,6 +10890,7 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_decile_bins": q_stats_decile_bins,
         "stats_grouped_quantiles": q_stats_grouped_quantiles,
         "events_kmv_setops": q_events_kmv_setops,
+        "stats_grouped_wquantiles": q_stats_grouped_wquantiles,
         # -- changed in round 13 and therefore re-windowed: the batched
         # -- multi-rank quantile narrowing (VERDICT r12 #3) rewrote both
         # -- quantile rows; the GDS Max-scaler divisor and the MMR
@@ -10893,7 +10942,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_sq8_topk": q_similarity_sq8_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
-        "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "embedding_random_projection": q_embedding_random_projection,
         "stats_contract_violations": q_stats_contract_violations,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
@@ -10905,6 +10953,7 @@ def _specs() -> dict[str, QuerySpec]:
         # current-hash local evidence recorded
         "sample_cluster_balance": q_sample_cluster_balance,
         "stats_table_profile": q_stats_table_profile,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "assoc_rules_parts": q_assoc_rules_parts,
         "graph_assortativity": q_graph_assortativity,
         "graph_kmeans": q_graph_kmeans,

@@ -1081,3 +1081,46 @@ def test_exact_quantiles_grouped_python_replay_and_guards(spark):
         exact_quantiles_grouped(df, "g", "v", [])
     with _pytest.raises(ValueError, match="outside"):
         exact_quantiles_grouped(df, "g", "v", [1.5])
+
+
+def test_exact_weighted_quantiles_grouped_replay_and_guards(spark):
+    """Group × weight composition (r13): each (group, q) value equals
+    the brute-force weight-expanded per-group order statistic with
+    narrowing forced; shared weight contract raises loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_weighted_quantiles_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice("xy"), float(rng.randrange(300)), rng.randrange(1, 6))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = exact_weighted_quantiles_grouped(
+        df, "g", "v", "w", [0.5, 0.9], local_threshold=100
+    ).collect()
+    assert len(got) == 2 * 2
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v, w in rows:
+        by[g].extend([v] * w)  # explicit weight expansion
+    for r in got:
+        vs = sorted(by[r["g"]])
+        rank = int((len(vs) - 1) * r["quantile"]) + 1
+        assert r["rank"] == rank, r
+        assert r["value"] == vs[rank - 1], r
+    bad = spark.createDataFrame(
+        [("x", 1.0, 0)], "g string, v double, w long"
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        exact_weighted_quantiles_grouped(bad, "g", "v", "w", [0.5])
+    with _pytest.raises(ValueError, match="max_groups"):
+        exact_weighted_quantiles_grouped(
+            df, "g", "v", "w", [0.5], max_groups=1
+        )

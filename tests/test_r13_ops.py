@@ -64,6 +64,28 @@ def test_kmv_set_ops_estimate_regime_python_replay(spark):
         kmv_set_ops(sa, sb, k=1)
 
 
+def test_kmv_set_ops_empty_sketches(spark):
+    """Two empty sketches still yield the single all-zero exact row an
+    ANSI aggregate produces (a groupBy would drop it — the r13 edge
+    fix); one empty side degrades to counting the other below its θ."""
+    empty = spark.createDataFrame([], "v long")
+    full = spark.createDataFrame([(i,) for i in (1, 2, 3)], "v long")
+    k = 8
+    se, sf_ = kmv_sketch(empty, "v", k=k), kmv_sketch(full, "v", k=k)
+    row = kmv_set_ops(se, se, k=k).collect()[0]
+    assert row["theta_hash"] is None
+    assert (
+        row["union_est"],
+        row["intersect_est"],
+        row["only_a_est"],
+        row["only_b_est"],
+    ) == (0, 0, 0, 0)
+    row2 = kmv_set_ops(se, sf_, k=k).collect()[0]
+    assert row2["theta_hash"] is None  # both under-full: exact regime
+    assert row2["union_est"] == 3 and row2["only_b_est"] == 3
+    assert row2["intersect_est"] == 0 and row2["only_a_est"] == 0
+
+
 def test_kmv_set_ops_k_mismatch_raises(spark):
     a = spark.createDataFrame([(i,) for i in range(40)], "v long")
     sa = kmv_sketch(a, "v", k=16)

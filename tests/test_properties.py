@@ -406,3 +406,92 @@ def test_cc_incremental_random_deltas_match_full_recompute(spark):
         assert got == uf_labels(base + delta, all_nodes), (base, delta)
 
     check()
+
+
+def test_batched_quantiles_property(spark):
+    """r13 batched narrowing engine: for random multisets, weights and
+    quantile lists (duplicates-heavy, narrowing forced), every rank —
+    plain, weighted, grouped, grouped-weighted — equals brute force."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+        exact_weighted_quantiles,
+        exact_weighted_quantiles_grouped,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from("pq"),
+                st.integers(min_value=0, max_value=15),  # heavy dups
+                st.integers(min_value=1, max_value=4),
+            ),
+            min_size=5,
+            max_size=60,
+        ),
+        st.lists(
+            st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]),
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+    )
+    def check(rows, qs):
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+
+        def brute(vals, q):
+            vals = sorted(vals)
+            return vals[int((len(vals) - 1) * q)]
+
+        allv = [v for _, v, _ in rows]
+        allw = [v for _, v, w in rows for _ in range(w)]
+        got = {
+            r["quantile"]: r["value"]
+            for r in exact_quantiles(
+                df, "v", qs, local_threshold=4, n_buckets=4
+            ).collect()
+        }
+        assert got == {q: brute(allv, q) for q in qs}
+        gotw = {
+            r["quantile"]: r["value"]
+            for r in exact_weighted_quantiles(
+                df, "v", "w", qs, local_threshold=4, n_buckets=4
+            ).collect()
+        }
+        assert gotw == {q: brute(allw, q) for q in qs}
+        by = {"p": [], "q": []}
+        byw = {"p": [], "q": []}
+        for g, v, w in rows:
+            by[g].append(v)
+            byw[g].extend([v] * w)
+        gg = {
+            (r["g"], r["quantile"]): r["value"]
+            for r in exact_quantiles_grouped(
+                df, "g", "v", qs, local_threshold=4, n_buckets=4
+            ).collect()
+        }
+        expect = {
+            (g, q): brute(vs, q)
+            for g, vs in by.items()
+            if vs
+            for q in qs
+        }
+        assert gg == expect
+        ggw = {
+            (r["g"], r["quantile"]): r["value"]
+            for r in exact_weighted_quantiles_grouped(
+                df, "g", "v", "w", qs, local_threshold=4, n_buckets=4
+            ).collect()
+        }
+        expectw = {
+            (g, q): brute(vs, q)
+            for g, vs in byw.items()
+            if vs
+            for q in qs
+        }
+        assert ggw == expectw
+
+    check()

@@ -244,6 +244,7 @@ HEADLINE = [
     "stats_grouped_quantiles",
     "events_kmv_setops",
     "stats_grouped_wquantiles",
+    "events_resample_interp",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

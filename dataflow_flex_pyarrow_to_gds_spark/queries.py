@@ -10600,6 +10600,79 @@ def _events_kmv_setops_oracle_sql(
 _RELATIONAL_ORACLES["events_kmv_setops"] = _events_kmv_setops_oracle_sql()
 
 
+def q_events_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (r13 — the gap-fill twin of
+    events_resample_locf: LOCF answers step signals, interpolation
+    answers continuously-moving levels): each user's irregular values
+    onto their daily grid, interior gaps filled by the sign-split
+    integer interpolation in micro-units (Spark div truncates toward
+    zero, DuckDB // floors — the split makes both engines compute the
+    identical fp on negative slopes). Same LOCF scaffold: one
+    partial-agg max(struct) representative per day, grid exploded from
+    bounds, neighbor lookups via key-partitioned ignorenulls windows
+    over the already-regularized calendar."""
+    from .operators.resample import resample_interp
+    from .streaming.events import read_events
+
+    return resample_interp(
+        read_events(spark, sf_dir), "user_id", "ts", "value", "event_id"
+    )
+
+
+_RELATIONAL_ORACLES["events_resample_interp"] = """
+    WITH rep AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+                   AS fp
+        FROM (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts DESC, event_id DESC,
+                                CAST(value AS DOUBLE) DESC
+                   ) AS rn
+            FROM events WHERE value IS NOT NULL
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx
+        FROM rep GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM b
+    ),
+    g AS (
+        SELECT g.user_id, g.day, r.fp,
+               last_value(r.fp IGNORE NULLS) OVER w AS pv,
+               last_value(CASE WHEN r.fp IS NOT NULL THEN g.day END
+                          IGNORE NULLS) OVER w AS pd,
+               first_value(r.fp IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN r.fp IS NOT NULL THEN g.day END
+                           IGNORE NULLS) OVER wn AS nd
+        FROM grid g LEFT JOIN rep r
+          ON r.user_id = g.user_id AND r.day = g.day
+        WINDOW w AS (
+            PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), wn AS (
+            PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           CAST(CASE WHEN fp IS NOT NULL THEN fp
+                ELSE pv + (CASE WHEN (nv - pv) * (day - pd) < 0
+                                THEN -1 ELSE 1 END)
+                     * (abs((nv - pv) * (day - pd)) // (nd - pd))
+                END AS BIGINT) AS value_interp_fp,
+           (fp IS NOT NULL) AS is_observed
+    FROM g
+"""
+
+
 def q_stats_grouped_wquantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group WEIGHTED exact quantiles (r13 — the generality point
     of the batched engine: group dimension × weight measure compose
@@ -10818,6 +10891,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "sample_cluster_balance",
         "stats_table_profile",
         "dedup_semantic_incremental",
+        "embedding_random_projection",
         "salted_join_parts",
         "sample_dsir_selection",
         "sample_importance_weights",
@@ -10891,6 +10965,7 @@ def _specs() -> dict[str, QuerySpec]:
         "stats_grouped_quantiles": q_stats_grouped_quantiles,
         "events_kmv_setops": q_events_kmv_setops,
         "stats_grouped_wquantiles": q_stats_grouped_wquantiles,
+        "events_resample_interp": q_events_resample_interp,
         # -- changed in round 13 and therefore re-windowed: the batched
         # -- multi-rank quantile narrowing (VERDICT r12 #3) rewrote both
         # -- quantile rows; the GDS Max-scaler divisor and the MMR
@@ -10942,7 +11017,6 @@ def _specs() -> dict[str, QuerySpec]:
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_sq8_topk": q_similarity_sq8_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
-        "embedding_random_projection": q_embedding_random_projection,
         "stats_contract_violations": q_stats_contract_violations,
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
         # ---- entries beyond this line sit past the driver window and ----
@@ -10954,6 +11028,7 @@ def _specs() -> dict[str, QuerySpec]:
         "sample_cluster_balance": q_sample_cluster_balance,
         "stats_table_profile": q_stats_table_profile,
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "embedding_random_projection": q_embedding_random_projection,
         "assoc_rules_parts": q_assoc_rules_parts,
         "graph_assortativity": q_graph_assortativity,
         "graph_kmeans": q_graph_kmeans,

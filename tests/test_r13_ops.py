@@ -163,3 +163,46 @@ def test_bigram_collocations_hand_counts(spark):
     assert lift == (3 * 13 * 13 * 10**6) // (11 * 3 * 3)
     with pytest.raises(ValueError, match="min_count"):
         bigram_collocations(df, "text", min_count=0)
+
+
+def test_resample_interp_hand_case(spark):
+    """Gap days interpolate linearly in micro-units with truncation
+    toward zero on BOTH slopes; observed days copy floor(v*scale);
+    multi-event days pick the (ts, order)-max representative; null
+    values are not observations."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.resample import (
+        resample_interp,
+    )
+
+    rows = [
+        (1, "2024-01-01 08:00:00", 10.0, 1),
+        (1, "2024-01-01 09:00:00", 12.0, 2),   # same-day winner (later ts)
+        (1, "2024-01-04 00:00:00", 18.0, 3),   # up-slope gap of 2 days
+        (1, "2024-01-06 00:00:00", 11.0, 4),   # down-slope gap of 1 day
+        (1, "2024-01-05 12:00:00", None, 9),   # null: not an observation
+        (2, "2024-02-01 00:00:00", 5.5, 1),    # single-obs key: 1 row
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double, o long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["k"], str(r["day"])[:10]): (
+            r["value_interp_fp"],
+            r["is_observed"],
+        )
+        for r in resample_interp(df, "k", "ts", "v", "o").collect()
+    }
+    M = 10**6
+    # key 1: obs 12.0 @ d1, 18.0 @ d4, 11.0 @ d6
+    assert out[(1, "2024-01-01")] == (12 * M, True)
+    # gap d2: 12 + (18-12)*1 div 3 = 14; d3: 12 + 6*2 div 3 = 16
+    assert out[(1, "2024-01-02")] == (14 * M, False)
+    assert out[(1, "2024-01-03")] == (16 * M, False)
+    assert out[(1, "2024-01-04")] == (18 * M, True)
+    # down-slope gap d5: 18 + sign(-7)*(7*1 div 2) = 18 - 3.5M trunc
+    assert out[(1, "2024-01-05")] == (18 * M - 3_500_000, False)
+    assert out[(1, "2024-01-06")] == (11 * M, True)
+    assert out[(2, "2024-02-01")] == (5_500_000, True)
+    assert len(out) == 7

@@ -1134,6 +1134,20 @@ CHECKS: list[tuple[str, str, object]] = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "events_resample_interp",
+        "interp resampling: per-day representatives via partial-agg "
+        "max(struct) (no per-event window), every neighbor-lookup "
+        "window partitioned by the key over the regularized calendar, "
+        "grid exploded from bounds (no cartesian), no Python",
+        lambda p: "partial_max" in p
+        and "CartesianProduct" not in p
+        and all(
+            m == "_k"
+            for m in re.findall(r"windowspecdefinition\((\w+)#", p)
+        )
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "overlap_join_orders",
         "interval-overlap join: candidates from ONE equi-join on "
         "(key, block) — a hash join, never a nested loop or cartesian "

@@ -520,6 +520,22 @@ def bloom_probe(
     )
 
 
+def _exact_rank(total: int, q: float) -> int:
+    """1-based type-1 rank ``floor((total−1)·q) + 1`` computed in EXACT
+    rational arithmetic over q's shortest-decimal reading (ADVICE r13):
+    ``int((total-1)*q)`` in binary double disagrees with an ANSI
+    engine's DECIMAL multiply whenever the exact product is an integer
+    the float product rounds below (total−1 = 90, q = 0.7 → float
+    62.999…99 → 62 where the exact 63 is right; ~2% of sizes in
+    1..10⁵ hit some decile). ``Fraction(str(q))`` recovers the decimal
+    literal the caller wrote — exactly what DuckDB/ANSI oracles parse
+    a ``0.7`` literal as (DECIMAL, exact) — so both sides floor the
+    same rational at EVERY corpus size, not just the fixture's."""
+    from fractions import Fraction
+
+    return int((total - 1) * Fraction(str(float(q)))) + 1
+
+
 def _range_cond(g, lo, hi) -> Column:
     """Half-open candidate-range predicate ``lo < _x <= hi`` (None =
     unbounded) — the narrowing invariant every quantile operator keeps.
@@ -557,8 +573,95 @@ def _uniq_ranges(states: list[dict]) -> list[tuple]:
     return out
 
 
+def _tag_ranges(
+    vals: DataFrame, ranges: list[tuple], cols: list[str], *, joined: bool
+) -> DataFrame:
+    """Assign each row its surviving-range id → ``(_rid, *cols)``.
+
+    Two strategies with identical semantics (the ranges are laminar —
+    identical or disjoint — so each row matches at most one):
+
+    - ``joined=False``: the literal CASE of :func:`_rid_expr` — zero
+      joins, whole-stage codegen, but the plan grows with the range
+      count, so it is the ≤ :data:`_LITERAL_RANGE_BUDGET` path.
+    - ``joined=True`` (r14, VERDICT r13 #3): the range list becomes a
+      broadcast DataFrame keyed on the group index — the narrowing
+      STATE rides as data, not as plan, so "p99 per tenant" works at
+      10⁴ groups without compiling a 10⁴-arm CASE. Requires every
+      range to carry a group index (grouped engines only); the range
+      table is ≤ groups × ranks rows — skinny and broadcastable by
+      construction.
+    """
+    if not joined:
+        return vals.select(
+            _rid_expr(ranges).alias("_rid"), *cols
+        ).filter(F.col("_rid").isNotNull())
+    if any(g is None for g, _lo, _hi in ranges):
+        raise ValueError(
+            "_tag_ranges: joined tagging requires grouped ranges"
+        )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    vt = vals.schema["_x"].dataType
+    schema = StructType(
+        [
+            StructField("_rg", IntegerType(), False),
+            StructField("_rlo", vt, True),
+            StructField("_rhi", vt, True),
+            StructField("_rid", IntegerType(), False),
+        ]
+    )
+    rng = vals.sparkSession.createDataFrame(
+        [(g, lo, hi, i) for i, (g, lo, hi) in enumerate(ranges)], schema
+    )
+    cond = (
+        F.col("_rlo").isNull() | (F.col("_x") > F.col("_rlo"))
+    ) & (F.col("_rhi").isNull() | (F.col("_x") <= F.col("_rhi")))
+    return (
+        vals.join(F.broadcast(rng), vals["_g"] == rng["_rg"])
+        .filter(cond)
+        .select("_rid", *cols)
+    )
+
+
+#: Largest range count the literal-CASE tagging path compiles into the
+#: plan; beyond it the grouped engines switch to broadcast-join tagging
+#: (:func:`_tag_ranges` ``joined=True``) automatically.
+_LITERAL_RANGE_BUDGET = 64
+
+
+def _group_tagged(
+    base: DataFrame, groups: list[tuple], cols: list[str], *, joined: bool
+) -> DataFrame:
+    """Replace the group VALUE column ``_gv`` with its dense index
+    ``_g`` — literal CASE below :data:`_LITERAL_RANGE_BUDGET` groups,
+    broadcast-joined (value → index) map above it (same rationale as
+    :func:`_tag_ranges`: the map is data, not plan)."""
+    if not joined:
+        gidx = F.lit(None).cast("int")
+        for i, g in enumerate(groups):
+            gidx = F.when(
+                F.col("_gv") == F.lit(g[0]), F.lit(i)
+            ).otherwise(gidx)
+        return base.select(gidx.alias("_g"), *cols)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    gt = base.schema["_gv"].dataType
+    schema = StructType(
+        [
+            StructField("_gv", gt, False),
+            StructField("_g", IntegerType(), False),
+        ]
+    )
+    gmap = base.sparkSession.createDataFrame(
+        [(g[0], i) for i, g in enumerate(groups)], schema
+    )
+    return base.join(F.broadcast(gmap), "_gv").select("_g", *cols)
+
+
 def _finish_ranks_batch(
-    vals: DataFrame, states: list[dict], *, weighted: bool
+    vals: DataFrame, states: list[dict], *, weighted: bool,
+    joined: bool = False,
 ) -> None:
     """ONE action finishing EVERY rank whose surviving range is below
     the local threshold: ranges get a range-id, a window PARTITIONED
@@ -572,9 +675,7 @@ def _finish_ranks_batch(
     spark = vals.sparkSession
     ranges = _uniq_ranges(states)
     cols = ["_x", "_w"] if weighted else ["_x"]
-    filtered = vals.select(
-        _rid_expr(ranges).alias("_rid"), *cols
-    ).filter(F.col("_rid").isNotNull())
+    filtered = _tag_ranges(vals, ranges, cols, joined=joined)
     needs = spark.createDataFrame(
         [
             (ranges.index((s.get("g"), s["lo"], s["hi"])), i, int(s["r"]))
@@ -625,6 +726,7 @@ def _narrow_ranks_batched(
     local_threshold: int,
     max_rounds: int,
     op_name: str,
+    joined: bool = False,
 ) -> None:
     """The shared batched SELECTION engine (VERDICT r12 #3): localize
     ALL requested ranks together, paying a CONSTANT number of cluster
@@ -639,6 +741,18 @@ def _narrow_ranks_batched(
     bucket instead of per range). Ranks whose range falls below
     ``local_threshold`` rows finish in one batched partitioned-window
     action (:func:`_finish_ranks_batch`).
+
+    ``joined=True`` (r14, VERDICT r13 #3) swaps BOTH plan-compiled
+    state artifacts for broadcast-joined data: range-ids come from a
+    joined range table (:func:`_tag_ranges`) and bucket boundaries ride
+    a per-range ARRAY column probed with a higher-order ``filter`` —
+    so plan size is CONSTANT in the group count and "p99 per tenant"
+    holds at 10⁴ groups. The driver state is then the collected
+    per-(range, bucket) stats, ≤ ranges × n_buckets skinny rows — and
+    ranges only stay numerous for groups that are individually ABOVE
+    ``local_threshold`` (smaller groups finish immediately), so at 10⁴
+    active ranges the input is ≥ 10⁴ × threshold rows and the driver
+    state is proportionally trivial.
     """
     for _ in range(max_rounds):
         active = [s for s in states if s["val"] is None]
@@ -646,15 +760,15 @@ def _narrow_ranks_batched(
             return
         small = [s for s in active if s["cnt"] <= local_threshold]
         if small:
-            _finish_ranks_batch(vals, small, weighted=weighted)
+            _finish_ranks_batch(
+                vals, small, weighted=weighted, joined=joined
+            )
             active = [s for s in active if s["val"] is None]
             if not active:
                 return
         ranges = _uniq_ranges(active)
         cols = ["_x", "_w"] if weighted else ["_x"]
-        filtered = vals.select(
-            _rid_expr(ranges).alias("_rid"), *cols
-        ).filter(F.col("_rid").isNotNull())
+        filtered = _tag_ranges(vals, ranges, cols, joined=joined)
         # action 1/2: per-range balance boundaries (approximate is fine
         # — skewed boundaries degrade parallelism, never correctness)
         probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -664,16 +778,23 @@ def _narrow_ranks_batched(
             .agg(F.percentile_approx("_x", probs, 10_000).alias("_b"))
             .collect()
         }
+        # No-shrink fallback (ADVICE r13): under extreme duplicate skew
+        # (one row of a, 10⁹ rows of b) percentile_approx can return
+        # only the range max, leaving bucket 0 equal to the whole range
+        # with TWO distinct values — neither the single-distinct fast
+        # path nor the tightening fires, and the loop would burn its
+        # whole round budget making zero progress. A state that made no
+        # progress last round recorded its bucket's observed min in
+        # "_fb"; forcing that value into this round's boundary list is
+        # a PROPER split (min < max ⇒ the min-valued rows peel off as
+        # a single-distinct bucket), so the count strictly shrinks.
+        for s in active:
+            fb = s.pop("_fb", None)
+            if fb is not None:
+                ridx = ranges.index((s.get("g"), s["lo"], s["hi"]))
+                bounds[ridx] = sorted(set(bounds[ridx]) | {fb})
         # action 2/2: per-(range, bucket) stats — ≤ n_buckets rows per
         # range move to the driver, partial-aggregated map-side
-        bexpr = F.lit(None).cast("int")
-        for ridx, uniq in bounds.items():
-            inner = F.lit(0)
-            for j, b in enumerate(uniq):
-                inner = F.when(F.col("_x") > F.lit(b), j + 1).otherwise(
-                    inner
-                )
-            bexpr = F.when(F.col("_rid") == ridx, inner).otherwise(bexpr)
         aggs = [
             F.count(F.lit(1)).alias("_c"),
             F.min("_x").alias("_mn"),
@@ -681,15 +802,55 @@ def _narrow_ranks_batched(
         ]
         if weighted:
             aggs.append(F.sum("_w").alias("_ws"))
+        if joined:
+            # boundaries as a broadcast-joined ARRAY column probed by a
+            # higher-order filter — constant plan size in the range
+            # count (the 10⁴-group path; a 10⁴-arm nested CASE would
+            # explode codegen)
+            from pyspark.sql.types import (
+                ArrayType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            vt = vals.schema["_x"].dataType
+            bschema = StructType(
+                [
+                    StructField("_rid", IntegerType(), False),
+                    StructField("_bs", ArrayType(vt, False), False),
+                ]
+            )
+            bnds = vals.sparkSession.createDataFrame(
+                [(ridx, list(uniq)) for ridx, uniq in bounds.items()],
+                bschema,
+            )
+            tagged = filtered.join(F.broadcast(bnds), "_rid")
+            bexpr = F.size(
+                F.filter("_bs", lambda b: F.col("_x") > b)
+            )
+        else:
+            tagged = filtered
+            bexpr = F.lit(None).cast("int")
+            for ridx, uniq in bounds.items():
+                inner = F.lit(0)
+                for j, b in enumerate(uniq):
+                    inner = F.when(
+                        F.col("_x") > F.lit(b), j + 1
+                    ).otherwise(inner)
+                bexpr = F.when(
+                    F.col("_rid") == ridx, inner
+                ).otherwise(bexpr)
         stats = {
             (r["_rid"], r["_bk"]): r
-            for r in filtered.groupBy("_rid", bexpr.alias("_bk"))
+            for r in tagged.groupBy("_rid", bexpr.alias("_bk"))
             .agg(*aggs)
             .collect()
         }
         for s in active:
             ridx = ranges.index((s.get("g"), s["lo"], s["hi"]))
             uniq = bounds[ridx]
+            prev = (s["lo"], s["hi"], s["cnt"], s["r"])
             run = 0
             for j in range(len(uniq) + 1):
                 row = stats.get((ridx, j))
@@ -704,6 +865,10 @@ def _narrow_ranks_batched(
                         s["hi"] = row["_mx"]  # observed max tightens hi
                         s["r"] -= run
                         s["cnt"] = row["_c"]
+                        if (s["lo"], s["hi"], s["cnt"], s["r"]) == prev:
+                            # zero progress: force a min-value split
+                            # next round (see the fallback above)
+                            s["_fb"] = row["_mn"]
                     break
                 run += mass
             else:
@@ -719,7 +884,7 @@ def _narrow_ranks_batched(
         if s["val"] is None and s["cnt"] <= local_threshold
     ]
     if small:
-        _finish_ranks_batch(vals, small, weighted=weighted)
+        _finish_ranks_batch(vals, small, weighted=weighted, joined=joined)
     left = [s for s in states if s["val"] is None]
     if left:
         raise RuntimeError(
@@ -775,8 +940,9 @@ def exact_quantiles(
     states = [
         {
             "q": q,
-            "rank": int((n - 1) * q) + 1,  # 1-based lower statistic
-            "r": int((n - 1) * q) + 1,
+            # 1-based lower statistic, exact rational (ADVICE r13)
+            "rank": _exact_rank(n, q),
+            "r": _exact_rank(n, q),
             "lo": None,
             "hi": None,
             "cnt": n,
@@ -811,7 +977,7 @@ def exact_weighted_quantiles_grouped(
     n_buckets: int = 32,
     local_threshold: int = 100_000,
     max_rounds: int = 8,
-    max_groups: int = 64,
+    max_groups: int = 20_000,
 ) -> DataFrame:
     """Per-group WEIGHTED exact quantiles → ``(group, quantile, rank,
     value)`` with ``rank = floor((W_g−1)·q) + 1`` over each group's
@@ -819,11 +985,13 @@ def exact_weighted_quantiles_grouped(
     batched engine: group dimension (this function and
     :func:`exact_quantiles_grouped`) × weight measure
     (:func:`exact_weighted_quantiles`) compose with NO new machinery,
-    because group indexes live in the range CASE and weight mass in
+    because group indexes live in the range state and weight mass in
     the bucket stats — still a constant two cluster actions per round
     for ALL groups × ALL quantiles. Weights positive int64 by the
-    loud shared contract; group cardinality driver-bounded by
-    ``max_groups`` (the literal-CASE budget)."""
+    loud shared contract; past :data:`_LITERAL_RANGE_BUDGET` groups
+    the range state rides as broadcast-joined DATA instead of a
+    literal CASE (r14 — see :func:`exact_quantiles_grouped`), with
+    ``max_groups`` the loud driver-state bound."""
     if not quantiles:
         raise ValueError(
             "exact_weighted_quantiles_grouped: no quantiles requested"
@@ -858,14 +1026,12 @@ def exact_weighted_quantiles_grouped(
     if len(rows) > max_groups:
         raise ValueError(
             f"exact_weighted_quantiles_grouped: more than max_groups="
-            f"{max_groups} distinct groups — the range CASE is driver-"
-            "bounded by contract"
+            f"{max_groups} distinct groups — the narrowing state is "
+            "driver-bounded by contract"
         )
     groups = sorted((r["_gv"], r["_n"], r["_W"]) for r in rows)
-    gidx = F.lit(None).cast("int")
-    for i, (gv, _n, _W) in enumerate(groups):
-        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
-    vals = base.select(gidx.alias("_g"), "_x", "_w")
+    joined = len(groups) > _LITERAL_RANGE_BUDGET
+    vals = _group_tagged(base, groups, ["_x", "_w"], joined=joined)
     states = []
     for i, (gv, n_g, W_g) in enumerate(groups):
         for q in quantiles:
@@ -874,8 +1040,8 @@ def exact_weighted_quantiles_grouped(
                     "gv": gv,
                     "g": i,
                     "q": q,
-                    "rank": int((W_g - 1) * q) + 1,
-                    "r": int((W_g - 1) * q) + 1,
+                    "rank": _exact_rank(W_g, q),
+                    "r": _exact_rank(W_g, q),
                     "lo": None,
                     "hi": None,
                     "cnt": n_g,  # ROW count gates the local finish
@@ -890,6 +1056,7 @@ def exact_weighted_quantiles_grouped(
         local_threshold=local_threshold,
         max_rounds=max_rounds,
         op_name="exact_weighted_quantiles_grouped",
+        joined=joined,
     )
     spark = df.sparkSession
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -920,7 +1087,7 @@ def exact_quantiles_grouped(
     n_buckets: int = 32,
     local_threshold: int = 100_000,
     max_rounds: int = 8,
-    max_groups: int = 64,
+    max_groups: int = 20_000,
 ) -> DataFrame:
     """EXACT per-group order-statistic quantiles → one row per
     (group, requested q): ``(group, quantile, rank, value)`` with the
@@ -936,11 +1103,14 @@ def exact_quantiles_grouped(
     groups × ALL quantiles still localize together at the same
     constant TWO cluster actions per round (grouped boundaries +
     grouped bucket stats), NOT groups×quantiles separate narrowings.
-    The practical bound is driver state: ranges ride a literal CASE
-    column, so the distinct group count must be driver-bounded —
-    ``max_groups`` raises LOUDLY past it (the IVF/PQ bounded-budget
-    contract; for high-cardinality groups use ``percentile_approx``
-    per group, which is what it exists for).
+    Below :data:`_LITERAL_RANGE_BUDGET` groups the range state
+    compiles into a literal codegen CASE; above it (r14, VERDICT r13
+    #3) the state rides as DATA — a broadcast-joined range table and
+    per-range boundary arrays — so plan size stays constant and "p99
+    per tenant" holds at 10⁴ tenants. ``max_groups`` still bounds the
+    driver-resident state LOUDLY (the IVF/PQ bounded-budget contract;
+    past ~2·10⁴ groups the per-round collected stats stop being
+    driver-trivial and ``percentile_approx`` per group is the tool).
     """
     if not quantiles:
         raise ValueError("exact_quantiles_grouped: no quantiles requested")
@@ -961,15 +1131,13 @@ def exact_quantiles_grouped(
     if len(rows) > max_groups:
         raise ValueError(
             f"exact_quantiles_grouped: more than max_groups="
-            f"{max_groups} distinct groups — the range CASE is driver-"
-            "bounded by contract; use percentile_approx for "
-            "high-cardinality grouping"
+            f"{max_groups} distinct groups — the narrowing state is "
+            "driver-bounded by contract; use percentile_approx for "
+            "higher-cardinality grouping"
         )
     groups = sorted((r["_gv"], r["_n"]) for r in rows)
-    gidx = F.lit(None).cast("int")
-    for i, (gv, _n) in enumerate(groups):
-        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
-    vals = base.select(gidx.alias("_g"), "_x")
+    joined = len(groups) > _LITERAL_RANGE_BUDGET
+    vals = _group_tagged(base, groups, ["_x"], joined=joined)
     states = []
     for i, (gv, n_g) in enumerate(groups):
         for q in quantiles:
@@ -978,8 +1146,8 @@ def exact_quantiles_grouped(
                     "gv": gv,
                     "g": i,
                     "q": q,
-                    "rank": int((n_g - 1) * q) + 1,
-                    "r": int((n_g - 1) * q) + 1,
+                    "rank": _exact_rank(n_g, q),
+                    "r": _exact_rank(n_g, q),
                     "lo": None,
                     "hi": None,
                     "cnt": n_g,
@@ -994,6 +1162,7 @@ def exact_quantiles_grouped(
         local_threshold=local_threshold,
         max_rounds=max_rounds,
         op_name="exact_quantiles_grouped",
+        joined=joined,
     )
     spark = df.sparkSession
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -1659,8 +1828,8 @@ def exact_weighted_quantiles(
     states = [
         {
             "q": q,
-            "rank": int((W - 1) * q) + 1,  # rank over total weight mass
-            "r": int((W - 1) * q) + 1,
+            "rank": _exact_rank(W, q),  # rank over total weight mass
+            "r": _exact_rank(W, q),
             "lo": None,
             "hi": None,
             "cnt": n,  # ROW count gates the local finish, not mass

@@ -17,8 +17,10 @@ family that closes over integers::
 Reported in parts-per-million via DECIMAL(38,0) truncating division —
 bit-replayable in any ANSI engine. Headroom: c_ab·M²·ppm must fit
 38 digits, i.e. corpora up to ~10¹³ unigram tokens at ppm=10⁶ (the
-fastrp decimal-widening discipline: the bound is documented and the
-type is wide, not silently wrapping).
+fastrp decimal-widening discipline) — and since r14 (ADVICE r13) the
+bound is ENFORCED, not just documented: a row whose product overflows
+the decimal (NULL in non-ANSI Spark) or whose quotient exceeds int64
+raises loudly instead of emitting a wrapped/NULL score.
 
 Tokenization is the repo-wide convention (:func:`~.dedup.tokens_col`:
 lowercase whitespace words, empties dropped) so the oracle replays it
@@ -91,9 +93,28 @@ def bigram_collocations(
         F.sum("pair_count").alias("_N")
     )  # 1 row: total bigram tokens
     dec = "DECIMAL(38,0)"
+    # try_multiply: NULL on decimal overflow in BOTH ANSI and non-ANSI
+    # mode — so the overflow signal is one thing (NULL) regardless of
+    # session config, and the guard below turns it into ONE loud,
+    # self-describing raise instead of an opaque ArithmeticException
+    # (ANSI) or a silent NULL/wrapped score (non-ANSI).
+    lift_dec = F.expr(
+        f"try_multiply(try_multiply(try_multiply("
+        f"CAST(pair_count AS {dec}), CAST(_M AS {dec})), _M), {ppm}) "
+        f"div try_multiply(try_multiply(CAST(_N AS {dec}), _ca), _cb)"
+    )
+    # LOUD headroom guard (ADVICE r13): past the documented ~10¹³-token
+    # bound the product overflows DECIMAL(38,0) (→ NULL via
+    # try_multiply above) or the quotient exceeds int64 (the wrap case
+    # in non-ANSI). Every input is non-null by construction (inner
+    # joins of count aggregates), so NULL here IS the overflow. Same
+    # raise_error discipline as the kmv/scale_properties guards.
     lift = F.expr(
-        f"CAST(CAST(pair_count AS {dec}) * CAST(_M AS {dec}) * _M * {ppm} "
-        f"div (CAST(_N AS {dec}) * _ca * _cb) AS BIGINT)"
+        "CASE WHEN _lift IS NULL OR _lift > 9223372036854775807 THEN "
+        "CAST(raise_error('bigram_collocations: c_ab*M^2*ppm exceeded "
+        "DECIMAL(38,0)/BIGINT headroom - corpus beyond the documented "
+        "~1e13-unigram-token bound; rescale ppm') AS BIGINT) "
+        "ELSE CAST(_lift AS BIGINT) END"
     )
     # unigram joins are plain equi-joins (vocabulary-sized — AQE
     # broadcasts small vocabularies at runtime; a forced broadcast of
@@ -111,5 +132,6 @@ def bigram_collocations(
         )
         .crossJoin(F.broadcast(m_total))
         .crossJoin(F.broadcast(n_total))
+        .withColumn("_lift", lift_dec)
         .select("w1", "w2", "pair_count", lift.alias("lift_ppm"))
     )

@@ -35,6 +35,16 @@ Spark executes well. Per outer round over the remaining subgraph:
    current root's component, so outer rounds ≤ the condensation DAG's
    depth (+1), never |V|.
 
+A **Trim pre-pass** (r14, the FB-Trim of Fleischer-Hendrickson-Pinar)
+runs first: a node with no in-edge or no out-edge inside the remaining
+graph cannot sit on a cycle, so its SCC is {itself} — each trim round
+peels that mass with two semi-joins before any fixpoint runs. Real
+event/dependency graphs are mostly trivial components, so a couple of
+trim rounds shrink both fixpoints' input AND the condensation depth
+the outer loop pays for (measured: see ARCHITECTURE.md's deep-regime
+numbers). Trim is correctness-neutral — ``trim_rounds=0`` disables it
+and the coloring loop produces the identical assignment.
+
 Both fixpoints and the outer loop carry LOUD guards (the
 dag_longest_path contract: a truncated result would silently merge or
 split components, so non-convergence raises instead of returning
@@ -66,6 +76,7 @@ def strongly_connected_components(
     *,
     max_outer: int = 16,
     max_rounds: int = 64,
+    trim_rounds: int = 2,
     src: str = SOURCE_ID,
     dst: str = TARGET_ID,
 ) -> DataFrame:
@@ -99,6 +110,43 @@ def strongly_connected_components(
     )
     spark = edges.sparkSession
     found_parts: list[DataFrame] = []
+    # -- Trim pre-pass (r14): peel trivial SCCs before any fixpoint ----
+    # A node missing an in-edge OR an out-edge in the remaining graph
+    # cannot lie on a cycle → singleton component, scc_id = itself.
+    # Bounded rounds, no guard needed: trim is an optimization, and the
+    # coloring loop below is complete without it.
+    for _ in range(max(trim_rounds, 0)):
+        if remaining.limit(1).count() == 0:
+            break
+        e_r = (
+            e_all.join(
+                remaining.withColumnRenamed(NODE_ID, "_s"), "_s", "semi"
+            )
+            .join(
+                remaining.withColumnRenamed(NODE_ID, "_t"), "_t", "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        nontrivial = (
+            remaining.join(
+                e_r.select(F.col("_t").alias(NODE_ID)), NODE_ID, "semi"
+            )
+            .join(
+                e_r.select(F.col("_s").alias(NODE_ID)), NODE_ID, "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        trivial = remaining.join(
+            nontrivial, NODE_ID, "anti"
+        ).localCheckpoint(eager=True)
+        if trivial.limit(1).count() == 0:
+            break
+        found_parts.append(
+            trivial.select(
+                NODE_ID, F.col(NODE_ID).cast("long").alias("scc_id")
+            )
+        )
+        remaining = nontrivial
     for _outer in range(max_outer):
         if remaining.limit(1).count() == 0:
             break
@@ -181,9 +229,11 @@ def strongly_connected_components(
             F.col(NODE_ID) == F.col("_color")
         ).localCheckpoint(eager=True)
         frontier = mark
+        # emptiness is probed AFTER each expansion (ADVICE r13: a
+        # top-of-loop-only check spuriously raised when the walk
+        # converged in exactly max_rounds expansions — the final empty
+        # frontier was never observed before range() exhausted)
         for _ in range(max_rounds):
-            if frontier.limit(1).count() == 0:
-                break
             preds = (
                 ec.join(
                     frontier.select(F.col(NODE_ID).alias("_t")),
@@ -200,6 +250,8 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
             mark = mark.unionByName(frontier).localCheckpoint(eager=True)
+            if frontier.limit(1).count() == 0:
+                break
         else:
             raise RuntimeError(
                 "strongly_connected_components: backward mark still "

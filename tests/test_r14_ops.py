@@ -137,3 +137,22 @@ def test_grouped_quantiles_max_groups_still_loud(spark):
     )
     with pytest.raises(ValueError, match="max_groups"):
         exact_quantiles_grouped(gdf, "g", "x", [0.5], max_groups=10)
+
+
+def test_colloc_headroom_guard_raises_loud(spark):
+    # ADVICE r13: a ppm large enough to overflow DECIMAL(38,0) (or the
+    # BIGINT quotient) must raise, never emit a wrapped/NULL score
+    from dataflow_flex_pyarrow_to_gds_spark.operators.colloc import (
+        bigram_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta alpha beta",)] * 3, "text string"
+    )
+    ok = {
+        (r["w1"], r["w2"]): r["lift_ppm"]
+        for r in bigram_collocations(df, "text", min_count=2).collect()
+    }
+    assert all(v is not None for v in ok.values()) and ok
+    with pytest.raises(Exception, match="headroom"):
+        bigram_collocations(df, "text", min_count=2, ppm=10**36).collect()

@@ -102,3 +102,59 @@ def test_scc_self_loops_and_nulls(spark):
         for r in strongly_connected_components(df).collect()
     }
     assert got == {7: 7, 8: 8, 9: 9}
+
+
+def test_scc_backward_mark_exact_budget_regression(spark):
+    # ADVICE r13: a 3-cycle's backward mark converges in EXACTLY 3
+    # expansions (2 productive + 1 empty); the old top-of-loop-only
+    # emptiness check exhausted range(3) and spuriously raised.
+    # trim_rounds=0 so the cycle actually reaches the mark loop.
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    got = {
+        r["nodeId"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, pairs), max_rounds=3, trim_rounds=0
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_scc_trim_is_correctness_neutral(spark):
+    import random
+
+    rng = random.Random(29)
+    pairs = sorted(
+        {(rng.randrange(14), rng.randrange(14)) for _ in range(26)}
+    )
+    pairs = [(s, t) for s, t in pairs if s != t]
+    trimmed = {
+        r["nodeId"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, pairs), trim_rounds=2
+        ).collect()
+    }
+    untrimmed = {
+        r["nodeId"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, pairs), trim_rounds=0
+        ).collect()
+    }
+    assert trimmed == untrimmed == _brute_scc(pairs)
+
+
+def test_scc_trim_cuts_condensation_depth(spark):
+    # all-trivial DAG chain: condensation depth 3 > max_outer=1 raises
+    # without trim, while two trim rounds peel the whole graph before
+    # the outer loop ever runs
+    chain = [(1, 2), (2, 3)]
+    with pytest.raises(RuntimeError, match="outer peels"):
+        strongly_connected_components(
+            _edges(spark, chain), max_outer=1, trim_rounds=0
+        )
+    got = {
+        r["nodeId"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _edges(spark, chain), max_outer=1, trim_rounds=2
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}

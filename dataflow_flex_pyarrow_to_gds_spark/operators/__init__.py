@@ -173,11 +173,13 @@ __all__ = [
     "triangle_count",
 ]
 from .scc import scc_condensation, strongly_connected_components
-from .skyline import pareto_frontier
+from .skyline import pareto_frontier, pareto_frontier_nd
 from .colloc import bigram_collocations
+from .mst import minimum_spanning_forest
 from .profile import (
     exact_quantiles,
     exact_quantiles_grouped,
     exact_weighted_quantiles,
+    exact_weighted_quantiles_grouped,
     kmv_set_ops,
 )

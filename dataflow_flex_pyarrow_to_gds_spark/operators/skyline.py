@@ -32,6 +32,8 @@ strictly better) and are ALL kept — the standard skyline convention.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -92,3 +94,109 @@ def pareto_frontier(
         (x == F.col("_x")) & (y == F.col("_my")),
         "semi",
     )
+
+
+def pareto_frontier_nd(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    max_candidates: int = 200_000,
+    local_keep_cap: int = 4096,
+) -> DataFrame:
+    """d-dimensional maximize-all Pareto frontier (r14, VERDICT r13
+    #6) → the input rows (original schema) no other row weakly
+    dominates (≥ in every listed dimension, > in at least one). Real
+    curation shortlists run 3-5 objectives (quality × freshness ×
+    length × dedup-distance) where the 2-D suffix-max sweep of
+    :func:`pareto_frontier` no longer applies.
+
+    Algorithm — the classic local-then-merge skyline (the
+    grid/partition family of Börzsönyi et al.; dominance is transitive,
+    so a row dominated ANYWHERE is dominated by some survivor):
+
+    1. **Local prefilter** (``mapInPandas``, Arrow-batched): each batch
+       keeps its own skyline via sort-filter-skyline — rows sorted
+       descending by all dims; a row can only be dominated by an
+       EARLIER row in that order, checked vectorized against the kept
+       set. LOSSLESS by the transitivity argument, and deliberately
+       allowed to degrade: past ``local_keep_cap`` survivors the batch
+       passes rows through UNFILTERED (anticorrelated floods make
+       local skylines quadratic — correctness never depends on the
+       prefilter, so it stops paying when it stops pruning).
+    2. **Bounded exact merge**: surviving candidates are counted —
+       more than ``max_candidates`` raises LOUDLY (the IVF/PQ bounded-
+       budget contract: an anticorrelated 100-TB flood where *nothing*
+       prunes is a different problem than a shortlist) — then one
+       broadcast anti-join eliminates candidates dominated by any
+       other candidate. The O(S²) dominance test runs on the BOUNDED
+       candidate set only, never the corpus (the oracle replays it as
+       NOT EXISTS over all rows).
+
+    NULL in any listed dimension disqualifies the row (the
+    :func:`pareto_frontier` contract). Duplicate points do not
+    dominate each other and are ALL kept. Comparisons stay in each
+    column's native type end-to-end (pandas object/Decimal included) —
+    no float coercion, so decimals survive bit-exact.
+    """
+    if len(cols) < 2:
+        raise ValueError(
+            f"pareto_frontier_nd: need >= 2 dimensions, got {cols}"
+        )
+    if max_candidates < 1:
+        raise ValueError("pareto_frontier_nd: max_candidates must be >= 1")
+    dims = list(cols)
+    rows = df.filter(
+        reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in dims])
+    )
+    schema = rows.schema
+
+    def _local_skyline(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = pdf.sort_values(
+                dims, ascending=[False] * len(dims), kind="mergesort"
+            ).reset_index(drop=True)
+            vals = p[dims].to_numpy(dtype=object)
+            kept: list[int] = []
+            k_np = None
+            passthrough = len(p)  # rows from here on pass unfiltered
+            for i in range(len(p)):
+                if len(kept) >= local_keep_cap:
+                    passthrough = i
+                    break
+                if k_np is not None:
+                    v = vals[i]
+                    ge = (k_np >= v).all(axis=1)
+                    gt = (k_np > v).any(axis=1)
+                    if bool((ge & gt).any()):
+                        continue
+                kept.append(i)
+                k_np = vals[kept]
+            idx = kept + list(range(passthrough, len(p)))
+            yield p.iloc[idx]
+
+    cand = rows.mapInPandas(_local_skyline, schema).localCheckpoint(
+        eager=True
+    )
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"pareto_frontier_nd: {n_cand} candidates survived the "
+            f"local prefilter (> max_candidates={max_candidates}) — "
+            "the frontier itself is corpus-scale (anticorrelated "
+            "dimensions), not a shortlist; raise the budget knowingly "
+            "or reduce dimensions"
+        )
+    rd = cand.select(
+        *[F.col(c).alias(f"_r{i}") for i, c in enumerate(dims)]
+    )
+    ge = reduce(
+        lambda a, b: a & b,
+        [rd[f"_r{i}"] >= cand[c] for i, c in enumerate(dims)],
+    )
+    gt = reduce(
+        lambda a, b: a | b,
+        [rd[f"_r{i}"] > cand[c] for i, c in enumerate(dims)],
+    )
+    return cand.join(F.broadcast(rd), ge & gt, "left_anti")

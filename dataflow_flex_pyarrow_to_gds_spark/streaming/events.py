@@ -729,3 +729,90 @@ def resample_locf(
         )
         .withColumnRenamed("_k", key_col)
     )
+
+
+def interp_store_stream(
+    spark: SparkSession,
+    src_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintenance for linear-interpolation resampling (r14,
+    VERDICT r13 #7 — the store twin :func:`resample_locf`'s batch form
+    never had): each micro-batch reduces its events to per-(user, day)
+    (ts, order)-max representatives
+    (:func:`~..operators.resample.day_representatives` — max(struct)
+    is associative/commutative, so per-batch partials re-reduce to the
+    single-pass representative) and writes them to a store partition
+    keyed by batch_id; nobody ever rescans event history. Readers
+    merge on read (:func:`interp_store_rollup`), which is what makes
+    INTERPOLATION streamable at all: a gap day's value depends on its
+    NEXT observed neighbor, so late or future arrivals must be able to
+    re-interpolate interior gaps — merge-on-read recomputes exactly
+    the affected spans from ≤ (users × days) skinny rows instead of
+    maintaining per-key forward state. foreachBatch +
+    overwrite-by-batch_id is the exactly-once shape (a replayed batch
+    overwrites itself, never double-reduces).
+
+    Returns the started query (``availableNow`` — drains and stops).
+    """
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_path)
+
+    def fold(batch_df, batch_id: int) -> None:
+        from ..operators.resample import day_representatives
+
+        (
+            day_representatives(
+                batch_df, "user_id", "ts", "value", "event_id"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def interp_store_rollup(
+    spark: SparkSession, store_dir: str, *, scale: int = 10**6
+) -> DataFrame:
+    """Merge-on-read over the interpolation store: re-reduce the
+    per-batch (user, day) representatives with the SAME max(struct)
+    (min-of-mins discipline — overlapping replays collapse), then run
+    the SHARED interpolation core
+    (:func:`~..operators.resample.interp_from_representatives`) —
+    bit-identical to single-pass
+    :func:`~..operators.resample.resample_interp` over the full
+    history, drain-parity-pinned in tests. Interior gaps
+    re-interpolate automatically as late neighbors arrive because the
+    read path recomputes from representatives, never from cached
+    interpolations. Input is ≤ (users × days × batches) skinny rows;
+    the reduce is one partial-agg groupBy."""
+    from ..operators.resample import interp_from_representatives
+
+    store = spark.read.parquet(store_dir)
+    reps = (
+        store.select(
+            "_k",
+            "day",
+            F.struct(
+                F.col("_ts").alias("ts"),
+                F.col("_o").alias("o"),
+                F.col("_v").alias("v"),
+            ).alias("_s"),
+        )
+        .groupBy("_k", "day")
+        .agg(F.max("_s").alias("_s"))
+        .select(
+            "_k",
+            "day",
+            F.col("_s.ts").alias("_ts"),
+            F.col("_s.o").alias("_o"),
+            F.col("_s.v").alias("_v"),
+        )
+    )
+    return interp_from_representatives(reps, "user_id", scale=scale)

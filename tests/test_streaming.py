@@ -817,3 +817,88 @@ def test_resample_locf_hand_computed(spark):
         (1, "2024-01-04"): (40.0, True),
         (2, "2024-01-02"): (8.0, True),
     }
+
+
+def test_streaming_interp_store_drain_parity(spark, tmp_path):
+    """r14 (VERDICT r13 #7): the interpolation store drained across TWO
+    epochs — the second delivering LATE events that shift day
+    representatives and add a later right neighbor — must merge-on-read
+    to BIT-exactly the single-pass batch resample_interp over the full
+    history, interior gaps re-interpolated included."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.resample import (
+        resample_interp,
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        interp_store_rollup,
+        interp_store_stream,
+    )
+
+    def ev(eid, day, hour, user, value):
+        return (
+            eid,
+            dt.datetime(2024, 3, day, hour, 0, 0),
+            user,
+            "view",
+            float(value),
+            "{}",
+        )
+
+    # epoch 1: user 7 observes days 1 and 5 (gap 2-4), user 8 days 2-3
+    first = [
+        ev(1, 1, 10, 7, 10.0),
+        ev(2, 5, 10, 7, -6.5),  # negative slope: sign-split div path
+        ev(3, 2, 9, 8, 1.25),
+        ev(4, 3, 9, 8, 2.5),
+    ]
+    # epoch 2, late data: a same-day LATER event replaces user 7's day-1
+    # representative, and a new day-9 obs extends the grid so days 6-8
+    # must interpolate toward the NEW right neighbor
+    second = [
+        ev(5, 1, 23, 7, 4.0),
+        ev(6, 9, 8, 7, 20.0),
+    ]
+    src, store, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(first, EVENTS_SCHEMA).repartition(2).write.parquet(
+        src
+    )
+    q = interp_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(second, EVENTS_SCHEMA).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = interp_store_stream(spark, src, store, ckpt)
+    q.awaitTermination(120)
+
+    merged = {
+        (r["user_id"], r["day"], r["value_interp_fp"], r["is_observed"])
+        for r in interp_store_rollup(spark, store).collect()
+    }
+    full = spark.createDataFrame(first + second, EVENTS_SCHEMA)
+    single = {
+        (r["user_id"], r["day"], r["value_interp_fp"], r["is_observed"])
+        for r in resample_interp(
+            full, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    assert merged == single
+    # the late same-day event won: day 1 carries the 23:00 value
+    d1 = [v for u, d, v, o in merged if u == 7 and d.day == 1]
+    assert d1 == [4_000_000]
+    # interior gap re-interpolated toward the new right neighbor:
+    # fp(7) = -6_500_000 + (|20e6 - (-6.5e6)|·(7-5)) div (9-5)
+    assert (7, dt.datetime(2024, 3, 7), 6_750_000, False) in merged
+    import os
+
+    assert (
+        len([d for d in os.listdir(store) if d.startswith("batch_id=")])
+        >= 2
+    )

@@ -148,6 +148,38 @@ def pareto_frontier_nd(
     rows = df.filter(
         reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in dims])
     )
+    cand = _local_skyline_df(rows, dims, local_keep_cap).localCheckpoint(
+        eager=True
+    )
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"pareto_frontier_nd: {n_cand} candidates survived the "
+            f"local prefilter (> max_candidates={max_candidates}) — "
+            "the frontier itself is corpus-scale (anticorrelated "
+            "dimensions), not a shortlist; raise the budget knowingly "
+            "or reduce dimensions"
+        )
+    rd = cand.select(
+        *[F.col(c).alias(f"_r{i}") for i, c in enumerate(dims)]
+    )
+    ge = reduce(
+        lambda a, b: a & b,
+        [rd[f"_r{i}"] >= cand[c] for i, c in enumerate(dims)],
+    )
+    gt = reduce(
+        lambda a, b: a | b,
+        [rd[f"_r{i}"] > cand[c] for i, c in enumerate(dims)],
+    )
+    return cand.join(F.broadcast(rd), ge & gt, "left_anti")
+
+
+def _local_skyline_df(
+    rows: DataFrame, dims: list[str], local_keep_cap: int
+) -> DataFrame:
+    """Phase-1 prefilter as an un-materialized plan (factored out so
+    the plan audit can pin the MapInPandas + pruned-scan shape that
+    the caller's localCheckpoint would otherwise truncate away)."""
     schema = rows.schema
 
     def _local_skyline(batches):
@@ -176,27 +208,4 @@ def pareto_frontier_nd(
             idx = kept + list(range(passthrough, len(p)))
             yield p.iloc[idx]
 
-    cand = rows.mapInPandas(_local_skyline, schema).localCheckpoint(
-        eager=True
-    )
-    n_cand = cand.count()
-    if n_cand > max_candidates:
-        raise ValueError(
-            f"pareto_frontier_nd: {n_cand} candidates survived the "
-            f"local prefilter (> max_candidates={max_candidates}) — "
-            "the frontier itself is corpus-scale (anticorrelated "
-            "dimensions), not a shortlist; raise the budget knowingly "
-            "or reduce dimensions"
-        )
-    rd = cand.select(
-        *[F.col(c).alias(f"_r{i}") for i, c in enumerate(dims)]
-    )
-    ge = reduce(
-        lambda a, b: a & b,
-        [rd[f"_r{i}"] >= cand[c] for i, c in enumerate(dims)],
-    )
-    gt = reduce(
-        lambda a, b: a | b,
-        [rd[f"_r{i}"] > cand[c] for i, c in enumerate(dims)],
-    )
-    return cand.join(F.broadcast(rd), ge & gt, "left_anti")
+    return rows.mapInPandas(_local_skyline, schema)

@@ -1260,6 +1260,58 @@ CHECKS: list[tuple[str, str, object]] = [
         and len(m.group(1).split(",")) == 2,
     ),
     (
+        "@gqhc_round",
+        "HIGH-CARDINALITY grouped-quantiles narrowing round (r14): the "
+        "range state and bucket boundaries ride BROADCAST-JOINED data "
+        "(two BroadcastHashJoins + a codegen higher-order array probe) "
+        "— plan size constant in the group count, scan pruned to "
+        "(group, value), one partial-agg pass, no sort/window/Python",
+        lambda p: p.count("BroadcastHashJoin") >= 2
+        and "partial_count" in p
+        and "partial_min" in p
+        and "Sort" not in p
+        and "windowspecdefinition" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p
+        and "CartesianProduct" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 2,
+    ),
+    (
+        "@mst_round",
+        "Boruvka round (r14): two skinny component-label equi-joins + "
+        "union of both directions + ONE partial-agg min(struct) — the "
+        "min-edge selection executed log2(V) times; no window, no "
+        "cartesian, no Python",
+        lambda p: "partial_min" in p
+        and "windowspecdefinition" not in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "@pareto_nd_prefilter",
+        "d-dim skyline phase 1 (r14): Arrow-batched MapInPandas local "
+        "skyline directly over the 3-column aggregate — no join, no "
+        "window, no shuffle beyond the aggregate's own exchange",
+        lambda p: "MapInPandas" in p
+        and "Join" not in p
+        and "windowspecdefinition" not in p
+        and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
+        and len(m.group(1).split(",")) == 3,
+    ),
+    (
+        "pareto_suppliers_3d",
+        "d-dim skyline merge (r14): ONE broadcast nested-loop LeftAnti "
+        "dominance test over the loudly-bounded candidate set — the "
+        "O(S^2) comparison never touches a corpus scan (candidates are "
+        "checkpointed), and no cartesian product anywhere",
+        lambda p: "BroadcastNestedLoopJoin" in p
+        and "LeftAnti" in p
+        and "CartesianProduct" not in p
+        and "Scan parquet" not in p,
+    ),
+    (
         "stats_kmv_setops",
         "KMV set ops: bounded <= k-row inputs — the only scan-bearing "
         "broadcast subtrees are aggregated sketch sides, full-outer "
@@ -1807,7 +1859,142 @@ def _gq_round(spark, sf: str):
     )
 
 
+def _gqhc_round(spark, sf: str):
+    """One HIGH-CARDINALITY grouped-quantiles narrowing round (r14):
+    the bucket-stats pass with the range table AND bucket boundaries
+    broadcast-joined as data — built from the engine's own helpers
+    (_group_tagged / _tag_ranges joined=True) so the audited plan IS
+    the shipped plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        _group_tagged,
+        _tag_ranges,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select(
+            F.col("l_suppkey").alias("_gv"),
+            F.col("l_extendedprice").alias("_x"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
+    )
+    n_groups = 100
+    groups = [(g,) for g in range(1, n_groups + 1)]
+    vals = _group_tagged(base, groups, ["_x"], joined=True)
+    ranges = [(i, None, None) for i in range(n_groups)]
+    tagged = _tag_ranges(vals, ranges, ["_x"], joined=True)
+    vt = vals.schema["_x"].dataType
+    bschema = StructType(
+        [
+            StructField("_rid", IntegerType(), False),
+            StructField("_bs", ArrayType(vt, False), False),
+        ]
+    )
+    bnds = spark.createDataFrame(
+        [(i, [10000.0, 30000.0, 50000.0]) for i in range(n_groups)],
+        bschema,
+    )
+    bk = F.size(F.filter("_bs", lambda b: F.col("_x") > b))
+    return (
+        tagged.join(F.broadcast(bnds), "_rid")
+        .groupBy("_rid", bk.alias("_bk"))
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min("_x").alias("_mn"),
+            F.max("_x").alias("_mx"),
+        )
+    )
+
+
+def _mst_round(spark, sf: str):
+    """One Boruvka min-edge-selection round over the supplier
+    co-procurement edges — the plan executed log2(V) times."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("_u"),
+            F.col("b.l_suppkey").alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        e.select(F.col("_u").alias("_n"))
+        .unionByName(e.select(F.col("_v").alias("_n")))
+        .distinct()
+        .select("_n", F.col("_n").alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    ec = (
+        e.join(
+            comp.select(F.col("_n").alias("_u"), F.col("_c").alias("_cu")),
+            "_u",
+        )
+        .join(
+            comp.select(F.col("_n").alias("_v"), F.col("_c").alias("_cv")),
+            "_v",
+        )
+        .filter(F.col("_cu") != F.col("_cv"))
+    )
+    half = ec.select(
+        F.col("_cu").alias("_c"),
+        F.struct("_w", "_u", "_v", F.col("_cv").alias("_o")).alias("_s"),
+    ).unionByName(
+        ec.select(
+            F.col("_cv").alias("_c"),
+            F.struct("_w", "_u", "_v", F.col("_cu").alias("_o")).alias(
+                "_s"
+            ),
+        )
+    )
+    return half.groupBy("_c").agg(F.min("_s").alias("_s"))
+
+
+def _pareto_nd_prefilter(spark, sf: str):
+    """Phase 1 of the d-dim skyline over the per-supplier aggregate —
+    the shipped _local_skyline_df plan, un-truncated by the caller's
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.skyline import (
+        _local_skyline_df,
+    )
+
+    per_supp = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_extendedprice").alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return _local_skyline_df(
+        per_supp, ["revenue", "total_qty", "n_items"], 4096
+    )
+
+
 CUSTOM_BUILDERS = {
+    "@gqhc_round": _gqhc_round,
+    "@mst_round": _mst_round,
+    "@pareto_nd_prefilter": _pareto_nd_prefilter,
     "@gq_round": _gq_round,
     "@scc_color_round": _scc_color_round,
     "@pagerank_bucketed_iter": _pagerank_bucketed_iter,

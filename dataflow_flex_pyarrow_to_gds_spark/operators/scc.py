@@ -70,6 +70,12 @@ from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
 
+#: Diagnostics from the most recent :func:`strongly_connected_components`
+#: call in this process (round counters only — no data). Written for the
+#: deep-regime measurement harness (scripts/scc_deep_regime.py) and
+#: regression tests; NOT part of the result contract.
+LAST_RUN_STATS: dict = {}
+
 
 def strongly_connected_components(
     edges: DataFrame,
@@ -110,6 +116,12 @@ def strongly_connected_components(
     )
     spark = edges.sparkSession
     found_parts: list[DataFrame] = []
+    stats = {
+        "trim_rounds": 0,
+        "outer_rounds": 0,
+        "color_rounds": [],
+        "mark_rounds": [],
+    }
     # -- Trim pre-pass (r14): peel trivial SCCs before any fixpoint ----
     # A node missing an in-edge OR an out-edge in the remaining graph
     # cannot lie on a cycle → singleton component, scc_id = itself.
@@ -146,10 +158,12 @@ def strongly_connected_components(
                 NODE_ID, F.col(NODE_ID).cast("long").alias("scc_id")
             )
         )
+        stats["trim_rounds"] += 1
         remaining = nontrivial
     for _outer in range(max_outer):
         if remaining.limit(1).count() == 0:
             break
+        stats["outer_rounds"] += 1
         e = (
             e_all.join(
                 remaining.withColumnRenamed(NODE_ID, "_s"), "_s", "semi"
@@ -164,7 +178,9 @@ def strongly_connected_components(
             NODE_ID, F.col(NODE_ID).alias("_color")
         ).localCheckpoint(eager=True)
         converged = False
+        color_rounds = 0
         for _ in range(max_rounds):
+            color_rounds += 1
             cand = (
                 e.join(
                     color.select(
@@ -199,6 +215,7 @@ def strongly_connected_components(
             if not still:
                 converged = True
                 break
+        stats["color_rounds"].append(color_rounds)
         if not converged:
             raise RuntimeError(
                 "strongly_connected_components: color fixpoint still "
@@ -233,7 +250,9 @@ def strongly_connected_components(
         # top-of-loop-only check spuriously raised when the walk
         # converged in exactly max_rounds expansions — the final empty
         # frontier was never observed before range() exhausted)
+        mark_rounds = 0
         for _ in range(max_rounds):
+            mark_rounds += 1
             preds = (
                 ec.join(
                     frontier.select(F.col(NODE_ID).alias("_t")),
@@ -259,6 +278,7 @@ def strongly_connected_components(
                 "max_rounds; a truncated mark would silently split a "
                 "component"
             )
+        stats["mark_rounds"].append(mark_rounds)
         found_parts.append(
             mark.select(
                 NODE_ID, F.col("_color").cast("long").alias("scc_id")
@@ -275,6 +295,8 @@ def strongly_connected_components(
                 "is deeper than max_outer; raise it (a partial result "
                 "would silently drop components)"
             )
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(stats)
     if not found_parts:
         return spark.createDataFrame([], f"{NODE_ID} long, scc_id long")
     out = found_parts[0]

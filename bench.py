@@ -245,6 +245,13 @@ HEADLINE = [
     "events_kmv_setops",
     "stats_grouped_wquantiles",
     "events_resample_interp",
+    # round 14: Boruvka minimum spanning forest (log2 V merge rounds),
+    # d-dimensional skyline (local prefilter + bounded anti-join
+    # merge), high-cardinality grouped quantiles (broadcast-joined
+    # range state, 100 groups x 3 ranks)
+    "graph_mst",
+    "pareto_suppliers_3d",
+    "stats_grouped_quantiles_hc",
 ]
 
 #: Session-memoized fixture builds (VERDICT r12 #2): these queries own a

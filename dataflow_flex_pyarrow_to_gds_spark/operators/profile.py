@@ -565,10 +565,15 @@ def _rid_expr(ranges: list[tuple]) -> Column:
 
 
 def _uniq_ranges(states: list[dict]) -> list[tuple]:
+    # set-backed dedup: the naive `rng not in out` list scan is
+    # O(states × ranges) driver CPU — real seconds per round at the
+    # 10⁴-group scale the r14 joined path unlocked
     out: list[tuple] = []
+    seen: set[tuple] = set()
     for s in states:
         rng = (s.get("g"), s["lo"], s["hi"])
-        if rng not in out:
+        if rng not in seen:
+            seen.add(rng)
             out.append(rng)
     return out
 
@@ -674,11 +679,16 @@ def _finish_ranks_batch(
 
     spark = vals.sparkSession
     ranges = _uniq_ranges(states)
+    ridx_of = {rng: i for i, rng in enumerate(ranges)}
     cols = ["_x", "_w"] if weighted else ["_x"]
     filtered = _tag_ranges(vals, ranges, cols, joined=joined)
     needs = spark.createDataFrame(
         [
-            (ranges.index((s.get("g"), s["lo"], s["hi"])), i, int(s["r"]))
+            (
+                ridx_of[(s.get("g"), s["lo"], s["hi"])],
+                i,
+                int(s["r"]),
+            )
             for i, s in enumerate(states)
         ],
         "_rid int, _sidx int, _r long",
@@ -767,6 +777,7 @@ def _narrow_ranks_batched(
             if not active:
                 return
         ranges = _uniq_ranges(active)
+        ridx_of = {rng: i for i, rng in enumerate(ranges)}
         cols = ["_x", "_w"] if weighted else ["_x"]
         filtered = _tag_ranges(vals, ranges, cols, joined=joined)
         # action 1/2: per-range balance boundaries (approximate is fine
@@ -791,7 +802,7 @@ def _narrow_ranks_batched(
         for s in active:
             fb = s.pop("_fb", None)
             if fb is not None:
-                ridx = ranges.index((s.get("g"), s["lo"], s["hi"]))
+                ridx = ridx_of[(s.get("g"), s["lo"], s["hi"])]
                 bounds[ridx] = sorted(set(bounds[ridx]) | {fb})
         # action 2/2: per-(range, bucket) stats — ≤ n_buckets rows per
         # range move to the driver, partial-aggregated map-side
@@ -848,7 +859,7 @@ def _narrow_ranks_batched(
             .collect()
         }
         for s in active:
-            ridx = ranges.index((s.get("g"), s["lo"], s["hi"]))
+            ridx = ridx_of[(s.get("g"), s["lo"], s["hi"])]
             uniq = bounds[ridx]
             prev = (s["lo"], s["hi"], s["cnt"], s["r"])
             run = 0

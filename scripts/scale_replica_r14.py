@@ -141,6 +141,10 @@ def main() -> int:
         ).count()
 
     def run_gq(sc):
+        # max_groups raised for the replica: 25 copies of sf0.1's 1000
+        # suppliers = 25k groups, just past the 20k default — the knob
+        # is the caller's loud budget, and THIS caller's point is to
+        # measure that exact regime
         return exact_quantiles_grouped(
             rd("gq", sc),
             "l_suppkey",
@@ -148,14 +152,20 @@ def main() -> int:
             [0.25, 0.5, 0.9],
             local_threshold=200,
             n_buckets=8,
+            max_groups=30_000,
         ).count()
 
+    only = None
+    if "--only" in argv:
+        only = set(argv[argv.index("--only") + 1].split(","))
     results = {}
     for name, fn, input_nm in [
         ("graph_mst", run_mst, "co_supp"),
         ("pareto_frontier_nd", run_pareto, "pts"),
         ("exact_quantiles_grouped_hc", run_gq, "gq"),
     ]:
+        if only and name not in only:
+            continue
         e1 = rd(input_nm, 1).count()
         eK = rd(input_nm, copies).count()
         t1, n1 = timed(lambda: fn(1), trials)

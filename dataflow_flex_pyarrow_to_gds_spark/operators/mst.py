@@ -53,15 +53,24 @@ def minimum_spanning_forest(
     dst: str = TARGET_ID,
     max_rounds: int = 40,
     max_jumps: int = 40,
+    objective: str = "minimum",
 ) -> DataFrame:
-    """→ ``(edge_u, edge_v, weight)``: the minimum spanning forest of
-    the undirected graph, one row per tree edge (|V| − #components
-    rows), unique under the ``(weight, u, v)`` total order. Parallel
-    edges collapse to their minimum weight; self-loops drop (never in
-    a spanning tree); null endpoints/weights drop. Raises LOUDLY if
-    merging or pointer-doubling exceeds its ⌈log₂ V⌉-scale budget —
-    a truncated forest would silently disconnect components.
+    """→ ``(edge_u, edge_v, weight)``: the minimum (or, with
+    ``objective="maximum"`` — GDS ``gds.spanningTree``'s other
+    objective — maximum) spanning forest of the undirected graph, one
+    row per tree edge (|V| − #components rows), unique under the
+    ``(weight [negated for maximum], u, v)`` total order. Parallel
+    edges collapse to their best weight for the objective; self-loops
+    drop (never in a spanning tree); null endpoints/weights drop.
+    Raises LOUDLY if merging or pointer-doubling exceeds its
+    ⌈log₂ V⌉-scale budget — a truncated forest would silently
+    disconnect components.
     """
+    if objective not in ("minimum", "maximum"):
+        raise ValueError(
+            f"minimum_spanning_forest: objective must be 'minimum' or "
+            f"'maximum', got {objective!r}"
+        )
     if max_rounds < 1:
         raise ValueError(
             f"minimum_spanning_forest: max_rounds must be >= 1, "
@@ -73,8 +82,12 @@ def minimum_spanning_forest(
             f"got {max_jumps}"
         )
     spark = edges.sparkSession
+    best = F.min if objective == "minimum" else F.max
     # canonicalize: undirected edge as (u < v), parallel edges keep the
-    # minimum weight (any heavier parallel edge is never in an MSF)
+    # objective-best weight (any worse parallel edge is never in the
+    # forest); ``_kw`` is the SELECTION key — the weight itself for
+    # minimum, its negation for maximum, so one min(struct) engine
+    # serves both objectives with the tie order (u, v) ascending
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("_u"),
@@ -88,7 +101,11 @@ def minimum_spanning_forest(
             & (F.col("_u") != F.col("_v"))
         )
         .groupBy("_u", "_v")
-        .agg(F.min("_w").alias("_w"))
+        .agg(best("_w").alias("_w"))
+        .withColumn(
+            "_kw",
+            F.col("_w") if objective == "minimum" else -F.col("_w"),
+        )
         .localCheckpoint(eager=True)
     )
     comp = (
@@ -123,14 +140,14 @@ def minimum_spanning_forest(
         # order; the far component rides in the struct for contraction
         half = ec.select(
             F.col("_cu").alias("_c"),
-            F.struct("_w", "_u", "_v", F.col("_cv").alias("_o")).alias(
-                "_s"
-            ),
+            F.struct(
+                "_kw", "_u", "_v", F.col("_cv").alias("_o"), "_w"
+            ).alias("_s"),
         ).unionByName(
             ec.select(
                 F.col("_cv").alias("_c"),
                 F.struct(
-                    "_w", "_u", "_v", F.col("_cu").alias("_o")
+                    "_kw", "_u", "_v", F.col("_cu").alias("_o"), "_w"
                 ).alias("_s"),
             )
         )

@@ -105,3 +105,52 @@ def test_mst_empty_and_null_edges(spark):
         "sourceNodeId long, targetNodeId long, weight long",
     )
     assert minimum_spanning_forest(df).count() == 0
+
+
+def test_mst_maximum_objective(spark):
+    # GDS spanningTree's other objective: same engine, negated key
+    triples = [(1, 2, 5), (2, 3, 4), (3, 1, 3), (3, 4, 9), (1, 4, 9)]
+    got = _run(spark, triples, objective="maximum")
+    # max forest keeps both 9s and the 5; exact check below via a
+    # max-Kruskal twin (same total order, negated w)
+    def kruskal_max(ts):
+        best = {}
+        for u, v, w in ts:
+            if u == v:
+                continue
+            a, b = min(u, v), max(u, v)
+            if (a, b) not in best or w > best[(a, b)]:
+                best[(a, b)] = w
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for (u, v), w in sorted(
+            best.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    assert got == kruskal_max(triples)
+    import random
+
+    rng = random.Random(31)
+    triples = [
+        (rng.randrange(12), rng.randrange(12), rng.randrange(1, 9))
+        for _ in range(26)
+    ]
+    assert _run(spark, triples, objective="maximum") == kruskal_max(
+        triples
+    )
+    with pytest.raises(ValueError, match="objective"):
+        minimum_spanning_forest(
+            _edges(spark, [(1, 2, 1)]), objective="median"
+        )

@@ -100,6 +100,7 @@ def pareto_frontier_nd(
     df: DataFrame,
     cols: list[str],
     *,
+    directions: list[str] | None = None,
     max_candidates: int = 200_000,
     local_keep_cap: int = 4096,
 ) -> DataFrame:
@@ -137,6 +138,14 @@ def pareto_frontier_nd(
     dominate each other and are ALL kept. Comparisons stay in each
     column's native type end-to-end (pandas object/Decimal included) —
     no float coercion, so decimals survive bit-exact.
+
+    ``directions`` (r14) mixes objectives — one of ``"max"``/``"min"``
+    per listed column (default all-max): real shortlists maximize
+    quality while MINIMIZING toxicity or age. Minimized dimensions
+    ride internally as their numeric negation (one codegen projection;
+    the whole maximize engine then applies unchanged), so they must be
+    numeric — the all-max path touches nothing and keeps working on
+    any orderable type.
     """
     if len(cols) < 2:
         raise ValueError(
@@ -144,10 +153,30 @@ def pareto_frontier_nd(
         )
     if max_candidates < 1:
         raise ValueError("pareto_frontier_nd: max_candidates must be >= 1")
-    dims = list(cols)
+    if directions is None:
+        directions = ["max"] * len(cols)
+    if len(directions) != len(cols) or any(
+        d not in ("max", "min") for d in directions
+    ):
+        raise ValueError(
+            f"pareto_frontier_nd: directions must be one 'max'/'min' "
+            f"per column, got {directions!r} for {cols}"
+        )
+    orig_cols = None
     rows = df.filter(
-        reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in dims])
+        reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
     )
+    if any(d == "min" for d in directions):
+        orig_cols = list(df.columns)
+        dims = [f"_nd{i}" for i in range(len(cols))]
+        rows = rows.withColumns(
+            {
+                nd: (F.col(c) if d == "max" else -F.col(c))
+                for nd, c, d in zip(dims, cols, directions)
+            }
+        )
+    else:
+        dims = list(cols)
     cand = _local_skyline_df(rows, dims, local_keep_cap).localCheckpoint(
         eager=True
     )
@@ -171,7 +200,10 @@ def pareto_frontier_nd(
         lambda a, b: a | b,
         [rd[f"_r{i}"] > cand[c] for i, c in enumerate(dims)],
     )
-    return cand.join(F.broadcast(rd), ge & gt, "left_anti")
+    out = cand.join(F.broadcast(rd), ge & gt, "left_anti")
+    if orig_cols is not None:  # drop the internal negated-dim columns
+        out = out.select(*orig_cols)
+    return out
 
 
 def _local_skyline_df(

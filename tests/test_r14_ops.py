@@ -237,3 +237,35 @@ def test_pareto_nd_needs_two_dims(spark):
     df = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError, match="dimensions"):
         pareto_frontier_nd(df, ["a"])
+
+
+def test_pareto_nd_mixed_directions(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.skyline import (
+        pareto_frontier_nd,
+    )
+
+    random.seed(41)
+    pts = [
+        (random.randint(0, 15), random.randint(0, 15), random.randint(0, 15))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "a int, b int, c int").repartition(5)
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in pareto_frontier_nd(
+            df, ["a", "b", "c"], directions=["max", "min", "max"]
+        ).collect()
+    )
+    # brute force on (a, -b, c) maximize-all
+    flipped = _brute_skyline([(a, -b, c) for a, b, c in pts])
+    assert got == sorted((a, -nb, c) for a, nb, c in flipped)
+    assert {r[0] for r in got}  # non-empty
+    # schema untouched (internal negated columns dropped)
+    out = pareto_frontier_nd(
+        df, ["a", "b"], directions=["min", "min"]
+    )
+    assert out.columns == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="directions"):
+        pareto_frontier_nd(df, ["a", "b"], directions=["max"])
+    with pytest.raises(ValueError, match="directions"):
+        pareto_frontier_nd(df, ["a", "b"], directions=["max", "down"])

@@ -98,16 +98,25 @@ def bigram_collocations(
     # session config, and the guard below turns it into ONE loud,
     # self-describing raise instead of an opaque ArithmeticException
     # (ANSI) or a silent NULL/wrapped score (non-ANSI).
+    # The quotient stays DECIMAL until AFTER the guard: decimal `div`
+    # returns BIGINT directly, so an over-int64 quotient would wrap
+    # BEFORE any comparison could see it (the r14 review's confirmed
+    # dead-guard case). floor(try_divide(...)) keeps it wide —
+    # operands are positive, so floor ≡ the truncating div the oracle
+    # replays — and try_divide mirrors try_multiply's NULL-on-overflow
+    # in both ANSI modes.
     lift_dec = F.expr(
+        f"floor(try_divide("
         f"try_multiply(try_multiply(try_multiply("
-        f"CAST(pair_count AS {dec}), CAST(_M AS {dec})), _M), {ppm}) "
-        f"div try_multiply(try_multiply(CAST(_N AS {dec}), _ca), _cb)"
+        f"CAST(pair_count AS {dec}), CAST(_M AS {dec})), _M), {ppm}), "
+        f"try_multiply(try_multiply(CAST(_N AS {dec}), _ca), _cb)))"
     )
     # LOUD headroom guard (ADVICE r13): past the documented ~10¹³-token
     # bound the product overflows DECIMAL(38,0) (→ NULL via
-    # try_multiply above) or the quotient exceeds int64 (the wrap case
-    # in non-ANSI). Every input is non-null by construction (inner
-    # joins of count aggregates), so NULL here IS the overflow. Same
+    # try_multiply/try_divide above) or the still-DECIMAL quotient
+    # exceeds int64 (the wrap case the BIGINT cast would silently
+    # commit). Every input is non-null by construction (inner joins of
+    # count aggregates), so NULL here IS the overflow. Same
     # raise_error discipline as the kmv/scale_properties guards.
     lift = F.expr(
         "CASE WHEN _lift IS NULL OR _lift > 9223372036854775807 THEN "

@@ -116,7 +116,13 @@ def minimum_spanning_forest(
         .localCheckpoint(eager=True)
     )
     chosen_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
+    # range(max_rounds + 1): the top-of-loop emptiness probe needs one
+    # iteration BEYOND the last merge round to observe completion, so a
+    # forest finishing in exactly max_rounds merges must not trip the
+    # for/else raise (the scc.py backward-mark off-by-one, ADVICE r13 —
+    # caught again here by the r14 review). The budget semantics stay
+    # "at most max_rounds MERGE rounds".
+    for _ in range(max_rounds + 1):
         # label endpoints with their component
         ec = (
             e.join(
@@ -196,8 +202,12 @@ def minimum_spanning_forest(
             )
             .localCheckpoint(eager=True)
         )
-        # pointer doubling to the root: p ← p(p), ≤ ⌈log₂ V⌉ steps
-        for _j in range(max_jumps):
+        # pointer doubling to the root: p ← p(p), ≤ ⌈log₂ V⌉ steps.
+        # range(max_jumps + 1): `still` is change-detection, so
+        # convergence in exactly max_jumps productive doublings needs
+        # one extra confirming iteration to break (same off-by-one
+        # class as the merge loop above).
+        for _j in range(max_jumps + 1):
             rgt = parent.select(
                 F.col("_c").alias("_rc"), F.col("_p").alias("_pp")
             )

@@ -167,6 +167,21 @@ def pareto_frontier_nd(
         reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
     )
     if any(d == "min" for d in directions):
+        from pyspark.sql.types import NumericType
+
+        # the negation trick requires numeric min-dims — Spark would
+        # otherwise silently cast (a string column negates to DOUBLE,
+        # even under ANSI), breaking both the documented contract and
+        # the no-float-coercion guarantee
+        for c, d in zip(cols, directions):
+            if d == "min" and not isinstance(
+                df.schema[c].dataType, NumericType
+            ):
+                raise ValueError(
+                    f"pareto_frontier_nd: minimized dimension {c!r} "
+                    f"must be numeric, got "
+                    f"{df.schema[c].dataType.simpleString()}"
+                )
         orig_cols = list(df.columns)
         dims = [f"_nd{i}" for i in range(len(cols))]
         rows = rows.withColumns(
@@ -215,6 +230,8 @@ def _local_skyline_df(
     schema = rows.schema
 
     def _local_skyline(batches):
+        import numpy as np
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -222,21 +239,28 @@ def _local_skyline_df(
                 dims, ascending=[False] * len(dims), kind="mergesort"
             ).reset_index(drop=True)
             vals = p[dims].to_numpy(dtype=object)
+            # preallocated kept buffer: re-materializing vals[kept] on
+            # every append would be O(K²·d) per batch (the r14 review
+            # finding) — filling rows in place keeps it O(K·d)
+            buf = np.empty(
+                (min(local_keep_cap, len(p)), vals.shape[1]),
+                dtype=object,
+            )
             kept: list[int] = []
-            k_np = None
             passthrough = len(p)  # rows from here on pass unfiltered
             for i in range(len(p)):
                 if len(kept) >= local_keep_cap:
                     passthrough = i
                     break
-                if k_np is not None:
+                if kept:
                     v = vals[i]
+                    k_np = buf[: len(kept)]
                     ge = (k_np >= v).all(axis=1)
                     gt = (k_np > v).any(axis=1)
                     if bool((ge & gt).any()):
                         continue
+                buf[len(kept)] = vals[i]
                 kept.append(i)
-                k_np = vals[kept]
             idx = kept + list(range(passthrough, len(p)))
             yield p.iloc[idx]
 

@@ -792,27 +792,17 @@ def interp_store_rollup(
     read path recomputes from representatives, never from cached
     interpolations. Input is ≤ (users × days × batches) skinny rows;
     the reduce is one partial-agg groupBy."""
-    from ..operators.resample import interp_from_representatives
+    from ..operators.resample import (
+        day_representatives,
+        interp_from_representatives,
+    )
 
     store = spark.read.parquet(store_dir)
-    reps = (
-        store.select(
-            "_k",
-            "day",
-            F.struct(
-                F.col("_ts").alias("ts"),
-                F.col("_o").alias("o"),
-                F.col("_v").alias("v"),
-            ).alias("_s"),
-        )
-        .groupBy("_k", "day")
-        .agg(F.max("_s").alias("_s"))
-        .select(
-            "_k",
-            "day",
-            F.col("_s.ts").alias("_ts"),
-            F.col("_s.o").alias("_o"),
-            F.col("_s.v").alias("_v"),
-        )
-    )
+    # the cross-batch re-reduce IS day_representatives over the stored
+    # partials: to_date(_ts) reproduces each partial's day and the
+    # double cast is a no-op, so reusing the shared function (instead
+    # of a hand-rolled max(struct) copy — the r14 review finding)
+    # keeps the representative ordering and null contract in exactly
+    # one place
+    reps = day_representatives(store, "_k", "_ts", "_v", "_o")
     return interp_from_representatives(reps, "user_id", scale=scale)

@@ -154,3 +154,13 @@ def test_mst_maximum_objective(spark):
         minimum_spanning_forest(
             _edges(spark, [(1, 2, 1)]), objective="median"
         )
+
+
+def test_mst_exact_budget_regression(spark):
+    # review-confirmed off-by-one: a 4-node path completes in EXACTLY
+    # 2 merge rounds; max_rounds=2 must succeed (the old top-only
+    # probe exhausted range(2) and spuriously raised), and the
+    # doubling budget has the same one-extra-confirming-pass semantics
+    path = [(1, 2, 1), (2, 3, 5), (3, 4, 1)]
+    got = _run(spark, path, max_rounds=2, max_jumps=2)
+    assert got == [(1, 2, 1), (2, 3, 5), (3, 4, 1)]

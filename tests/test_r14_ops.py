@@ -269,3 +269,29 @@ def test_pareto_nd_mixed_directions(spark):
         pareto_frontier_nd(df, ["a", "b"], directions=["max"])
     with pytest.raises(ValueError, match="directions"):
         pareto_frontier_nd(df, ["a", "b"], directions=["max", "down"])
+
+
+def test_colloc_int64_wrap_guard_raises(spark):
+    # the review-confirmed dead-guard case: numerator fits
+    # DECIMAL(38,0) but the quotient exceeds int64 — a BIGINT `div`
+    # would wrap silently (observed: negative lift scores); the
+    # DECIMAL-quotient guard must raise instead
+    from dataflow_flex_pyarrow_to_gds_spark.operators.colloc import (
+        bigram_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta alpha beta",)] * 3, "text string"
+    )
+    with pytest.raises(Exception, match="headroom"):
+        bigram_collocations(df, "text", min_count=2, ppm=10**19).collect()
+
+
+def test_pareto_nd_min_dim_must_be_numeric(spark):
+    from dataflow_flex_pyarrow_to_gds_spark.operators.skyline import (
+        pareto_frontier_nd,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    with pytest.raises(ValueError, match="must be numeric"):
+        pareto_frontier_nd(df, ["a", "b"], directions=["max", "min"])

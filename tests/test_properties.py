@@ -495,3 +495,104 @@ def test_batched_quantiles_property(spark):
         assert ggw == expectw
 
     check()
+
+
+def test_mst_matches_kruskal_property(spark):
+    """r14: arbitrary small weighted multigraphs (self-loops, parallel
+    edges with conflicting weights, disconnected pieces, weight ties)
+    — Borůvka under the (w, u, v) total order must equal sequential
+    Kruskal under the same order, edge for edge (the forest is unique
+    under a total order, so equality is exact set equality)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.mst import (
+        minimum_spanning_forest,
+    )
+
+    wedge = st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=1, max_value=5),
+    )
+
+    def kruskal(triples):
+        best = {}
+        for u, v, w in triples:
+            if u == v:
+                continue
+            a, b = min(u, v), max(u, v)
+            if (a, b) not in best or w < best[(a, b)]:
+                best[(a, b)] = w
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        out = []
+        for (u, v), w in sorted(
+            best.items(), key=lambda kv: (kv[1], kv[0])
+        ):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                out.append((u, v, w))
+        return sorted(out)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(wedge, min_size=1, max_size=14))
+    def check(triples):
+        df = spark.createDataFrame(
+            triples, "sourceNodeId long, targetNodeId long, weight long"
+        )
+        got = sorted(
+            (r["edge_u"], r["edge_v"], r["weight"])
+            for r in minimum_spanning_forest(df).collect()
+        )
+        assert got == kruskal(triples), triples
+
+    check()
+
+
+def test_pareto_nd_matches_bruteforce_property(spark):
+    """r14: arbitrary small 3-d point multisets (duplicates, total
+    ties, degenerate constant dims) — the local-then-merge skyline
+    must equal the O(n²) dominance definition exactly, duplicates
+    kept."""
+    from hypothesis import given, settings, strategies as st
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.skyline import (
+        pareto_frontier_nd,
+    )
+
+    point = st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+    )
+
+    def brute(points):
+        def dom(a, b):
+            return all(x >= y for x, y in zip(a, b)) and any(
+                x > y for x, y in zip(a, b)
+            )
+
+        return sorted(
+            p for p in points if not any(dom(q, p) for q in points)
+        )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(point, min_size=1, max_size=20))
+    def check(points):
+        df = spark.createDataFrame(points, "a int, b int, c int")
+        got = sorted(
+            (r["a"], r["b"], r["c"])
+            for r in pareto_frontier_nd(
+                df, ["a", "b", "c"], local_keep_cap=4
+            ).collect()
+        )
+        assert got == brute(points), points
+
+    check()

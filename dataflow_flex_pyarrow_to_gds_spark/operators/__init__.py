@@ -183,3 +183,9 @@ from .profile import (
     exact_weighted_quantiles_grouped,
     kmv_set_ops,
 )
+from .biconnect import (
+    articulation_points,
+    biconnected_components,
+    biconnectivity_state,
+    bridges,
+)

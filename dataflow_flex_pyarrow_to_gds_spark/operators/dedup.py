@@ -137,26 +137,35 @@ def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _earlier_collision_case(
-    band_col: Column, l_arr: Column, r_arr: Column, bands: int
+def _first_collision_band(
+    l_arr: Column, r_arr: Column, bands: int
 ) -> Column:
-    """True iff some band BEFORE ``band_col`` already collided — the
-    keep-each-pair-once filter, as an unrolled cumulative-OR CASE.
+    """0-based index of the FIRST band where the two bucket arrays
+    agree (NULL if none do — impossible for rows the band join emits,
+    which guarantees agreement at the joined band). The
+    keep-each-pair-once filter is ``band_col == _first_collision_band``
+    — exact-equivalent to deduplicating the generated pairs, but pure
+    arithmetic instead of a shuffle of all of them.
 
-    The natural form — ``exists(sequence(0, band-1), i -> l[i]==r[i])``
-    — is a higher-order function, which runs interpreted per candidate
-    row; over the ~29 M-row generated-pair stream that costs ~1.3 s at
-    sf0.1 vs ~0.8 s for this plain-comparison CASE, which whole-stage
-    codegen compiles (O(bands²) comparisons of code, shared cumulative
-    ORs — trivial next to per-row interpretation). Output-identical
-    (row-count asserted during development; pair sets oracle-checked).
+    A chained CASE evaluating each band ONCE: O(bands) of generated
+    code, short-circuiting at the first agreement, whole-stage
+    compiled. The r14 form (a cumulative-OR CASE keyed on the current
+    band) emitted O(bands²) comparisons — 552 element_at calls at
+    bands=24 — which blew janino's 64 KB method limit and silently
+    demoted the ENTIRE fused candidate+verify stage (jaccard joins
+    included) to interpreted eval (the r14 VERDICT codegen-fallback
+    finding). The interpreted exists() HOF alternative stays out of
+    codegen per row (measured ~1.3 s vs ~0.8 s on the sf0.1 minhash
+    candidate stream when the CASE family landed); this linear form
+    keeps the codegen win AND does strictly less per-row work than
+    either. Output-identical (pair sets oracle-checked).
     """
-    expr: Column = F.lit(False)
-    acc: Column | None = None
-    for b in range(1, bands):
-        cmp_b = F.element_at(l_arr, b) == F.element_at(r_arr, b)
-        acc = cmp_b if acc is None else (acc | cmp_b)
-        expr = F.when(band_col == b, acc).otherwise(expr)
+    expr: Column = F.lit(None).cast("int")
+    for b in range(bands - 1, -1, -1):
+        expr = F.when(
+            F.element_at(l_arr, b + 1) == F.element_at(r_arr, b + 1),
+            F.lit(b),
+        ).otherwise(expr)
     return expr
 
 
@@ -547,9 +556,9 @@ def minhash_lsh_pairs(
     # Keep each pair only at its FIRST colliding band — exact-equivalent
     # to deduplicating (bucket-hash equality ⟺ same bucket at that band),
     # but pure arithmetic instead of a shuffle of all generated pairs;
-    # unrolled CASE rather than an interpreted exists() HOF.
-    earlier_collision = _earlier_collision_case(
-        F.col("l.band"), F.col("l._bks"), F.col("r._bks"), bands
+    # linear chained-CASE, codegen-sized (see _first_collision_band).
+    at_first_band = F.col("l.band") == _first_collision_band(
+        F.col("l._bks"), F.col("r._bks"), bands
     )
     # size-ratio prefilter: jaccard ≥ t requires min(|A|,|B|)/max(|A|,|B|) ≥ t.
     # Applied FIRST — it is 2 comparisons per generated row, while the
@@ -562,7 +571,7 @@ def minhash_lsh_pairs(
     if max_bucket_docs is None:
         candidates = (
             raw_pairs.filter(size_ok)
-            .filter(~earlier_collision)
+            .filter(at_first_band)
             .select(
                 F.col("l._id").alias("id_a"),
                 F.col("r._id").alias("id_b"),
@@ -833,10 +842,10 @@ def simhash_pairs(
     right = exploded.alias("r")
     # Keep each pair only at its first agreeing chunk — exact-equivalent to
     # deduplicating, but pure arithmetic instead of an Exchange over all
-    # candidate pairs (same trick as minhash_lsh_pairs above; unrolled
-    # CASE rather than an interpreted exists() HOF).
-    earlier_collision = _earlier_collision_case(
-        F.col("l.chunk"), F.col("l._chunks"), F.col("r._chunks"), num_chunks
+    # candidate pairs (same trick as minhash_lsh_pairs above; linear
+    # chained-CASE, codegen-sized — see _first_collision_band).
+    at_first_chunk = F.col("l.chunk") == _first_collision_band(
+        F.col("l._chunks"), F.col("r._chunks"), num_chunks
     )
     return (
         left.join(
@@ -845,7 +854,7 @@ def simhash_pairs(
             & (F.col("l.val") == F.col("r.val"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .filter(~earlier_collision)
+        .filter(at_first_chunk)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),

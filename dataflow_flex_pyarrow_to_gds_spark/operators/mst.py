@@ -83,6 +83,25 @@ def minimum_spanning_forest(
         )
     spark = edges.sparkSession
     best = F.min if objective == "minimum" else F.max
+    from pyspark.sql.types import IntegralType
+
+    # maximum objective: the selection key is the NEGATED weight. For
+    # INTEGRAL weights unary minus wraps silently at the type's minimum
+    # value in non-ANSI mode (Long.MIN_VALUE negates to itself —
+    # ADVICE r14), corrupting the (weight, u, v) total order, so those
+    # go through try_multiply (NULL on overflow in EVERY SQL mode) plus
+    # the loud guard below. Fractional/decimal negation is exact and
+    # never overflows — and decimal must NOT take the try_multiply path
+    # (the multiply widens precision, which can round at decimal(38,s)).
+    integral_w = isinstance(
+        edges.schema[weight_col].dataType, IntegralType
+    )
+    if objective == "minimum":
+        key_expr = F.col("_w")
+    elif integral_w:
+        key_expr = F.try_multiply(F.col("_w"), F.lit(-1))
+    else:
+        key_expr = -F.col("_w")
     # canonicalize: undirected edge as (u < v), parallel edges keep the
     # objective-best weight (any worse parallel edge is never in the
     # forest); ``_kw`` is the SELECTION key — the weight itself for
@@ -102,12 +121,19 @@ def minimum_spanning_forest(
         )
         .groupBy("_u", "_v")
         .agg(best("_w").alias("_w"))
-        .withColumn(
-            "_kw",
-            F.col("_w") if objective == "minimum" else -F.col("_w"),
-        )
+        .withColumn("_kw", key_expr)
         .localCheckpoint(eager=True)
     )
+    if objective == "maximum" and integral_w:
+        # _w is non-null by the filter above, so a null key can only be
+        # the try_multiply overflow sentinel
+        if e.filter(F.col("_kw").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "minimum_spanning_forest: objective='maximum' cannot "
+                "negate an integer weight at the type's minimum value "
+                "(Long.MIN_VALUE-class overflow) — rescale or widen "
+                "the weight column"
+            )
     comp = (
         e.select(F.col("_u").alias("_n"))
         .unionByName(e.select(F.col("_v").alias("_n")))

@@ -671,10 +671,12 @@ def _finish_ranks_batch(
     """ONE action finishing EVERY rank whose surviving range is below
     the local threshold: ranges get a range-id, a window PARTITIONED
     BY the range-id (bounded ≤ local_threshold rows per partition by
-    the caller's contract — and partitioned, so no single-partition
-    WindowExec warning can mask a real scale bug) ranks each range,
-    and a broadcast join against the ≤len(states)-row needs table
-    picks each rank's value. Mutates ``states`` in place."""
+    the caller's contract) ranks each range, and a broadcast join
+    against the ≤len(states)-row needs table picks each rank's value.
+    The spec carries a constant non-foldable second key so a
+    folded-constant ``_rid`` (single surviving full range) cannot
+    empty it — see the inline comment (r15). Mutates ``states`` in
+    place."""
     from pyspark.sql.window import Window
 
     spark = vals.sparkSession
@@ -693,8 +695,17 @@ def _finish_ranks_batch(
         ],
         "_rid int, _sidx int, _r long",
     )
+    # _rid rides next to a constant pmod bucket keyed on a REAL column:
+    # with a single surviving full range the literal CASE folds _rid to
+    # lit(0), Catalyst then folds the whole partition spec away, and
+    # WindowExec WARNs "No Partition Defined" on a window that is
+    # single-partition BY CONTRACT (≤ local_threshold rows per range —
+    # see docstring). The extra key is 0 for every row (grouping
+    # unchanged) but non-foldable, so the spec survives (the kmv /
+    # skyline constant-bucket precedent; r15, VERDICT r14 #4 hygiene).
+    parts = ["_rid", F.pmod(F.xxhash64(F.col("_x")), F.lit(1))]
     if weighted:
-        w = Window.partitionBy("_rid").orderBy(F.asc("_x")).rowsBetween(
+        w = Window.partitionBy(*parts).orderBy(F.asc("_x")).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         cum = (
@@ -704,7 +715,7 @@ def _finish_ranks_batch(
         )
         hit = F.col("_m") >= F.col("_r")  # first value reaching the mass
     else:
-        w = Window.partitionBy("_rid").orderBy(F.asc("_x"))
+        w = Window.partitionBy(*parts).orderBy(F.asc("_x"))
         cum = filtered.select(
             "_rid", "_x", F.row_number().over(w).alias("_m")
         )

@@ -70,11 +70,23 @@ from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
 
-#: Diagnostics from the most recent :func:`strongly_connected_components`
-#: call in this process (round counters only — no data). Written for the
-#: deep-regime measurement harness (scripts/scc_deep_regime.py) and
-#: regression tests; NOT part of the result contract.
-LAST_RUN_STATS: dict = {}
+import threading
+
+#: Thread-local holder for the most recent
+#: :func:`strongly_connected_components` call's round counters (no
+#: data). Thread-LOCAL (ADVICE r14): a process-global dict would let
+#: concurrent driver threads clobber each other's diagnostics. Read via
+#: :func:`last_run_stats`; written for the deep-regime measurement
+#: harness (scripts/scc_deep_regime.py) and regression tests; NOT part
+#: of the result contract.
+_RUN_STATS_TLS = threading.local()
+
+
+def last_run_stats() -> dict:
+    """Round counters from the most recent
+    :func:`strongly_connected_components` call ON THIS THREAD (a copy;
+    empty dict if none has run here)."""
+    return dict(getattr(_RUN_STATS_TLS, "stats", {}))
 
 
 def strongly_connected_components(
@@ -295,8 +307,7 @@ def strongly_connected_components(
                 "is deeper than max_outer; raise it (a partial result "
                 "would silently drop components)"
             )
-    LAST_RUN_STATS.clear()
-    LAST_RUN_STATS.update(stats)
+    _RUN_STATS_TLS.stats = dict(stats)
     if not found_parts:
         return spark.createDataFrame([], f"{NODE_ID} long, scc_id long")
     out = found_parts[0]

@@ -767,7 +767,7 @@ def embedding_near_dup_pairs_lsh(
     # mul-adds per row) — spread it before computing, single-file inputs
     # would otherwise pin it to one task (many-file inputs skip the
     # exchange entirely)
-    from .dedup import _earlier_collision_case, spread_to_cluster
+    from .dedup import _first_collision_band, spread_to_cluster
 
     if verify_broadcast is None:
         # Corpus row count decides whether the per-doc vector table fits
@@ -789,13 +789,12 @@ def embedding_near_dup_pairs_lsh(
     ).withColumn("_bk", F.element_at(F.col("_bks"), F.col("_t") + 1))
 
     a, b = exploded.alias("a"), exploded.alias("b")
-    # Keep each pair only at its FIRST agreeing table — the same unrolled
-    # cumulative-OR CASE as the minhash/simhash band filter. The exists()
-    # HOF it replaces runs interpreted per candidate row (no codegen);
-    # the CASE is whole-stage compiled (measured 1.3 s → 0.8 s on the
-    # minhash candidate stream when this swap landed there).
-    earlier_collision = _earlier_collision_case(
-        F.col("a._t"), F.col("a._bks"), F.col("b._bks"), n_tables
+    # Keep each pair only at its FIRST agreeing table — the same linear
+    # chained-CASE as the minhash/simhash band filter (codegen-sized;
+    # see dedup._first_collision_band for the history: interpreted
+    # exists() HOF → quadratic CASE → this form).
+    at_first_table = F.col("a._t") == _first_collision_band(
+        F.col("a._bks"), F.col("b._bks"), n_tables
     )
     candidates = (
         a.join(
@@ -804,7 +803,7 @@ def embedding_near_dup_pairs_lsh(
             & (F.col("a._bk") == F.col("b._bk"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .filter(~earlier_collision)
+        .filter(at_first_table)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
     )
 
@@ -860,7 +859,7 @@ def incremental_semantic_filter(
     """
     from ..functions.scalar import dot, l2_norm
 
-    from .dedup import _earlier_collision_case, spread_to_cluster
+    from .dedup import _first_collision_band, spread_to_cluster
 
     tables = [
         RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t)
@@ -887,8 +886,8 @@ def incremental_semantic_filter(
         ).withColumn("_bk", F.element_at(F.col("_bks"), F.col("_t") + 1))
 
     b, c = buckets(batch).alias("a"), buckets(corpus).alias("b")
-    earlier = _earlier_collision_case(
-        F.col("a._t"), F.col("a._bks"), F.col("b._bks"), n_tables
+    at_first = F.col("a._t") == _first_collision_band(
+        F.col("a._bks"), F.col("b._bks"), n_tables
     )
     candidates = (
         b.join(
@@ -896,7 +895,7 @@ def incremental_semantic_filter(
             (F.col("a._t") == F.col("b._t"))
             & (F.col("a._bk") == F.col("b._bk")),
         )
-        .filter(~earlier)
+        .filter(at_first)
         .select(F.col("a._id").alias("_ba"), F.col("b._id").alias("_cb"))
     )
 

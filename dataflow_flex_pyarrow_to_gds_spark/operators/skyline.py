@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -153,6 +153,11 @@ def pareto_frontier_nd(
         )
     if max_candidates < 1:
         raise ValueError("pareto_frontier_nd: max_candidates must be >= 1")
+    if local_keep_cap < 1:
+        # a non-positive cap would silently degrade phase 1 to full
+        # passthrough and shift all pruning (and the loud
+        # max_candidates failure) onto the merge — ADVICE r14
+        raise ValueError("pareto_frontier_nd: local_keep_cap must be >= 1")
     if directions is None:
         directions = ["max"] * len(cols)
     if len(directions) != len(cols) or any(
@@ -167,7 +172,7 @@ def pareto_frontier_nd(
         reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in cols])
     )
     if any(d == "min" for d in directions):
-        from pyspark.sql.types import NumericType
+        from pyspark.sql.types import IntegralType, NumericType
 
         # the negation trick requires numeric min-dims — Spark would
         # otherwise silently cast (a string column negates to DOUBLE,
@@ -182,19 +187,57 @@ def pareto_frontier_nd(
                     f"must be numeric, got "
                     f"{df.schema[c].dataType.simpleString()}"
                 )
+
+        def _neg(c: str) -> Column:
+            # INTEGRAL negation wraps silently at Long.MIN_VALUE-class
+            # values in non-ANSI mode (ADVICE r14, the mst.py edge):
+            # try_multiply yields NULL on overflow in EVERY SQL mode,
+            # and the prefilter raises LOUDLY on a null dim (nulls were
+            # filtered before negation, so one there IS the overflow
+            # sentinel). Fractional/decimal negation is exact — and
+            # decimal must NOT take try_multiply (the multiply widens
+            # precision, which can round at decimal(38,s)).
+            if isinstance(df.schema[c].dataType, IntegralType):
+                return F.try_multiply(F.col(c), F.lit(-1))
+            return -F.col(c)
+
         orig_cols = list(df.columns)
         dims = [f"_nd{i}" for i in range(len(cols))]
         rows = rows.withColumns(
             {
-                nd: (F.col(c) if d == "max" else -F.col(c))
+                nd: (F.col(c) if d == "max" else _neg(c))
                 for nd, c, d in zip(dims, cols, directions)
             }
         )
+        # only the try_multiply'd dims can carry the overflow sentinel;
+        # scoping the prefilter's null check to them keeps genuine
+        # float NaNs in other dims behaving as before (ordered, kept)
+        overflow_dims = [
+            nd
+            for nd, c, d in zip(dims, cols, directions)
+            if d == "min"
+            and isinstance(df.schema[c].dataType, IntegralType)
+        ]
     else:
         dims = list(cols)
-    cand = _local_skyline_df(rows, dims, local_keep_cap).localCheckpoint(
-        eager=True
-    )
+        overflow_dims = []
+    cand = _local_skyline_df(
+        rows, dims, local_keep_cap, overflow_dims=overflow_dims
+    ).localCheckpoint(eager=True)
+    # Second-level prefilter (VERDICT r14 #5): phase 1 prunes only
+    # WITHIN each input partition, so survivors from different
+    # partitions never see each other — on a wide cluster the candidate
+    # set is ~P local frontiers and the O(S²) merge pays (P·f)². One
+    # more local-skyline pass over the candidates, round-robin
+    # REPARTITIONED so every batch mixes survivors from many original
+    # partitions, prunes cross-partition dominance first — lossless by
+    # the same transitivity argument (a dominated candidate is dominated
+    # by a surviving one). Cheap: input is already ≤ the candidate set,
+    # and batches are frontier-scale, not corpus-scale.
+    merge_width = max(1, min(8, cand.rdd.getNumPartitions()))
+    cand = _local_skyline_df(
+        cand.repartition(merge_width), dims, local_keep_cap
+    ).localCheckpoint(eager=True)
     n_cand = cand.count()
     if n_cand > max_candidates:
         raise ValueError(
@@ -222,12 +265,20 @@ def pareto_frontier_nd(
 
 
 def _local_skyline_df(
-    rows: DataFrame, dims: list[str], local_keep_cap: int
+    rows: DataFrame,
+    dims: list[str],
+    local_keep_cap: int,
+    *,
+    overflow_dims: list[str] | None = None,
 ) -> DataFrame:
     """Phase-1 prefilter as an un-materialized plan (factored out so
     the plan audit can pin the MapInPandas + pruned-scan shape that
-    the caller's localCheckpoint would otherwise truncate away)."""
+    the caller's localCheckpoint would otherwise truncate away).
+    ``overflow_dims``: negated-integral dims whose nulls are
+    try_multiply overflow sentinels — raised on LOUDLY (nulls were
+    filtered before negation, so none can occur legitimately)."""
     schema = rows.schema
+    ovf = list(overflow_dims or [])
 
     def _local_skyline(batches):
         import numpy as np
@@ -235,6 +286,12 @@ def _local_skyline_df(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if ovf and pdf[ovf].isna().any().any():
+                raise ValueError(
+                    "pareto_frontier_nd: a minimized integral "
+                    "dimension overflowed on negation (type-minimum "
+                    "value — ADVICE r14) — rescale or widen the column"
+                )
             p = pdf.sort_values(
                 dims, ascending=[False] * len(dims), kind="mergesort"
             ).reset_index(drop=True)

@@ -10140,6 +10140,15 @@ def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chain.unionByName(back).unionByName(cross)
 
 
+#: The ONE config every SCC catalog row builds its assignment with
+#: (VERDICT r14 #7): both `graph_scc` and `graph_scc_condensation`
+#: ride the memoized `_scc_assignment`, and this dict — pinned to the
+#: operator's signature defaults by tests/test_catalog.py — keeps a
+#: future direct-call row from silently decoupling the two rows'
+#: measured costs by building under a different trim/budget config.
+_SCC_FIXTURE_KW = {"trim_rounds": 2, "max_outer": 16, "max_rounds": 64}
+
+
 def _scc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scc import strongly_connected_components
 
@@ -10147,7 +10156,9 @@ def _scc_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _SCC_MEMO.get(key)
     if got is not None:
         return got
-    scc = strongly_connected_components(_scc_edges(spark, sf_dir))
+    scc = strongly_connected_components(
+        _scc_edges(spark, sf_dir), **_SCC_FIXTURE_KW
+    )
     scc = scc.localCheckpoint(eager=True)
     _SCC_MEMO[key] = scc
     return scc
@@ -10433,13 +10444,18 @@ def q_graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mst_oracle_sql(rounds: int = 10, jumps: int = 10) -> str:
+def _mst_oracle_sql(
+    rounds: int = 10, jumps: int = 10, objective: str = "minimum"
+) -> str:
     """Fully UNROLLED Borůvka over the supplier co-procurement graph —
     ``rounds`` merge rounds (components at least halve per round, so
     10 covers 1024 components; sf0.01 has 100 suppliers) × ``jumps``
     pointer-doubling steps (2^10 covers any chain the 2-cycle-broken
-    parent forest can form). Same (w, u, v) total order as the engine,
-    so the forest is unique and hash-identical."""
+    parent forest can form). Same (w, u, v) total order as the engine
+    — ``objective="maximum"`` flips only the weight direction
+    (``w DESC, u, v``), replaying the engine's negated selection key
+    (mst.py ``_kw``) — so the forest is unique and hash-identical."""
+    w_dir = "w" if objective == "minimum" else "w DESC"
     parts = [
         """
 WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
@@ -10470,7 +10486,7 @@ h{k} AS MATERIALIZED (
 s{k} AS MATERIALIZED (
     SELECT c, w, u, v, o FROM (
         SELECT h.*, row_number() OVER (
-            PARTITION BY c ORDER BY w, u, v
+            PARTITION BY c ORDER BY {w_dir}, u, v
         ) AS rn
         FROM h{k} h
     ) WHERE rn = 1
@@ -10507,6 +10523,247 @@ m{k} AS MATERIALIZED (SELECT DISTINCT w, u, v FROM s{k})""")
 
 
 _RELATIONAL_ORACLES["graph_mst"] = _mst_oracle_sql()
+
+
+def q_graph_msf_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM spanning forest (r15, VERDICT r14 #1 — GDS
+    ``gds.spanningTree``'s other objective) of the same supplier
+    co-procurement graph as ``graph_mst``: the strongest-link backbone
+    — the heaviest edge set keeping the procurement network connected
+    (the complement reading of the weak-link MSF). Exercises the
+    ``objective="maximum"`` selection key — the NEGATED weight
+    (``_kw`` = try_multiply(w, −1), overflow-guarded per ADVICE r14)
+    riding the same min(struct) engine — against an oracle whose only
+    change is ``ORDER BY w DESC, u, v`` in the per-component pick:
+    the negation arithmetic and tie order under negation are exactly
+    what the hash-match checks."""
+    from .operators.mst import minimum_spanning_forest
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return minimum_spanning_forest(
+        pairs, weight_col="w", src="src", dst="dst", objective="maximum"
+    )
+
+
+_RELATIONAL_ORACLES["graph_msf_max"] = _mst_oracle_sql(objective="maximum")
+
+
+def _biconn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The biconnectivity fixture graph (r15): per sampled customer
+    (every 20th custkey) their orders chunk into runs of ≤ 6 by date;
+    run 0 stays a PATH (its links are bridges, its interior nodes
+    articulation points), runs ≥ 1 with ≥ 3 orders CLOSE into cycles
+    (blocks — no bridges inside), and one cross edge joins run 0's
+    head to run 1's head (a bridge between a path and a cycle, making
+    both heads articulation points). Undirected, canonicalized;
+    deterministic; replays verbatim in the oracle's SQL head.
+    Components stay ~10 nodes so the oracle's per-edge/per-vertex
+    removal-reachability recursion is tiny."""
+    w = W.partitionBy("c").orderBy("d", "k")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    b = o.select(
+        "c",
+        "k",
+        F.expr("(rn - 1) div 6").alias("bk"),
+        F.expr("((rn - 1) % 6) + 1").alias("brn"),
+    )
+    wb = W.partitionBy("c", "bk").orderBy("brn")
+    chain = b.select(
+        F.col("k").alias("x"), F.lead("k").over(wb).alias("y")
+    ).filter(F.col("y").isNotNull())
+    agg = b.groupBy("c", "bk").agg(
+        F.min_by("k", "brn").alias("first_k"),
+        F.max_by("k", "brn").alias("last_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    closec = agg.filter((F.col("bk") >= 1) & (F.col("n") >= 3)).select(
+        F.col("last_k").alias("x"), F.col("first_k").alias("y")
+    )
+    cross = (
+        agg.filter(F.col("bk") == 0)
+        .select("c", F.col("first_k").alias("x"))
+        .join(
+            agg.filter(F.col("bk") == 1).select(
+                "c", F.col("first_k").alias("y")
+            ),
+            "c",
+        )
+        .select("x", "y")
+    )
+    return (
+        chain.unionByName(closec)
+        .unionByName(cross)
+        .select(
+            F.col("x").alias("sourceNodeId"), F.col("y").alias("targetNodeId")
+        )
+    )
+
+
+#: Per-session biconnectivity state memo (the _SCC_MEMO lifecycle):
+#: graph_bridges and graph_articulation_points share one
+#: biconnectivity_state build per (applicationId, sf_dir).
+_BICONN_MEMO: dict[tuple, dict] = {}
+
+
+def clear_biconn_memo() -> None:
+    """Evict memoized biconnectivity state (the clear_scc_memo analog)."""
+    _BICONN_MEMO.clear()
+
+
+def _biconn_state(spark: SparkSession, sf_dir: str) -> dict:
+    from .operators.biconnect import biconnectivity_state
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BICONN_MEMO.get(key)
+    if got is None:
+        got = biconnectivity_state(_biconn_edges(spark, sf_dir))
+        _BICONN_MEMO[key] = got
+    return got
+
+
+def q_graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridges of the order-chain fixture graph (r15 — Tarjan–Vishkin
+    as round-parallel joins, reversing the r12 "bridges/articulation"
+    exclusion on evidence, the SCC r13 / MST r14 precedent): tree edge
+    (p, v) of ANY rooted spanning tree is a bridge iff no non-tree
+    edge leaves subtree(v) — low(v) ≥ tin(v) AND high(v) ≤ tout(v)
+    over preorder intervals built WITHOUT a DFS (multi-source BFS
+    tree, bottom-up sizes, top-down preorder, sparse-table subtree
+    extrema — every loop depth- or log-bounded with loud budgets).
+    Bridges are GRAPH INVARIANTS (tree-independent), so the oracle
+    replays the definition itself: per-edge removal reachability as a
+    recursive CTE."""
+    from .operators.biconnect import bridges
+
+    return bridges(
+        _biconn_edges(spark, sf_dir), state=_biconn_state(spark, sf_dir)
+    )
+
+
+def q_graph_articulation_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Articulation points of the same fixture graph (r15): a vertex
+    belongs to ≥ 2 biconnected components iff its incident tree edges
+    span ≥ 2 components of the Tarjan–Vishkin auxiliary graph (aux
+    vertices = tree edges; R1 links the endpoint edges of unrelated
+    non-tree edges, R2 links child to parent edge when the child's
+    subtree escapes the parent's interval; star-CC labels the blocks).
+    The DFS-only per-child low-link shortcut is deliberately NOT used
+    — a BFS tree has cross edges, where that shortcut false-positives
+    (tests pin the theta-graph case). Oracle: per-vertex removal
+    reachability as a recursive CTE — the definition itself."""
+    from .operators.biconnect import articulation_points
+
+    return articulation_points(
+        _biconn_edges(spark, sf_dir), state=_biconn_state(spark, sf_dir)
+    )
+
+
+#: Shared SQL head of the biconnectivity oracles: the fixture edge
+#: list, canonicalized with stable edge ids, plus both-direction
+#: adjacency.
+_BICONN_SQL_HEAD = """
+WITH RECURSIVE
+o AS (
+    SELECT o_custkey AS c, o_orderkey AS k,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM orders WHERE o_custkey % 20 = 0
+),
+b AS (
+    SELECT c, k, (rn - 1) // 6 AS bk, ((rn - 1) % 6) + 1 AS brn FROM o
+),
+chain AS (
+    SELECT k AS x, lead(k) OVER (PARTITION BY c, bk ORDER BY brn) AS y
+    FROM b
+),
+agg AS (
+    SELECT c, bk, min_by(k, brn) AS first_k, max_by(k, brn) AS last_k,
+           count(*) AS n
+    FROM b GROUP BY c, bk
+),
+raw AS (
+    SELECT x, y FROM chain WHERE y IS NOT NULL
+    UNION ALL
+    SELECT last_k, first_k FROM agg WHERE bk >= 1 AND n >= 3
+    UNION ALL
+    SELECT a0.first_k, a1.first_k
+    FROM agg a0 JOIN agg a1 ON a0.c = a1.c AND a0.bk = 0 AND a1.bk = 1
+),
+e0 AS (
+    SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+    FROM raw WHERE x <> y
+),
+e AS (
+    SELECT u, v, row_number() OVER (ORDER BY u, v) AS eid FROM e0
+),
+adj AS (
+    SELECT eid AS ex, u AS a, v AS z FROM e
+    UNION ALL
+    SELECT eid, v, u FROM e
+)"""
+
+_RELATIONAL_ORACLES["graph_bridges"] = _BICONN_SQL_HEAD + """,
+reach AS (
+    SELECT eid, u AS n FROM e
+    UNION
+    SELECT r.eid, a.z
+    FROM reach r JOIN adj a ON a.a = r.n AND a.ex <> r.eid
+)
+SELECT e.u AS edge_u, e.v AS edge_v FROM e
+WHERE NOT EXISTS (
+    SELECT 1 FROM reach r WHERE r.eid = e.eid AND r.n = e.v
+)
+"""
+
+_RELATIONAL_ORACLES["graph_articulation_points"] = _BICONN_SQL_HEAD + """,
+nb AS (
+    SELECT u AS a, v AS n FROM e UNION SELECT v, u FROM e
+),
+seed AS (SELECT a, min(n) AS s, count(*) AS d FROM nb GROUP BY a),
+reach2 AS (
+    SELECT a, s AS n FROM seed WHERE d >= 2
+    UNION
+    SELECT r.a, ad.z
+    FROM reach2 r JOIN adj ad ON ad.a = r.n
+    WHERE ad.z <> r.a AND ad.a <> r.a
+)
+SELECT nb.a AS nodeId FROM nb
+JOIN seed USING (a)
+WHERE seed.d >= 2
+  AND EXISTS (
+      SELECT 1 FROM nb m
+      WHERE m.a = nb.a AND NOT EXISTS (
+          SELECT 1 FROM reach2 r WHERE r.a = m.a AND r.n = m.n
+      )
+  )
+GROUP BY nb.a
+"""
 
 
 def q_text_colloc_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10969,6 +11226,108 @@ _RELATIONAL_ORACLES["pareto_suppliers_3d"] = """
 """
 
 
+def q_pareto_suppliers_maxmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-direction Pareto frontier (r15, VERDICT r14 #1): the
+    supplier EFFICIENCY frontier — maximize revenue and shipped
+    quantity while MINIMIZING item count (most value from fewest line
+    items), the real curation trade-off shape (maximize quality,
+    minimize toxicity/size). Exercises the ``directions`` negation
+    projection (skyline.py — the minimized BIGINT dim rides as
+    try_multiply(x, −1), overflow-guarded per ADVICE r14) against a
+    NOT-EXISTS oracle whose comparator flips on that dimension: the
+    negation arithmetic and tie order under negation are exactly what
+    the hash-match checks. Dimensions stay exact (decimal revenue/
+    quantity, bigint count) — no float coercion."""
+    from .operators.skyline import pareto_frontier_nd
+
+    per_supp = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("l_extendedprice").alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return pareto_frontier_nd(
+        per_supp,
+        ["revenue", "total_qty", "n_items"],
+        directions=["max", "max", "min"],
+    )
+
+
+_RELATIONAL_ORACLES["pareto_suppliers_maxmin"] = """
+    WITH s AS (
+        SELECT l_suppkey, sum(l_extendedprice) AS revenue,
+               sum(l_quantity) AS total_qty,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, revenue, total_qty, n_items FROM s p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s q
+        WHERE q.revenue >= p.revenue
+          AND q.total_qty >= p.total_qty
+          AND q.n_items <= p.n_items
+          AND (q.revenue > p.revenue
+               OR q.total_qty > p.total_qty
+               OR q.n_items < p.n_items)
+    )
+"""
+
+
+def q_stats_grouped_wquantiles_hc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIGH-CARDINALITY per-group WEIGHTED exact quantiles (r15,
+    VERDICT r14 #6): the quantity-weighted median and p90 price PER
+    SUPPLIER — ~100 groups at sf0.01, past the 64-range literal-CASE
+    budget, so the weighted engine runs its broadcast-JOINED state
+    path (the r14 machinery ``stats_grouped_quantiles_hc`` pins for
+    the unweighted case, here composed with the weight measure:
+    rank = floor((W_g−1)·q)+1 over each group's total integer
+    weight). ``local_threshold`` forced below the per-group weight
+    masses so the driver exercises the joined NARROWING rounds, not
+    just the batched finish."""
+    from .operators.profile import exact_weighted_quantiles_grouped
+
+    return exact_weighted_quantiles_grouped(
+        _t(spark, sf_dir, "lineitem"),
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+        [0.5, 0.9],
+        local_threshold=200,
+        n_buckets=8,
+    )
+
+
+_RELATIONAL_ORACLES["stats_grouped_wquantiles_hc"] = """
+    WITH v AS (
+        SELECT l_suppkey AS g, l_extendedprice AS x,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    n AS (SELECT g, sum(w) AS W FROM v GROUP BY g),
+    cum AS (
+        SELECT g, x,
+               sum(w) OVER (
+                   PARTITION BY g ORDER BY x ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw
+        FROM (SELECT g, x, sum(w) AS w FROM v GROUP BY g, x)
+    ),
+    qq AS (SELECT unnest([0.5, 0.9]) AS q)
+    SELECT n.g AS l_suppkey, qq.q AS quantile,
+           CAST(floor((n.W - 1) * qq.q) + 1 AS BIGINT) AS rank,
+           (SELECT min(cum.x) FROM cum
+            WHERE cum.g = n.g
+              AND cum.cw >= floor((n.W - 1) * qq.q) + 1) AS value
+    FROM n CROSS JOIN qq
+"""
+
+
 PREVIOUSLY_DRIVER_VERIFIED = frozenset(
     {
         # every entry here is driver-green in a prior round's
@@ -10980,17 +11339,13 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "agg_distinct_parts",
         "approx_stats",
         "array_agg_orders",
+        "asof_purchase_click",
         "assoc_rules_parts",
         "cube_lineitem",
-        "curation_admission",
-        "curation_apply_delta",
         "curation_arrival",
-        "curation_corpus_diff",
-        "curation_full_funnel",
-        "curation_release",
+        "curation_pipeline",
         "date_functions",
         "dedup_boilerplate_lines",
-        "dedup_canonical_keeper",
         "dedup_containment",
         "dedup_containment_groups",
         "dedup_edit_distance",
@@ -10999,26 +11354,35 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "dedup_incremental_indexed",
         "dedup_minhash_pairs",
         "dedup_near_groups",
-        "dedup_ngram3_pairs",
         "dedup_passage_removal",
         "dedup_repeated_passages",
         "dedup_semantic_groups",
-        "dedup_semantic_incremental",
         "dedup_set_similarity",
-        "dedup_simhash_pairs",
         "dedup_sorted_neighborhood",
         "embedding_near_dup",
-        "embedding_near_dup_lsh",
-        "embedding_random_projection",
         "events_anomaly",
+        "events_attribution",
+        "events_bloom_rollup",
+        "events_cms_rollup",
+        "events_decayed_guardrails",
+        "events_decayed_value",
+        "events_dedup",
+        "events_funnel",
+        "events_hourly",
+        "events_kmv_rollup",
+        "events_kmv_setops",
+        "events_resample_interp",
+        "events_resample_locf",
+        "events_retention",
+        "events_robust_outliers",
+        "events_sessionize",
+        "events_type_pivot",
         "exists_big_customers",
         "graph_articlerank",
         "graph_assortativity",
         "graph_betweenness",
-        "graph_bfs",
         "graph_cc_incremental",
         "graph_cc_star",
-        "graph_clustering",
         "graph_conductance",
         "graph_connected_components",
         "graph_dag_levels",
@@ -11028,13 +11392,9 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_eigenvector",
         "graph_fastrp",
         "graph_harmonic_closeness",
-        "graph_hits",
         "graph_k1coloring",
-        "graph_kcore",
         "graph_kmeans",
         "graph_ktruss",
-        "graph_label_propagation",
-        "graph_link_prediction",
         "graph_load_stats",
         "graph_louvain_move",
         "graph_modularity",
@@ -11046,19 +11406,16 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_node_similarity_topk",
         "graph_nodes_project",
         "graph_pagerank",
-        "graph_pagerank_bucketed",
         "graph_pagerank_weighted",
-        "graph_ppr",
         "graph_random_walks",
         "graph_rwr_sample",
-        "graph_sample_neighbors",
+        "graph_scale_properties",
         "graph_shortest_paths",
         "graph_topo_order",
         "graph_triangles",
         "graph_walk_skipgrams",
         "grouping_sets_lineitem",
-        "layout_dpp_revenue",
-        "layout_zorder_revenue",
+        "json_extract_events",
         "multimodal_audio_stats",
         "multimodal_features",
         "multimodal_image_stats",
@@ -11066,19 +11423,21 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "multimodal_video_frames",
         "overlap_join_orders",
         "percentile_prices",
+        "profile_cms_frequencies",
         "q10_returned_revenue",
         "q11_important_stock",
         "q12_shipmode_priority",
         "q13_customer_distribution",
         "q14_promo_revenue",
+        "q15_top_supplier",
         "q16_supplier_exclusion",
         "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
         "q19_bracket_revenue",
         "q1_pricing_summary",
         "q20_excess_shippers",
         "q21_waiting_suppliers",
         "q22_idle_customers",
-        "q2_min_cost_supplier",
         "q3_shipping_priority",
         "q4_order_priority",
         "q5_region_revenue",
@@ -11087,24 +11446,18 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "q8_market_share",
         "q9_product_profit",
         "range_join_shipments",
-        "retrieval_hybrid_rrf",
+        "regression_stats",
         "rollup_lineitem",
         "running_revenue",
-        "salted_join_parts",
-        "sample_cluster_balance",
+        "salted_agg_events",
         "sample_dsir_selection",
         "sample_importance_weights",
         "sample_mixture_weights",
         "sample_per_source_cap",
-        "sample_quality_curriculum",
-        "sample_shard_assignment",
-        "sample_split_leakage",
         "sample_stratified_split",
-        "sample_temperature",
         "sample_token_budget",
-        "sample_top_fraction",
-        "sample_training_order",
         "scalar_functions",
+        "sequence_packing",
         "set_ops_nations",
         "similarity_ann_index",
         "similarity_hard_negatives",
@@ -11113,30 +11466,41 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "similarity_lsh_topk",
         "similarity_matryoshka_topk",
         "similarity_mmr_topk",
+        "similarity_pq_topk",
         "similarity_sq8_topk",
         "similarity_topk",
         "sort_limit",
+        "source_curation_stats",
+        "stats_contract_violations",
+        "stats_decile_bins",
+        "stats_drift_tokens",
+        "stats_exact_quantiles",
+        "stats_grouped_quantiles",
+        "stats_grouped_quantiles_hc",
+        "stats_grouped_wquantiles",
+        "stats_histogram_prices",
         "stats_hll_rollup",
+        "stats_kmv_distinct",
+        "stats_kmv_setops",
+        "stats_table_profile",
+        "stats_weighted_quantiles",
         "text_bigram_logprob",
         "text_bm25_join",
         "text_bm25_topk",
-        "text_bpe_encode",
-        "text_bpe_encode_arrow",
         "text_bpe_merges",
         "text_chunking",
-        "text_chunking_udtf",
-        "text_chunking_udtf_arrow",
+        "text_colloc_lift",
         "text_contamination",
         "text_decontaminate",
+        "text_decontaminate_bloom",
         "text_fingerprint",
-        "text_pii_cards",
+        "text_lang_id",
         "text_pii_redact",
         "text_pii_scan",
-        "text_quality_classifier",
         "text_quality_gopher",
         "text_repetition",
         "text_rolling_hash",
-        "text_strip_html",
+        "text_stats",
         "text_token_frequencies",
         "text_unigram_logprob",
         "unpivot_orders",
@@ -11161,218 +11525,39 @@ def _specs() -> dict[str, QuerySpec]:
     # block is exactly PREVIOUSLY_DRIVER_VERIFIED (asserted in
     # tests/test_catalog.py), whose r3 rows remain valid evidence.
     ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        # -- new r14: high-cardinality joined-state grouped quantiles (VERDICT r13 #3) ----
-        "stats_grouped_quantiles_hc": q_stats_grouped_quantiles_hc,
-        # -- new r14: d-dimensional skyline (VERDICT r13 #6) ----
-        "pareto_suppliers_3d": q_pareto_suppliers_3d,
-        # -- new r14: Boruvka minimum spanning forest (VERDICT r13 #4) ----
+        # -- new r15: bridges + articulation points (Tarjan-Vishkin, r12 exclusion reversed) ----
+        "graph_bridges": q_graph_bridges,
+        "graph_articulation_points": q_graph_articulation_points,
+        # -- new r15: maximum-objective spanning forest (VERDICT r14 #1) ----
+        "graph_msf_max": q_graph_msf_max,
+        # -- new r15: mixed max/min-direction skyline (VERDICT r14 #1) ----
+        "pareto_suppliers_maxmin": q_pareto_suppliers_maxmin,
+        # -- new r15: weighted high-cardinality grouped quantiles (VERDICT r14 #6) ----
+        "stats_grouped_wquantiles_hc": q_stats_grouped_wquantiles_hc,
+        # -- changed r15: mst.py overflow-guarded maximum key (ADVICE r14) ----
         "graph_mst": q_graph_mst,
-        # -- changed r14: scc.py trim pre-pass + mark-budget fix ----
+        # -- changed r15: skyline.py cap guard + second-level merge prefilter ----
+        "pareto_suppliers_3d": q_pareto_suppliers_3d,
+        "pareto_parts": q_pareto_parts,
+        # -- changed r15: scc.py thread-local run stats (ADVICE r14) ----
         "graph_scc": q_graph_scc,
         "graph_scc_condensation": q_graph_scc_condensation,
-        # -- changed r14: skyline.py gained the nd variant ----
-        "pareto_parts": q_pareto_parts,
-        # -- changed r14: colloc.py enforced headroom guard ----
-        "text_colloc_lift": q_text_colloc_lift,
-        # -- changed r14: profile.py exact-rational ranks + no-shrink fallback + joined engine ----
-        "stats_exact_quantiles": q_stats_exact_quantiles,
-        "stats_weighted_quantiles": q_stats_weighted_quantiles,
-        "stats_grouped_quantiles": q_stats_grouped_quantiles,
-        "stats_grouped_wquantiles": q_stats_grouped_wquantiles,
-        "stats_decile_bins": q_stats_decile_bins,
-        "stats_kmv_setops": q_stats_kmv_setops,
-        "stats_kmv_distinct": q_stats_kmv_distinct,
-        "events_kmv_rollup": q_events_kmv_rollup,
-        "events_kmv_setops": q_events_kmv_setops,
-        "events_robust_outliers": q_events_robust_outliers,
-        "stats_histogram_prices": q_stats_histogram_prices,
-        "stats_drift_tokens": q_stats_drift_tokens,
-        "profile_cms_frequencies": q_profile_cms_frequencies,
-        "events_cms_rollup": q_events_cms_rollup,
-        "events_bloom_rollup": q_events_bloom_rollup,
-        "text_decontaminate_bloom": q_text_decontaminate_bloom,
-        "stats_table_profile": q_stats_table_profile,
-        "stats_contract_violations": q_stats_contract_violations,
-        "regression_stats": q_regression_stats,
-        "salted_agg_events": q_salted_agg_events,
-        "graph_scale_properties": q_graph_scale_properties,
-        # -- changed r14: resample/streaming closure (interp stream twin) ----
-        "events_resample_interp": q_events_resample_interp,
-        "events_resample_locf": q_events_resample_locf,
-        "events_attribution": q_events_attribution,
-        "events_decayed_guardrails": q_events_decayed_guardrails,
-        "events_decayed_value": q_events_decayed_value,
-        "events_dedup": q_events_dedup,
-        "events_funnel": q_events_funnel,
-        "events_hourly": q_events_hourly,
-        "events_retention": q_events_retention,
-        "events_sessionize": q_events_sessionize,
-        "events_type_pivot": q_events_type_pivot,
-        "json_extract_events": q_json_extract_events,
-        "asof_purchase_click": q_asof_purchase_click,
-        "curation_pipeline": q_curation_pipeline,
-        "source_curation_stats": q_source_curation_stats,
-        "text_lang_id": q_text_lang_id,
-        "text_stats": q_text_stats,
-        # -- rotate-in: r8 driver evidence, stalest in catalog ----
-        "q15_top_supplier": q15_top_supplier,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        # -- rotate-in: widest-fan-in r13 evidence-riders ----
+        # -- changed r15: retrieval.py constant-bucket RRF windows (VERDICT r14 #4) ----
+        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
+        # -- changed r15: linear first-collision-band CASE (codegen-64KB fix, VERDICT r14 #2) ----
         "dedup_minhash_banded": q_dedup_minhash_banded,
-        "similarity_pq_topk": q_similarity_pq_topk,
-        "sequence_packing": q_sequence_packing,
-        # ---- entries beyond this line sit past the driver window and ----
-        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
-        # ---- in a prior round) with hash-bound local re-verification ----
-        # ---- evidence recorded by scripts/check_oracle.py --record ------
-        "similarity_mmr_topk": q_similarity_mmr_topk,
-        "events_anomaly": q_events_anomaly,
-        "text_repetition": q_text_repetition,
-        "text_quality_gopher": q_text_quality_gopher,
-        "sample_stratified_split": q_sample_stratified_split,
-        "set_ops_nations": q_set_ops_nations,
-        "q19_bracket_revenue": q19_bracket_revenue,
-        "window_top_orders": q_window_top_orders,
-        "window_distribution": q_window_distribution,
-        "unpivot_orders": q_unpivot_orders,
-        "percentile_prices": q_percentile_prices,
-        "exists_big_customers": q_exists_big_customers,
-        "running_revenue": q_running_revenue,
-        "text_token_frequencies": q_text_token_frequencies,
-        "dedup_repeated_passages": q_dedup_repeated_passages,
-        "dedup_passage_removal": q_dedup_passage_removal,
-        "scalar_functions": q_scalar_functions,
-        "date_functions": q_date_functions,
-        "q11_important_stock": q11_important_stock,
-        "q14_promo_revenue": q14_promo_revenue,
-        "graph_pagerank": q_graph_pagerank,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_near_groups": q_dedup_near_groups,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "text_bm25_topk": q_text_bm25_topk,
-        "dedup_set_similarity": q_dedup_set_similarity,
-        "similarity_ann_index": q_similarity_ann_index,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "similarity_lsh_topk": q_similarity_lsh_topk,
-        "similarity_sq8_topk": q_similarity_sq8_topk,
-        "similarity_hard_negatives": q_similarity_hard_negatives,
-        "dedup_incremental_indexed": q_dedup_incremental_indexed,
-        "sample_cluster_balance": q_sample_cluster_balance,
-        "dedup_semantic_incremental": q_dedup_semantic_incremental,
-        "embedding_random_projection": q_embedding_random_projection,
-        "assoc_rules_parts": q_assoc_rules_parts,
-        "graph_assortativity": q_graph_assortativity,
-        "graph_kmeans": q_graph_kmeans,
-        "graph_cc_incremental": q_graph_cc_incremental,
-        "overlap_join_orders": q_overlap_join_orders,
-        "graph_node_similarity_topk": q_graph_node_similarity_topk,
-        "graph_conductance": q_graph_conductance,
-        "graph_topo_order": q_graph_topo_order,
-        "graph_k1coloring": q_graph_k1coloring,
-        "graph_articlerank": q_graph_articlerank,
-        "graph_louvain_move": q_graph_louvain_move,
-        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
-        "graph_eigenvector": q_graph_eigenvector,
-        "graph_betweenness": q_graph_betweenness,
-        "graph_fastrp": q_graph_fastrp,
-        "sample_importance_weights": q_sample_importance_weights,
-        "sample_dsir_selection": q_sample_dsir_selection,
-        "graph_pagerank_weighted": q_graph_pagerank_weighted,
-        "graph_dag_levels": q_graph_dag_levels,
-        "graph_modularity": q_graph_modularity,
-        "graph_rwr_sample": q_graph_rwr_sample,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_shipmode_priority": q12_shipmode_priority,
-        "graph_cc_star": q_graph_cc_star,
-        "graph_load_stats": q_graph_load_stats,
-        "graph_node_degrees": q_graph_node_degrees,
-        "graph_connected_components": q_graph_connected_components,
-        "graph_dangling_edges": q_graph_dangling_edges,
-        "graph_edge_resolution": q_graph_edge_resolution,
-        "graph_nodes_project": q_graph_nodes_project,
-        "graph_edges_project": q_graph_edges_project,
-        "sample_per_source_cap": q_sample_per_source_cap,
-        "dedup_canonical_keeper": q_dedup_canonical_keeper,
-        "sample_split_leakage": q_sample_split_leakage,
-        "approx_stats": q_approx_stats,
-        "curation_arrival": q_curation_arrival,
-        "dedup_containment": q_dedup_containment,
-        "dedup_containment_groups": q_dedup_containment_groups,
-        "dedup_edit_distance": q_dedup_edit_distance,
-        "dedup_exact_groups": q_dedup_exact_groups,
-        "dedup_semantic_groups": q_dedup_semantic_groups,
-        "embedding_near_dup": q_embedding_near_dup,
-        "graph_harmonic_closeness": q_graph_harmonic_closeness,
-        "graph_ktruss": q_graph_ktruss,
-        "graph_node2vec_walks": q_graph_node2vec_walks,
-        "graph_node_similarity_cosine": q_graph_node_similarity_cosine,
-        "graph_node_similarity_overlap": q_graph_node_similarity_overlap,
-        "graph_random_walks": q_graph_random_walks,
-        "graph_shortest_paths": q_graph_shortest_paths,
-        "graph_triangles": q_graph_triangles,
-        "graph_walk_skipgrams": q_graph_walk_skipgrams,
-        "multimodal_audio_stats": q_multimodal_audio_stats,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_image_stats": q_multimodal_image_stats,
-        "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
-        "multimodal_video_frames": q_multimodal_video_frames,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q20_excess_shippers": q20_excess_shippers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "range_join_shipments": q_range_join_shipments,
-        "sample_mixture_weights": q_sample_mixture_weights,
-        "sample_token_budget": q_sample_token_budget,
-        "similarity_knn_join": q_similarity_knn_join,
-        "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
-        "similarity_topk": q_similarity_topk,
-        "sort_limit": q_sort_limit,
-        "text_bigram_logprob": q_text_bigram_logprob,
-        "text_bpe_merges": q_text_bpe_merges,
-        "text_chunking": q_text_chunking,
-        "text_contamination": q_text_contamination,
-        "text_decontaminate": q_text_decontaminate,
-        "text_fingerprint": q_text_fingerprint,
-        "text_pii_redact": q_text_pii_redact,
-        "text_pii_scan": q_text_pii_scan,
-        "text_rolling_hash": q_text_rolling_hash,
-        "text_unigram_logprob": q_text_unigram_logprob,
-        "agg_distinct_parts": q_agg_distinct_parts,
-        "array_agg_orders": q_array_agg_orders,
-        "cube_lineitem": q_cube_lineitem,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "graph_bfs": q_graph_bfs,
-        "graph_clustering": q_graph_clustering,
-        "graph_kcore": q_graph_kcore,
-        "graph_label_propagation": q_graph_label_propagation,
-        "graph_node_similarity": q_graph_node_similarity,
-        "graph_ppr": q_graph_ppr,
-        "grouping_sets_lineitem": q_grouping_sets_lineitem,
-        "q16_supplier_exclusion": q16_supplier_exclusion,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q22_idle_customers": q22_idle_customers,
-        "retrieval_hybrid_rrf": q_retrieval_hybrid_rrf,
-        "rollup_lineitem": q_rollup_lineitem,
-        "stats_hll_rollup": q_stats_hll_rollup,
-        "text_bm25_join": q_text_bm25_join,
-        "web_url_normalize": q_web_url_normalize,
-        "window_analytics": q_window_analytics,
-        "window_range_frame": q_window_range_frame,
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        # -- rotate-in: r9 driver evidence, stalest cohort (VERDICT r14 #3) ----
         "curation_admission": q_curation_admission,
         "curation_apply_delta": q_curation_apply_delta,
         "curation_corpus_diff": q_curation_corpus_diff,
         "curation_full_funnel": q_curation_full_funnel,
         "curation_release": q_curation_release,
+        "dedup_canonical_keeper": q_dedup_canonical_keeper,
         "dedup_ngram3_pairs": q_dedup_ngram3_pairs,
+        "embedding_random_projection": q_embedding_random_projection,
         "graph_hits": q_graph_hits,
         "graph_link_prediction": q_graph_link_prediction,
         "graph_pagerank_bucketed": q_graph_pagerank_bucketed,
@@ -11381,8 +11566,10 @@ def _specs() -> dict[str, QuerySpec]:
         "layout_zorder_revenue": q_layout_zorder_revenue,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "salted_join_parts": q_salted_join_parts,
+        "sample_cluster_balance": q_sample_cluster_balance,
         "sample_quality_curriculum": q_sample_quality_curriculum,
         "sample_shard_assignment": q_sample_shard_assignment,
+        "sample_split_leakage": q_sample_split_leakage,
         "sample_temperature": q_sample_temperature,
         "sample_top_fraction": q_sample_top_fraction,
         "sample_training_order": q_sample_training_order,
@@ -11393,6 +11580,189 @@ def _specs() -> dict[str, QuerySpec]:
         "text_pii_cards": q_text_pii_cards,
         "text_quality_classifier": q_text_quality_classifier,
         "text_strip_html": q_text_strip_html,
+        # -- rotate-in: r10 driver evidence, next-stalest cohort ----
+        "graph_bfs": q_graph_bfs,
+        "graph_clustering": q_graph_clustering,
+        "graph_kcore": q_graph_kcore,
+        "graph_label_propagation": q_graph_label_propagation,
+        "graph_ppr": q_graph_ppr,
+        # ---- entries beyond this line sit past the driver window and ----
+        # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
+        # ---- in a prior round) with hash-bound local re-verification ----
+        # ---- evidence recorded by scripts/check_oracle.py --record ------
+        "agg_distinct_parts": q_agg_distinct_parts,
+        "approx_stats": q_approx_stats,
+        "array_agg_orders": q_array_agg_orders,
+        "asof_purchase_click": q_asof_purchase_click,
+        "assoc_rules_parts": q_assoc_rules_parts,
+        "cube_lineitem": q_cube_lineitem,
+        "curation_arrival": q_curation_arrival,
+        "curation_pipeline": q_curation_pipeline,
+        "date_functions": q_date_functions,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "dedup_containment": q_dedup_containment,
+        "dedup_containment_groups": q_dedup_containment_groups,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_near_groups": q_dedup_near_groups,
+        "dedup_passage_removal": q_dedup_passage_removal,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
+        "dedup_semantic_groups": q_dedup_semantic_groups,
+        "dedup_set_similarity": q_dedup_set_similarity,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_anomaly": q_events_anomaly,
+        "events_attribution": q_events_attribution,
+        "events_bloom_rollup": q_events_bloom_rollup,
+        "events_cms_rollup": q_events_cms_rollup,
+        "events_decayed_guardrails": q_events_decayed_guardrails,
+        "events_decayed_value": q_events_decayed_value,
+        "events_dedup": q_events_dedup,
+        "events_funnel": q_events_funnel,
+        "events_hourly": q_events_hourly,
+        "events_kmv_rollup": q_events_kmv_rollup,
+        "events_kmv_setops": q_events_kmv_setops,
+        "events_resample_interp": q_events_resample_interp,
+        "events_resample_locf": q_events_resample_locf,
+        "events_retention": q_events_retention,
+        "events_robust_outliers": q_events_robust_outliers,
+        "events_sessionize": q_events_sessionize,
+        "events_type_pivot": q_events_type_pivot,
+        "exists_big_customers": q_exists_big_customers,
+        "graph_articlerank": q_graph_articlerank,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_betweenness": q_graph_betweenness,
+        "graph_cc_incremental": q_graph_cc_incremental,
+        "graph_cc_star": q_graph_cc_star,
+        "graph_conductance": q_graph_conductance,
+        "graph_connected_components": q_graph_connected_components,
+        "graph_dag_levels": q_graph_dag_levels,
+        "graph_dangling_edges": q_graph_dangling_edges,
+        "graph_edge_resolution": q_graph_edge_resolution,
+        "graph_edges_project": q_graph_edges_project,
+        "graph_eigenvector": q_graph_eigenvector,
+        "graph_fastrp": q_graph_fastrp,
+        "graph_harmonic_closeness": q_graph_harmonic_closeness,
+        "graph_k1coloring": q_graph_k1coloring,
+        "graph_kmeans": q_graph_kmeans,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_load_stats": q_graph_load_stats,
+        "graph_louvain_move": q_graph_louvain_move,
+        "graph_modularity": q_graph_modularity,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
+        "graph_node_degrees": q_graph_node_degrees,
+        "graph_node_similarity": q_graph_node_similarity,
+        "graph_node_similarity_cosine": q_graph_node_similarity_cosine,
+        "graph_node_similarity_overlap": q_graph_node_similarity_overlap,
+        "graph_node_similarity_topk": q_graph_node_similarity_topk,
+        "graph_nodes_project": q_graph_nodes_project,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_random_walks": q_graph_random_walks,
+        "graph_rwr_sample": q_graph_rwr_sample,
+        "graph_scale_properties": q_graph_scale_properties,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "graph_topo_order": q_graph_topo_order,
+        "graph_triangles": q_graph_triangles,
+        "graph_walk_skipgrams": q_graph_walk_skipgrams,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
+        "json_extract_events": q_json_extract_events,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_image_stats": q_multimodal_image_stats,
+        "multimodal_image_stats_jpeg": q_multimodal_image_stats_jpeg,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "overlap_join_orders": q_overlap_join_orders,
+        "percentile_prices": q_percentile_prices,
+        "profile_cms_frequencies": q_profile_cms_frequencies,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_exclusion": q16_supplier_exclusion,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_customers": q22_idle_customers,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "range_join_shipments": q_range_join_shipments,
+        "regression_stats": q_regression_stats,
+        "rollup_lineitem": q_rollup_lineitem,
+        "running_revenue": q_running_revenue,
+        "salted_agg_events": q_salted_agg_events,
+        "sample_dsir_selection": q_sample_dsir_selection,
+        "sample_importance_weights": q_sample_importance_weights,
+        "sample_mixture_weights": q_sample_mixture_weights,
+        "sample_per_source_cap": q_sample_per_source_cap,
+        "sample_stratified_split": q_sample_stratified_split,
+        "sample_token_budget": q_sample_token_budget,
+        "scalar_functions": q_scalar_functions,
+        "sequence_packing": q_sequence_packing,
+        "set_ops_nations": q_set_ops_nations,
+        "similarity_ann_index": q_similarity_ann_index,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_knn_join": q_similarity_knn_join,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_matryoshka_topk": q_similarity_matryoshka_topk,
+        "similarity_mmr_topk": q_similarity_mmr_topk,
+        "similarity_pq_topk": q_similarity_pq_topk,
+        "similarity_sq8_topk": q_similarity_sq8_topk,
+        "similarity_topk": q_similarity_topk,
+        "sort_limit": q_sort_limit,
+        "source_curation_stats": q_source_curation_stats,
+        "stats_contract_violations": q_stats_contract_violations,
+        "stats_decile_bins": q_stats_decile_bins,
+        "stats_drift_tokens": q_stats_drift_tokens,
+        "stats_exact_quantiles": q_stats_exact_quantiles,
+        "stats_grouped_quantiles": q_stats_grouped_quantiles,
+        "stats_grouped_quantiles_hc": q_stats_grouped_quantiles_hc,
+        "stats_grouped_wquantiles": q_stats_grouped_wquantiles,
+        "stats_histogram_prices": q_stats_histogram_prices,
+        "stats_hll_rollup": q_stats_hll_rollup,
+        "stats_kmv_distinct": q_stats_kmv_distinct,
+        "stats_kmv_setops": q_stats_kmv_setops,
+        "stats_table_profile": q_stats_table_profile,
+        "stats_weighted_quantiles": q_stats_weighted_quantiles,
+        "text_bigram_logprob": q_text_bigram_logprob,
+        "text_bm25_join": q_text_bm25_join,
+        "text_bm25_topk": q_text_bm25_topk,
+        "text_bpe_merges": q_text_bpe_merges,
+        "text_chunking": q_text_chunking,
+        "text_colloc_lift": q_text_colloc_lift,
+        "text_contamination": q_text_contamination,
+        "text_decontaminate": q_text_decontaminate,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "text_pii_redact": q_text_pii_redact,
+        "text_pii_scan": q_text_pii_scan,
+        "text_quality_gopher": q_text_quality_gopher,
+        "text_repetition": q_text_repetition,
+        "text_rolling_hash": q_text_rolling_hash,
+        "text_stats": q_text_stats,
+        "text_token_frequencies": q_text_token_frequencies,
+        "text_unigram_logprob": q_text_unigram_logprob,
+        "unpivot_orders": q_unpivot_orders,
+        "web_url_normalize": q_web_url_normalize,
+        "window_analytics": q_window_analytics,
+        "window_distribution": q_window_distribution,
+        "window_range_frame": q_window_range_frame,
+        "window_top_orders": q_window_top_orders,
     }
     oracles = {**_GRAPH_ORACLES, **_RELATIONAL_ORACLES, **_extension_oracles()}
     out: dict[str, QuerySpec] = {}

@@ -22,7 +22,24 @@ echo "=== pytest ==="
 python -m pytest tests/ -q
 
 echo "=== oracle gate (sf0.01) ==="
-python scripts/check_oracle.py
+SWEEP_LOG="$(mktemp /tmp/ci_oracle_sweep.XXXXXX.log)"
+python scripts/check_oracle.py 2>&1 | tee "$SWEEP_LOG"
+
+echo "=== sweep hygiene: codegen fallbacks / unpartitioned windows ==="
+# VERDICT r14 #2: a >64KB generated method silently demotes the WHOLE
+# fused stage to interpreted eval — correctness holds, the hot path
+# dies. VERDICT r14 #4: an unpartitioned WindowExec WARN means a global
+# sort crept in without the constant-bucket pmod spec.
+if grep -E "Code grows beyond 64 KB|InternalCompilerException|Whole-stage codegen disabled" "$SWEEP_LOG" >/dev/null; then
+  echo "FAIL: whole-stage codegen fell back to interpreted eval during the sweep" >&2
+  grep -m3 -E "Code grows beyond 64 KB|Whole-stage codegen disabled" "$SWEEP_LOG" >&2
+  exit 1
+fi
+if grep "No Partition Defined for Window operation" "$SWEEP_LOG" >/dev/null; then
+  echo "FAIL: unpartitioned WindowExec WARN during the sweep" >&2
+  exit 1
+fi
+echo "sweep log clean"
 
 echo "=== plan audit ==="
 python scripts/explain_audit.py

@@ -2,7 +2,7 @@
 that stress exactly the dimensions the loud guards bound — condensation
 depth (outer peels), component diameter (color/mark fixpoint rounds),
 and trivial-mass fraction (the r14 Trim pre-pass's target) — with wall
-time and the operator's own round counters (scc.LAST_RUN_STATS).
+time and the operator's own round counters (scc.last_run_stats()).
 
 Run: ``python scripts/scc_deep_regime.py`` — prints one table; numbers
 are committed into ARCHITECTURE.md's deep-regime section.
@@ -71,7 +71,7 @@ def run(spark, name, pairs, **kw):
     t0 = time.perf_counter()
     n = scc.strongly_connected_components(df, **kw).count()
     dt = time.perf_counter() - t0
-    st = dict(scc.LAST_RUN_STATS)
+    st = scc.last_run_stats()
     print(
         f"{name:<28} nodes={n:<7} wall={dt:6.1f}s "
         f"trim={st['trim_rounds']} outer={st['outer_rounds']} "

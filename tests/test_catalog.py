@@ -130,3 +130,23 @@ def test_tripwire_v2_flags_operator_edits():
     # _co_order_edges helper source, not just their own body
     _deps, helpers = cw.query_deps(specs["graph_bfs"].fn, closure)
     assert "_co_order_edges" in helpers
+
+
+def test_scc_memo_config_matches_operator_defaults():
+    """VERDICT r14 #7: the memoized SCC fixture (`_SCC_FIXTURE_KW`,
+    shared by graph_scc AND graph_scc_condensation) must be built with
+    exactly the operator's signature defaults — a memo built under a
+    different trim/budget config would be correctness-neutral but would
+    silently decouple the two rows' measured costs. If the operator's
+    defaults move, this trips loudly and the fixture dict must be
+    re-pinned deliberately."""
+    import inspect
+
+    import dataflow_flex_pyarrow_to_gds_spark.queries as C
+    from dataflow_flex_pyarrow_to_gds_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    sig = inspect.signature(strongly_connected_components)
+    for k, v in C._SCC_FIXTURE_KW.items():
+        assert sig.parameters[k].default == v, (k, v)

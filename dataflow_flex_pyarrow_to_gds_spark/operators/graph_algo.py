@@ -2494,6 +2494,144 @@ def shortest_paths(
     raise RuntimeError(f"shortest_paths: no fixpoint in {max_iter} rounds")
 
 
+def k_shortest_path_lengths(
+    seeds: DataFrame,
+    edges: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    max_iter: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """k smallest DISTINCT walk costs from the seed set to every
+    reached node — ``(nodeId, k_rank, dist)``, ``k_rank`` = 1..k in
+    ascending ``dist`` order (r15; the data-parallel relative of GDS
+    Yen's k-shortest-paths, whose SIMPLE-path spur loop is inherently
+    sequential — each spur iteration removes edges discovered by the
+    previous one, ARCHITECTURE.md exclusion list).
+
+    **Semantics.** Paths here are WALKS (vertices may repeat) and ties
+    collapse: the result is the k smallest distinct costs over all
+    seed→node walks. That is exactly the (min,+) semiring of plain
+    Bellman-Ford lifted to k-element sorted distinct-cost sets, and the
+    lift preserves Bellman optimality: if cost ``d`` is among the k
+    smallest distinct costs to ``v`` via last edge ``(u,v,w)``, then
+    ``d−w`` is among the k smallest distinct costs to ``u`` (otherwise
+    k distinct costs < d−w at ``u`` would give k distinct costs < d at
+    ``v``, evicting ``d``). So the round operator — relax every state
+    row across every edge, merge, keep the k smallest distinct per
+    node — has the true answer as its unique fixpoint reachable from
+    the seed state, and is idempotent past it (the property the
+    unrolled SQL oracle leans on).
+
+    Shape per round: ONE equi-join of the ≤ k·|V|-row state against
+    the edge list, one repartition-by-node, a hash-dedup on
+    (node, dist) and a node-partitioned ``row_number`` top-k (sort-
+    based, no per-group memory blowup — hub in-degrees never build a
+    ``collect_set``), then an anti-join changed-row probe; lineage
+    localCheckpoint-materialized per round. Rounds = hop count of the
+    longest walk REALIZING a kept cost; raises loudly at ``max_iter``
+    instead of returning partially-relaxed sets. Weights must be
+    non-negative integers, enforced exactly like :func:`shortest_paths`
+    (int64 costs stay exact and hash-checkable; a negative weight
+    makes "k smallest walk costs" −∞-divergent).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if k < 1:
+        raise ValueError(
+            f"k_shortest_path_lengths: k must be >= 1, got {k}"
+        )
+    if max_iter < 1:
+        raise ValueError(
+            f"k_shortest_path_lengths: max_iter must be >= 1, "
+            f"got {max_iter}"
+        )
+    wtype = edges.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"k_shortest_path_lengths: weight column {weight_col!r} "
+            f"must be an integer type, got {wtype.simpleString()} "
+            "(int64 costs stay exact and hash-checkable)"
+        )
+    sym = edges.select(
+        F.col(SOURCE_ID).alias("_u"),
+        F.col(TARGET_ID).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    if not directed:
+        sym = sym.unionByName(
+            sym.select(
+                F.col("_v").alias("_u"), F.col("_u").alias("_v"), "_w"
+            )
+        )
+    sym = sym.localCheckpoint(eager=True)
+    min_w = sym.agg(F.min("_w").alias("m")).first()["m"]
+    if min_w is not None and min_w < 0:
+        raise ValueError(
+            f"k_shortest_path_lengths: negative weight {min_w} — any "
+            "cycle reachable from a seed would make the k-th smallest "
+            "walk cost unbounded below"
+        )
+
+    state = (
+        seeds.select(F.col(NODE_ID), F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    topk = Window.partitionBy(NODE_ID).orderBy("dist")
+    # range(max_iter + 1): the change probe needs one iteration BEYOND
+    # the last productive relaxation to observe the fixpoint, so sets
+    # finishing in exactly max_iter rounds must not trip the for/else
+    # raise (the repo's recurring exactly-at-budget class — scc
+    # backward mark r13, mst merge/doubling r14).
+    for _ in range(max_iter + 1):
+        relaxed = state.join(sym, state[NODE_ID] == sym["_u"]).select(
+            F.col("_v").alias(NODE_ID),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+        )
+        # repartition by node ONCE: hash(node) satisfies the clustered
+        # distribution of BOTH the (node, dist) dedup and the window,
+        # so the dedup + top-k pipeline runs in a single exchange
+        new_state = (
+            state.select(NODE_ID, "dist")
+            .unionByName(relaxed)
+            .repartition(NODE_ID)
+            .dropDuplicates([NODE_ID, "dist"])
+            .withColumn("_rn", F.row_number().over(topk))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_state.join(
+                state.select(NODE_ID, "dist"),
+                [NODE_ID, "dist"],
+                "left_anti",
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        # monotone under the sorted-set order: a row leaves the state
+        # only when a strictly smaller candidate evicts it, so
+        # new \ old = ∅  ⟺  new = old (fixpoint)
+        state = new_state
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            "k_shortest_path_lengths: sets still improving after "
+            f"{max_iter} rounds — raise max_iter; truncated sets would "
+            "silently under-report the k-th cost"
+        )
+    return state.select(
+        NODE_ID,
+        F.row_number().over(topk).alias("k_rank"),
+        "dist",
+    )
+
+
 def _oriented_edges(e: DataFrame) -> DataFrame:
     """``(_u, _v, _src, _dst, _dd)`` — each canonical undirected edge
     of ``e`` (columns ``_u < _v``) additionally oriented FROM its

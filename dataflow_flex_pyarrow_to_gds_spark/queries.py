@@ -10562,6 +10562,97 @@ def q_graph_msf_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RELATIONAL_ORACLES["graph_msf_max"] = _mst_oracle_sql(objective="maximum")
 
 
+def q_graph_ksp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k smallest distinct walk costs (r15) from nation-0's suppliers
+    to every supplier of the co-procurement graph (same graph as
+    ``graph_mst``; weight = co-occurrence count) — the data-parallel
+    relative of GDS Yen's k-shortest-paths (whose simple-path spur loop
+    is sequential, ARCHITECTURE.md exclusion list): k=3 alternative
+    procurement-distance tiers per supplier. K-relaxation Bellman-Ford
+    — per round one state⋈edges equi-join + a node-partitioned
+    distinct top-k; the round operator is idempotent past the fixpoint,
+    which the fully UNROLLED 8-round oracle leans on (engine raises
+    loudly if 8 rounds ever stop sufficing; the dense co-procurement
+    graph converges in ≤4)."""
+    from .operators.graph_algo import k_shortest_path_lengths
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("sourceNodeId"),
+            F.col("b.l_suppkey").alias("targetNodeId"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.col("s_suppkey").alias("nodeId"))
+    )
+    return k_shortest_path_lengths(
+        seeds, pairs, "w", 3, max_iter=8, directed=False
+    ).select(
+        F.col("nodeId").alias("node_id"), "k_rank", "dist"
+    )
+
+
+def _ksp_oracle_sql(rounds: int = 8, k: int = 3) -> str:
+    """Unrolled K-relaxation over the co-procurement graph: each round
+    is UNION (distinct (node, dist) pairs) + a per-node row_number
+    top-k — the same lifted-semiring round as the engine, and
+    idempotent past the fixpoint, so ``rounds`` only needs to be ≥ the
+    engine's convergence round count (engine max_iter = 8)."""
+    parts = [
+        f"""
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+eh AS MATERIALIZED (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+           CAST(count(*) AS BIGINT) AS w
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+),
+sym AS MATERIALIZED (
+    SELECT u, v, w FROM eh UNION ALL SELECT v, u, w FROM eh
+),
+s0 AS MATERIALIZED (
+    SELECT s_suppkey AS n, CAST(0 AS BIGINT) AS d
+    FROM supplier WHERE s_nationkey = 0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+s{r} AS MATERIALIZED (
+    SELECT n, d FROM (
+        SELECT n, d, row_number() OVER (PARTITION BY n ORDER BY d) AS rn
+        FROM (
+            SELECT n, d FROM s{r - 1}
+            UNION
+            SELECT e.v AS n, s.d + e.w AS d
+            FROM s{r - 1} s JOIN sym e ON s.n = e.u
+        )
+    ) WHERE rn <= {k}
+)""")
+    parts.append(f"""
+SELECT n AS node_id,
+       CAST(row_number() OVER (PARTITION BY n ORDER BY d) AS INTEGER)
+           AS k_rank,
+       d AS dist
+FROM s{rounds}""")
+    return "".join(parts)
+
+
+_RELATIONAL_ORACLES["graph_ksp"] = _ksp_oracle_sql()
+
+
 def _biconn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The biconnectivity fixture graph (r15): per sampled customer
     (every 20th custkey) their orders chunk into runs of ≤ 6 by date;
@@ -11407,6 +11498,7 @@ PREVIOUSLY_DRIVER_VERIFIED = frozenset(
         "graph_nodes_project",
         "graph_pagerank",
         "graph_pagerank_weighted",
+        "graph_ppr",
         "graph_random_walks",
         "graph_rwr_sample",
         "graph_scale_properties",
@@ -11530,6 +11622,8 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_articulation_points": q_graph_articulation_points,
         # -- new r15: maximum-objective spanning forest (VERDICT r14 #1) ----
         "graph_msf_max": q_graph_msf_max,
+        # -- new r15: k smallest distinct walk costs (Yen's data-parallel relative) ----
+        "graph_ksp": q_graph_ksp,
         # -- new r15: mixed max/min-direction skyline (VERDICT r14 #1) ----
         "pareto_suppliers_maxmin": q_pareto_suppliers_maxmin,
         # -- new r15: weighted high-cardinality grouped quantiles (VERDICT r14 #6) ----
@@ -11585,7 +11679,6 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_clustering": q_graph_clustering,
         "graph_kcore": q_graph_kcore,
         "graph_label_propagation": q_graph_label_propagation,
-        "graph_ppr": q_graph_ppr,
         # ---- entries beyond this line sit past the driver window and ----
         # ---- must all be in PREVIOUSLY_DRIVER_VERIFIED (driver-green ----
         # ---- in a prior round) with hash-bound local re-verification ----
@@ -11661,6 +11754,7 @@ def _specs() -> dict[str, QuerySpec]:
         "graph_nodes_project": q_graph_nodes_project,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_weighted": q_graph_pagerank_weighted,
+        "graph_ppr": q_graph_ppr,
         "graph_random_walks": q_graph_random_walks,
         "graph_rwr_sample": q_graph_rwr_sample,
         "graph_scale_properties": q_graph_scale_properties,

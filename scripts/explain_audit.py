@@ -1290,6 +1290,25 @@ CHECKS: list[tuple[str, str, object]] = [
         and "ArrowEvalPython" not in p,
     ),
     (
+        "@ksp_round",
+        "k-shortest-walk-costs round (r15): one state-edges equi-join, "
+        "then ONE hashpartitioning exchange feeding BOTH the "
+        "(node, dist) dedup aggregate and the node-partitioned top-k "
+        "window, whose rank limit is pushed down as WindowGroupLimit "
+        "(rows pruned to k per node BEFORE full window "
+        "materialization); no cartesian, no Python",
+        # formatted mode prints the node name "(n) Exchange" and its
+        # hashpartitioning arguments on separate lines; ") Exchange" is
+        # not a substring of ") BroadcastExchange"/") ReusedExchange"
+        lambda p: p.count(") Exchange") == 1
+        and "hashpartitioning(nodeId" in p
+        and "WindowGroupLimit" in p
+        and "windowspecdefinition(nodeId" in p
+        and "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
         "@pareto_nd_prefilter",
         "d-dim skyline phase 1 (r14): Arrow-batched MapInPandas local "
         "skyline directly over the 3-column aggregate — no join, no "
@@ -2020,6 +2039,58 @@ def _mst_round(spark, sf: str):
     return half.groupBy("_c").agg(F.min("_s").alias("_s"))
 
 
+def _ksp_round(spark, sf: str):
+    """One k-shortest-walk-costs relaxation round over the supplier
+    co-procurement graph — the plan executed once per hop of the
+    longest cost-realizing walk (graph_algo.k_shortest_path_lengths)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("_u"),
+            F.col("b.l_suppkey").alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"), "_w")
+    )
+    state = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .filter(F.col("s_nationkey") == 0)
+        .select(
+            F.col("s_suppkey").alias("nodeId"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    relaxed = state.join(sym, state["nodeId"] == sym["_u"]).select(
+        F.col("_v").alias("nodeId"),
+        (F.col("dist") + F.col("_w")).alias("dist"),
+    )
+    topk = Window.partitionBy("nodeId").orderBy("dist")
+    return (
+        state.select("nodeId", "dist")
+        .unionByName(relaxed)
+        .repartition("nodeId")
+        .dropDuplicates(["nodeId", "dist"])
+        .withColumn("_rn", F.row_number().over(topk))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
 def _pareto_nd_prefilter(spark, sf: str):
     """Phase 1 of the d-dim skyline over the per-supplier aggregate —
     the shipped _local_skyline_df plan, un-truncated by the caller's
@@ -2123,6 +2194,7 @@ CUSTOM_BUILDERS = {
     "@rrf_unbyd_rank": _rrf_unbyd_rank,
     "@gqhc_round": _gqhc_round,
     "@mst_round": _mst_round,
+    "@ksp_round": _ksp_round,
     "@pareto_nd_prefilter": _pareto_nd_prefilter,
     "@gq_round": _gq_round,
     "@scc_color_round": _scc_color_round,

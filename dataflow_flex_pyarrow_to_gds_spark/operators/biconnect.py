@@ -63,6 +63,7 @@ from pyspark.sql.window import Window as W
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
 from .graph_algo import connected_components_star
+from ._materialize import materialize
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -97,7 +98,7 @@ def _bfs_tree(e: DataFrame, max_depth: int) -> DataFrame:
         e.select(
             F.col("u").alias(SOURCE_ID), F.col("v").alias(TARGET_ID)
         ),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sym = e.select(F.col("u").alias("_a"), F.col("v").alias("_b")).unionByName(
         e.select(F.col("v").alias("_a"), F.col("u").alias("_b"))
     )
@@ -106,7 +107,7 @@ def _bfs_tree(e: DataFrame, max_depth: int) -> DataFrame:
         F.col("component").alias("comp"),
         F.lit(None).cast(comp.schema[NODE_ID].dataType).alias("parent"),
         F.lit(0).alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = settled.select("n")
     # range(max_depth + 1): the top-of-loop emptiness probe needs one
     # iteration beyond the deepest level (the repo-wide
@@ -119,7 +120,7 @@ def _bfs_tree(e: DataFrame, max_depth: int) -> DataFrame:
             )
             .groupBy(F.col("_b").alias("n"))
             .agg(F.min("_a").alias("parent"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if cand.limit(1).count() == 0:
             break
@@ -127,7 +128,7 @@ def _bfs_tree(e: DataFrame, max_depth: int) -> DataFrame:
             settled.select(F.col("n").alias("parent"), F.col("comp")),
             "parent",
         ).select("n", "comp", "parent", F.lit(d).alias("depth"))
-        settled = settled.unionByName(step).localCheckpoint(eager=True)
+        settled = settled.unionByName(step).transform(materialize)
         frontier = cand.select("n")
     else:
         raise RuntimeError(
@@ -144,9 +145,7 @@ def _preorder(tree: DataFrame, max_depth: int) -> DataFrame:
     tree, offset by per-root bases so intervals never collide across
     components)."""
     dmax = tree.agg(F.max("depth")).first()[0] or 0
-    sized = tree.withColumn("size", F.lit(1).cast("long")).localCheckpoint(
-        eager=True
-    )
+    sized = tree.withColumn("size", F.lit(1).cast("long")).transform(materialize)
     for d in range(dmax, 0, -1):
         contrib = (
             sized.filter(F.col("depth") == d)
@@ -157,7 +156,7 @@ def _preorder(tree: DataFrame, max_depth: int) -> DataFrame:
             sized.join(contrib, "n", "left_outer")
             .withColumn("size", F.col("size") + F.coalesce("_cs", F.lit(0)))
             .drop("_cs")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     # sibling offset: Σ sizes of same-parent siblings with smaller id
     w_sib = (
@@ -171,7 +170,7 @@ def _preorder(tree: DataFrame, max_depth: int) -> DataFrame:
             F.col("parent").isNotNull(),
             F.coalesce(F.sum("size").over(w_sib), F.lit(0)),
         ),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # per-root global bases: one cumulative window over the ≤#components
     # roots table (the bucket_offsets documented trade — driver-scale
     # rows, constant pmod spec so nothing WARNs or folds away)
@@ -193,7 +192,7 @@ def _preorder(tree: DataFrame, max_depth: int) -> DataFrame:
             "n", "comp", "parent", "depth", "size",
             (F.col("_base") + 1).cast("long").alias("tin"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     assigned = pre
     for d in range(1, dmax + 1):
@@ -209,13 +208,13 @@ def _preorder(tree: DataFrame, max_depth: int) -> DataFrame:
                 "n", "comp", "parent", "depth", "size",
                 (F.col("_pt") + 1 + F.col("_off")).cast("long").alias("tin"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         pre = pre.unionByName(step)
         assigned = step
     return pre.withColumn(
         "tout", (F.col("tin") + F.col("size") - 1).cast("long")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
 
 def _sparse_extrema(
@@ -232,7 +231,7 @@ def _sparse_extrema(
         F.col("tin").alias("pos"),
         F.col("m_low").alias("lo"),
         F.col("m_high").alias("hi"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     levels = [(0, 1, 1, 1)]
     k, span = 1, 2
     while span <= max(1, n_rows):
@@ -251,7 +250,7 @@ def _sparse_extrema(
                 F.greatest("hi", F.coalesce("_h2", "hi")).alias("hi"),
             )
         )
-        tbl = tbl.unionByName(nxt).localCheckpoint(eager=True)
+        tbl = tbl.unionByName(nxt).transform(materialize)
         levels.append((k, span, min(2 * span - 1, n_rows), span))
         k += 1
         span *= 2
@@ -275,7 +274,7 @@ def biconnectivity_state(
     ``tree`` (parent, n canonical tree edges), ``nontree`` (u, v),
     ``aux`` (n, auxcomp — blocks keyed by the child node of each tree
     edge). Computed once; the catalog memoizes it per session."""
-    e = _canon_edges(edges, src, dst).localCheckpoint(eager=True)
+    e = _canon_edges(edges, src, dst).transform(materialize)
     spark = e.sparkSession
     if e.limit(1).count() == 0:
         empty_pre = spark.createDataFrame(
@@ -300,7 +299,7 @@ def biconnectivity_state(
         ),
         ["u", "v"],
         "left_anti",
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # m_low/m_high: own tin folded with non-tree neighbor tins
     tins = pre.select("n", "tin")
     nt_sym = nontree.select(
@@ -316,7 +315,7 @@ def biconnectivity_state(
         .withColumn("m_low", F.least("tin", F.coalesce("_nl", F.col("tin"))))
         .withColumn("m_high", F.greatest("tin", F.coalesce("_nh", F.col("tin"))))
         .drop("_nl", "_nh")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     tbl, lv = _sparse_extrema(base, n_rows)
     q = base.join(
@@ -345,9 +344,7 @@ def biconnectivity_state(
             F.greatest("_hi1", "_hi2").alias("high"),
         )
     )
-    pre = base.drop("m_low", "m_high").join(ext, "n").localCheckpoint(
-        eager=True
-    )
+    pre = base.drop("m_low", "m_high").join(ext, "n").transform(materialize)
     # Tarjan–Vishkin auxiliary graph on non-root nodes v ≡ tree edge
     # (parent(v), v)
     iv = pre.select("n", "tin", "tout")
@@ -406,7 +403,7 @@ def biconnectivity_state(
             F.col(NODE_ID).alias("n"),
             F.coalesce("auxcomp", F.col(NODE_ID)).alias("auxcomp"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return {"pre": pre, "tree": tree_e, "nontree": nontree, "aux": aux}
 

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._materialize import materialize
+
 def spread_to_cluster(df: DataFrame) -> DataFrame:
     """Ensure a CPU-heavy narrow stage has at least cluster parallelism.
 
@@ -1261,7 +1263,7 @@ def near_dup_groups(
     # that must not be recomputed per consumer (measured 2× the full
     # embedding pair join without this). localCheckpoint also truncates
     # the join lineage so CC rounds re-plan from a flat scan.
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(materialize)
     if pairs.count() <= driver_cc_max_pairs:
         rows = pairs.select("id_a", "id_b").collect()
         parent: dict = {}
@@ -1627,7 +1629,7 @@ def append_to_minhash_index(
             )
     else:
         new_groups = new_groups.join(existing, "_fp", "left_anti")
-    new_groups = new_groups.localCheckpoint(eager=True)  # write twice
+    new_groups = new_groups.transform(materialize)  # write twice
     # buckets FIRST (see docstring: groups-presence implies
     # buckets-presence, so a crash between the appends is heal-by-retry
     # instead of a permanent recall hole)
@@ -1891,7 +1893,7 @@ def _containment_pairs_core(
         )
     )
     if unpersist_after:
-        result = result.localCheckpoint(eager=True)
+        result = result.transform(materialize)
         base.unpersist(blocking=True)
     return result
 
@@ -2446,7 +2448,7 @@ def sorted_neighborhood_pairs(
         # the rank table is consumed twice (left side + shifted right
         # side) — materialize once; checkpoint=False exists for plan
         # inspection (the audited lineage would otherwise truncate)
-        ranked = ranked.localCheckpoint(eager=True)
+        ranked = ranked.transform(materialize)
     right = ranked.select(
         F.col("_id").alias("_idb"),
         F.col("_toks").alias("_toksb"),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
+from ._materialize import materialize
 
 
 def node_degrees(edges: DataFrame) -> DataFrame:
@@ -58,7 +59,7 @@ def connected_components(
         )
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)  # reused every round — fix it once
+    sym = sym.transform(materialize)  # reused every round — fix it once
 
     comp = nodes.select(NODE_ID, F.col(NODE_ID).alias("component"))
     for _ in range(max_iter):
@@ -76,7 +77,7 @@ def connected_components(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .transform(materialize)  # truncate lineage per round
         )
         changed = (
             new_comp.alias("n")
@@ -143,7 +144,7 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prev_sig = _sig(pairs)
 
@@ -171,7 +172,7 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate lineage per round
+            .transform(materialize)  # truncate lineage per round
         )
         # Convergence: a cheap order-independent signature (count +
         # bit_xor of pair hashes — ONE aggregate over the checkpointed
@@ -350,7 +351,7 @@ def pagerank_fixedpoint(
             # truncate lineage per round; checkpoint=False exists for
             # plan inspection (explain_audit) — the checkpointed frame
             # explains as an opaque RDD scan
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -431,7 +432,7 @@ def pagerank_weighted(
             ).cast("long").alias("rank_fp"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -480,9 +481,9 @@ def dag_longest_path(
         e.select(F.col("_s").alias(NODE_ID))
         .unionByName(e.select(F.col("_t").alias(NODE_ID)))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(materialize)
     levels = nodes.select(NODE_ID, F.lit(0).cast("long").alias("level"))
     converged = False
     for _ in range(max_iter):
@@ -503,7 +504,7 @@ def dag_longest_path(
             )
         )
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(materialize)
         changed = (
             nxt.alias("n")
             .join(levels.alias("o"), NODE_ID)
@@ -571,7 +572,7 @@ def personalized_pagerank_fixedpoint(
     # (a cheap column projection), PPR inputs are often DERIVED edge
     # sets (the catalog row's co-order self-join) that would otherwise
     # recompute inside every iteration's join.
-    e = edges.select(SOURCE_ID, TARGET_ID).localCheckpoint(eager=True)
+    e = edges.select(SOURCE_ID, TARGET_ID).transform(materialize)
     nodes = (
         e.select(F.col(SOURCE_ID).alias(NODE_ID))
         .unionByName(e.select(F.col(TARGET_ID).alias(NODE_ID)))
@@ -581,7 +582,7 @@ def personalized_pagerank_fixedpoint(
         .select(
             NODE_ID, F.coalesce("_seed", F.lit(0)).alias("_seed")
         )
-        .localCheckpoint(eager=True)  # reused every round
+        .transform(materialize)  # reused every round
     )
     outdeg = e.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
         F.count(F.lit(1)).alias("_od")
@@ -615,7 +616,7 @@ def personalized_pagerank_fixedpoint(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -796,7 +797,7 @@ def label_propagation(
     if not assume_canonical:
         sym = sym.filter(F.col("a") != F.col("b")).distinct()
     if checkpoint:
-        sym = sym.localCheckpoint(eager=True)
+        sym = sym.transform(materialize)
     labels = nodes.select(NODE_ID, F.col(NODE_ID).alias("label"))
     from pyspark.sql import Window
 
@@ -820,7 +821,7 @@ def label_propagation(
             F.coalesce("_new", "label").alias("label"),
         )
         if checkpoint:
-            labels = labels.localCheckpoint(eager=True)  # truncate lineage
+            labels = labels.transform(materialize)  # truncate lineage
     return labels
 
 
@@ -865,13 +866,13 @@ def bfs_hop_distance(
     adj = (
         adj.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dist = (
         seeds.select(F.col(NODE_ID))
         .distinct()
         .select(NODE_ID, F.lit(0).cast("long").alias("hop"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     frontier = dist.select(NODE_ID)
     for h in range(1, max_hops + 1):
@@ -883,11 +884,11 @@ def bfs_hop_distance(
         fresh = (
             reached.join(dist, NODE_ID, "left_anti")
             .select(NODE_ID, F.lit(h).cast("long").alias("hop"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if fresh.limit(1).count() == 0:
             break
-        dist = dist.unionByName(fresh).localCheckpoint(eager=True)
+        dist = dist.unionByName(fresh).transform(materialize)
         frontier = fresh.select(NODE_ID)
     return dist
 
@@ -967,7 +968,7 @@ def local_clustering_coefficient(
         )
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
-        .localCheckpoint(eager=True)  # degrees + orientation + closing join
+        .transform(materialize)  # degrees + orientation + closing join
     )
     deg = (
         e.select(F.col("_u").alias("_n"))
@@ -1063,7 +1064,7 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_edges = e.count()
     for _ in range(max_iter):
@@ -1078,7 +1079,7 @@ def kcore(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # one count job per round: the previous round's size is carried
         n2 = e2.count()
@@ -1185,7 +1186,7 @@ def hits_fixedpoint(
             # values). Checkpointing auth too measured 7.3 s vs 4.4 s
             # for 3 iterations at sf0.1 — half the eager
             # materializations for the same contract.
-            hubs = hubs.localCheckpoint(eager=True)
+            hubs = hubs.transform(materialize)
     return hubs.select(
         NODE_ID,
         F.lit("hub").alias("kind"),
@@ -1248,7 +1249,7 @@ def eigenvector_centrality(
         e.select(F.col("_s").alias(NODE_ID))
         .unionByName(e.select(F.col("_t").alias(NODE_ID)))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     scores = nodes.select(NODE_ID, F.lit(scale).cast("long").alias("_score"))
     for _ in range(iters):
@@ -1259,7 +1260,7 @@ def eigenvector_centrality(
         )
         scores = _l1_normalize_fp(raw, scale)
         if checkpoint:
-            scores = scores.localCheckpoint(eager=True)
+            scores = scores.transform(materialize)
     return nodes.join(scores, NODE_ID, "left_outer").select(
         NODE_ID,
         F.coalesce(F.col("_score"), F.lit(0)).cast("long").alias("score_fp"),
@@ -1378,13 +1379,11 @@ def rwr_sample(
     hash_fn = hash_fn or portable_hash64_col
 
     adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
-    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
-        eager=True
-    )
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).transform(materialize)
     deg = (
         adj.groupBy(F.col(SOURCE_ID).alias("_s"))
         .agg(F.count(F.lit(1)).alias("_d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     state = seeds.select(F.col(NODE_ID).alias("_start")).distinct().select(
         "_start",
@@ -1426,7 +1425,7 @@ def rwr_sample(
                 "_wn",
                 F.coalesce(F.col("_t"), F.col("_start")).alias("_node"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         positions = positions.unionByName(state.select("_node"))
     return positions.groupBy(F.col("_node").alias(NODE_ID)).agg(
@@ -1674,7 +1673,7 @@ def landmark_harmonic_closeness(
     adj = (
         adj.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         adj.select(F.col("a").alias(NODE_ID))
@@ -1686,7 +1685,7 @@ def landmark_harmonic_closeness(
         F.col(NODE_ID).alias("_seed"),
         F.col(NODE_ID).alias("_node"),
         F.lit(0).cast("long").alias("_hop"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = visited.select("_seed", "_node")
     for h in range(1, max_hops + 1):
         reached = (
@@ -1697,7 +1696,7 @@ def landmark_harmonic_closeness(
         new = (
             reached.join(visited, ["_seed", "_node"], "left_anti")
             .withColumn("_hop", F.lit(h).cast("long"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if new.limit(1).count() == 0:
             return (
@@ -1709,7 +1708,7 @@ def landmark_harmonic_closeness(
                     ).cast("long").alias("harmonic_ppm")
                 )
             )
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        visited = visited.unionByName(new).transform(materialize)
         frontier = new.select("_seed", "_node")
     raise RuntimeError(
         f"landmark_harmonic_closeness: frontier alive after {max_hops} "
@@ -1784,13 +1783,13 @@ def landmark_betweenness(
     adj = (
         adj.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         adj.select(F.col("a").alias(NODE_ID))
         .unionByName(adj.select(F.col("b").alias(NODE_ID)))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     landmarks = nodes.orderBy(NODE_ID).limit(k_landmarks)  # TakeOrdered
     visited = landmarks.select(
@@ -1800,7 +1799,7 @@ def landmark_betweenness(
         F.lit(1).cast("decimal(25,0)").alias("_sig"),
     )
     if checkpoint:
-        visited = visited.localCheckpoint(eager=True)
+        visited = visited.transform(materialize)
     frontier = visited.select("_seed", "_node", "_sig")
     h_max = None
     # range stops at max_hops + 1: the EXTRA probe round (ADVICE r11)
@@ -1826,7 +1825,7 @@ def landmark_betweenness(
             .select("_seed", "_node", "_hop", "_sig")
         )
         if checkpoint:
-            new = new.localCheckpoint(eager=True)
+            new = new.transform(materialize)
         if new.limit(1).count() == 0:
             h_max = h - 1
             break
@@ -1834,7 +1833,7 @@ def landmark_betweenness(
             break  # alive past max_hops: truncated — fall through to raise
         visited = visited.unionByName(new)
         if checkpoint:
-            visited = visited.localCheckpoint(eager=True)
+            visited = visited.transform(materialize)
         frontier = new.select("_seed", "_node", "_sig")
     if h_max is None:
         raise RuntimeError(
@@ -1878,7 +1877,7 @@ def landmark_betweenness(
             .agg(F.sum("_d").cast("long").alias("_delta"))
         )
         if checkpoint:
-            lvl_delta = lvl_delta.localCheckpoint(eager=True)
+            lvl_delta = lvl_delta.transform(materialize)
         delta = lvl_delta
         out = lvl_delta if out is None else out.unionByName(lvl_delta)
     result = nodes
@@ -2001,13 +2000,11 @@ def random_walks(
     hash_fn = hash_fn or portable_hash64_col
 
     adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
-    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
-        eager=True
-    )  # probed every step — fix it once
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).transform(materialize)  # probed every step — fix it once
     deg = (
         adj.groupBy(F.col(SOURCE_ID).alias("_s"))
         .agg(F.count(F.lit(1)).alias("_d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     state = adj.select(F.col(SOURCE_ID).alias("_start")).distinct().select(
@@ -2151,16 +2148,14 @@ def node2vec_walks(
     hash_fn = hash_fn or portable_hash64_col
 
     adj = edges.select(SOURCE_ID, TARGET_ID).distinct()
-    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).localCheckpoint(
-        eager=True
-    )
+    ranked = _ranked_adjacency(adj, n_buckets=rank_buckets).transform(materialize)
     epair = ranked.select(
         F.col("_s").alias("_eu"), F.col("_t").alias("_ev"), F.lit(1).alias("_adj")
     )
     deg = (
         ranked.groupBy(F.col("_s"))
         .agg(F.count(F.lit(1)).alias("_d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     starts = adj.select(F.col(SOURCE_ID).alias("_start")).distinct()
@@ -2335,7 +2330,7 @@ def fastrp_embeddings(
     adj = (
         adj.filter(F.col("_u") != F.col("_v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     nodes = (
         adj.select(F.col("_u").alias(NODE_ID))
@@ -2369,7 +2364,7 @@ def fastrp_embeddings(
         )
     )
     if checkpoint:
-        state = state.localCheckpoint(eager=True)
+        state = state.transform(materialize)
     emb = state.select(
         NODE_ID, "dim", (F.col("_h") * F.lit(iter_weights[0])).alias("_e")
     )
@@ -2382,7 +2377,7 @@ def fastrp_embeddings(
             .agg(F.sum("_h").cast(state_t).alias("_h"))
         )
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
+            state = state.transform(materialize)
         emb = emb.join(state, [NODE_ID, "dim"], "left_outer").select(
             NODE_ID,
             "dim",
@@ -2449,7 +2444,7 @@ def shortest_paths(
                 "_w",
             )
         )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(materialize)
     min_w = sym.agg(F.min("_w").alias("m")).first()["m"]
     if min_w is not None and min_w < 0:
         # Bellman-Ford would "work" until a negative cycle turns the
@@ -2463,7 +2458,7 @@ def shortest_paths(
 
     dist = seeds.select(
         F.col(NODE_ID), F.lit(0).cast("long").alias("dist")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(materialize)
     for _ in range(max_iter):
         relaxed = (
             dist.join(sym, dist[NODE_ID] == sym["_u"])
@@ -2476,7 +2471,7 @@ def shortest_paths(
             dist.unionByName(relaxed)
             .groupBy(NODE_ID)
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         improved = (
             new_dist.alias("n")
@@ -2565,7 +2560,7 @@ def k_shortest_path_lengths(
                 F.col("_v").alias("_u"), F.col("_u").alias("_v"), "_w"
             )
         )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(materialize)
     min_w = sym.agg(F.min("_w").alias("m")).first()["m"]
     if min_w is not None and min_w < 0:
         raise ValueError(
@@ -2577,7 +2572,7 @@ def k_shortest_path_lengths(
     state = (
         seeds.select(F.col(NODE_ID), F.lit(0).cast("long").alias("dist"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     topk = Window.partitionBy(NODE_ID).orderBy("dist")
     # range(max_iter + 1): the change probe needs one iteration BEYOND
@@ -2601,7 +2596,7 @@ def k_shortest_path_lengths(
             .withColumn("_rn", F.row_number().over(topk))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_state.join(
@@ -2739,10 +2734,10 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
         )
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = e.count()
-    o = _oriented_edges(e).localCheckpoint(eager=True)
+    o = _oriented_edges(e).transform(materialize)
     for _ in range(max_iter):
         tri = _triangles_deg_oriented(o)
         # the triple is in (degree, id) orientation order, NOT id order
@@ -2772,12 +2767,10 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
         kept = (
             o.join(sup, ["_u", "_v"])
             .filter(F.col("_s") >= k - 2)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         m = kept.count()
-        o = kept.select("_u", "_v", "_src", "_dst", "_dd").localCheckpoint(
-            eager=True
-        )
+        o = kept.select("_u", "_v", "_src", "_dst", "_dd").transform(materialize)
         if m == n:
             return kept.select(
                 F.col("_u").alias(SOURCE_ID),
@@ -2933,7 +2926,7 @@ def topological_order(
     if levels is None:
         levels = dag_longest_path(
             edges, max_iter=max_iter, src=src, dst=dst
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     bad = levels.filter(
         (F.col(NODE_ID) < 0) | (F.col(NODE_ID) >= F.lit(1 << 40))
     )
@@ -3005,7 +2998,7 @@ def k1_coloring(
     )
     sym = e.unionByName(
         e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     def _prio(col: Column) -> Column:
         return portable_hash64_col(
@@ -3016,7 +3009,7 @@ def k1_coloring(
         sym.select(F.col("_u").alias("_n"))
         .distinct()
         .select("_n", _prio(F.col("_n")).alias("_h"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     colored = None  # (nodeId, color)
     for _ in range(max_iter):
@@ -3029,10 +3022,10 @@ def k1_coloring(
             newly
             if colored is None
             else colored.unionByName(newly)
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         uncolored = uncolored.join(
             winners, "_n", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     if uncolored.limit(1).count() == 0:
         return colored.select(F.col("_n").alias(NODE_ID), "color")
     raise RuntimeError(
@@ -3181,7 +3174,7 @@ def articlerank_fixedpoint(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -3242,12 +3235,12 @@ def louvain_local_move(
     )
     sym = e.unionByName(
         e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     m = sym.count() // 2
     deg = (
         sym.groupBy(F.col("_u").alias("_n"))
         .agg(F.count(F.lit(1)).cast("long").alias("_d"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     lab = deg.select("_n", F.col("_n").alias("_l"))
     for t in range(rounds):
@@ -3324,7 +3317,7 @@ def louvain_local_move(
             F.coalesce("_new", "_l").cast("long").alias("_l"),
         )
         if checkpoint:
-            lab = lab.localCheckpoint(eager=True)
+            lab = lab.transform(materialize)
     return lab.select(F.col("_n").alias(NODE_ID), F.col("_l").alias("label"))
 
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import SOURCE_ID, TARGET_ID
+from ._materialize import materialize
 
 
 def minimum_spanning_forest(
@@ -122,7 +123,7 @@ def minimum_spanning_forest(
         .groupBy("_u", "_v")
         .agg(best("_w").alias("_w"))
         .withColumn("_kw", key_expr)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     if objective == "maximum" and integral_w:
         # _w is non-null by the filter above, so a null key can only be
@@ -139,7 +140,7 @@ def minimum_spanning_forest(
         .unionByName(e.select(F.col("_v").alias("_n")))
         .distinct()
         .select("_n", F.col("_n").alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     chosen_parts: list[DataFrame] = []
     # range(max_rounds + 1): the top-of-loop emptiness probe needs one
@@ -164,7 +165,7 @@ def minimum_spanning_forest(
                 "_v",
             )
             .filter(F.col("_cu") != F.col("_cv"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         if ec.limit(1).count() == 0:
             break  # forest complete (per component)
@@ -193,7 +194,7 @@ def minimum_spanning_forest(
                 F.col("_s._v").alias("_v"),
                 F.col("_s._o").alias("_o"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         chosen_parts.append(
             sel.select("_u", "_v", "_w").distinct()
@@ -206,7 +207,7 @@ def minimum_spanning_forest(
             .select(
                 "_c", F.coalesce("_o", F.col("_c")).alias("_p")
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # 2-cycle break: mutual pairs keep the smaller id as root
         # (right side fully renamed — Spark flags same-lineage joins
@@ -226,7 +227,7 @@ def minimum_spanning_forest(
                 .otherwise(parent["_p"])
                 .alias("_p"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # pointer doubling to the root: p ← p(p), ≤ ⌈log₂ V⌉ steps.
         # range(max_jumps + 1): `still` is change-detection, so
@@ -240,7 +241,7 @@ def minimum_spanning_forest(
             nxt = (
                 parent.join(rgt, parent["_p"] == rgt["_rc"])
                 .select(parent["_c"], rgt["_pp"].alias("_p"))
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
             still = (
                 nxt.alias("n")
@@ -271,7 +272,7 @@ def minimum_spanning_forest(
         comp = (
             comp.join(relabel, comp["_c"] == relabel["_pc"])
             .select(comp["_n"], relabel["_np"].alias("_c"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     else:
         raise RuntimeError(

@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
+from ._materialize import materialize
 
 import threading
 
@@ -118,13 +119,13 @@ def strongly_connected_components(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_t"))
         .filter(F.col("_s").isNotNull() & F.col("_t").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     remaining = (
         e_all.select(F.col("_s").alias(NODE_ID))
         .unionByName(e_all.select(F.col("_t").alias(NODE_ID)))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     spark = edges.sparkSession
     found_parts: list[DataFrame] = []
@@ -149,7 +150,7 @@ def strongly_connected_components(
             .join(
                 remaining.withColumnRenamed(NODE_ID, "_t"), "_t", "semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         nontrivial = (
             remaining.join(
@@ -158,11 +159,11 @@ def strongly_connected_components(
             .join(
                 e_r.select(F.col("_s").alias(NODE_ID)), NODE_ID, "semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         trivial = remaining.join(
             nontrivial, NODE_ID, "anti"
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         if trivial.limit(1).count() == 0:
             break
         found_parts.append(
@@ -183,12 +184,12 @@ def strongly_connected_components(
             .join(
                 remaining.withColumnRenamed(NODE_ID, "_t"), "_t", "semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # -- phase 1: forward min-label fixpoint ------------------------
         color = remaining.select(
             NODE_ID, F.col(NODE_ID).alias("_color")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         converged = False
         color_rounds = 0
         for _ in range(max_rounds):
@@ -213,7 +214,7 @@ def strongly_connected_components(
                         F.coalesce("_cin", F.col("_color")),
                     ).alias("_color"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
             still = (
                 nxt.alias("n")
@@ -252,11 +253,11 @@ def strongly_connected_components(
             )
             .filter(F.col("_c1") == F.col("_c2"))
             .select("_s", "_t")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         mark = color.filter(
             F.col(NODE_ID) == F.col("_color")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         frontier = mark
         # emptiness is probed AFTER each expansion (ADVICE r13: a
         # top-of-loop-only check spuriously raised when the walk
@@ -278,9 +279,9 @@ def strongly_connected_components(
                 preds.join(mark, NODE_ID, "anti")
                 .join(color, NODE_ID)
                 .select(NODE_ID, "_color")
-                .localCheckpoint(eager=True)
+                .transform(materialize)
             )
-            mark = mark.unionByName(frontier).localCheckpoint(eager=True)
+            mark = mark.unionByName(frontier).transform(materialize)
             if frontier.limit(1).count() == 0:
                 break
         else:
@@ -296,9 +297,7 @@ def strongly_connected_components(
                 NODE_ID, F.col("_color").cast("long").alias("scc_id")
             )
         )
-        remaining = remaining.join(mark, NODE_ID, "anti").localCheckpoint(
-            eager=True
-        )
+        remaining = remaining.join(mark, NODE_ID, "anti").transform(materialize)
     else:
         if remaining.limit(1).count() > 0:
             raise RuntimeError(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from .packing import range_bucketed
+from ._materialize import materialize
 
 
 def pareto_frontier(
@@ -223,7 +224,7 @@ def pareto_frontier_nd(
         overflow_dims = []
     cand = _local_skyline_df(
         rows, dims, local_keep_cap, overflow_dims=overflow_dims
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # Second-level prefilter (VERDICT r14 #5): phase 1 prunes only
     # WITHIN each input partition, so survivors from different
     # partitions never see each other — on a wide cluster the candidate
@@ -237,7 +238,7 @@ def pareto_frontier_nd(
     merge_width = max(1, min(8, cand.rdd.getNumPartitions()))
     cand = _local_skyline_df(
         cand.repartition(merge_width), dims, local_keep_cap
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     n_cand = cand.count()
     if n_cand > max_candidates:
         raise ValueError(

@@ -48,6 +48,50 @@ from pyspark.sql import DataFrame
 _WARNED = False
 
 
+def materialize_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`materialize`, but the action that materializes the
+    checkpoint IS a ``count()`` whose value is returned — ONE Spark job
+    for checkpoint + row count instead of the two an iterative loop
+    pays when it probes emptiness/size after checkpointing (r15, guide
+    §1.2/§2.4: the probe was a whole extra driver-coordinated job per
+    round, and in local mode per-job overhead is the floor cost of
+    every iterative operator).
+
+    Same stats/lineage truncation contract as :func:`materialize`; the
+    loud-but-soft fallback pays the extra count job but stays correct.
+    """
+    global _WARNED
+    try:
+        # eager=False: Dataset.localCheckpoint row-COPIES the internal
+        # RDD (UnsafeRows are buffer-reused per partition — caching
+        # them un-copied aliases every row in a partition to the last
+        # one) and MARKS it for local checkpointing without running the
+        # materializing count; our count below is that action.
+        ck = df.localCheckpoint(eager=False)
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        jrdd = jdf.queryExecution().toRdd()
+        n = jrdd.count()  # the materializing action — count for free
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+        return _CDF(fresh, spark), int(n)
+    except Exception as exc:  # noqa: BLE001 — private-API drift guard
+        if not _WARNED:
+            _WARNED = True
+            warnings.warn(
+                "materialize_count: fused checkpoint+count unavailable "
+                f"({exc!r}); falling back to localCheckpoint + a "
+                "separate count job per loop round",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        ck = df.localCheckpoint(eager=True)
+        return ck, ck.count()
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` (localCheckpoint) and return a frame
     whose logical plan carries neither lineage NOR compounded size

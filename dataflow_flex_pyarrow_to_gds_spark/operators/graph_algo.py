@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
-from ._materialize import materialize
+from ._materialize import materialize, materialize_count
 
 
 def node_degrees(edges: DataFrame) -> DataFrame:
@@ -59,34 +59,66 @@ def connected_components(
         )
         .distinct()
     )
+    # restrict to the node-induced subgraph ONCE (the pre-r15 round
+    # dropped out-of-node endpoints every round via its left join; the
+    # union-groupBy round below keeps every groupBy key, so the same
+    # restriction must happen up front — two build-time semi-joins,
+    # equivalent propagation)
+    ns = nodes.select(F.col(NODE_ID).alias("a"))
+    sym = (
+        sym.join(ns, "a", "left_semi")
+        .join(ns.withColumnRenamed("a", "b"), "b", "left_semi")
+    )
     sym = sym.transform(materialize)  # reused every round — fix it once
 
+    # r15 round shape (guide §2.4 — the old round spent 5 exchanges +
+    # a separate join-probe job per round; this one spends 3 exchanges
+    # and probes a checkpointed change flag): contributions = own label
+    # (own=1) ∪ neighbor labels (own=0), ONE join + ONE partial-agg
+    # groupBy taking min over the closed neighborhood — identical to
+    # least(own, min(neighbors)) — while max(own-row label) recovers
+    # the previous label so the change flag rides the same aggregate.
+    # ... plus a label-SHORTCUT per round (pointer doubling through the
+    # previous round's checkpointed mapping: component ← prev[component]
+    # after the neighborhood min) — labels stay component-member ids and
+    # only decrease, so every fixpoint is still the min-id labeling, but
+    # the reach radius doubles per round: O(log diameter) rounds instead
+    # of O(diameter).
     comp = nodes.select(NODE_ID, F.col(NODE_ID).alias("component"))
     for _ in range(max_iter):
-        neighbor_min = (
+        contrib = (
             comp.join(sym, comp[NODE_ID] == sym["a"])
-            .groupBy(F.col("b").alias(NODE_ID))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_comp = (
-            comp.join(neighbor_min, NODE_ID, "left_outer")
             .select(
-                NODE_ID,
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+                F.col("b").alias(NODE_ID),
+                "component",
+                F.lit(0).alias("_own"),
             )
-            .transform(materialize)  # truncate lineage per round
+            .unionByName(
+                comp.select(NODE_ID, "component", F.lit(1).alias("_own"))
+            )
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), NODE_ID)
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        nbr_min = contrib.groupBy(NODE_ID).agg(
+            F.min("component").alias("_c1"),
+            F.max(F.when(F.col("_own") == 1, F.col("component"))).alias(
+                "_old"
+            ),
         )
-        comp = new_comp
+        new_comp = nbr_min.join(
+            comp.select(
+                F.col(NODE_ID).alias("_c1"),
+                F.col("component").alias("_c2"),
+            ),
+            "_c1",
+        ).select(
+            NODE_ID,
+            F.least("_c1", "_c2").alias("component"),
+            (F.least("_c1", "_c2") < F.col("_old")).alias("_chg"),
+        )
+        # checkpoint + count in ONE job; the count doubles as a sanity
+        # floor (every node keeps a row via its own=1 contribution)
+        new_comp, _ = materialize_count(new_comp)
+        changed = new_comp.filter("_chg").limit(1).count()
+        comp = new_comp.select(NODE_ID, "component")
         if changed == 0:
             return comp
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
@@ -310,18 +342,35 @@ def pagerank_fixedpoint(
     only the skinny rank/contribution streams move per round
     (asserted on the physical plan by scripts/explain_audit.py).
     """
+    nodes = nodes.select(NODE_ID)
+    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
+    if checkpoint:
+        # r15 (guide §2.4/§5): every iteration's job used to re-derive
+        # the node list and out-degree table from the SOURCE plan —
+        # iters× recompute of the graph build. Fix the skinny operands
+        # once; the node count rides the checkpoint job for free.
+        nodes, n_seen = materialize_count(nodes)
+        if n_nodes is None:
+            n_nodes = n_seen
+        if not merge_edge_joins:
+            edge_pairs = edge_pairs.transform(materialize)
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(NODE_ID, F.lit(0).cast("long").alias("rank_fp"))
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
     r0 = scale // n_nodes
-    outdeg = edges.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
+    outdeg = edge_pairs.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
         F.count(F.lit(1)).alias("_od")
     )
+    if checkpoint and not merge_edge_joins:
+        outdeg = outdeg.transform(materialize)
     ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
-    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
     if merge_edge_joins:
+        # bucketed mode: edge_pairs MUST stay the bucketed scan (a
+        # checkpoint would orphan the on-disk bucket distribution and
+        # re-introduce the per-iteration edge Exchange this mode
+        # deletes); the hint pins the per-iteration join to sort-merge
         edge_pairs = edge_pairs.hint("merge")
     for _ in range(iters):
         contrib = (
@@ -396,18 +445,30 @@ def pagerank_weighted(
     """
     if iters < 1:
         raise ValueError("pagerank_weighted: iters must be >= 1")
+    nodes = nodes.select(NODE_ID)
+    e = edges.select(
+        SOURCE_ID, TARGET_ID, F.col(weight_col).cast("long").alias("_w")
+    )
+    if checkpoint:
+        # r15 (guide §2.4/§5): fix the derived weighted edge list, the
+        # out-weight totals and the node list ONCE — un-materialized,
+        # every iteration's job re-ran the whole graph build (for the
+        # co-order catalog row that was a lineitem self-join per round)
+        nodes, n_seen = materialize_count(nodes)
+        if n_nodes is None:
+            n_nodes = n_seen
+        e = e.transform(materialize)
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(NODE_ID, F.lit(0).cast("long").alias("rank_fp"))
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
     r0 = scale // n_nodes
-    e = edges.select(
-        SOURCE_ID, TARGET_ID, F.col(weight_col).cast("long").alias("_w")
-    )
     wsum = e.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
         F.sum("_w").alias("_wt")
     )
+    if checkpoint:
+        wsum = wsum.transform(materialize)
     ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
     for _ in range(iters):
         contrib = (
@@ -1057,16 +1118,14 @@ def kcore(
     """
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
-    e = (
+    e, n_edges = materialize_count(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .transform(materialize)
     )
-    n_edges = e.count()
     for _ in range(max_iter):
         deg = (
             e.select(F.col("u").alias("n"))
@@ -1075,14 +1134,12 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("n")
-        e2 = (
+        # checkpoint + size probe fused into ONE job (r15)
+        e2, n2 = materialize_count(
             e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .select("u", "v")
-            .transform(materialize)
         )
-        # one count job per round: the previous round's size is carried
-        n2 = e2.count()
         removed = n_edges - n2
         e, n_edges = e2, n2
         if removed == 0:
@@ -1154,6 +1211,11 @@ def hits_fixedpoint(
     if iters < 1:
         raise ValueError("hits_fixedpoint: iters must be >= 1")
     e = edges.select(SOURCE_ID, TARGET_ID).distinct()
+    if checkpoint:
+        # r15: the deduped edge list feeds TWO joins per iteration —
+        # fix it once instead of re-deriving it from the source plan
+        # in every half-step's job (guide §2.4/§5)
+        e = e.transform(materialize)
     hubs = (
         e.select(F.col(SOURCE_ID).alias(NODE_ID))
         .distinct()
@@ -1245,6 +1307,10 @@ def eigenvector_centrality(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_t"))
         )
     e = e.filter(F.col("_s") != F.col("_t")).distinct()
+    if checkpoint:
+        # r15: fix the deduped edge list once — it feeds every
+        # iteration's join (guide §2.4/§5)
+        e = e.transform(materialize)
     nodes = (
         e.select(F.col("_s").alias(NODE_ID))
         .unionByName(e.select(F.col("_t").alias(NODE_ID)))
@@ -3005,99 +3071,81 @@ def k1_coloring(
             F.concat_ws("#", col.cast("string"), F.lit(str(seed)))
         )
 
-    uncolored = (
+    # r15 single-state loop (guide §1.2/§2.4): ONE carried frame
+    # ``st = (n, h, color-or-NULL)`` materialized once per round. The
+    # pre-r15 loop checkpointed ``colored`` AND ``uncolored``
+    # separately, and each checkpoint re-executed the round's winner
+    # join from scratch — the whole Jones–Plassmann round ran TWICE per
+    # round plus a third job for the emptiness probe; this shape runs
+    # it once and probes a checkpointed NULL flag.
+    st = (
         sym.select(F.col("_u").alias("_n"))
         .distinct()
-        .select("_n", _prio(F.col("_n")).alias("_h"))
+        .select(
+            "_n",
+            _prio(F.col("_n")).alias("_h"),
+            F.lit(None).cast("long").alias("color"),
+        )
         .transform(materialize)
     )
-    colored = None  # (nodeId, color)
     for _ in range(max_iter):
-        if uncolored.limit(1).count() == 0:
-            return colored.select(
-                F.col("_n").alias(NODE_ID), "color"
-            )
-        winners, newly = _k1_round(sym, uncolored, colored)
-        colored = (
-            newly
-            if colored is None
-            else colored.unionByName(newly)
-        ).transform(materialize)
-        uncolored = uncolored.join(
-            winners, "_n", "left_anti"
-        ).transform(materialize)
-    if uncolored.limit(1).count() == 0:
-        return colored.select(F.col("_n").alias(NODE_ID), "color")
+        if st.filter(F.col("color").isNull()).limit(1).count() == 0:
+            return st.select(F.col("_n").alias(NODE_ID), "color")
+        st = _k1_round_state(sym, st).transform(materialize)
+    if st.filter(F.col("color").isNull()).limit(1).count() == 0:
+        return st.select(F.col("_n").alias(NODE_ID), "color")
     raise RuntimeError(
         f"k1_coloring: nodes still uncolored after {max_iter} rounds — "
-        "raise max_iter (rounds are O(log n) expected; a partial "
-        "coloring would silently violate the contract)"
+        "raise max_iter (rounds are O(log n) expected; a silent partial "
+        "coloring would look proper and mean nothing)"
     )
 
 
-def _k1_round(
-    sym: DataFrame, uncolored: DataFrame, colored: DataFrame | None
-) -> tuple[DataFrame, DataFrame]:
-    """One Jones–Plassmann round (the :func:`k1_coloring` loop body,
-    factored out so the plan audit can pin its shape): returns
-    ``(winners, newly)`` — the uncolored local priority maxima and
-    their mex-colored rows. Winners come from ONE partial-aggregated
-    ``max(struct(h, id))`` over the active adjacency (never a
-    per-source window); the mex folds the sorted distinct
-    neighbor-color array in one codegen HOF, state bounded by the
-    palette, not the degree."""
-    active = (
-        sym.join(
-            uncolored.withColumnRenamed("_n", "_u")
-            .withColumnRenamed("_h", "_hu"),
-            "_u",
-        )
-        .join(
-            uncolored.withColumnRenamed("_n", "_v")
-            .withColumnRenamed("_h", "_hv"),
-            "_v",
-        )
+def _k1_round_state(sym: DataFrame, st: DataFrame) -> DataFrame:
+    """One Jones–Plassmann round over the single carried state
+    ``st = (_n, _h, color-or-NULL)`` (the :func:`k1_coloring` loop
+    body, factored out so the plan audit can pin its shape) → the next
+    state. r15 one-scan shape (guide §2.4 — the pre-r15 round scanned
+    the adjacency twice and ran ~10 exchanges; this one runs 5): ONE
+    join attaches each neighbor's (hash, color) state to the
+    adjacency, ONE partial-aggregated groupBy per node collects BOTH
+    the strongest uncolored rival ``max(struct(h, n))`` AND the
+    distinct colored-neighbor palette ``collect_set(color)`` (bounded
+    by colors-so-far ≤ Δ+1, never by degree), and ONE left join back
+    to the state decides winners — uncolored, own ``(h, n)`` beats
+    every uncolored neighbor — and writes their mex (first gap of the
+    sorted palette, folded in one codegen HOF) as the round's color."""
+    nbr = sym.join(
+        st.select(
+            F.col("_n").alias("_v"),
+            F.col("_h").alias("_hv"),
+            F.col("color").alias("_cv"),
+        ),
+        "_v",
     )
-    rival = active.groupBy(F.col("_u").alias("_n")).agg(
-        F.max(F.struct(F.col("_hv").alias("h"), F.col("_v").alias("n")))
-        .alias("_best")
-    )
-    winners = (
-        uncolored.join(rival, "_n", "left_outer")
-        .filter(
-            F.col("_best").isNull()
-            | (
-                F.struct(F.col("_h").alias("h"), F.col("_n").alias("n"))
-                > F.col("_best")
+    agg = nbr.groupBy(F.col("_u").alias("_n")).agg(
+        F.max(
+            F.when(
+                F.col("_cv").isNull(),
+                F.struct(F.col("_hv").alias("h"), F.col("_v").alias("n")),
             )
-        )
-        .select("_n")
+        ).alias("_rival"),
+        F.collect_set("_cv").alias("_palette"),
     )
-    if colored is None:
-        used = winners.select(
-            "_n", F.lit(None).cast("long").alias("color")
-        ).filter(F.lit(False))
-    else:
-        used = (
-            winners.join(sym, winners["_n"] == sym["_u"])
-            .join(
-                colored.withColumnRenamed("_n", "_v"),
-                "_v",
-            )
-            .select(winners["_n"], "color")
-            .distinct()
-        )
-    mex = used.groupBy("_n").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("color")),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
-        ).alias("color")
+    own = F.struct(F.col("_h").alias("h"), F.col("_n").alias("n"))
+    win = F.col("color").isNull() & (
+        F.col("_rival").isNull() | (own > F.col("_rival"))
     )
-    newly = winners.join(mex, "_n", "left_outer").select(
-        "_n", F.coalesce("color", F.lit(0)).cast("long").alias("color")
+    mex = F.aggregate(
+        F.array_sort(F.coalesce("_palette", F.array().cast("array<long>"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
     )
-    return winners, newly
+    return st.join(agg, "_n", "left_outer").select(
+        "_n",
+        "_h",
+        F.coalesce(F.col("color"), F.when(win, mex)).alias("color"),
+    )
 
 
 def articlerank_fixedpoint(
@@ -3132,11 +3180,21 @@ def articlerank_fixedpoint(
     partial-aggregated sum, checkpointed — the weight/divisor change
     adds ZERO exchanges (the pagerank_weighted precedent).
     """
+    nodes = nodes.select(NODE_ID)
+    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
+    if checkpoint:
+        # r15: fix nodes/edges/degrees once (guide §2.4/§5) — both
+        # loop counts ride the checkpoint jobs for free
+        nodes, n_seen = materialize_count(nodes)
+        if n_nodes is None:
+            n_nodes = n_seen
+        edge_pairs, e_seen = materialize_count(edge_pairs)
+        if n_edges is None:
+            n_edges = e_seen
     if n_nodes is None:
         n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select(NODE_ID, F.lit(0).cast("long").alias("rank_fp"))
-    edge_pairs = edges.select(SOURCE_ID, TARGET_ID)
     if n_edges is None:
         n_edges = edge_pairs.count()
     base = ((damping_den - damping_num) * scale // damping_den) // n_nodes
@@ -3144,6 +3202,8 @@ def articlerank_fixedpoint(
     outdeg = edge_pairs.groupBy(F.col(SOURCE_ID).alias(NODE_ID)).agg(
         F.count(F.lit(1)).alias("_od")
     )
+    if checkpoint:
+        outdeg = outdeg.transform(materialize)
     ranks = nodes.select(NODE_ID, F.lit(r0).cast("long").alias("rank_fp"))
     for _ in range(iters):
         contrib = (
@@ -3233,31 +3293,36 @@ def louvain_local_move(
         .filter(F.col("_u") != F.col("_v"))
         .distinct()
     )
-    sym = e.unionByName(
-        e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
-    ).transform(materialize)
-    m = sym.count() // 2
-    deg = (
+    sym, two_m = materialize_count(
+        e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+    )
+    m = two_m // 2
+    # r15 single-state sweeps (guide §1.2/§2.4): carry ONE checkpointed
+    # ``st = (_n, _d, _l)`` frame — the pre-r15 loop carried labels and
+    # degrees separately and paid two extra joins per sweep to re-glue
+    # them (tot's lab⋈deg and scored's active⋈lab pair collapse into
+    # direct reads of the state).
+    st = (
         sym.groupBy(F.col("_u").alias("_n"))
         .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .select("_n", "_d", F.col("_n").cast("long").alias("_l"))
         .transform(materialize)
     )
-    lab = deg.select("_n", F.col("_n").alias("_l"))
     for t in range(rounds):
         nbr_lab = sym.join(
-            lab.withColumnRenamed("_n", "_v"), "_v"
+            st.select(F.col("_n").alias("_v"), "_l"), "_v"
         ).select(F.col("_u").alias("_n"), F.col("_l").alias("_c"))
         kic = nbr_lab.groupBy("_n", "_c").agg(
             F.count(F.lit(1)).cast("long").alias("_k")
         )
-        tot = (
-            lab.join(deg, "_n")
-            .groupBy(F.col("_l").alias("_c"))
-            .agg(F.sum("_d").cast("long").alias("_tot"))
+        tot = st.groupBy(F.col("_l").alias("_c")).agg(
+            F.sum("_d").cast("long").alias("_tot")
         )
         cand = (
             kic.unionByName(
-                lab.select(
+                st.select(
                     "_n",
                     F.col("_l").alias("_c"),
                     F.lit(0).cast("long").alias("_k"),
@@ -3266,7 +3331,7 @@ def louvain_local_move(
             .groupBy("_n", "_c")
             .agg(F.sum("_k").alias("_k"))
         )
-        active = deg.filter(
+        active = st.filter(
             F.pmod(
                 portable_hash64_col(
                     F.concat_ws(
@@ -3279,14 +3344,13 @@ def louvain_local_move(
                 F.lit(2),
             )
             == 0
-        )
+        ).select("_n", "_d", F.col("_l").alias("_cur"))
         scored = (
             cand.join(tot, "_c")
             # only this sweep's active half scores — the inactive
             # half's candidate rows are dropped before any arithmetic,
             # not computed-then-ignored
             .join(active, "_n")
-            .join(lab.withColumnRenamed("_l", "_cur"), "_n")
             .select(
                 "_n",
                 "_c",
@@ -3312,13 +3376,13 @@ def louvain_local_move(
             )
             .select("_n", (-F.col("_best.nc")).cast("long").alias("_new"))
         )
-        lab = lab.join(moved, "_n", "left_outer").select(
+        st_next = st.join(moved, "_n", "left_outer").select(
             "_n",
+            "_d",
             F.coalesce("_new", "_l").cast("long").alias("_l"),
         )
-        if checkpoint:
-            lab = lab.transform(materialize)
-    return lab.select(F.col("_n").alias(NODE_ID), F.col("_l").alias("label"))
+        st = st_next.transform(materialize) if checkpoint else st_next
+    return st.select(F.col("_n").alias(NODE_ID), F.col("_l").alias("label"))
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:

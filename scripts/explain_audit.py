@@ -940,14 +940,15 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "@k1_round_plan",
-        "K-1 coloring round: winners from ONE partial-aggregated "
-        "max(struct) over the active adjacency (no per-source window "
-        "anywhere), mex folds the sorted neighbor-color array in a "
-        "codegen HOF (collect_list partial-aggregates), no cartesian, "
-        "no Python eval",
+        "K-1 coloring round: ONE adjacency scan — a single groupBy "
+        "partial-aggregates BOTH the strongest uncolored rival "
+        "max(struct) and the distinct colored-neighbor palette "
+        "(collect_set, bounded by the palette, never the degree); no "
+        "per-source window anywhere, mex folds the sorted palette in "
+        "a codegen HOF, no cartesian, no Python eval",
         lambda p: "CartesianProduct" not in p
         and "partial_max" in p
-        and "partial_collect_list" in p
+        and "partial_collect_set" in p
         and "windowspecdefinition" not in p
         and "aggregate(array_sort" in p
         and "BatchEvalPython" not in p
@@ -1684,7 +1685,7 @@ def _k1_round_plan(spark, sf: str):
         portable_hash64_col,
     )
     from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
-        _k1_round,
+        _k1_round_state,
     )
     from dataflow_flex_pyarrow_to_gds_spark.queries import _co_order_edges
 
@@ -1701,17 +1702,18 @@ def _k1_round_plan(spark, sf: str):
         ee.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
     )
     nodes = sym.select(F.col("_u").alias("_n")).distinct()
-    unc = nodes.filter(F.col("_n") % 2 == 0).select(
+    # half-colored state so both the winner aggregate and the mex
+    # palette path are live in the audited plan
+    st = nodes.select(
         "_n",
         portable_hash64_col(
             F.concat_ws("#", F.col("_n").cast("string"), F.lit("0"))
         ).alias("_h"),
+        F.when(F.col("_n") % 2 == 1, (F.col("_n") % 3))
+        .cast("long")
+        .alias("color"),
     )
-    col = nodes.filter(F.col("_n") % 2 == 1).select(
-        "_n", (F.col("_n") % 3).cast("long").alias("color")
-    )
-    _, newly = _k1_round(sym, unc, col)
-    return newly
+    return _k1_round_state(sym, st)
 
 
 def _ar_iter(spark, sf: str):

@@ -85,3 +85,26 @@ def test_materialize_usable_in_further_plans(spark):
     )
     rows = {r["g"]: r["s"] for r in out.collect()}
     assert rows == {g: 30 for g in range(5)}
+
+
+def test_materialize_count_rows_and_values(spark):
+    # the fused checkpoint+count must return the true count AND
+    # correctly-copied rows (UnsafeRows are buffer-reused per
+    # partition — an un-copied cache aliases every row to the last)
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    from dataflow_flex_pyarrow_to_gds_spark.operators._materialize import (
+        materialize_count,
+    )
+
+    m, n = materialize_count(df)
+    assert n == 100
+    rows = sorted((r["a"], r["b"]) for r in m.collect())
+    assert rows == [(i, 3 * i) for i in range(100)]
+    # stats must stay truncated (no compounding through self-joins)
+    cur = m
+    for _ in range(4):
+        cur, n2 = materialize_count(_self_join_round(cur))
+        assert n2 == 100
+        assert _digits(cur) <= 20

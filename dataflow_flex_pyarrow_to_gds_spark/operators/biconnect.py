@@ -63,7 +63,7 @@ from pyspark.sql.window import Window as W
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
 from .graph_algo import connected_components_star
-from ._materialize import materialize
+from ._materialize import materialize, materialize_count
 
 
 def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -113,22 +113,29 @@ def _bfs_tree(e: DataFrame, max_depth: int) -> DataFrame:
     # iteration beyond the deepest level (the repo-wide
     # exactly-at-budget off-by-one class)
     for d in range(1, max_depth + 2):
-        cand = (
+        # r15: checkpoint + drain probe fused into one job; the settled
+        # set stays a lazy union of checkpointed levels (children are
+        # checkpoints — no recompute, no per-level copy job)
+        cand, n_cand = materialize_count(
             sym.join(frontier.select(F.col("n").alias("_a")), "_a")
             .join(
                 settled.select(F.col("n").alias("_b")), "_b", "left_anti"
             )
             .groupBy(F.col("_b").alias("n"))
             .agg(F.min("_a").alias("parent"))
+        )
+        if n_cand == 0:
+            break
+        step = (
+            cand.join(
+                settled.select(F.col("n").alias("parent"), F.col("comp")),
+                "parent",
+            )
+            .select("n", "comp", "parent", F.lit(d).alias("depth"))
+            # each level checkpoints; the union of levels stays lazy
             .transform(materialize)
         )
-        if cand.limit(1).count() == 0:
-            break
-        step = cand.join(
-            settled.select(F.col("n").alias("parent"), F.col("comp")),
-            "parent",
-        ).select("n", "comp", "parent", F.lit(d).alias("depth"))
-        settled = settled.unionByName(step).transform(materialize)
+        settled = settled.unionByName(step)
         frontier = cand.select("n")
     else:
         raise RuntimeError(

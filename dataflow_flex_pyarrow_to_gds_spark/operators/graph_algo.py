@@ -555,6 +555,10 @@ def dag_longest_path(
             .groupBy(F.col("_t").alias(NODE_ID))
             .agg((F.max("level") + F.lit(1)).alias("_nl"))
         )
+        # r15: the change flag rides the SAME left join that builds the
+        # next level table (levels grow monotonically, so changed ⟺
+        # strictly greater) — the old probe re-joined the two level
+        # tables in a separate job per round
         nxt = (
             levels.join(cand, NODE_ID, "left_outer")
             .select(
@@ -562,17 +566,16 @@ def dag_longest_path(
                 F.greatest(F.col("level"), F.coalesce("_nl", F.lit(0)))
                 .cast("long")
                 .alias("level"),
+                (
+                    F.greatest(F.col("level"), F.coalesce("_nl", F.lit(0)))
+                    > F.col("level")
+                ).alias("_chg"),
             )
         )
         if checkpoint:
-            nxt = nxt.transform(materialize)
-        changed = (
-            nxt.alias("n")
-            .join(levels.alias("o"), NODE_ID)
-            .filter(F.col("n.level") != F.col("o.level"))
-        )
-        still = changed.limit(1).count() > 0
-        levels = nxt
+            nxt, _ = materialize_count(nxt)
+        still = nxt.filter("_chg").limit(1).count() > 0
+        levels = nxt.select(NODE_ID, "level")
         if not still:
             converged = True
             break
@@ -942,14 +945,16 @@ def bfs_hop_distance(
             .select(F.col("b").alias(NODE_ID))
             .distinct()
         )
-        fresh = (
+        # r15: checkpoint + drain probe in ONE job; dist stays a lazy
+        # union of checkpointed hop levels (children are checkpoints —
+        # no recompute, no per-round copy job)
+        fresh, n_fresh = materialize_count(
             reached.join(dist, NODE_ID, "left_anti")
             .select(NODE_ID, F.lit(h).cast("long").alias("hop"))
-            .transform(materialize)
         )
-        if fresh.limit(1).count() == 0:
+        if n_fresh == 0:
             break
-        dist = dist.unionByName(fresh).transform(materialize)
+        dist = dist.unionByName(fresh)
         frontier = fresh.select(NODE_ID)
     return dist
 
@@ -1759,12 +1764,15 @@ def landmark_harmonic_closeness(
             .select("_seed", F.col("b").alias("_node"))
             .distinct()
         )
-        new = (
+        # r15: frontier checkpoint + drain probe in ONE job, and the
+        # visited set stays a LAZY union of already-checkpointed hop
+        # levels (no recompute — every child is a checkpoint; unioning
+        # K levels costs a linear plan, not a per-round copy job)
+        new, n_new = materialize_count(
             reached.join(visited, ["_seed", "_node"], "left_anti")
             .withColumn("_hop", F.lit(h).cast("long"))
-            .transform(materialize)
         )
-        if new.limit(1).count() == 0:
+        if n_new == 0:
             return (
                 visited.filter(F.col("_hop") > 0)
                 .groupBy(F.col("_node").alias(NODE_ID))
@@ -1774,7 +1782,7 @@ def landmark_harmonic_closeness(
                     ).cast("long").alias("harmonic_ppm")
                 )
             )
-        visited = visited.unionByName(new).transform(materialize)
+        visited = visited.unionByName(new)
         frontier = new.select("_seed", "_node")
     raise RuntimeError(
         f"landmark_harmonic_closeness: frontier alive after {max_hops} "
@@ -1890,16 +1898,20 @@ def landmark_betweenness(
             .withColumn("_hop", F.lit(h).cast("long"))
             .select("_seed", "_node", "_hop", "_sig")
         )
+        # r15: checkpoint + drain probe fused; visited stays a LAZY
+        # union of checkpointed hop levels (children are checkpoints —
+        # no recompute, no per-round copy job; the backward pass's
+        # per-level filters read the same checkpointed partitions)
         if checkpoint:
-            new = new.transform(materialize)
-        if new.limit(1).count() == 0:
+            new, n_new = materialize_count(new)
+        else:
+            n_new = new.limit(1).count()
+        if n_new == 0:
             h_max = h - 1
             break
         if h == max_hops + 1:
             break  # alive past max_hops: truncated — fall through to raise
         visited = visited.unionByName(new)
-        if checkpoint:
-            visited = visited.transform(materialize)
         frontier = new.select("_seed", "_node", "_sig")
     if h_max is None:
         raise RuntimeError(
@@ -2110,6 +2122,11 @@ def random_walks(
                 & (F.col("_pick") == ranked["_r"]),
             )
             .select("_start", "_wn", F.col("_t").alias("_node"))
+            # r15: each step's state feeds BOTH the next step and its
+            # own output branch of the final union — un-materialized,
+            # the union re-ran every earlier step's joins per branch
+            # (step 1 executed walk_length times; guide §2.4)
+            .transform(materialize)
         )
         out = out.unionByName(
             state.select(
@@ -2318,6 +2335,10 @@ def node2vec_walks(
                     F.col("_t").alias("_node"),
                 )
             )
+        # r15: same per-step materialization as random_walks — the
+        # biased step is two joins + two windows, and the final union
+        # re-ran all of it once per later step (guide §2.4)
+        state = state.transform(materialize)
         out = out.unionByName(
             state.select(
                 F.col("_start").alias("start_node"),
@@ -2533,23 +2554,32 @@ def shortest_paths(
                 (F.col("dist") + F.col("_w")).alias("dist"),
             )
         )
+        # r15: the improvement flag rides the SAME union+min aggregate
+        # (own rows marked; improved ⟺ newly reached, or strictly
+        # smaller than the own-row minimum) — the old probe re-joined
+        # the two distance tables in a separate job per round
         new_dist = (
-            dist.unionByName(relaxed)
+            dist.select(NODE_ID, "dist", F.lit(1).alias("_own"))
+            .unionByName(relaxed.withColumn("_own", F.lit(0)))
             .groupBy(NODE_ID)
-            .agg(F.min("dist").alias("dist"))
-            .transform(materialize)
-        )
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), NODE_ID, "left_outer")
-            .filter(
-                F.col("o.dist").isNull()
-                | (F.col("n.dist") < F.col("o.dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_own") == 1, F.col("dist"))).alias(
+                    "_old"
+                ),
             )
-            .limit(1)
-            .count()
+            .select(
+                NODE_ID,
+                "dist",
+                (
+                    F.col("_old").isNull()
+                    | (F.col("dist") < F.col("_old"))
+                ).alias("_chg"),
+            )
         )
-        dist = new_dist
+        new_dist, _ = materialize_count(new_dist)
+        improved = new_dist.filter("_chg").limit(1).count()
+        dist = new_dist.select(NODE_ID, "dist")
         if improved == 0:
             return dist
     raise RuntimeError(f"shortest_paths: no fixpoint in {max_iter} rounds")
@@ -2654,30 +2684,28 @@ def k_shortest_path_lengths(
         # repartition by node ONCE: hash(node) satisfies the clustered
         # distribution of BOTH the (node, dist) dedup and the window,
         # so the dedup + top-k pipeline runs in a single exchange
+        # r15: provenance rides the dedup — collapsing (node, dist)
+        # duplicates with max(_own) both dedups AND marks whether the
+        # cost existed in the previous state, so the fixpoint probe is
+        # a cheap flag filter on the checkpoint instead of a separate
+        # anti-join job per round
         new_state = (
-            state.select(NODE_ID, "dist")
-            .unionByName(relaxed)
+            state.select(NODE_ID, "dist", F.lit(1).alias("_own"))
+            .unionByName(relaxed.withColumn("_own", F.lit(0)))
             .repartition(NODE_ID)
-            .dropDuplicates([NODE_ID, "dist"])
+            .groupBy(NODE_ID, "dist")
+            .agg(F.max("_own").alias("_own"))
             .withColumn("_rn", F.row_number().over(topk))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
-            .transform(materialize)
         )
-        changed = (
-            new_state.join(
-                state.select(NODE_ID, "dist"),
-                [NODE_ID, "dist"],
-                "left_anti",
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
+        new_state, _ = materialize_count(new_state)
         # monotone under the sorted-set order: a row leaves the state
         # only when a strictly smaller candidate evicts it, so
-        # new \ old = ∅  ⟺  new = old (fixpoint)
-        state = new_state
+        # new \ old = ∅  ⟺  new = old (fixpoint) — and new \ old is
+        # exactly the surviving rows whose cost no prior state row had
+        changed = new_state.filter(F.col("_own") == 0).limit(1).count() > 0
+        state = new_state.select(NODE_ID, "dist")
         if not changed:
             break
     else:
@@ -2830,13 +2858,13 @@ def ktruss(edges: DataFrame, k: int, *, max_iter: int = 30) -> DataFrame:
         sup = t3.groupBy("_u", "_v").agg(
             F.count(F.lit(1)).cast("long").alias("_s")
         )
-        kept = (
-            o.join(sup, ["_u", "_v"])
-            .filter(F.col("_s") >= k - 2)
-            .transform(materialize)
+        # r15: checkpoint + size probe fused; the next round's oriented
+        # view is a projection of the SAME checkpoint (the second
+        # per-round materialize was a redundant copy job)
+        kept, m = materialize_count(
+            o.join(sup, ["_u", "_v"]).filter(F.col("_s") >= k - 2)
         )
-        m = kept.count()
-        o = kept.select("_u", "_v", "_src", "_dst", "_dd").transform(materialize)
+        o = kept.select("_u", "_v", "_src", "_dst", "_dd")
         if m == n:
             return kept.select(
                 F.col("_u").alias(SOURCE_ID),

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import SOURCE_ID, TARGET_ID
-from ._materialize import materialize
+from ._materialize import materialize, materialize_count
 
 
 def minimum_spanning_forest(
@@ -151,7 +151,8 @@ def minimum_spanning_forest(
     # "at most max_rounds MERGE rounds".
     for _ in range(max_rounds + 1):
         # label endpoints with their component
-        ec = (
+        # r15: checkpoint + emptiness probe fused into ONE job
+        ec, n_ec = materialize_count(
             e.join(
                 comp.select(
                     F.col("_n").alias("_u"), F.col("_c").alias("_cu")
@@ -165,9 +166,8 @@ def minimum_spanning_forest(
                 "_v",
             )
             .filter(F.col("_cu") != F.col("_cv"))
-            .transform(materialize)
         )
-        if ec.limit(1).count() == 0:
+        if n_ec == 0:
             break  # forest complete (per component)
         # min outgoing edge per component under the (w, u, v) total
         # order; the far component rides in the struct for contraction
@@ -238,22 +238,19 @@ def minimum_spanning_forest(
             rgt = parent.select(
                 F.col("_c").alias("_rc"), F.col("_p").alias("_pp")
             )
-            nxt = (
+            # r15: the doubling join already sees BOTH p and p(p) —
+            # the change flag rides it, and the probe is a flag filter
+            # on the checkpoint instead of a separate join job per jump
+            nxt, _ = materialize_count(
                 parent.join(rgt, parent["_p"] == rgt["_rc"])
-                .select(parent["_c"], rgt["_pp"].alias("_p"))
-                .transform(materialize)
-            )
-            still = (
-                nxt.alias("n")
-                .join(
-                    parent.select("_c", F.col("_p").alias("_q")), "_c"
+                .select(
+                    parent["_c"],
+                    rgt["_pp"].alias("_p"),
+                    (rgt["_pp"] != parent["_p"]).alias("_chg"),
                 )
-                .filter(F.col("_p") != F.col("_q"))
-                .limit(1)
-                .count()
-                > 0
             )
-            parent = nxt
+            still = nxt.filter("_chg").limit(1).count() > 0
+            parent = nxt.select("_c", "_p")
             if not still:
                 break
         else:

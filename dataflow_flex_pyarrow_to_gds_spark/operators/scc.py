@@ -69,7 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import NODE_ID, SOURCE_ID, TARGET_ID
-from ._materialize import materialize
+from ._materialize import materialize, materialize_count
 
 import threading
 
@@ -121,11 +121,10 @@ def strongly_connected_components(
         .distinct()
         .transform(materialize)
     )
-    remaining = (
+    remaining, n_remaining = materialize_count(
         e_all.select(F.col("_s").alias(NODE_ID))
         .unionByName(e_all.select(F.col("_t").alias(NODE_ID)))
         .distinct()
-        .transform(materialize)
     )
     spark = edges.sparkSession
     found_parts: list[DataFrame] = []
@@ -140,8 +139,11 @@ def strongly_connected_components(
     # cannot lie on a cycle → singleton component, scc_id = itself.
     # Bounded rounds, no guard needed: trim is an optimization, and the
     # coloring loop below is complete without it.
+    # r15: every checkpoint in the trim loop carries its row count
+    # (materialize_count), so the emptiness probes are arithmetic on
+    # counts already paid for — zero extra probe jobs per round
     for _ in range(max(trim_rounds, 0)):
-        if remaining.limit(1).count() == 0:
+        if n_remaining == 0:
             break
         e_r = (
             e_all.join(
@@ -152,29 +154,26 @@ def strongly_connected_components(
             )
             .transform(materialize)
         )
-        nontrivial = (
+        nontrivial, n_nontrivial = materialize_count(
             remaining.join(
                 e_r.select(F.col("_t").alias(NODE_ID)), NODE_ID, "semi"
             )
             .join(
                 e_r.select(F.col("_s").alias(NODE_ID)), NODE_ID, "semi"
             )
-            .transform(materialize)
         )
-        trivial = remaining.join(
-            nontrivial, NODE_ID, "anti"
-        ).transform(materialize)
-        if trivial.limit(1).count() == 0:
-            break
+        if n_nontrivial == n_remaining:
+            break  # nothing trivial this round
+        trivial = remaining.join(nontrivial, NODE_ID, "anti")
         found_parts.append(
             trivial.select(
                 NODE_ID, F.col(NODE_ID).cast("long").alias("scc_id")
             )
         )
         stats["trim_rounds"] += 1
-        remaining = nontrivial
+        remaining, n_remaining = nontrivial, n_nontrivial
     for _outer in range(max_outer):
-        if remaining.limit(1).count() == 0:
+        if n_remaining == 0:
             break
         stats["outer_rounds"] += 1
         e = (
@@ -192,6 +191,14 @@ def strongly_connected_components(
         ).transform(materialize)
         converged = False
         color_rounds = 0
+        # r15 round shape: the change flag rides the same left join
+        # (labels only decrease, so changed ⟺ strictly smaller) and a
+        # label SHORTCUT through the previous round's checkpointed
+        # mapping doubles the reach per round — valid for DIRECTED
+        # reachability because "label reaches node" is transitive
+        # (color(v)=u means u→v; color(u)=w means w→u, hence w→v), so
+        # labels stay reacher-ids, stay monotone, and every fixpoint is
+        # still the min-reacher coloring; rounds O(depth) → O(log depth)
         for _ in range(max_rounds):
             color_rounds += 1
             cand = (
@@ -212,19 +219,25 @@ def strongly_connected_components(
                     F.least(
                         F.col("_color"),
                         F.coalesce("_cin", F.col("_color")),
-                    ).alias("_color"),
+                    ).alias("_c1"),
+                    F.col("_color").alias("_old"),
                 )
-                .transform(materialize)
+                .join(
+                    color.select(
+                        F.col(NODE_ID).alias("_c1"),
+                        F.col("_color").alias("_c2"),
+                    ),
+                    "_c1",
+                )
+                .select(
+                    NODE_ID,
+                    F.least("_c1", "_c2").alias("_color"),
+                    (F.least("_c1", "_c2") < F.col("_old")).alias("_chg"),
+                )
             )
-            still = (
-                nxt.alias("n")
-                .join(color.alias("o"), NODE_ID)
-                .filter(F.col("n._color") != F.col("o._color"))
-                .limit(1)
-                .count()
-                > 0
-            )
-            color = nxt
+            nxt, _ = materialize_count(nxt)
+            still = nxt.filter("_chg").limit(1).count() > 0
+            color = nxt.select(NODE_ID, "_color")
             if not still:
                 converged = True
                 break
@@ -263,6 +276,9 @@ def strongly_connected_components(
         # top-of-loop-only check spuriously raised when the walk
         # converged in exactly max_rounds expansions — the final empty
         # frontier was never observed before range() exhausted)
+        # r15: frontier checkpoint + drain probe fused into one job;
+        # the mark set stays a LAZY union of checkpointed frontiers
+        # (children are checkpoints — no recompute, no per-round copy)
         mark_rounds = 0
         for _ in range(max_rounds):
             mark_rounds += 1
@@ -275,14 +291,13 @@ def strongly_connected_components(
                 .select(F.col("_s").alias(NODE_ID))
                 .distinct()
             )
-            frontier = (
+            frontier, n_front = materialize_count(
                 preds.join(mark, NODE_ID, "anti")
                 .join(color, NODE_ID)
                 .select(NODE_ID, "_color")
-                .transform(materialize)
             )
-            mark = mark.unionByName(frontier).transform(materialize)
-            if frontier.limit(1).count() == 0:
+            mark = mark.unionByName(frontier)
+            if n_front == 0:
                 break
         else:
             raise RuntimeError(
@@ -297,9 +312,11 @@ def strongly_connected_components(
                 NODE_ID, F.col("_color").cast("long").alias("scc_id")
             )
         )
-        remaining = remaining.join(mark, NODE_ID, "anti").transform(materialize)
+        remaining, n_remaining = materialize_count(
+            remaining.join(mark, NODE_ID, "anti")
+        )
     else:
-        if remaining.limit(1).count() > 0:
+        if n_remaining > 0:
             raise RuntimeError(
                 "strongly_connected_components: nodes still unassigned "
                 f"after {max_outer} outer peels — the condensation DAG "

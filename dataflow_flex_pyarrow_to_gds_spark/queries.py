@@ -6087,7 +6087,14 @@ def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = bloom_sketch(
         ev, "_gh", m_bits=_BLOOM_M, k=_BLOOM_K, seed=_BLOOM_SEED
     )
-    tr = grams(docs.filter(F.col("doc_id") % 10 != 0))
+    # r15 (guide §2.4): the train grams feed BOTH the distinct probe
+    # set and the final per-doc flag join — un-materialized, the whole
+    # tokenize → 8-gram → portable-md5 pass (the dominant cost) ran
+    # TWICE; the checkpoint holds 16-byte (doc_id, hash) rows only,
+    # gram strings still never materialize or shuffle
+    from .operators._materialize import materialize as _mz
+
+    tr = grams(docs.filter(F.col("doc_id") % 10 != 0)).transform(_mz)
     verdicts = bloom_probe(
         sk,
         tr.select("_gh").distinct(),

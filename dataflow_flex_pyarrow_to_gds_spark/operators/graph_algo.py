@@ -1456,14 +1456,21 @@ def rwr_sample(
         .agg(F.count(F.lit(1)).alias("_d"))
         .transform(materialize)
     )
+    # r15 second pass: same path-array carry as :func:`random_walks` —
+    # the per-step position branches forced either O(L²) lazy re-joins
+    # (r14) or L checkpoints (first r15 fix); carrying all visited
+    # positions as one ARRAY column makes the loop a single linear
+    # lineage (L steps × 2 left joins, zero per-step driver jobs) with
+    # ONE explode feeding the visit count. Walkers never die here
+    # (sink/restart → seed), so the append is unconditional.
     state = seeds.select(F.col(NODE_ID).alias("_start")).distinct().select(
         "_start",
         F.explode(
             F.sequence(F.lit(0), F.lit(walks_per_seed - 1))
         ).alias("_wn"),
         F.col("_start").alias("_node"),
+        F.array(F.col("_start")).alias("_pos"),
     )
-    positions = state.select("_node")
     for step in range(1, walk_length + 1):
         tag = F.concat_ws(
             "#", F.col("_start"), F.col("_wn"), F.lit(step), F.lit(seed)
@@ -1482,6 +1489,7 @@ def rwr_sample(
             .select(
                 "_start",
                 "_wn",
+                "_pos",
                 F.col("_node").alias("_cur"),
                 pick.alias("_pick"),
             )
@@ -1495,12 +1503,15 @@ def rwr_sample(
                 "_start",
                 "_wn",
                 F.coalesce(F.col("_t"), F.col("_start")).alias("_node"),
+                F.array_append(
+                    "_pos", F.coalesce(F.col("_t"), F.col("_start"))
+                ).alias("_pos"),
             )
-            .transform(materialize)
         )
-        positions = positions.unionByName(state.select("_node"))
-    return positions.groupBy(F.col("_node").alias(NODE_ID)).agg(
-        F.count(F.lit(1)).cast("long").alias("visits")
+    return (
+        state.select(F.explode("_pos").alias("_node"))
+        .groupBy(F.col("_node").alias(NODE_ID))
+        .agg(F.count(F.lit(1)).cast("long").alias("visits"))
     )
 
 
@@ -2085,18 +2096,25 @@ def random_walks(
         .transform(materialize)
     )
 
+    # r15 second pass: carry the whole walk as an ARRAY column and
+    # posexplode ONCE at the end. The r14 shape unioned one output
+    # branch per step, so the lazy plan re-ran step i's joins once per
+    # later branch (O(L²) joins per action); the first r15 fix
+    # checkpointed every step, which traded the recompute for L driver
+    # jobs + eager row copies and measured ~1 s SLOWER at sf0.1
+    # (walk steps here are two cheap skinny joins). The array carry is
+    # a single linear lineage: L steps × 2 joins executed exactly once
+    # per action, ZERO per-step driver jobs, ≤ 8·(L+1) bytes of path
+    # per walker through the joins. Dead-end walkers (no out-edge)
+    # keep their emitted prefix via LEFT joins that leave _node/_path
+    # untouched once _d is null — same rows the union emitted.
     state = adj.select(F.col(SOURCE_ID).alias("_start")).distinct().select(
         "_start",
         F.explode(
             F.sequence(F.lit(0), F.lit(walks_per_node - 1))
         ).alias("_wn"),
         F.col("_start").alias("_node"),
-    )
-    out = state.select(
-        F.col("_start").alias("start_node"),
-        F.col("_wn").cast("int").alias("walk_no"),
-        F.lit(0).cast("int").alias("step"),
-        F.col("_node").alias("node_id"),
+        F.array(F.col("_start")).alias("_path"),
     )
     for step in range(1, walk_length + 1):
         h = hash_fn(
@@ -2109,10 +2127,11 @@ def random_walks(
             )
         )
         state = (
-            state.join(deg, state["_node"] == deg["_s"])
+            state.join(deg, state["_node"] == deg["_s"], "left")
             .select(
                 "_start",
                 "_wn",
+                "_path",
                 F.col("_node").alias("_cur"),
                 F.pmod(h, F.col("_d")).alias("_pick"),
             )
@@ -2120,23 +2139,27 @@ def random_walks(
                 ranked,
                 (F.col("_cur") == ranked["_s"])
                 & (F.col("_pick") == ranked["_r"]),
+                "left",
             )
-            .select("_start", "_wn", F.col("_t").alias("_node"))
-            # r15: each step's state feeds BOTH the next step and its
-            # own output branch of the final union — un-materialized,
-            # the union re-ran every earlier step's joins per branch
-            # (step 1 executed walk_length times; guide §2.4)
-            .transform(materialize)
-        )
-        out = out.unionByName(
-            state.select(
-                F.col("_start").alias("start_node"),
-                F.col("_wn").cast("int").alias("walk_no"),
-                F.lit(step).cast("int").alias("step"),
-                F.col("_node").alias("node_id"),
+            .select(
+                "_start",
+                "_wn",
+                F.coalesce(F.col("_t"), F.col("_cur")).alias("_node"),
+                F.when(F.col("_t").isNull(), F.col("_path"))
+                .otherwise(F.array_append("_path", F.col("_t")))
+                .alias("_path"),
             )
         )
-    return out
+    return state.select(
+        "_start",
+        "_wn",
+        F.posexplode("_path").alias("step", "node_id"),
+    ).select(
+        F.col("_start").alias("start_node"),
+        F.col("_wn").cast("int").alias("walk_no"),
+        F.col("step").cast("int").alias("step"),
+        "node_id",
+    )
 
 
 def skipgram_pairs(

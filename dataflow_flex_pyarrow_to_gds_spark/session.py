@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (-XX:HugeMethodLimit); Spark's default fallback threshold
+        # (65535, janino's hard cap) happily ships such methods, and a
+        # wide fused stage then runs in the BYTECODE INTERPRETER —
+        # measured 31 s vs 2.5 s on the banded-minhash candidate+verify
+        # stage at sf0.1 (maxMethodCodeSize 8747). 8000 makes Spark fall
+        # back to small, JIT-friendly interpreted-expression operators
+        # exactly when the JVM would stop compiling. JVM-wide constant,
+        # not a local-mode tunable.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

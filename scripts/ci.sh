@@ -26,13 +26,19 @@ SWEEP_LOG="$(mktemp /tmp/ci_oracle_sweep.XXXXXX.log)"
 python scripts/check_oracle.py 2>&1 | tee "$SWEEP_LOG"
 
 echo "=== sweep hygiene: codegen fallbacks / unpartitioned windows ==="
-# VERDICT r14 #2: a >64KB generated method silently demotes the WHOLE
-# fused stage to interpreted eval — correctness holds, the hot path
-# dies. VERDICT r14 #4: an unpartitioned WindowExec WARN means a global
+# VERDICT r14 #2: a >64KB generated method means janino REFUSED to
+# compile and the whole fused stage silently demoted to interpreted
+# eval — correctness holds, the hot path dies. Still a hard failure.
+# NOT a failure (r15): the "bytecode size ... above the limit 8000"
+# WARN — session.py pins spark.sql.codegen.hugeMethodLimit=8000
+# because HotSpot never JITs methods over 8000 bytecodes
+# (-XX:HugeMethodLimit); standing codegen down there is the POLICY
+# (measured 31.9 s -> 4.3 s on dedup_minhash_banded), not a defect.
+# VERDICT r14 #4: an unpartitioned WindowExec WARN means a global
 # sort crept in without the constant-bucket pmod spec.
-if grep -E "Code grows beyond 64 KB|InternalCompilerException|Whole-stage codegen disabled" "$SWEEP_LOG" >/dev/null; then
-  echo "FAIL: whole-stage codegen fell back to interpreted eval during the sweep" >&2
-  grep -m3 -E "Code grows beyond 64 KB|Whole-stage codegen disabled" "$SWEEP_LOG" >&2
+if grep -E "Code grows beyond 64 KB|InternalCompilerException" "$SWEEP_LOG" >/dev/null; then
+  echo "FAIL: generated code failed to compile during the sweep" >&2
+  grep -m3 -E "Code grows beyond 64 KB|InternalCompilerException" "$SWEEP_LOG" >&2
   exit 1
 fi
 if grep "No Partition Defined for Window operation" "$SWEEP_LOG" >/dev/null; then

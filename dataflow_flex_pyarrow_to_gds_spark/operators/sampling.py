@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ._materialize import materialize
 from .dedup import portable_hash64_col
 
 
@@ -667,9 +668,28 @@ def importance_weights(
             ).alias(prob),
         )
 
-    raw_cnt = corpus_buckets(raw).groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_c")
+    # r15: the raw corpus used to be tokenized + gram-hashed TWICE —
+    # once aggregated to the bucket histogram (stats pass), once to
+    # per-(doc, bucket) counts (scoring pass). The per-doc counts
+    # DETERMINE the histogram (raw_cnt = Σ_doc _n per bucket), so the
+    # scoring pass checkpoints once (skinny (id, bucket, n) rows — ≤
+    # n_buckets per doc, no gram strings) and the stats pass becomes a
+    # partial-aggregated groupBy over it. One full tokenize+hash pass
+    # saved at any scale; the target pass stays separate (the operator
+    # contract allows an arbitrary target corpus, not a raw subset).
+    doc_buckets = materialize(
+        spread_to_cluster(raw)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                ngrams_col(words_col(F.col(text_col)), ngram)
+            ).alias("_g"),
+        )
+        .select("_id", bucket_of(F.col("_g")).alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
+    raw_cnt = doc_buckets.groupBy("_b").agg(F.sum("_n").alias("_c"))
     tgt_cnt = corpus_buckets(target).groupBy("_b").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -691,18 +711,6 @@ def importance_weights(
                 - F.col("_pr")
             ).alias("_w"),
         )
-    )
-    doc_buckets = (
-        spread_to_cluster(raw)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                ngrams_col(words_col(F.col(text_col)), ngram)
-            ).alias("_g"),
-        )
-        .select("_id", bucket_of(F.col("_g")).alias("_b"))
-        .groupBy("_id", "_b")
-        .agg(F.count(F.lit(1)).alias("_n"))
     )
     return (
         doc_buckets.join(F.broadcast(weights), "_b")

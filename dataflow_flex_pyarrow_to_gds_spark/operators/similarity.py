@@ -191,9 +191,18 @@ class RandomHyperplaneLSH:
         return 1.0 if h[0] % 2 == 0 else -1.0
 
     def _signs_lit(self) -> Column:
-        return F.array(
-            *[F.array(*[F.lit(s) for s in row]) for row in self.signs]
+        # One F.expr call instead of nbits×dim F.lit py4j round trips:
+        # building this literal Column-by-Column measured ~2-4 s of
+        # DRIVER time per query build at 4 tables × 12 bits × 64 dims
+        # (the plan is identical — CreateArray of double literals —
+        # only the construction path changes; signs are exactly ±1.0,
+        # so the text form is lossless). r15, guide §5: driver work is
+        # part of the query's wall time too.
+        rows = ",".join(
+            "array(" + ",".join(f"{s!r}D" for s in row) + ")"
+            for row in self.signs
         )
+        return F.expr(f"array({rows})")
 
     def bucket_col(self, vec: Column) -> Column:
         """nbits-bit bucket id of a vector column (JVM-side)."""

@@ -2076,9 +2076,11 @@ def random_walks(
     ``rank_buckets`` tunes the split) and degrees from a
     partial-aggregated groupBy; both checkpoint once and every step is
     then ONE two-key equi-join ``(node = src, chosen_rank = rank)`` of
-    the skinny walker state — no row multiplication anywhere, walk
-    state is 4×8-byte rows, cost ∝ walkers × steps with the usual
-    iterative scheduler floor.
+    the skinny walker state — no row multiplication anywhere. Walker
+    rows carry the walk-so-far as an ARRAY column (≤ 8·(L+1) bytes)
+    through a single linear lineage and posexplode once at the end
+    (r15): zero per-step driver actions, nothing recomputed, cost ∝
+    walkers × steps.
     """
     from .dedup import portable_hash64_col
 

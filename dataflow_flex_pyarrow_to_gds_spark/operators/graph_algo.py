@@ -2347,7 +2347,14 @@ def node2vec_walks(
                     "_t",
                     "_w",
                     cum.alias("_cum"),
-                    F.pmod(h, tot).alias("_pick"),
+                    # tot > 0 guard (r15): an all-zero-weight candidate
+                    # set (possible under zero weight params — e.g.
+                    # w_return=0 on a degree-1 cycle) made pmod raise
+                    # ANSI divide-by-zero; CASE branches evaluate
+                    # lazily, so the NULL pick now fails the interval
+                    # filter and the walker dies with its prefix kept —
+                    # the same ending a sink gives it
+                    F.when(tot > F.lit(0), F.pmod(h, tot)).alias("_pick"),
                 )
                 .filter(
                     (F.col("_pick") >= F.col("_cum") - F.col("_w"))

@@ -1265,6 +1265,43 @@ def test_node2vec_gcd_collapse_equal_weights(spark):
     assert a == b
 
 
+def test_node2vec_dead_walkers_keep_prefix(spark):
+    """r15: a walker whose every candidate weight is 0 (zero weight
+    params — previously an ANSI pmod-by-zero inside the window pick)
+    dies at the interval filter exactly like a walker at a directed
+    sink dies at the adjacency join: both emit their walked prefix,
+    nothing more."""
+    from dataflow_flex_pyarrow_to_gds_spark.operators.graph_algo import (
+        node2vec_walks,
+    )
+
+    # 1 <-> 2 only: after the uniform first hop every walker's sole
+    # candidate is its previous node, and w_return=0 makes tot=0
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1)], "sourceNodeId long, targetNodeId long"
+    )
+    got = sorted(
+        (r["start_node"], r["walk_no"], r["step"], r["node_id"])
+        for r in node2vec_walks(
+            df, walks_per_node=1, walk_length=3,
+            w_return=0, w_near=0, w_far=1, seed=7,
+        ).collect()
+    )
+    assert got == [(1, 0, 0, 1), (1, 0, 1, 2), (2, 0, 0, 2), (2, 0, 1, 1)]
+
+    # directed edge into a sink: the walk ends after one step
+    sink = spark.createDataFrame(
+        [(1, 2)], "sourceNodeId long, targetNodeId long"
+    )
+    got2 = sorted(
+        (r["start_node"], r["walk_no"], r["step"], r["node_id"])
+        for r in node2vec_walks(
+            sink, walks_per_node=1, walk_length=3, seed=7
+        ).collect()
+    )
+    assert got2 == [(1, 0, 0, 1), (1, 0, 1, 2)]
+
+
 def test_shortest_paths_fail_fast_validation(spark):
     """ADVICE r10: negative weights raise immediately (not a late
     max_iter RuntimeError), and non-integer weight types raise instead

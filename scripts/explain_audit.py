@@ -998,13 +998,19 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "@quantile_round",
-        "exact-quantiles narrowing round: ONE partial-aggregated "
-        "bucket count over a literal-CASE bucketing (codegen), scan "
-        "pruned to the value column, no sort, no window, no Python "
-        "eval — the global sort the operator exists to avoid never "
-        "appears",
+        "exact-quantiles narrowing round (r15): ONE partial-aggregated "
+        "(count, min, max) pass, buckets tagged by codegen FLOOR "
+        "arithmetic over a broadcast range-info join (no per-round "
+        "boundary scan, no cut arrays), scan pruned to the value "
+        "column, no sort, no window, no Python eval — the global sort "
+        "the operator exists to avoid never appears",
         lambda p: "partial_count" in p
-        and "CASE WHEN" in p
+        and "partial_min" in p
+        and "FLOOR" in p
+        # a single active range folds _rid to a constant, so the 1-row
+        # info join plans as a nested-loop cross join; multi-range
+        # rounds get the hash join
+        and ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 1
         and "Sort" not in p
@@ -1162,11 +1168,13 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "@wq_round",
-        "weighted-quantiles narrowing round: ONE partial-agg "
-        "(weight-sum, count) pass over a literal-CASE bucketing, scan "
+        "weighted-quantiles narrowing round (r15): ONE partial-agg "
+        "(weight-sum, count, min, max) pass, buckets tagged by codegen "
+        "FLOOR arithmetic over a broadcast range-info join, scan "
         "pruned to (value, weight), no sort, no window, no Python",
         lambda p: "partial_sum" in p
-        and "CASE WHEN" in p
+        and "FLOOR" in p
+        and ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
         and (m := re.search(r"ReadSchema: struct<([^>]*)>", p))
         and len(m.group(1).split(",")) == 2
         and "Sort" not in p
@@ -1248,12 +1256,14 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "@gq_round",
-        "grouped-quantiles narrowing round: ONE partial-agg "
+        "grouped-quantiles narrowing round (r15): ONE partial-agg "
         "(count, min, max) pass over a literal group+range CASE "
-        "routing, scan pruned to (group, value), no sort, no window, "
-        "no Python — groups multiply STATES, not cluster actions",
+        "routing with FLOOR-arithmetic bucket tagging, scan pruned to "
+        "(group, value), no sort, no window, no Python — groups "
+        "multiply STATES, not cluster actions",
         lambda p: "partial_count" in p
         and "partial_min" in p
+        and "FLOOR" in p
         and "Sort" not in p
         and "windowspecdefinition" not in p
         and "BatchEvalPython" not in p
@@ -1262,14 +1272,16 @@ CHECKS: list[tuple[str, str, object]] = [
     ),
     (
         "@gqhc_round",
-        "HIGH-CARDINALITY grouped-quantiles narrowing round (r14): the "
-        "range state and bucket boundaries ride BROADCAST-JOINED data "
-        "(two BroadcastHashJoins + a codegen higher-order array probe) "
+        "HIGH-CARDINALITY grouped-quantiles narrowing round (r14 data-"
+        "not-plan state, r15 arithmetic tag): the group map, the range "
+        "table and the range info ALL ride BROADCAST-JOINED data "
+        "(three BroadcastHashJoins + codegen FLOOR bucket arithmetic) "
         "— plan size constant in the group count, scan pruned to "
         "(group, value), one partial-agg pass, no sort/window/Python",
-        lambda p: p.count("BroadcastHashJoin") >= 2
+        lambda p: p.count("BroadcastHashJoin") >= 3
         and "partial_count" in p
         and "partial_min" in p
+        and "FLOOR" in p
         and "Sort" not in p
         and "windowspecdefinition" not in p
         and "BatchEvalPython" not in p
@@ -1754,27 +1766,27 @@ def _louvain_sweep(spark, sf: str):
 
 
 def _quantile_round(spark, sf: str):
-    """One exact-quantiles narrowing round over lineitem prices: the
-    bucket-count aggregation that dominates each round (the located
-    bucket's filter + recursion are driver-coordinated on its ≤32-row
-    result)."""
+    """One exact-quantiles narrowing round over lineitem prices —
+    built from the engine's own helpers (_tag_ranges +
+    _round_stats_df) so the audited plan IS the shipped plan: ONE
+    broadcast range-info join + codegen arithmetic bucket tag + ONE
+    partial-agg stats pass (r15; the located bucket's recursion is
+    driver-coordinated on the ≤_BOUNDS_RES-row result)."""
     from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        _round_stats_df,
+        _tag_ranges,
+    )
 
     vals = (
         spark.read.parquet(f"{sf}/lineitem.parquet")
         .select(F.col("l_extendedprice").alias("_x"))
         .filter(F.col("_x").isNotNull())
     )
-    bounds = vals.agg(
-        F.percentile_approx(
-            "_x", [i / 8 for i in range(1, 8)], 10_000
-        ).alias("b")
-    ).first()["b"]
-    bucket = F.lit(0)
-    for i, b in enumerate(sorted(set(bounds))):
-        bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(bucket)
-    return vals.groupBy(bucket.alias("_b")).agg(
-        F.count(F.lit(1)).alias("_c")
+    filtered = _tag_ranges(vals, [(None, None, None)], ["_x"], joined=False)
+    return _round_stats_df(
+        filtered, [(0, 900.0, 104000.0, None)], 256, weighted=False
     )
 
 
@@ -1812,8 +1824,14 @@ def _mmr_pool(spark, sf: str):
 
 def _wq_round(spark, sf: str):
     """One weighted narrowing round's plan (the @quantile_round analog
-    with weight mass in place of row count)."""
+    with weight mass in place of row count) — engine helpers, shipped
+    shape (r15)."""
     from pyspark.sql import functions as F
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        _round_stats_df,
+        _tag_ranges,
+    )
 
     vals = (
         spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -1823,16 +1841,11 @@ def _wq_round(spark, sf: str):
         )
         .filter(F.col("_x").isNotNull())
     )
-    bounds = vals.agg(
-        F.percentile_approx(
-            "_x", [i / 8 for i in range(1, 8)], 10_000
-        ).alias("b")
-    ).first()["b"]
-    bucket = F.lit(0)
-    for i, b in enumerate(sorted(set(bounds))):
-        bucket = F.when(F.col("_x") > F.lit(b), i + 1).otherwise(bucket)
-    return vals.groupBy(bucket.alias("_b")).agg(
-        F.sum("_w").alias("_ws"), F.count(F.lit(1)).alias("_c")
+    filtered = _tag_ranges(
+        vals, [(None, None, None)], ["_x", "_w"], joined=False
+    )
+    return _round_stats_df(
+        filtered, [(0, 900.0, 104000.0, None)], 256, weighted=True
     )
 
 
@@ -1900,12 +1913,19 @@ def _scc_color_round(spark, sf: str):
 
 def _gq_round(spark, sf: str):
     """One grouped-quantiles narrowing round: the (group, bucket)
-    stats pass over the literal group+range CASE routing — the plan
-    the r13 grouped engine executes per round (the @quantile_round /
-    @wq_round precedent with the group dimension live)."""
+    stats pass over the literal group+range CASE routing, stats via
+    the shipped _round_stats_df (r15 arithmetic bucket tag) — the
+    @quantile_round / @wq_round precedent with the group dimension
+    live."""
     from pyspark.sql import functions as F
 
-    vals = (
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        _group_tagged,
+        _round_stats_df,
+        _tag_ranges,
+    )
+
+    base = (
         spark.read.parquet(f"{sf}/lineitem.parquet")
         .select(
             F.col("l_returnflag").alias("_gv"),
@@ -1913,42 +1933,26 @@ def _gq_round(spark, sf: str):
         )
         .filter(F.col("_x").isNotNull() & F.col("_gv").isNotNull())
     )
-    gidx = F.lit(None).cast("int")
-    for i, gv in enumerate(["A", "N", "R"]):
-        gidx = F.when(F.col("_gv") == F.lit(gv), F.lit(i)).otherwise(gidx)
-    tagged = vals.select(gidx.alias("_g"), "_x")
-    rid = F.lit(None).cast("int")
-    for i in range(3):
-        rid = F.when(F.col("_g") == F.lit(i), F.lit(i)).otherwise(rid)
-    filtered = tagged.select(rid.alias("_rid"), "_x").filter(
-        F.col("_rid").isNotNull()
-    )
-    bucket = F.lit(0)
-    for j, b in enumerate([10000.0, 30000.0, 50000.0]):
-        bucket = F.when(F.col("_x") > F.lit(b), j + 1).otherwise(bucket)
-    return filtered.groupBy("_rid", bucket.alias("_bk")).agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.min("_x").alias("_mn"),
-        F.max("_x").alias("_mx"),
-    )
+    groups = [("A",), ("N",), ("R",)]
+    vals = _group_tagged(base, groups, ["_x"], joined=False)
+    ranges = [(i, None, None) for i in range(3)]
+    filtered = _tag_ranges(vals, ranges, ["_x"], joined=False)
+    info = [(i, 900.0, 104000.0, None) for i in range(3)]
+    return _round_stats_df(filtered, info, 256, weighted=False)
 
 
 def _gqhc_round(spark, sf: str):
-    """One HIGH-CARDINALITY grouped-quantiles narrowing round (r14):
-    the bucket-stats pass with the range table AND bucket boundaries
-    broadcast-joined as data — built from the engine's own helpers
-    (_group_tagged / _tag_ranges joined=True) so the audited plan IS
+    """One HIGH-CARDINALITY grouped-quantiles narrowing round (r14,
+    r15 shape): the bucket-stats pass with the range table AND range
+    info broadcast-joined as data, buckets tagged by codegen
+    arithmetic — built from the engine's own helpers (_group_tagged /
+    _tag_ranges joined=True + _round_stats_df) so the audited plan IS
     the shipped plan."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        ArrayType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
 
     from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
         _group_tagged,
+        _round_stats_df,
         _tag_ranges,
     )
 
@@ -1964,28 +1968,9 @@ def _gqhc_round(spark, sf: str):
     groups = [(g,) for g in range(1, n_groups + 1)]
     vals = _group_tagged(base, groups, ["_x"], joined=True)
     ranges = [(i, None, None) for i in range(n_groups)]
-    tagged = _tag_ranges(vals, ranges, ["_x"], joined=True)
-    vt = vals.schema["_x"].dataType
-    bschema = StructType(
-        [
-            StructField("_rid", IntegerType(), False),
-            StructField("_bs", ArrayType(vt, False), False),
-        ]
-    )
-    bnds = spark.createDataFrame(
-        [(i, [10000.0, 30000.0, 50000.0]) for i in range(n_groups)],
-        bschema,
-    )
-    bk = F.size(F.filter("_bs", lambda b: F.col("_x") > b))
-    return (
-        tagged.join(F.broadcast(bnds), "_rid")
-        .groupBy("_rid", bk.alias("_bk"))
-        .agg(
-            F.count(F.lit(1)).alias("_c"),
-            F.min("_x").alias("_mn"),
-            F.max("_x").alias("_mx"),
-        )
-    )
+    filtered = _tag_ranges(vals, ranges, ["_x"], joined=True)
+    info = [(i, 900.0, 104000.0, None) for i in range(n_groups)]
+    return _round_stats_df(filtered, info, 256, weighted=False)
 
 
 def _mst_round(spark, sf: str):

@@ -235,3 +235,97 @@ def test_minhash_banded_stage_stays_codegen(spark, sf_dir):
     n = plan.count("element_at")
     # linear: 2 per band; the r14 quadratic form emitted bands*(bands-1)
     assert n <= 2 * bands, n
+
+
+# ---------------------------------------------------------------------------
+# quantile narrowing engine: r15 one-action rounds (arithmetic bucket
+# tag + observed-bounds bookkeeping + rank-balanced skew fallback)
+# ---------------------------------------------------------------------------
+
+def test_quantiles_value_skew_sketch_fallback(spark):
+    """Exponentially-spaced values are the worst case for the r15
+    equi-width arithmetic buckets (most rows land in bucket 0 every
+    round); the <4x-shrink sketch fallback must kick in and still
+    localize every rank within the default round budget."""
+    from fractions import Fraction
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    vals = [float(2 ** (i % 40)) for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    clean = sorted(vals)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        r["quantile"]: (r["rank"], r["value"])
+        for r in exact_quantiles(
+            df, "x", qs, local_threshold=20, n_buckets=4
+        ).collect()
+    }
+    for q in qs:
+        rank = int((len(clean) - 1) * Fraction(str(q))) + 1
+        assert got[q] == (rank, clean[rank - 1]), (q, got[q])
+
+
+def test_quantiles_huge_int64_span_exact(spark):
+    """int64 values whose span collapses or rounds under the double
+    cast: the arithmetic tag only needs MONOTONICITY (bookkeeping uses
+    observed bucket maxes), and a fully degenerate double span falls
+    back to exact integer cuts — results must be exact order
+    statistics either way."""
+    from fractions import Fraction
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    big = (1 << 62)
+    vals = (
+        [big + i for i in range(50)]          # adjacent under double
+        + [-big + i for i in range(50)]       # huge span
+        + [i * 7 for i in range(100)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    clean = sorted(vals)
+    qs = [0.0, 0.1, 0.5, 0.77, 1.0]
+    got = {
+        r["quantile"]: (r["rank"], r["value"])
+        for r in exact_quantiles(
+            df, "x", qs, local_threshold=8, n_buckets=4, max_rounds=12
+        ).collect()
+    }
+    for q in qs:
+        rank = int((len(clean) - 1) * Fraction(str(q))) + 1
+        assert got[q] == (rank, clean[rank - 1]), (q, got[q])
+
+
+def test_grouped_quantiles_one_action_per_round(spark):
+    """The r15 engine contract: a narrowing round is ONE job (the
+    grouped stats pass) — no separate boundary scan. Census the jobs
+    of a 2-round grouped narrowing via the status tracker."""
+    import random as _random
+
+    from dataflow_flex_pyarrow_to_gds_spark.operators.profile import (
+        exact_quantiles_grouped,
+    )
+
+    _random.seed(3)
+    rows = [(g, _random.random()) for g in range(3) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "g int, x double").localCheckpoint()
+    sc = spark.sparkContext
+    sc.setJobGroup("qjob_census", "narrowing census")
+    out = exact_quantiles_grouped(
+        df, "g", "x", [0.5, 0.9], local_threshold=30, n_buckets=4
+    )
+    out.collect()
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("qjob_census")
+    # actions: initial fused counts+minmax (1) + arithmetic narrowing
+    # rounds (1 each) + batched finish (1). AQE books each shuffle
+    # stage as its own job, so the census over-counts actions — the
+    # bound is the REGRESSION tripwire: this exact shape measures 10
+    # jobs on the r15 engine vs 23 on the r13-r14 two-action engine
+    # (separate count, per-round boundary scan). 12 allows scheduler
+    # jitter while still failing if a per-round scan creeps back.
+    assert len(jobs) <= 12, len(jobs)

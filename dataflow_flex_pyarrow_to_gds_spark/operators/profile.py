@@ -647,10 +647,15 @@ _BOUNDS_RES = 256
 
 #: Driver-collect budget per round: at most ~this many (range, bucket)
 #: stat cells, so the per-round resolution adapts DOWN as the active
-#: range count grows (1 range → 256 buckets; 20 000 active group
-#: ranges → 10 buckets each) and the collected stats stay trivially
-#: driver-sized at any group cardinality.
-_ROUND_CELLS_BUDGET = 200_000
+#: range count grows (1 range → 256 buckets; 1 000 active group
+#: ranges → 32 each) and the collected stats stay trivially
+#: driver-sized at any group cardinality. Sized to pyspark's
+#: row-collect throughput, which is the real constraint (the cell
+#: shuffle itself is trivial at any setting): 200k-cell rounds
+#: measured ~4 s of pure driver deserialization on the 1000-group HC
+#: row; 32k keeps it under ~0.5 s while still finishing per-group
+#: narrowing in one round whenever group_size/threshold < 32.
+_ROUND_CELLS_BUDGET = 32_768
 
 #: ``percentile_approx`` accuracy for the value-skew fallback sketch.
 #: Cuts are balance-only (skewed cuts degrade parallelism, never

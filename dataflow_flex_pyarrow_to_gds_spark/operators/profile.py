@@ -254,10 +254,24 @@ def cms_sketch(
         else F.lit(1).cast("long")
     )
     gcols = list(group_cols)
-    rows = df.select(
+    base = df.select(
         *gcols,
         F.col(value_col).cast("string").alias("_val"),
         w.alias("_w"),
+    )
+    if not base.isStreaming:
+        # r15 (guide §2.5 input parallelism): the depth× md5 hashing is
+        # the sketch's dominant CPU and ran at the input file's split
+        # count; spread is a no-op at real many-split scale, one cheap
+        # narrow-row exchange on small/unsplittable inputs. Streaming
+        # callers (cms_store_rollup) keep the micro-batch layout.
+        from .dedup import spread_to_cluster
+
+        base = spread_to_cluster(base)
+    rows = base.select(
+        *gcols,
+        "_val",
+        "_w",
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias(
             "cms_row"
         ),

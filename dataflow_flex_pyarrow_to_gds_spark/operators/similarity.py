@@ -139,6 +139,12 @@ def hard_negatives(
         F.col(label_col).alias("negative_label"),
         _as_double(F.col(vec_col)).alias("_dvec"),
     )
+    # r15 (guide §2.5 input parallelism): the per-(corpus row × anchor)
+    # cosine is the dominant CPU and ran at the corpus file's split
+    # count; no-op exchange at real many-split scale
+    from .dedup import spread_to_cluster
+
+    d = spread_to_cluster(d)
     sim = cosine_similarity(F.col("_dvec"), F.col("_avec"))
     w = W.partitionBy("_aid").orderBy(F.desc("sim"), F.asc("_did"))
     return (

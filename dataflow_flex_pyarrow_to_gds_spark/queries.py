@@ -2849,6 +2849,13 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk"),
         blk.alias("pfx"),
     )
+    # r15 (guide §2.5): AQE coalesces the tiny-by-BYTES block shuffle
+    # to ~1 partition, serializing the levenshtein stage whose cost is
+    # CPU-per-pair, not bytes; an explicit block-keyed repartition (not
+    # coalesced by AQE) keeps Σ block² spread across the cluster
+    par = spark.sparkContext.defaultParallelism
+    a = a.repartition(par, "nk", "pfx")
+    b = b.repartition(par, "nk", "pfx")
     return (
         a.join(b, ["nk", "pfx"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -6067,13 +6074,19 @@ def q_text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on either side: grams reduce to 8-byte portable hashes
     per-position, the filter build groupBys on ≤512 word keys, and
     probes join back on the hash."""
-    from .operators.dedup import portable_hash64_col
+    from .operators.dedup import portable_hash64_col, spread_to_cluster
     from .operators.profile import bloom_probe, bloom_sketch
     from .operators.quality import ngrams_col, words_col
 
     docs = _t(spark, sf_dir, "documents")
 
     def grams(side: DataFrame) -> DataFrame:
+        # r15 (guide §2.5 input parallelism): the tokenize → 8-gram →
+        # md5 pass is the row's dominant CPU cost and ran at the
+        # document file's split count (2 tasks on 32 cores at test
+        # SFs); spread_to_cluster is a no-op exchange at real
+        # many-split scale and one cheap text shuffle here
+        side = spread_to_cluster(side)
         return side.select(
             "doc_id",
             F.explode(
